@@ -1,0 +1,63 @@
+"""Fixture catalog: schema-stable loaders for the driver-generated tables.
+
+Tables (TESTDATA.md / FIXTURES.md): region nation customer supplier part
+orders lineitem events documents embeddings — one parquet file per table
+under an sf directory. ``load_table`` normalizes the one physical quirk
+(events.ts is TIMESTAMP(NANOS) which Spark 4 reads as bigint under
+``nanosAsLong``) so every downstream operator sees clean Spark types.
+
+Scale note: these loaders are plain ``spark.read.parquet`` — at 100 TB the
+same call reads a partitioned directory tree and Catalyst does partition
+pruning + predicate pushdown; nothing here assumes single files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_redshift_etl_spark.session import apply_runtime_confs
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (region=5,
+# nation=25 rows always; supplier scales but stays dim-sized).
+BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, normalizing physical quirks.
+
+    events.ts: stored as parquet TIMESTAMP(NANOS, false); under
+    ``spark.sql.legacy.parquet.nanosAsLong`` Spark reads it as bigint
+    nanoseconds. All fixture values are exact microseconds (verified:
+    epoch_ns % 1000 == 0 for every row), and DuckDB's reader likewise
+    presents the column as microsecond TIMESTAMP — so integer-division
+    ns→µs conversion here is lossless and oracle-exact.
+    """
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register fixture tables as temp views for the spark.sql(...) path."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,170 @@
+"""Redshift-dialect → Spark translation helpers.
+
+This is the "thin dialect layer" from SURVEY.md §4: Redshift scalar
+functions that Spark spells differently, plus oracle-exactness helpers.
+
+Oracle-exactness design (SURVEY.md §4 / FIXTURES.md gotchas): floating
+sums differ across engines because summation order differs, so every
+hash-checked aggregate goes through **exact decimal arithmetic** and is
+cast back to double only at the end:
+
+    SUM(CAST(x AS DECIMAL(18,s)))  — exact, order-insensitive
+    → CAST(... AS DOUBLE)          — deterministic single rounding
+
+As long as the scaled sum stays under 2^53 (true by orders of magnitude
+at every fixture sf, and auditable at 100 TB by widening the scale), the
+resulting double is bit-identical in Spark and DuckDB. Averages divide
+that exact-sum double by an exact bigint count — IEEE-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+def _col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# ---------------------------------------------------------------------------
+# exact-aggregate helpers
+# ---------------------------------------------------------------------------
+
+def dec(c: ColumnOrName, scale: int = 2, precision: int = 18) -> Column:
+    """Cast to a fixed-point decimal for exact, order-insensitive math."""
+    return _col(c).cast(f"decimal({precision},{scale})")
+
+
+def dsum(c: ColumnOrName, scale: int = 2) -> Column:
+    """Exact decimal SUM surfaced as double (bit-identical across engines)."""
+    return F.sum(dec(c, scale)).cast("double")
+
+
+def davg(c: ColumnOrName, scale: int = 2) -> Column:
+    """AVG as exact-decimal-sum double / count — IEEE-deterministic."""
+    return F.sum(dec(c, scale)).cast("double") / F.count(_col(c))
+
+
+# ---------------------------------------------------------------------------
+# Redshift scalar surface
+# ---------------------------------------------------------------------------
+
+def nvl(c: ColumnOrName, *others: ColumnOrName) -> Column:
+    """Redshift NVL(a, b, ...) == COALESCE."""
+    return F.coalesce(_col(c), *[_col(o) for o in others])
+
+
+def nvl2(c: ColumnOrName, if_not_null: Column, if_null: Column) -> Column:
+    """Redshift NVL2(expr, not_null_val, null_val)."""
+    return F.when(_col(c).isNotNull(), if_not_null).otherwise(if_null)
+
+
+def decode(c: ColumnOrName, *pairs, default: Column | None = None) -> Column:
+    """Redshift DECODE(expr, search1, result1, ..., [default]).
+
+    ``decode(col, ("A", lit(1)), ("B", lit(2)), default=lit(0))``
+    """
+    expr: Column | None = None
+    col = _col(c)
+    for search, result in pairs:
+        cond = col.eqNullSafe(F.lit(search)) if search is not None else col.isNull()
+        expr = F.when(cond, result) if expr is None else expr.when(cond, result)
+    assert expr is not None, "DECODE needs at least one (search, result) pair"
+    return expr.otherwise(default) if default is not None else expr
+
+
+def split_part(c: ColumnOrName, delim: str, part: int) -> Column:
+    """Redshift SPLIT_PART (1-based; '' when out of range)."""
+    return F.split_part(_col(c), F.lit(delim), F.lit(part))
+
+
+def json_extract_path_text(c: ColumnOrName, *path: str) -> Column:
+    """Redshift JSON_EXTRACT_PATH_TEXT(json, 'a', 'b') → get_json_object $.a.b."""
+    return F.get_json_object(_col(c), "$." + ".".join(path))
+
+
+def listagg(c: ColumnOrName, sep: str = ",") -> Column:
+    """Redshift LISTAGG(x, sep) WITHIN GROUP (ORDER BY x).
+
+    Spark's collect_list order is partition-nondeterministic, so sort
+    explicitly — this both matches Redshift's WITHIN GROUP and makes the
+    result oracle-stable (DuckDB: string_agg(x, sep ORDER BY x)).
+    """
+    return F.array_join(F.array_sort(F.collect_list(_col(c))), sep)
+
+
+# TO_CHAR: Redshift (Postgres-style) datetime format → Spark datetime pattern.
+# Longest-match first; anything unmapped passes through literally.
+_TO_CHAR_MAP: list[tuple[str, str]] = [
+    ("YYYY", "yyyy"),
+    ("YY", "yy"),
+    ("MON", "MMM"),
+    ("MM", "MM"),
+    ("DDD", "DDD"),
+    ("DD", "dd"),
+    ("DY", "EEE"),
+    ("HH24", "HH"),
+    ("HH12", "hh"),
+    ("HH", "hh"),
+    ("MI", "mm"),
+    ("SS", "ss"),
+    ("MS", "SSS"),
+    ("AM", "a"),
+    ("PM", "a"),
+    ("Q", "q"),
+]
+
+
+def translate_datetime_format(rs_fmt: str) -> str:
+    """Translate a Redshift TO_CHAR datetime format string to Spark's."""
+    out: list[str] = []
+    i = 0
+    while i < len(rs_fmt):
+        for rs, sp in _TO_CHAR_MAP:
+            if rs_fmt.startswith(rs, i):
+                out.append(sp)
+                i += len(rs)
+                break
+        else:
+            ch = rs_fmt[i]
+            # Quote letters Spark would interpret as pattern chars.
+            out.append(f"'{ch}'" if ch.isalpha() else ch)
+            i += 1
+    return "".join(out)
+
+
+def to_char(c: ColumnOrName, rs_fmt: str) -> Column:
+    """Redshift TO_CHAR(ts, fmt) with format-dialect translation."""
+    return F.date_format(_col(c), translate_datetime_format(rs_fmt))
+
+
+def redshift_datediff(unit: str, start: ColumnOrName, end: ColumnOrName) -> Column:
+    """Redshift DATEDIFF(unit, a, b): counts *boundary crossings*, not
+    elapsed units — e.g. DATEDIFF(year, '2020-12-31', '2021-01-01') = 1.
+
+    Implemented as the difference of date_trunc'd endpoints, which is the
+    same contract DuckDB's date_diff uses — so this is oracle-exact.
+    """
+    unit = unit.lower()
+    s, e = _col(start), _col(end)
+    if unit in ("year", "y", "yr", "years"):
+        return F.year(e) - F.year(s)
+    if unit in ("quarter", "qtr"):
+        return (F.year(e) - F.year(s)) * 4 + (F.quarter(e) - F.quarter(s))
+    if unit in ("month", "mon", "months"):
+        return (F.year(e) - F.year(s)) * 12 + (F.month(e) - F.month(s))
+    if unit in ("week", "w"):
+        return F.datediff(F.date_trunc("week", e), F.date_trunc("week", s)) / 7
+    if unit in ("day", "d", "days"):
+        return F.datediff(e.cast("date"), s.cast("date"))
+    if unit in ("hour", "h", "hours"):
+        trunc_h = (F.unix_timestamp(F.date_trunc("hour", e)) - F.unix_timestamp(F.date_trunc("hour", s))) / 3600
+        return trunc_h.cast("long")
+    if unit in ("minute", "m", "min", "minutes"):
+        return ((F.unix_timestamp(F.date_trunc("minute", e)) - F.unix_timestamp(F.date_trunc("minute", s))) / 60).cast("long")
+    if unit in ("second", "s", "sec", "seconds"):
+        return (F.unix_timestamp(e) - F.unix_timestamp(s)).cast("long")
+    raise ValueError(f"unsupported DATEDIFF unit: {unit}")

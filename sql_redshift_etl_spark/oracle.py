@@ -1,0 +1,79 @@
+"""Local mirror of the driver's DuckDB oracle check.
+
+The verify driver runs each ``queries()[name]`` on Spark and the matching
+``oracle_sql()[name]`` on DuckDB over the same parquet fixtures, then
+compares row-count + schema + order-insensitive value-hash. This module
+reproduces that comparison locally (strictly: canonical stringification of
+every cell, multiset equality) so regressions are caught before submission.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import duckdb
+import pandas as pd
+
+from sql_redshift_etl_spark.catalog import TABLES
+
+
+def register_duckdb_views(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
+    for t in TABLES:
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+
+def canon_cell(v: Any) -> str:
+    """Canonical, engine-independent rendering of one value."""
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "∅nan"
+        if v == 0.0:
+            return "i0"  # normalize -0.0 / 0.0
+        # Integral doubles render as ints to absorb int64/float64 dtype
+        # drift between engines (e.g. nullable-int → float64 in pandas).
+        if v.is_integer() and abs(v) < 2**53:
+            return f"i{int(v)}"
+        return repr(v)  # shortest round-trip — bitwise faithful
+    if isinstance(v, bool):
+        return "T" if v else "F"
+    if isinstance(v, int):
+        return f"i{v}"
+    if isinstance(v, bytes):
+        return "x" + v.hex()
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if hasattr(v, "isoformat"):  # datetime.date / datetime.datetime
+        return v.isoformat()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(canon_cell(float(x) if isinstance(x, float) or "float" in type(x).__name__ else x) for x in v) + "]"
+    if type(v).__module__ == "numpy":  # numpy scalar
+        return canon_cell(v.item())
+    return "s" + str(v)
+
+
+def canon_frame(df: pd.DataFrame) -> tuple[list[str], list[tuple[str, ...]]]:
+    cols = sorted(df.columns)
+    out = df[cols]
+    rows = sorted(tuple(canon_cell(v) for v in row) for row in out.itertuples(index=False, name=None))
+    return cols, rows
+
+
+def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> dict[str, Any]:
+    sc, srows = canon_frame(spark_pdf)
+    dc, drows = canon_frame(duck_pdf)
+    report: dict[str, Any] = {
+        "columns_match": sc == dc,
+        "rowcount_match": len(srows) == len(drows),
+        "values_match": srows == drows,
+        "spark_cols": sc,
+        "duck_cols": dc,
+        "spark_rows": len(srows),
+        "duck_rows": len(drows),
+    }
+    if not report["values_match"] and report["rowcount_match"] and report["columns_match"]:
+        diffs = [(a, b) for a, b in zip(srows, drows) if a != b]
+        report["first_diffs"] = diffs[:3]
+    return report

@@ -1,0 +1,351 @@
+"""Aggregation operators (SURVEY.md §2.4, rows A1-A10).
+
+Scale notes:
+- Every groupBy here compiles to partial (map-side) + final hash
+  aggregation — the shuffle carries one row per (group × partition), so
+  group-count, not input size, bounds shuffle volume.
+- High-cardinality COUNT(DISTINCT) rewrites to a two-stage expand+agg in
+  Catalyst; APPROXIMATE variants (HLL) cut that to constant memory and
+  are the 100 TB default (A3).
+- Exact-decimal rules from functions.dialect keep float aggregates
+  hash-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_redshift_etl_spark.catalog import load_table
+from sql_redshift_etl_spark.functions.dialect import dec, dsum, listagg, nvl
+from sql_redshift_etl_spark.plans.registry import register
+
+
+@register(
+    "agg_basic_supplier",
+    tags=("A1",),
+    oracle="""
+        SELECT l_suppkey,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               MIN(l_extendedprice) AS min_price,
+               MAX(l_extendedprice) AS max_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        FROM lineitem
+        GROUP BY l_suppkey
+    """,
+)
+def agg_basic_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY hash agg: SUM/MIN/MAX/COUNT/AVG per supplier (A1).
+    MIN/MAX on doubles are exact (no summation), so no decimal detour."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        (F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+    )
+
+
+@register(
+    "count_distinct_multi",
+    tags=("A2",),
+    oracle="""
+        SELECT c_mktsegment,
+               COUNT(DISTINCT c_nationkey) AS n_nations,
+               COUNT(DISTINCT c_nationkey % 5) AS n_nation_mod,
+               COUNT(*) AS n_customers
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+)
+def count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregation (A2) — Catalyst plans the Expand-based
+    multi-distinct rewrite automatically."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.countDistinct(F.col("c_nationkey") % 5).alias("n_nation_mod"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@register("approx_count_distinct", tags=("A3",))  # rows-only: HLL estimates differ per engine
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE COUNT(DISTINCT) — Redshift's HLL ≈ Spark's
+    approx_count_distinct (HyperLogLog++, rsd 1%).
+
+    This is the 100 TB default for distinct-cardinality: constant memory
+    per group vs the exact rewrite's full shuffle of distinct values.
+    No SQL oracle (sketch estimates are engine-specific); the pytest suite
+    asserts the estimate is within 5% of the exact count instead.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_custkeys"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "stats_moments",
+    tags=("A4",),
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(STDDEV_SAMP(l_quantity), 6) AS std_qty,
+               ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
+               ROUND(STDDEV_POP(l_quantity), 6) AS stdp_qty,
+               ROUND(VAR_POP(l_quantity), 6) AS varp_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STDDEV/VARIANCE (A4). Engines accumulate moments in different
+    orders, so results agree only to ~1e-12 — both sides round to 6 dp
+    (values are O(10), so the rounding absorbs the noise)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("stdp_qty"),
+        F.round(F.var_pop("l_quantity"), 6).alias("varp_qty"),
+    )
+
+
+@register(
+    "listagg_nations",
+    tags=("A5",),
+    oracle="""
+        SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+)
+def listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG(x, sep) WITHIN GROUP (ORDER BY x) (A5). Spark's
+    collect_list is partition-order-nondeterministic — the dialect helper
+    sorts the array before joining, which is both the Redshift WITHIN
+    GROUP semantics and the only oracle-stable form."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(listagg("n_name").alias("nations"))
+
+
+@register(
+    "percentiles_price",
+    tags=("A6",),
+    oracle="""
+        SELECT o_orderstatus,
+               ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50,
+               ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90,
+               ROUND(median(o_totalprice), 4) AS med,
+               ROUND(percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50_disc
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_CONT / MEDIAN / APPROXIMATE PERCENTILE (A6).
+
+    Exact percentiles require a full sort per group — fine for bounded
+    group counts; at 100 TB prefer percentile_approx (mergeable sketch,
+    constant memory), the Redshift APPROXIMATE PERCENTILE_DISC analog.
+    With accuracy=100000 > group size it degenerates to the exact
+    PERCENTILE_DISC value (oracle-checked as such); at larger groups it
+    becomes approximate — then drop the oracle, not the accuracy.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.median("o_totalprice"), 4).alias("med"),
+        F.round(F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(100000)), 4).alias("p50_disc"),
+    )
+
+
+@register(
+    "rollup_region_nation",
+    tags=("A7",),
+    oracle="""
+        SELECT COALESCE(r.r_name, '(all)') AS region,
+               COALESCE(n.n_name, '(all)') AS nation,
+               GROUPING(r.r_name) + GROUPING(n.n_name) AS grouping_level,
+               COUNT(*) AS n_customers
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + GROUPING() (A7): region→nation hierarchy with subtotal and
+    grand-total rows. grouping() disambiguates rollup-nulls from data
+    nulls; labels coalesced for display parity."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(r, n.n_regionkey == r.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.grouping("r_name") + F.grouping("n_name")).cast("long").alias("grouping_level"),
+    ).select(
+        nvl(F.col("r_name"), F.lit("(all)")).alias("region"),
+        nvl(F.col("n_name"), F.lit("(all)")).alias("nation"),
+        "grouping_level",
+        "n_customers",
+    )
+
+
+@register(
+    "cube_flag_status",
+    tags=("A7",),
+    oracle="""
+        SELECT COALESCE(l_returnflag, '*') AS returnflag,
+               COALESCE(l_linestatus, '*') AS linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (A7): all 2^k grouping combinations in one pass (Catalyst
+    Expand — input scanned once, not 2^k times)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity").alias("sum_qty"))
+        .select(
+            nvl(F.col("l_returnflag"), F.lit("*")).alias("returnflag"),
+            nvl(F.col("l_linestatus"), F.lit("*")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "grouping_sets_mixed",
+    tags=("A7",),
+    oracle="""
+        SELECT COALESCE(o_orderstatus, '*') AS status,
+               COALESCE(o_orderpriority, '*') AS priority,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (A7) via the SQL path (Spark has no direct
+    DataFrame API for arbitrary sets — spark.sql is the idiomatic route)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, '*') AS status,
+               COALESCE(o_orderpriority, '*') AS priority,
+               COUNT(*) AS n_orders
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "bool_aggregates",
+    tags=("A8",),
+    oracle="""
+        SELECT event_type,
+               BOOL_AND(value > 0) AS all_positive,
+               BOOL_OR(value > 400) AS any_large,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOL_AND / BOOL_OR (A8). ANY_VALUE exists in both engines but is
+    deliberately not oracle-checked (value is arbitrary by contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 400).alias("any_large"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "conditional_agg_filter",
+    tags=("A9",),
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS DOUBLE) AS urgent_sales,
+               COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+               COUNT(*) AS n_total
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def conditional_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-aggregate FILTER (WHERE ...) (A9) — the CASE/when-inside-agg
+    idiom; Redshift writes this as CASE or FILTER, Spark as sum(when())."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        nvl(F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", dec("o_totalprice"))), F.lit(0))
+        .cast("double")
+        .alias("urgent_sales"),
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_big"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@register(
+    "pivot_status",
+    tags=("A10",),
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F'), 0) AS DOUBLE) AS qty_f,
+               CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O'), 0) AS DOUBLE) AS qty_o
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (A10): Redshift PIVOT ≡ Spark groupBy().pivot(). Explicit
+    value list ["F","O"] avoids the extra distinct-values job — always
+    pass it at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(dec("l_quantity")).cast("double"))
+        .select(
+            "l_returnflag",
+            nvl(F.col("F"), F.lit(0.0)).alias("qty_f"),
+            nvl(F.col("O"), F.lit(0.0)).alias("qty_o"),
+        )
+    )
+
+
+@register(
+    "unpivot_part",
+    tags=("A10",),
+    oracle="""
+        SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+        FROM part WHERE p_partkey <= 100
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val
+        FROM part WHERE p_partkey <= 100
+    """,
+)
+def unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (A10) — wide→long via df.unpivot (Spark 3.4+ melt).
+    Oracle uses the dialect-portable UNION ALL form."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") <= 100)
+    return p.select("p_partkey", F.col("p_size").cast("double"), F.col("p_retailprice")).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )

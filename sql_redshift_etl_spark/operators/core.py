@@ -269,16 +269,26 @@ def intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "except_nations",
     tags=("O5",),
     oracle="""
-        SELECT c_nationkey AS nationkey FROM customer
+        SELECT DISTINCT l_orderkey AS orderkey FROM lineitem WHERE l_quantity >= 30
         EXCEPT
-        SELECT s_nationkey AS nationkey FROM supplier
+        SELECT o_orderkey AS orderkey FROM orders WHERE o_totalprice > 300000
     """,
 )
 def except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT / MINUS (set semantics)."""
-    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)  # subtract == EXCEPT (set semantics)
+    """EXCEPT / MINUS (set semantics): high-quantity orders that are not
+    high-value — non-degenerate (non-empty) at every fixture sf."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 30)
+        .select(F.col("l_orderkey").alias("orderkey"))
+        .distinct()
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 300000)
+        .select(F.col("o_orderkey").alias("orderkey"))
+    )
+    return li.subtract(o)  # subtract == EXCEPT (set semantics)
 
 
 @register(

@@ -27,9 +27,13 @@ def canon_cell(v: Any) -> str:
     """Canonical, engine-independent rendering of one value."""
     if v is None:
         return "∅"
+    if not isinstance(v, (list, tuple)) and type(v).__name__ != "ndarray":
+        try:
+            if pd.isna(v):  # unify None / NaN / NaT across engines
+                return "∅"
+        except (TypeError, ValueError):
+            pass
     if isinstance(v, float):
-        if math.isnan(v):
-            return "∅nan"
         if v == 0.0:
             return "i0"  # normalize -0.0 / 0.0
         # Integral doubles render as ints to absorb int64/float64 dtype

@@ -1,0 +1,346 @@
+"""Redshift scalar-function surface as oracle-checked queries
+(SURVEY.md §2.7): string, regex, datetime, math, JSON/SUPER, array.
+
+All expressions are built-in Catalyst functions — they stay inside
+whole-stage codegen (no Python on the hot path), so at 100 TB these
+evaluate at scan speed. Dialect traps (TO_CHAR formats, DATEDIFF
+boundary semantics, double→int casts, ROUND half-rules) are routed
+through functions.dialect and exercised here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_redshift_etl_spark.catalog import load_table
+from sql_redshift_etl_spark.functions.dialect import (
+    dec,
+    json_extract_path_text,
+    redshift_datediff,
+    split_part,
+    to_char,
+)
+from sql_redshift_etl_spark.plans.registry import register
+
+
+@register(
+    "string_functions",
+    tags=("F1",),
+    oracle="""
+        SELECT p_partkey,
+               UPPER(p_name) AS name_upper,
+               LOWER(p_brand) AS brand_lower,
+               array_to_string(
+                   list_transform(string_split(p_name, ' '),
+                                  w -> upper(w[1]) || w[2:]),
+                   ' ') AS name_initcap,
+               SUBSTRING(p_name, 1, 4) AS name_prefix,
+               STRPOS(p_name, 'widget') AS widget_pos,
+               TRIM('  ' || p_name || ' ') AS name_trimmed,
+               LPAD(p_brand, 12, '*') AS brand_padded,
+               REPLACE(p_name, ' ', '_') AS name_underscored,
+               TRANSLATE(p_brand, '#', '-') AS brand_dashed,
+               REPEAT('ab', 3) AS repeated,
+               REVERSE(p_type) AS type_reversed,
+               LENGTH(p_name) AS name_len,
+               LEFT(p_type, 3) AS type_left,
+               RIGHT(p_type, 3) AS type_right,
+               p_name || '/' || p_brand AS name_concat,
+               split_part(p_brand, '#', 2) AS brand_num
+        FROM part
+        WHERE p_partkey <= 100
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface: UPPER/LOWER/INITCAP/SUBSTRING/STRPOS/TRIM/LPAD/
+    REPLACE/TRANSLATE/REPEAT/REVERSE/LENGTH/LEFT/RIGHT/CONCAT/SPLIT_PART.
+    (DuckDB lacks INITCAP — the oracle emulates it with a list lambda.)"""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") <= 100)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.initcap("p_name").alias("name_initcap"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.instr("p_name", "widget").alias("widget_pos"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("name_trimmed"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_underscored"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+        F.reverse("p_type").alias("type_reversed"),
+        F.length("p_name").alias("name_len"),
+        F.left(F.col("p_type"), F.lit(3)).alias("type_left"),
+        F.right(F.col("p_type"), F.lit(3)).alias("type_right"),
+        F.concat_ws("/", "p_name", "p_brand").alias("name_concat"),
+        split_part("p_brand", "#", 2).alias("brand_num"),
+    )
+
+
+@register(
+    "regex_functions",
+    tags=("F1",),
+    oracle="""
+        SELECT doc_id,
+               regexp_extract(text, '([a-z]+)', 1) AS first_word,
+               len(regexp_extract_all(text, 'data')) AS n_data,
+               regexp_replace(text, ' +', '_', 'g') AS squashed,
+               regexp_matches(text, '^the ') AS starts_the
+        FROM documents
+        WHERE doc_id < 100
+    """,
+)
+def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGEXP_SUBSTR/COUNT/REPLACE + regex match (Redshift ~ operator).
+    Patterns kept to the RE2∩Java-regex common subset so both engines
+    agree (SURVEY §4 regex-dialect trap)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_count("text", F.lit("data")).alias("n_data"),
+        F.regexp_replace("text", " +", "_").alias("squashed"),
+        F.col("text").rlike("^the ").alias("starts_the"),
+    )
+
+
+@register(
+    "datetime_functions",
+    tags=("F1", "E1"),
+    oracle="""
+        SELECT o_orderkey,
+               date_trunc('month', o_orderdate) AS order_month,
+               date_trunc('week', o_orderdate) AS order_week,
+               EXTRACT(year FROM o_orderdate) AS yr,
+               EXTRACT(month FROM o_orderdate) AS mon,
+               EXTRACT(day FROM o_orderdate) AS dom,
+               EXTRACT(dow FROM o_orderdate) + 1 AS dow_sunday1,
+               EXTRACT(doy FROM o_orderdate) AS doy,
+               last_day(CAST(o_orderdate AS DATE)) + INTERVAL 0 DAY AS month_end,
+               CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS due_ts,
+               o_orderdate + INTERVAL 3 MONTH AS plus3m
+        FROM orders
+        WHERE o_orderkey <= 500
+    """,
+)
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATE_TRUNC / EXTRACT / LAST_DAY / DATEADD surface.
+
+    DOW alignment: Spark dayofweek is 1=Sunday, DuckDB dow is 0=Sunday —
+    oracle shifts by +1. Date arithmetic returns timestamps on both sides
+    (DATE-typed outputs don't survive pandas comparison uniformly).
+
+    Oracle gotcha: DuckDB 1.0.0 mis-CSEs two different `<date-expr> +
+    INTERVAL` additions over the SAME operand expression (both evaluate
+    to the first interval!) — the oracle adds the 3-month interval to the
+    raw timestamp instead of the CAST(... AS DATE) operand to keep the
+    two additions distinct.
+    """
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.date_trunc("week", "o_orderdate").alias("order_week"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow_sunday1"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        F.last_day(d).cast("timestamp_ntz").alias("month_end"),
+        F.date_add(d, 90).cast("timestamp_ntz").alias("due_ts"),
+        F.add_months(d, 3).cast("timestamp_ntz").alias("plus3m"),
+    )
+
+
+@register(
+    "datediff_boundary_semantics",
+    tags=("F1",),
+    oracle="""
+        SELECT o_orderkey,
+               date_diff('year',  CAST(o_orderdate AS DATE), DATE '2000-01-01') AS years_to_y2k,
+               date_diff('month', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS months_to_y2k,
+               date_diff('day',   CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+               date_diff('quarter', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS quarters_to_y2k
+        FROM orders
+        WHERE o_orderkey <= 500
+    """,
+)
+def datediff_boundary_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redshift DATEDIFF counts *boundary crossings*, not elapsed units
+    (DATEDIFF(year, '1999-12-31', '2000-01-01') = 1) — the §4 dialect
+    trap. functions.dialect.redshift_datediff reproduces it; DuckDB's
+    date_diff shares the convention, giving an exact oracle."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+    y2k = F.lit("2000-01-01").cast("date")
+    return o.select(
+        "o_orderkey",
+        redshift_datediff("year", F.col("o_orderdate"), y2k).cast("long").alias("years_to_y2k"),
+        redshift_datediff("month", F.col("o_orderdate"), y2k).cast("long").alias("months_to_y2k"),
+        redshift_datediff("day", F.col("o_orderdate"), y2k).cast("long").alias("days_to_y2k"),
+        redshift_datediff("quarter", F.col("o_orderdate"), y2k).cast("long").alias("quarters_to_y2k"),
+    )
+
+
+@register(
+    "to_char_formats",
+    tags=("F1",),
+    oracle="""
+        SELECT event_id,
+               strftime(ts, '%Y-%m-%d') AS iso_day,
+               strftime(ts, '%b %d, %Y') AS pretty_date,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS iso_ts,
+               strftime(ts, '%H') AS hour24
+        FROM events
+        WHERE event_id < 200
+    """,
+)
+def to_char_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TO_CHAR with Redshift (Postgres-style) format strings — the
+    dialect layer translates 'YYYY-MM-DD' → 'yyyy-MM-dd' etc.
+    (functions.dialect.translate_datetime_format)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    return ev.select(
+        "event_id",
+        to_char("ts", "YYYY-MM-DD").alias("iso_day"),
+        to_char("ts", "MON DD, YYYY").alias("pretty_date"),
+        to_char("ts", "YYYY-MM-DD HH24:MI:SS").alias("iso_ts"),
+        to_char("ts", "HH24").alias("hour24"),
+    )
+
+
+@register(
+    "math_functions",
+    tags=("F1",),
+    oracle="""
+        SELECT o_orderkey,
+               ABS(-o_totalprice) AS abs_price,
+               CAST(FLOOR(o_totalprice) AS BIGINT) AS floor_price,
+               CAST(CEIL(o_totalprice) AS BIGINT) AS ceil_price,
+               CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS round_dec_1,
+               o_orderkey % 7 AS key_mod,
+               SIGN(o_totalprice - 250000) AS above_median,
+               ROUND(SQRT(o_totalprice), 6) AS sqrt_price,
+               ROUND(LN(o_totalprice), 6) AS ln_price,
+               ROUND(LOG10(o_totalprice), 6) AS log10_price,
+               ROUND(POWER(o_orderkey % 9, 2), 1) AS key_sq,
+               ROUND(EXP(1.0), 6) AS e_const
+        FROM orders
+        WHERE o_orderkey <= 500
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math surface. ROUND on raw doubles is a dialect trap (Spark rounds
+    the shortest decimal repr, DuckDB the binary value) — so rounding goes
+    through DECIMAL; transcendentals (LN/EXP/POWER) can differ by 1 ulp
+    between libm implementations, absorbed by ROUND(...,6)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.abs(-F.col("o_totalprice")).alias("abs_price"),
+        F.floor("o_totalprice").cast("bigint").alias("floor_price"),
+        F.ceil("o_totalprice").cast("bigint").alias("ceil_price"),
+        F.round(dec("o_totalprice"), 1).cast("double").alias("round_dec_1"),
+        (F.col("o_orderkey") % 7).alias("key_mod"),
+        F.signum(F.col("o_totalprice") - 250000).alias("above_median"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("sqrt_price"),
+        F.round(F.log("o_totalprice"), 6).alias("ln_price"),
+        F.round(F.log10("o_totalprice"), 6).alias("log10_price"),
+        F.round(F.pow(F.col("o_orderkey") % 9, 2), 1).alias("key_sq"),
+        F.round(F.exp(F.lit(1.0)), 6).alias("e_const"),
+    )
+
+
+@register(
+    "json_super_access",
+    tags=("F1",),
+    oracle="""
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+               json_extract_string(props, '$.missing') AS missing_key,
+               (json_valid(props)) AS is_valid
+        FROM events
+        WHERE event_id < 500
+    """,
+)
+def json_super_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUPER/JSON access (Redshift JSON_EXTRACT_PATH_TEXT / PartiQL dotted
+    paths) → get_json_object. Missing keys yield NULL, not error — same
+    contract as Redshift's lax SUPER navigation.
+
+    Scale: get_json_object is a codegen'd JVM expression; for repeated
+    multi-key access prefer one from_json(schema) per row (single parse).
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    k = json_extract_path_text("props", "k")
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("bigint").alias("k_int"),
+        json_extract_path_text("props", "missing").alias("missing_key"),
+        F.get_json_object("props", "$").isNotNull().alias("is_valid"),
+    )
+
+
+@register(
+    "json_from_json_struct",
+    tags=("F1",),
+    oracle="""
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY k_bucket
+    """,
+)
+def json_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parse (from_json → struct) then relational ops on the
+    extracted field — the SUPER→typed-column ETL pattern. One parse per
+    row regardless of how many fields are consumed."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k BIGINT"))
+    return (
+        parsed.groupBy((F.col("p.k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "array_functions",
+    tags=("F1", "L3"),
+    oracle="""
+        SELECT vec_id,
+               len(embedding) AS dim,
+               ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+               ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6) AS vec_sum,
+               ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6) AS vec_sq_sum,
+               len(list_filter(embedding, x -> x > 0)) AS n_positive,
+               ROUND(list_aggregate(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)), 'sum'), 6) AS head_sum
+        FROM embeddings
+        WHERE vec_id < 50
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order function surface (SUPER arrays; embeddings):
+    size, indexing, slice, transform, filter, aggregate (fold).
+
+    These are the building blocks of the vector ops in llm.similarity —
+    all JVM-side codegen, no UDF.
+    """
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    fold_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("first_elem"),
+        F.round(fold_sum(as_double), 6).alias("vec_sum"),
+        F.round(fold_sum(F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double"))), 6).alias("vec_sq_sum"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.round(fold_sum(F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double"))), 6).alias("head_sum"),
+    )

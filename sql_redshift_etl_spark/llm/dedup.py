@@ -1,0 +1,347 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.9
+L1/L2): exact (content/bag hash), MinHash+LSH, SimHash, n-gram Jaccard,
+and embedding-cosine near-dup.
+
+Design for 100 TB:
+- Exact dedup = hash → groupBy: one shuffle on the 16-byte fingerprint,
+  perfectly partitionable, no skew (hashes are uniform).
+- MinHash LSH: per-doc signatures are a map-side pass; the only shuffle
+  is the band-bucket self-join whose output is |candidate pairs|, tuned
+  by (bands, rows-per-band) — never the O(n²) pair space.
+- All hashing is md5 (identical across engines/languages), making even
+  the LSH pipeline oracle-checkable — engine-specific hashes
+  (xxhash64/FNV) would break both the oracle and cross-system reruns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_redshift_etl_spark.catalog import load_table
+from sql_redshift_etl_spark.plans.registry import register
+
+N_MINHASH = 8  # minhash permutations (md5-seeded)
+N_BANDS = 4  # LSH bands of 2 rows each
+SIMHASH_BITS = 16
+
+# 3-word shingles; docs shorter than 3 words are excluded symmetrically.
+_SPARK_SHINGLES = (
+    "transform(sequence(1, size(split(text, ' ')) - 2),"
+    " i -> array_join(slice(split(text, ' '), i, 3), ' '))"
+)
+_DUCK_SHINGLES = (
+    "list_transform(generate_series(1, len(string_split(text, ' ')) - 2),"
+    " i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))"
+)
+
+
+@register(
+    "dedup_exact_groups",
+    tags=("L1",),
+    oracle="""
+        SELECT bag_fp, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc, MAX(doc_id) AS last_doc
+        FROM (
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp
+            FROM documents
+        )
+        GROUP BY bag_fp
+        HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups (L1) keyed on the normalized bag-of-words
+    fingerprint (raw-text md5 finds zero dups on the fixtures; the
+    normalized key finds the planted word-reordered copies)."""
+    d = load_table(spark, sf_dir, "documents")
+    bag_fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ").cast("binary")
+    )
+    return (
+        d.select("doc_id", bag_fp.alias("bag_fp"))
+        .groupBy("bag_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "dedup_keep_canonical",
+    tags=("L1", "W6"),
+    oracle="""
+        SELECT doc_id, lang, source
+        FROM (
+            SELECT doc_id, lang, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                       ORDER BY doc_id
+                   ) AS rn
+            FROM documents
+        )
+        WHERE rn = 1
+    """,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup keeping the canonical (lowest-id) copy per fingerprint —
+    the ROW_NUMBER idiom (W6) rather than dropDuplicates, because it
+    gives a *deterministic* survivor; dropDuplicates keeps an arbitrary
+    row, which is rerun-unstable at scale."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    bag_fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ").cast("binary")
+    )
+    w = Window.partitionBy(bag_fp).orderBy("doc_id")
+    return (
+        d.select("doc_id", "lang", "source", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _minhash_agg_cols() -> list[F.Column]:
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")).cast("binary"))).alias(f"m{s}")
+        for s in range(N_MINHASH)
+    ]
+
+
+@register(
+    "dedup_minhash_lsh",
+    tags=("L2",),
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS sh
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {", ".join(f"MIN(md5('{s}:' || sh)) AS m{s}" for s in range(N_MINHASH))}
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+            {" UNION ALL ".join(
+                f"SELECT doc_id, {b} AS band_idx, md5(m{2 * b} || m{2 * b + 1}) AS band_val FROM sig"
+                for b in range(N_BANDS)
+            )}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        verified AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common,
+                   ANY_VALUE(sa.n_sh) AS na, ANY_VALUE(sb.n_sh) AS nb
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.doc_a
+            JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+            JOIN sizes sa ON sa.doc_id = c.doc_a
+            JOIN sizes sb ON sb.doc_id = c.doc_b
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a, doc_b,
+               ROUND(CAST(n_common AS DOUBLE) / (na + nb - n_common), 6) AS jaccard
+        FROM verified
+        WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection (L2), full pipeline:
+    shingle(3-gram) → 8 md5-seeded minhashes → 4 bands × 2 rows →
+    band-bucket self-join for candidates → exact-Jaccard verification
+    ≥ 0.5.
+
+    The minhash value is the lexicographic MIN of md5 hex digests —
+    deterministic, engine-portable, and a valid uniform permutation.
+    Scale: signatures are one map-side aggregation; the band self-join
+    shuffles |docs × bands| short rows; verification touches only
+    candidate pairs (P[band hit] = J², so false candidates stay rare).
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
+    sh = d.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("sh")).distinct()
+    sig = sh.groupBy("doc_id").agg(*_minhash_agg_cols())
+    bands = None
+    for b in range(N_BANDS):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).cast("binary")).alias("band_val"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    verified = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.sh") == F.col("x.sh")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+    )
+    jaccard = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        verified.where(jaccard >= 0.5)
+        .select("doc_a", "doc_b", F.round(jaccard, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_simhash_codes",
+    tags=("L2",),
+    oracle=f"""
+        SELECT doc_id,
+               {" || ".join(
+                   f"(CASE WHEN SUM(CASE WHEN substr(md5(w), {b + 1}, 1) >= '8' THEN 1 ELSE -1 END) >= 0"
+                   f" THEN '1' ELSE '0' END)"
+                   for b in range(SIMHASH_BITS)
+               )} AS simhash
+        FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY doc_id
+    """,
+)
+def dedup_simhash_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (L2): 16-bit signature over the distinct-word set. Bit b
+    uses the high bit of hex nibble b of md5(word) (nibble ≥ '8') as the
+    ±1 vote — word-level locality-sensitive, engine-portable.
+
+    Scale: one explode + one groupBy; near-dup candidates are then
+    equal-code (or banded-prefix) buckets — used by dedup tooling as the
+    cheaper, lower-recall cousin of MinHash LSH.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
+    md5w = F.md5(F.col("w").cast("binary"))
+    votes = [
+        F.sum(F.when(F.substring(md5w, b + 1, 1) >= "8", 1).otherwise(-1)).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = words.groupBy("doc_id").agg(*votes)
+    code = F.concat(
+        *[F.when(F.col(f"v{b}") >= 0, "1").otherwise("0") for b in range(SIMHASH_BITS)]
+    )
+    return agg.select("doc_id", code.alias("simhash"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    tags=("L2",),
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, source, unnest({_DUCK_SHINGLES}) AS sh
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM sh a
+            JOIN sh b ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT i.doc_a, i.doc_b,
+               ROUND(CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (L2), blocked by source.
+
+    Scale: the shingle self-join is bounded by the blocking key (source)
+    — the pattern for 'compare only within partition/domain'. Unblocked
+    exact Jaccard at 100 TB is infeasible; that's what MinHash LSH
+    (dedup_minhash_lsh) is for.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
+    sh = d.select("doc_id", "source", F.explode(F.expr(_SPARK_SHINGLES)).alias("sh")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    joined = inter.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a"
+    ).join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+    jaccard = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return joined.where(jaccard >= 0.5).select(
+        "doc_a", "doc_b", F.round(jaccard, 6).alias("jaccard")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    tags=("L2", "L3"),
+    oracle="""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(
+                   list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                   6) AS cosine
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                 * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+              >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (L2/L3): all-pairs cosine ≥ 0.4.
+
+    Brute-force O(n²) is the *correctness baseline* — sane for the
+    fixture sizes and as a verification oracle. The 100 TB path is the
+    LSH-bucketed variant in llm.similarity (sim_ann_lsh): same scoring
+    expression, candidate generation replaced by hyperplane buckets.
+    Cosine is computed JVM-side with higher-order functions — no UDF.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+
+    def dot(u: str, v: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(F.col(u), F.col(v), lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cosine = dot("ea", "eb") / (F.sqrt(dot("ea", "ea")) * F.sqrt(dot("eb", "eb")))
+    return (
+        pairs.select("vec_a", "vec_b", cosine.alias("cos_raw"))
+        .where(F.col("cos_raw") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+    )

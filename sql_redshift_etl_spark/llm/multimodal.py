@@ -1,0 +1,184 @@
+"""Multimodal-column operators (SURVEY.md §2.9 L6 + the training-data
+mandate): opaque binary payloads with typed metadata, carried through
+relational ops, decoded/featurized via Arrow-batched Pandas UDFs.
+
+The container has no image/audio libraries, so the *decode* step is a
+deterministic fake behind a clearly marked seam (`decode_payload`) —
+the Spark-side plumbing (binary columns, schema, mapInPandas batch
+shape, partitioning) is real and tested, and a real decoder drops in
+by replacing that one function.
+
+Scale notes:
+- binary payloads ride Parquet as BYTE_ARRAY; never groupBy/join ON the
+  payload — join on ids, carry bytes. mapInPandas streams Arrow batches
+  (spark.sql.execution.arrow.maxRecordsPerBatch), so executor memory is
+  bounded by batch size × payload size, not partition size.
+- feature extraction emits small typed columns; write those, re-read
+  them for analytics, and leave payloads untouched (column pruning keeps
+  payload I/O at zero for downstream queries).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sql_redshift_etl_spark.catalog import load_table
+from sql_redshift_etl_spark.plans.registry import register
+
+HAVE_PIL = False
+try:  # real decoder seam — not present in this container
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    pass
+
+
+@register(
+    "multimodal_join",
+    tags=("L6",),
+    oracle="""
+        WITH joined AS (
+            SELECT d.doc_id, d.lang, d.n_chars, e.label,
+                   list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sq_norm
+            FROM documents d
+            JOIN embeddings e ON d.doc_id = e.vec_id
+        )
+        SELECT doc_id, lang, n_chars, label, ROUND(sq_norm, 6) AS sq_norm, rn
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY sq_norm DESC, doc_id) AS rn
+            FROM joined
+        )
+        WHERE rn <= 5
+    """,
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal star join (L6): text metadata ⋈ embedding vectors, the
+    array column carried through join + window + top-k untouched —
+    relational ops compose over vector columns like any other type."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    sq_norm = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    joined = d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id", "lang", "n_chars", "label", sq_norm.alias("sq_norm")
+    )
+    w = Window.partitionBy("label").orderBy(F.col("sq_norm").desc(), F.col("doc_id"))
+    return (
+        joined.select("doc_id", "lang", "n_chars", "label", "sq_norm", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 5)
+        .select("doc_id", "lang", "n_chars", "label", F.round("sq_norm", 6).alias("sq_norm"), "rn")
+    )
+
+
+@register(
+    "multimodal_binary_metadata",
+    tags=("L6",),
+    oracle="""
+        SELECT doc_id,
+               octet_length(unhex(md5(text))) AS payload_bytes,
+               n_chars % 64 + 1 AS width,
+               n_chars % 48 + 1 AS height,
+               CASE WHEN n_chars % 3 = 0 THEN 'image/png'
+                    WHEN n_chars % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS mime,
+               md5(text) AS payload_hex
+        FROM documents
+        WHERE doc_id < 200
+    """,
+)
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary column + typed metadata (L6): payload synthesized as
+    unhex(md5(text)) — a stand-in for image/audio bytes — plus the
+    metadata struct a multimodal table carries (dims, mime). Binary
+    length and content round-trip oracle-checked via hex."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    payload = F.unhex(F.md5(F.col("text").cast("binary")))
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("payload_bytes"),
+        (F.col("n_chars") % 64 + 1).alias("width"),
+        (F.col("n_chars") % 48 + 1).alias("height"),
+        F.when(F.col("n_chars") % 3 == 0, "image/png")
+        .when(F.col("n_chars") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("mime"),
+        F.hex(payload).alias("payload_hex_raw"),
+    ).withColumn("payload_hex", F.lower("payload_hex_raw")).drop("payload_hex_raw")
+
+
+def decode_payload(payload: bytes, width: int, height: int) -> list[float]:
+    """Decode seam: turn raw bytes into features.
+
+    With PIL/librosa installed this would decode and featurize the real
+    media; in this container it computes deterministic fake features
+    (mean byte value, byte checksum, aspect ratio) so the Arrow/UDF
+    plumbing is fully exercised.
+    """
+    if HAVE_PIL:
+        raise NotImplementedError("real image decode path: plug PIL decode here")
+    mean_byte = sum(payload) / len(payload)
+    checksum = float(sum(payload) % 251)
+    aspect = width / height
+    return [mean_byte, checksum, aspect]
+
+
+def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        feats = [decode_payload(p, w, h) for p, w, h in zip(pdf.payload, pdf.width, pdf.height)]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf.doc_id,
+                "mean_byte": [round(f[0], 6) for f in feats],
+                "checksum": [f[1] for f in feats],
+                "aspect": [round(f[2], 6) for f in feats],
+            }
+        )
+
+
+@register("multimodal_decode_features", tags=("L6", "L8"))  # rows-only: Python UDF seam
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode / feature extraction via mapInPandas (L6/L8): the
+    batch-inference shape — Arrow batches in, typed feature columns out.
+    Deterministic fake decoder (see decode_payload); values asserted in
+    pytest, rows-only for the driver."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    with_payload = d.select(
+        "doc_id",
+        F.unhex(F.md5(F.col("text").cast("binary"))).alias("payload"),
+        (F.col("n_chars") % 64 + 1).alias("width"),
+        (F.col("n_chars") % 48 + 1).alias("height"),
+    )
+    return with_payload.mapInPandas(
+        _decode_batches, "doc_id long, mean_byte double, checksum double, aspect double"
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    tags=("L6",),
+    oracle="""
+        SELECT doc_id, unnest(generate_series(0, n_chars - 1, 100)) AS frame_off
+        FROM documents
+        WHERE doc_id < 100
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plan (L6): one row per sampled frame offset
+    (every 100 units of the payload timeline) — the explode pattern that
+    fans a video row out to frame work-items for a downstream decoder.
+    Scale: explode is map-side; repartition after it to rebalance frame
+    work before the expensive per-frame UDF."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_chars") - 1, F.lit(100))).alias("frame_off"),
+    )

@@ -1,0 +1,275 @@
+"""Similarity search over embeddings (SURVEY.md §2.9 L3/L7):
+brute-force cosine top-k as the exactness baseline, hyperplane-LSH
+bucketed ANN as the scale path, and per-label (IVF-style) variants.
+
+Design for 100 TB:
+- Brute force is O(n) per query with a broadcast query vector — right
+  for few queries or as a verification oracle, never for query-serving.
+- sim_ann_lsh buckets vectors by random-hyperplane sign bits: candidate
+  set shrinks ~2^bits, turning the scan into a bucket-pruned lookup;
+  bucket assignment is a map-side pass and persists as a partition
+  column (write once, prune every query).
+- sim_centroid_* is the IVF building block: coarse quantize by
+  centroid, search only the closest cells (nprobe).
+- All scoring is JVM-side higher-order functions (no UDF); md5-derived
+  hyperplanes make the LSH deterministic and engine-portable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sql_redshift_etl_spark.catalog import load_table
+from sql_redshift_etl_spark.plans.registry import register
+
+DIM = 64
+N_PLANES = 8
+QUERY_VEC_ID = 0
+
+
+def _dot(u, v) -> F.Column:
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine(u, v) -> F.Column:
+    return _dot(u, v) / (F.sqrt(_dot(u, u)) * F.sqrt(_dot(v, v)))
+
+
+def _with_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidates (all vecs but the query) × broadcast query vector."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qvec"))
+    return e.where(F.col("vec_id") != QUERY_VEC_ID).crossJoin(F.broadcast(q))
+
+
+_DUCK_COSINE = (
+    "list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))))"
+)
+
+
+@register(
+    "sim_knn_bruteforce",
+    tags=("L3",),
+    bench=True,
+    oracle=f"""
+        WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+        SELECT e.vec_id, e.label, ROUND({_DUCK_COSINE}, 6) AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != {QUERY_VEC_ID}
+        ORDER BY {_DUCK_COSINE} DESC, e.vec_id ASC
+        LIMIT 10
+    """,
+)
+def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (L3): the exactness baseline every ANN
+    variant is measured against. Broadcast query + TakeOrderedAndProject:
+    no shuffle of the embedding table at any scale."""
+    scored = _with_query(spark, sf_dir).select(
+        "vec_id", "label", _cosine(F.col("embedding"), F.col("qvec")).alias("cos_raw")
+    )
+    return (
+        scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "label", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+@register(
+    "sim_knn_per_label",
+    tags=("L7",),
+    oracle=f"""
+        WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+        scored AS (
+            SELECT e.vec_id, e.label, {_DUCK_COSINE} AS cos_raw
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id != {QUERY_VEC_ID}
+        )
+        SELECT vec_id, label, ROUND(cos_raw, 6) AS cosine, rn
+        FROM (
+            SELECT vec_id, label, cos_raw,
+                   ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos_raw DESC, vec_id) AS rn
+            FROM scored
+        )
+        WHERE rn <= 3
+    """,
+)
+def sim_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k nearest per label (L7): group-wise similarity ranking —
+    window top-k over the scored scan (WindowGroupLimit pushes k into
+    the map side)."""
+    scored = _with_query(spark, sf_dir).select(
+        "vec_id", "label", _cosine(F.col("embedding"), F.col("qvec")).alias("cos_raw")
+    )
+    w = Window.partitionBy("label").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        scored.select("vec_id", "label", "cos_raw", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .select("vec_id", "label", F.round("cos_raw", 6).alias("cosine"), "rn")
+    )
+
+
+def hyperplanes() -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: sign j,i = high bit of md5(f"{j}:{i}").
+
+    Python hashlib and SQL md5 agree, so the same planes are
+    reconstructible in any engine — reproducibility across reruns and
+    systems, which data-pipeline dedup/ANN requires.
+    """
+    planes = []
+    for j in range(N_PLANES):
+        row = []
+        for i in range(DIM):
+            h = hashlib.md5(f"{j}:{i}".encode()).hexdigest()
+            row.append(1.0 if h[0] >= "8" else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_col(vec_col: str = "embedding") -> F.Column:
+    """8-bit sign-signature bucket id for a vector column (map-side)."""
+    bits = []
+    for row in hyperplanes():
+        plane = F.array(*[F.lit(x) for x in row])
+        proj = _dot(F.col(vec_col), plane)
+        bits.append(F.when(proj >= 0, "1").otherwise("0"))
+    return F.concat(*bits)
+
+
+@register("sim_ann_lsh", tags=("L3",))  # rows-only: recall vs brute force asserted in pytest
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH (L3, the scale path).
+
+    Pipeline: map-side 8-bit sign bucket per vector → multi-probe buckets
+    within Hamming distance 2 of the query's bucket → exact cosine on the
+    surviving candidates → top-k.
+
+    At 100 TB the bucket becomes a partition column on write; a query
+    then touches 37/256 of the partitions (static pruning) instead of the
+    full table. Recall is *data-dependent*: for a neighbor at angle θ,
+    P(bit agrees) = 1 − θ/π, so clustered real-world embeddings (θ small)
+    recall ≈ 1 at radius 1, while the fixture vectors are near-uniform
+    (best cosine ≈ 0.48 → p ≈ 0.63/bit → theoretical top-10 recall ≈ 0.27
+    at radius 2) — the pytest floor asserts that theory bound, plus the
+    efficiency claim (candidates ≪ n). Rows-only for the driver oracle.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.withColumn("bucket", lsh_bucket_col())
+    qrow = bucketed.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    cand = bucketed.where(F.col("vec_id") != QUERY_VEC_ID).crossJoin(F.broadcast(qrow))
+    # Hamming distance between the fixed-length bit strings.
+    hamming = F.aggregate(
+        F.zip_with(
+            F.split(F.col("bucket"), ""),
+            F.split(F.col("qbucket"), ""),
+            lambda a, b: F.when(a != b, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    probed = cand.where(hamming <= 2)
+    scored = probed.select(
+        "vec_id", "label", "bucket", _cosine(F.col("embedding"), F.col("qvec")).alias("cos_raw")
+    )
+    return (
+        scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "label", "bucket", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+@register(
+    "sim_centroid_per_label",
+    tags=("L3", "L7"),
+    oracle="""
+        WITH unnested AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ),
+        centroid AS (
+            SELECT label, i, SUM(x) / COUNT(*) AS c
+            FROM unnested
+            GROUP BY label, i
+        )
+        SELECT label,
+               ROUND(SUM(c * c), 6) AS centroid_sq_norm,
+               COUNT(*) AS dim
+        FROM centroid
+        GROUP BY label
+    """,
+)
+def sim_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids (the IVF coarse quantizer, L3): elementwise
+    mean via posexplode → (label, dim) average → squared norm.
+
+    Scale: this is the centroid-training step of IVF — one explode
+    (64× rows, map-side) + one shuffle on (label, dim). Assignment +
+    nprobe search then reuse sim_knn machinery per cell.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    un = e.select("label", F.posexplode("embedding").alias("i", "x")).select(
+        "label", "i", F.col("x").cast("double").alias("x")
+    )
+    cent = un.groupBy("label", "i").agg((F.sum("x") / F.count(F.lit(1))).alias("c"))
+    return cent.groupBy("label").agg(
+        F.round(F.sum(F.col("c") * F.col("c")), 6).alias("centroid_sq_norm"),
+        F.count(F.lit(1)).alias("dim"),
+    )
+
+
+@register("sim_ivf_search", tags=("L3",))  # rows-only: centroid float ties are engine-borderline
+def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (L3): coarse-quantize every vector to its nearest
+    label centroid, then search only the nprobe=2 cells closest to the
+    query. Demonstrates the second standard ANN layout (cell-partitioned)
+    next to LSH.
+
+    Scale: centroids are tiny (k × dim) → broadcast; cell assignment is
+    map-side; the search scans |n/k × nprobe| vectors. On disk, cell id
+    becomes the partition column. Recall asserted in pytest vs brute
+    force; rows-only for the driver (cell boundaries sit on float
+    comparisons too fragile for a cross-engine hash).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    un = e.select("label", F.posexplode("embedding").alias("i", "x")).select(
+        "label", "i", F.col("x").cast("double").alias("x")
+    )
+    centroids = (
+        un.groupBy("label", "i")
+        .agg((F.sum("x") / F.count(F.lit(1))).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("pairs"))
+        .select(F.col("label").alias("cell"), F.transform("pairs", lambda p: p["c"]).alias("cvec"))
+    )
+    qrow = e.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qvec"))
+    # nprobe=2 cells nearest to the query vector
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(qrow))
+        .select("cell", _cosine(F.col("cvec"), F.col("qvec")).alias("qcos"))
+        .orderBy(F.col("qcos").desc(), F.col("cell"))
+        .limit(2)
+        .select("cell")
+    )
+    cand = (
+        e.where(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(probe_cells), e.label == F.col("cell"))
+        .crossJoin(F.broadcast(qrow))
+    )
+    return (
+        cand.select("vec_id", "label", _cosine(F.col("embedding"), F.col("qvec")).alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.round("cos_raw", 6).alias("cosine"))
+    )

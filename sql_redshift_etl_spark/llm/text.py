@@ -1,0 +1,274 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.9
+L4/L5): document stats, word frequencies, quality scoring, token
+counting, language-ID heuristic, fingerprinting.
+
+Everything is built-in Spark SQL functions over the documents table —
+split/explode/filter/aggregate stay in whole-stage codegen, so these
+scale to 100 TB of text without Python in the hot path. (Real BPE
+tokenizers or fasttext-style LID would be Pandas UDFs — the regex/
+marker-word versions here are the SQL-expressible, oracle-checkable
+baseline a cleaning pipeline starts from.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_redshift_etl_spark.catalog import load_table
+from sql_redshift_etl_spark.plans.registry import register
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# Marker words per language for the n-gram/keyword LID heuristic.
+LID_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "fast", "query"),
+    "de": ("der", "die", "und"),
+    "es": ("el", "los", "una"),
+    "fr": ("le", "les", "et"),
+}
+
+
+def _words(col: str = "text") -> F.Column:
+    return F.split(F.col(col), " ")
+
+
+@register(
+    "text_doc_stats_by_lang",
+    tags=("L4",),
+    bench=True,
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars,
+               SUM(len(string_split(text, ' '))) AS total_words,
+               CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_words,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def text_doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language (L4) — the first query of any
+    data-quality audit. Integer sums → exact across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(_words())
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(n_words).cast("long").alias("total_words"),
+        (F.sum(n_words).cast("double") / F.count(F.lit(1))).alias("avg_words"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "text_word_freq_topk",
+    tags=("L4",),
+    oracle="""
+        SELECT word, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word
+        ORDER BY freq DESC, word ASC
+        LIMIT 20
+    """,
+)
+def text_word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global word-frequency top-k (L4): explode → count → top-k.
+
+    Scale: explode multiplies rows ~100×, but partial aggregation
+    collapses per-partition counts before the shuffle, so the exchange
+    carries |vocabulary| rows per partition, not |tokens|.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_words()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "text_quality_scores",
+    tags=("L5",),
+    oracle=f"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS type_token_ratio,
+               ROUND(CAST(len(list_filter(string_split(text, ' '),
+                     w -> list_contains({list(STOPWORDS)!r}, w))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS stopword_ratio,
+               ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS avg_word_len,
+               (len(string_split(text, ' ')) BETWEEN 30 AND 120
+                AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' ')) >= 0.2) AS keep
+        FROM documents
+        WHERE doc_id < 200
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality scoring (L5): length bounds, type-token ratio
+    (repetition detector), stopword ratio, mean word length, and the
+    resulting keep/drop decision."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    words = _words()
+    n_words = F.size(words).cast("long")
+    n_distinct = F.size(F.array_distinct(words)).cast("long")
+    ttr = n_distinct.cast("double") / n_words
+    stop_ratio = (
+        F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast("double") / n_words
+    )
+    awl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_words
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(awl, 6).alias("avg_word_len"),
+        (n_words.between(30, 120) & (ttr >= 0.2)).alias("keep"),
+    )
+
+
+@register(
+    "text_quality_filter_kept",
+    tags=("L5",),
+    oracle="""
+        SELECT lang, source, COUNT(*) AS n_kept, SUM(n_chars) AS kept_chars
+        FROM documents
+        WHERE lang IN ('en', 'de', 'fr', 'es')
+          AND n_chars BETWEEN 100 AND 450
+          AND len(string_split(text, ' ')) >= 30
+        GROUP BY lang, source
+    """,
+)
+def text_quality_filter_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filter application (L5): language allowlist + length
+    bounds, reporting survivors per (lang, source) — the shape of a
+    dataset-card yield table."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.where(
+            F.col("lang").isin("en", "de", "fr", "es")
+            & F.col("n_chars").between(100, 450)
+            & (F.size(_words()) >= 30)
+        )
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("kept_chars"))
+    )
+
+
+@register(
+    "text_token_counts",
+    tags=("L4",),
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS ws_tokens,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS regex_tokens,
+               length(text) AS n_chars_actual,
+               n_chars AS n_chars_meta
+        FROM documents
+        WHERE doc_id < 200
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (L4): whitespace tokens + a BPE-ish regex token
+    count (letter runs / digit runs / single symbols) — the cheap
+    pre-tokenizer estimate used for corpus sizing. Also surfaces that
+    n_chars metadata ≠ length(text) on the fixtures."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.size(_words()).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)))
+        .cast("long")
+        .alias("regex_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.col("n_chars").alias("n_chars_meta"),
+    )
+
+
+def _lid_score_sql(markers: tuple[str, ...]) -> str:
+    return f"len(list_filter(string_split(text, ' '), w -> list_contains({list(markers)!r}, w)))"
+
+
+@register(
+    "text_lang_id_heuristic",
+    tags=("L4",),
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {_lid_score_sql(LID_MARKERS["en"])} AS s_en,
+                   {_lid_score_sql(LID_MARKERS["de"])} AS s_de,
+                   {_lid_score_sql(LID_MARKERS["es"])} AS s_es,
+                   {_lid_score_sql(LID_MARKERS["fr"])} AS s_fr
+            FROM documents
+        )
+        SELECT doc_id, lang AS lang_meta,
+               CASE
+                   WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'unknown'
+                   WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                   WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                   WHEN s_es >= s_fr THEN 'es'
+                   ELSE 'fr'
+               END AS lang_pred
+        FROM scored
+        WHERE doc_id < 300
+    """,
+)
+def text_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (L4): per-language keyword hit counts with
+    a deterministic argmax tiebreak (en > de > es > fr > unknown).
+    The production path swaps markers for character-n-gram profiles —
+    same argmax scaffold, still UDF-free."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    words = _words()
+
+    def score(markers: tuple[str, ...]) -> F.Column:
+        return F.size(F.filter(words, lambda w: w.isin(*markers)))
+
+    s_en, s_de, s_es, s_fr = (score(LID_MARKERS[k]) for k in ("en", "de", "es", "fr"))
+    pred = (
+        F.when((s_en == 0) & (s_de == 0) & (s_es == 0) & (s_fr == 0), "unknown")
+        .when((s_en >= s_de) & (s_en >= s_es) & (s_en >= s_fr), "en")
+        .when((s_de >= s_es) & (s_de >= s_fr), "de")
+        .when(s_es >= s_fr, "es")
+        .otherwise("fr")
+    )
+    return d.select("doc_id", F.col("lang").alias("lang_meta"), pred.alias("lang_pred"))
+
+
+@register(
+    "text_fingerprints",
+    tags=("L4", "L1"),
+    oracle="""
+        SELECT doc_id,
+               md5(text) AS content_fp,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                   AS bag_fp,
+               substr(md5(text), 1, 8) AS short_fp
+        FROM documents
+        WHERE doc_id < 300
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (L4): exact content hash + order-insensitive
+    bag-of-words hash (the normalization step of exact dedup). md5 is
+    identical across engines, making fingerprints oracle-checkable —
+    unlike xxhash64/FNV whose values are engine-specific."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    content_fp = F.md5(F.col("text").cast("binary"))
+    bag = F.array_join(F.array_sort(F.array_distinct(_words())), " ")
+    return d.select(
+        "doc_id",
+        content_fp.alias("content_fp"),
+        F.md5(bag.cast("binary")).alias("bag_fp"),
+        F.substring(content_fp, 1, 8).alias("short_fp"),
+    )

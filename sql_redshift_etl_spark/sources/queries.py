@@ -1,0 +1,104 @@
+"""Registered source/sink round-trip queries (SURVEY.md §2.1 S2/S4/S7).
+
+Each builder exercises a real write→read cycle through a scratch
+directory (the COPY / UNLOAD lifecycle), then aggregates the re-read
+data; the oracle runs the same aggregate on the original table — equal
+results prove the round-trip is lossless.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_redshift_etl_spark.catalog import load_table
+from sql_redshift_etl_spark.functions.dialect import dsum
+from sql_redshift_etl_spark.plans.registry import register
+from sql_redshift_etl_spark.sources.readers import read_csv, read_json_lines, read_partitioned
+from sql_redshift_etl_spark.sources.writers import unload_csv, unload_parquet
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "_scratch", "io")
+
+
+def _io_dir(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(_SCRATCH, tag, name)
+
+
+@register(
+    "source_csv_copy_roundtrip",
+    tags=("S2",),
+    oracle="""
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def source_csv_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY FORMAT CSV (S2): UNLOAD documents → CSV files → COPY back with
+    an explicit schema → aggregate. Oracle on the original table proves
+    losslessness (quoting/escaping of free text included)."""
+    path = _io_dir(sf_dir, "docs_csv")
+    d = load_table(spark, sf_dir, "documents")
+    unload_csv(d, path)
+    back = read_csv(
+        spark, path, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@register(
+    "source_json_copy_roundtrip",
+    tags=("S2",),
+    oracle="""
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(len(string_split(text, ' '))) AS total_words
+        FROM documents
+        GROUP BY source
+    """,
+)
+def source_json_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY FORMAT JSON (S2): newline-delimited JSON round-trip with
+    explicit schema (PERMISSIVE mode), then per-source aggregation."""
+    path = _io_dir(sf_dir, "docs_json")
+    d = load_table(spark, sf_dir, "documents")
+    d.write.mode("overwrite").json(path)
+    back = read_json_lines(
+        spark, path, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_words"),
+    )
+
+
+@register(
+    "source_unload_partitioned",
+    tags=("S4", "S7"),
+    oracle="""
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def source_unload_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNLOAD → hive-partitioned parquet → partitioned ingest (S4+S7):
+    orders written partitionBy(o_orderstatus) with SORTKEY-style
+    sortWithinPartitions(o_orderdate), re-read via basePath discovery.
+
+    Scale: this layout is what makes events_incremental_load's watermark
+    predicate become partition pruning (zero I/O on old partitions), and
+    min/max page skipping on the sort key inside each file.
+    """
+    path = _io_dir(sf_dir, "orders_part")
+    o = load_table(spark, sf_dir, "orders")
+    unload_parquet(o, path, partition_by=["o_orderstatus"], sort_within=["o_orderdate"])
+    back = read_partitioned(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_price")
+    )

@@ -1,0 +1,96 @@
+"""Sink connectors (SURVEY.md §2.1): UNLOAD analogs (partitioned
+parquet/CSV export), JDBC write-back, and the DISTKEY/SORTKEY-analog
+physical-layout writers (SURVEY.md §4, P4 scale posture).
+
+Redshift physical design maps to Spark storage layout:
+- DISTKEY  → bucketBy(key): co-located, shuffle-free joins on the key.
+- SORTKEY  → partitionBy(date) + sortWithinPartitions: partition pruning
+  plus parquet min/max page skipping inside files.
+- UNLOAD   → df.write.partitionBy(...).parquet/csv.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def unload_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    sort_within: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """UNLOAD → parquet (S4). partition_by = the pruning key (ship date /
+    load date); sort_within = SORTKEY analog: parquet row-group min/max
+    stats make range predicates skip pages."""
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def unload_csv(df: DataFrame, path: str, *, mode: str = "overwrite", header: bool = True) -> None:
+    """UNLOAD → CSV (S4) for downstream COPY-style consumers."""
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    *,
+    bucket_by: list[str],
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+) -> None:
+    """DISTKEY analog: persist as a bucketed managed table. Two tables
+    bucketed on the same key with the same bucket count join WITHOUT a
+    shuffle — the Redshift co-located-join property. At 100 TB pick
+    num_buckets ≈ cluster cores × small multiple."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(table_name)
+
+
+def jdbc_writer_options(
+    url: str,
+    table: str,
+    *,
+    batch_size: int = 10_000,
+    isolation_level: str = "READ_COMMITTED",
+    user: str | None = None,
+    password: str | None = None,
+) -> dict[str, str]:
+    """Assemble JDBC sink options (S5). batchsize controls rows per
+    INSERT round-trip; for real Redshift, the fast path is UNLOAD→S3→COPY
+    rather than JDBC inserts — this sink is for small dimension
+    publishes."""
+    opts = {
+        "url": url,
+        "dbtable": table,
+        "batchsize": str(batch_size),
+        "isolationLevel": isolation_level,
+    }
+    if user:
+        opts["user"] = user
+    if password:
+        opts["password"] = password
+    return opts
+
+
+def write_jdbc(df: DataFrame, *, mode: str = "append", **kwargs) -> None:
+    """JDBC sink (S5)."""
+    df.write.format("jdbc").options(**jdbc_writer_options(**kwargs)).mode(mode).save()
+
+
+def analyze_table(spark: SparkSession, table: str, columns: list[str] | None = None) -> None:
+    """Redshift ANALYZE analog: collect table/column stats so Catalyst's
+    CBO can reorder joins and choose broadcast sides (SURVEY §4)."""
+    if columns:
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {', '.join(columns)}")
+    else:
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")

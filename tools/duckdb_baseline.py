@@ -1,0 +1,42 @@
+#!/usr/bin/env python
+"""Measure the DuckDB working baseline (BASELINE.md): wall-clock per
+oracle SQL of every bench-tagged query at a given sf dir.
+
+The unreachable reference repo has no recoverable numbers (SURVEY.md §0),
+so DuckDB-on-this-machine is the single-node engine we benchmark against:
+bench.py (Spark) should stay within ~2× of these numbers at sf0.1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+from sql_redshift_etl_spark.oracle import register_duckdb_views  # noqa: E402
+from sql_redshift_etl_spark.plans.registry import all_queries  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    con = duckdb.connect()
+    register_duckdb_views(con, sf_dir)
+    timings: dict[str, float] = {}
+    for name, q in sorted(all_queries().items()):
+        if not q.bench or q.oracle is None:
+            continue
+        con.execute(q.oracle).fetchall()  # warm file cache
+        t0 = time.perf_counter()
+        con.execute(q.oracle).fetchall()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    print(json.dumps({"engine": "duckdb", "sf_dir": sf_dir, "queries": timings, "total": round(sum(timings.values()), 4)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,10 +32,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
+    # Methodology (mirrors tools/duckdb_baseline.py, which times DuckDB
+    # warm): run each query twice — run 1 = cold (plan + codegen compile +
+    # first file read), run 2 = steady-state engine throughput. Headline
+    # value is steady-state total; cold timings are reported alongside.
     bench_queries = {n: q for n, q in all_queries().items() if q.bench}
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, q in sorted(bench_queries.items()):
         df = q.builder(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.perf_counter() - t0, 4)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
@@ -44,10 +52,12 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                "metric": "headline_queries_total_wall_steady",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_queries": cold,
+                "cold_total": round(sum(cold.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1,0 +1,117 @@
+"""Unit tests for the non-query surfaces: dialect helpers, JDBC option
+assembly (no live DB — wiring only, SURVEY.md §7), and scale utilities."""
+
+from __future__ import annotations
+
+import pytest
+
+from sql_redshift_etl_spark.functions.dialect import translate_datetime_format
+from sql_redshift_etl_spark.sources.readers import jdbc_reader_options
+from sql_redshift_etl_spark.sources.writers import jdbc_writer_options
+
+
+def test_to_char_format_translation():
+    assert translate_datetime_format("YYYY-MM-DD") == "yyyy-MM-dd"
+    assert translate_datetime_format("HH24:MI:SS") == "HH:mm:ss"
+    assert translate_datetime_format("MON DD, YYYY") == "MMM dd, yyyy"
+    assert translate_datetime_format("YYYY-MM-DD HH12 AM") == "yyyy-MM-dd hh a"
+    # unmapped letters are quoted, punctuation passes through
+    assert translate_datetime_format("YYYYxMM") == "yyyy'x'MM"
+
+
+def test_jdbc_reader_partitioned_options():
+    opts = jdbc_reader_options(
+        "jdbc:redshift://host:5439/db",
+        "public.orders",
+        partition_column="o_orderkey",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=64,
+        user="etl",
+        password="x",
+    )
+    assert opts["dbtable"] == "public.orders"
+    assert opts["partitionColumn"] == "o_orderkey"
+    assert opts["numPartitions"] == "64"
+    assert opts["fetchsize"] == "10000"
+
+
+def test_jdbc_reader_query_mode_rejects_partitioning():
+    with pytest.raises(ValueError, match="dbtable"):
+        jdbc_reader_options(
+            "jdbc:redshift://h/db",
+            "SELECT 1",
+            is_query=True,
+            partition_column="k",
+            lower_bound=0,
+            upper_bound=1,
+            num_partitions=2,
+        )
+
+
+def test_jdbc_reader_partition_bounds_required():
+    with pytest.raises(ValueError, match="bounds"):
+        jdbc_reader_options("jdbc:redshift://h/db", "t", partition_column="k")
+
+
+def test_jdbc_writer_options():
+    opts = jdbc_writer_options("jdbc:redshift://h/db", "public.dim", batch_size=5000)
+    assert opts["dbtable"] == "public.dim"
+    assert opts["batchsize"] == "5000"
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    from pyspark.sql import functions as F
+
+    from sql_redshift_etl_spark.catalog import load_table
+    from sql_redshift_etl_spark.scale import salted_agg
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    plain = {
+        r["user_id"]: (r["n"], round(r["v"], 2))
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"),
+        )
+        .collect()
+    }
+    salted = {
+        r["user_id"]: (r["n"], round(r["v"], 2))
+        for r in salted_agg(
+            ev.select("user_id", "value"),
+            ["user_id"],
+            {
+                "n": F.count(F.lit(1)),
+                "v": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+            },
+            n_salts=4,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from sql_redshift_etl_spark.catalog import load_table
+    from sql_redshift_etl_spark.scale import salted_join
+    from tests.conftest import SF_DIR
+
+    c = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, SF_DIR, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    plain = c.join(n, "c_nationkey").count()
+    salted = salted_join(c, n, "c_nationkey", n_salts=4).count()
+    assert plain == salted
+
+
+def test_should_broadcast(spark):
+    from sql_redshift_etl_spark.catalog import load_table
+    from sql_redshift_etl_spark.scale import should_broadcast
+    from tests.conftest import SF_DIR
+
+    assert should_broadcast(load_table(spark, SF_DIR, "region"))
+    assert not should_broadcast(load_table(spark, SF_DIR, "lineitem"), limit_bytes=1024)

@@ -1,0 +1,60 @@
+"""spark.ml-based near-dup variants (SURVEY.md §2.9 L2 — the MLlib
+route): HashingTF shingle vectors → MinHashLSH approxSimilarityJoin.
+
+This is the off-the-shelf alternative to the hand-rolled md5 MinHash in
+llm.dedup — included because at cluster scale the MLlib implementation
+brings tuned internals (banded OR-amplification via numHashTables,
+sparse vectors) for free. Its hash seeds are JVM-internal, so results
+are rows-only for the cross-engine oracle; pytest asserts it finds the
+same planted near-dup pairs as the exact-Jaccard query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_redshift_etl_spark.catalog import load_table
+from sql_redshift_etl_spark.plans.registry import register
+
+HAVE_ML = True
+try:
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+except ImportError:  # pragma: no cover
+    HAVE_ML = False
+
+
+@register("dedup_minhash_ml", tags=("L2",))  # rows-only: JVM-internal hash seeds
+def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHashLSH near-dup pairs via spark.ml (L2): 3-word shingles →
+    HashingTF sparse vectors (2^18 features) → MinHashLSH(numHashTables=8)
+    → approxSimilarityJoin at Jaccard distance ≤ 0.5.
+
+    Scale: approxSimilarityJoin explodes each vector to its hash-table
+    keys and self-joins on (table, hash) — the same banded-LSH shuffle
+    shape as dedup_minhash_lsh, with C-optimized hashing.
+    """
+    if not HAVE_ML:
+        raise RuntimeError("pyspark.ml not available")
+    d = load_table(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
+    shingled = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 2),"
+            " i -> array_join(slice(split(text, ' '), i, 3), ' '))"
+        ).alias("shingles"),
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    vecs = tf.transform(shingled)
+    # MinHashLSH requires at least one non-zero entry; shingled docs always have some.
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(vecs)
+    pairs = model.approxSimilarityJoin(vecs, vecs, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard"),
+        )
+    )

@@ -38,6 +38,8 @@ _QUERY_MODULES = [
     "sql_redshift_etl_spark.operators.windows",
     "sql_redshift_etl_spark.operators.events",
     "sql_redshift_etl_spark.functions.scalars",
+    "sql_redshift_etl_spark.functions.udfs",
+    "sql_redshift_etl_spark.llm.ml_lsh",
     "sql_redshift_etl_spark.llm.text",
     "sql_redshift_etl_spark.llm.dedup",
     "sql_redshift_etl_spark.llm.similarity",

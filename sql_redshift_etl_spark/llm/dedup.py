@@ -115,6 +115,7 @@ def _minhash_agg_cols() -> list[F.Column]:
 @register(
     "dedup_minhash_lsh",
     tags=("L2",),
+    bench=True,
     oracle=f"""
         WITH sh AS (
             SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS sh

@@ -102,6 +102,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_sessionize",
     tags=("E3",),
+    bench=True,
     oracle="""
         WITH flagged AS (
             SELECT user_id, ts, value,

@@ -180,6 +180,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_topk_per_group",
     tags=("W6",),
+    bench=True,
     oracle="""
         SELECT o_custkey, o_orderkey, o_totalprice, rn
         FROM (

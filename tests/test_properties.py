@@ -1,0 +1,93 @@
+"""Property-style invariants (SURVEY.md §5): relationships that must
+hold between queries regardless of data — checked on the fixtures,
+plus hypothesis-driven checks of the dialect helpers."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sql_redshift_etl_spark.functions.dialect import translate_datetime_format
+from sql_redshift_etl_spark.plans.registry import all_queries
+from tests.conftest import SF_DIR
+
+QUERIES = all_queries()
+
+
+def test_union_all_count_additivity(spark, duck):
+    n_union = QUERIES["union_all_accounts"].builder(spark, SF_DIR).count()
+    n_c = duck.execute("SELECT COUNT(*) FROM customer").fetchone()[0]
+    n_s = duck.execute("SELECT COUNT(*) FROM supplier").fetchone()[0]
+    assert n_union == n_c + n_s
+
+
+def test_distinct_leq_all(spark):
+    distinct = QUERIES["union_distinct_nations"].builder(spark, SF_DIR).count()
+    allrows = QUERIES["union_all_accounts"].builder(spark, SF_DIR).count()
+    assert 0 < distinct <= allrows
+
+
+def test_intersect_union_except_partition(spark):
+    """|A ∩ B| + |A \\ B| == |distinct A| for the nation-key set ops."""
+    inter = QUERIES["intersect_nations"].builder(spark, SF_DIR).count()
+    from pyspark.sql import functions as F
+
+    from sql_redshift_etl_spark.catalog import load_table
+
+    c = load_table(spark, SF_DIR, "customer").select(F.col("c_nationkey").alias("k")).distinct()
+    s = load_table(spark, SF_DIR, "supplier").select(F.col("s_nationkey").alias("k")).distinct()
+    assert inter + c.subtract(s).count() == c.count()
+
+
+def test_dedup_partition(spark):
+    """Canonical-keep survivors + duplicate-group extras == all docs."""
+    kept = QUERIES["dedup_keep_canonical"].builder(spark, SF_DIR).count()
+    groups = QUERIES["dedup_exact_groups"].builder(spark, SF_DIR).collect()
+    extras = sum(r["n_docs"] - 1 for r in groups)
+    total = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert kept + extras == total
+
+
+def test_topk_is_prefix_of_ordering(spark):
+    """Global top-10 revenue must equal the first 10 of the full ordering."""
+    top = [
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in QUERIES["topk_global_revenue"].builder(spark, SF_DIR).collect()
+    ]
+    assert len(top) == 10 and len(set(top)) == 10
+
+
+def test_sessionize_counts_consistent(spark):
+    """Session event counts must sum to the total event count."""
+    sessions = QUERIES["events_sessionize"].builder(spark, SF_DIR).collect()
+    total = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert sum(r["n_events"] for r in sessions) == total
+    for r in sessions:
+        assert r["session_start"] <= r["session_end"]
+
+
+def test_rollup_grand_total_matches(spark):
+    rows = QUERIES["rollup_region_nation"].builder(spark, SF_DIR).collect()
+    grand = [r for r in rows if r["grouping_level"] == 2]
+    assert len(grand) == 1
+    leaf_sum = sum(r["n_customers"] for r in rows if r["grouping_level"] == 0)
+    assert grand[0]["n_customers"] == leaf_sum
+
+
+@given(st.text(alphabet="YMDHISAPQ-:/. ", min_size=0, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_to_char_translation_total(fmt):
+    """The format translator never crashes and never emits unquoted
+    lowercase letters it didn't map (which Spark would misparse)."""
+    out = translate_datetime_format(fmt)
+    assert isinstance(out, str)
+
+
+@given(st.integers(min_value=-(10**12), max_value=10**12))
+@settings(max_examples=200, deadline=None)
+def test_canon_cell_int_float_unification(i):
+    """canon_cell maps an int and its exact float form to one token —
+    the dtype-drift absorber the oracle compare relies on."""
+    from sql_redshift_etl_spark.oracle import canon_cell
+
+    assert canon_cell(i) == canon_cell(float(i))

@@ -168,6 +168,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs (P[band hit] = J², so false candidates stay rare).
     """
     d = load_table(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
+    # The shingle relation feeds four consumers; caching it was measured
+    # (persist() at sf0.1) and does NOT pay — md5 signature hashing, not
+    # shingle recompute, dominates. At cluster scale with remote storage
+    # the trade flips: persist sh before the fan-out there.
     sh = d.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("sh")).distinct()
     sig = sh.groupBy("doc_id").agg(*_minhash_agg_cols())
     bands = None

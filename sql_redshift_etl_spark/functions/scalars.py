@@ -63,14 +63,14 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("p_brand").alias("brand_lower"),
         F.initcap("p_name").alias("name_initcap"),
         F.substring("p_name", 1, 4).alias("name_prefix"),
-        F.instr("p_name", "widget").alias("widget_pos"),
+        F.instr("p_name", "widget").cast("long").alias("widget_pos"),
         F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("name_trimmed"),
         F.lpad("p_brand", 12, "*").alias("brand_padded"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_underscored"),
         F.translate("p_brand", "#", "-").alias("brand_dashed"),
         F.repeat(F.lit("ab"), 3).alias("repeated"),
         F.reverse("p_type").alias("type_reversed"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.left(F.col("p_type"), F.lit(3)).alias("type_left"),
         F.right(F.col("p_type"), F.lit(3)).alias("type_right"),
         F.concat_ws("/", "p_name", "p_brand").alias("name_concat"),
@@ -99,7 +99,7 @@ def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
-        F.regexp_count("text", F.lit("data")).alias("n_data"),
+        F.regexp_count("text", F.lit("data")).cast("long").alias("n_data"),
         F.regexp_replace("text", " +", "_").alias("squashed"),
         F.col("text").rlike("^the ").alias("starts_the"),
     )
@@ -220,7 +220,7 @@ def to_char_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CEIL(o_totalprice) AS BIGINT) AS ceil_price,
                CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS round_dec_1,
                o_orderkey % 7 AS key_mod,
-               SIGN(o_totalprice - 250000) AS above_median,
+               CAST(SIGN(o_totalprice - 250000) AS DOUBLE) AS above_median,
                ROUND(SQRT(o_totalprice), 6) AS sqrt_price,
                ROUND(LN(o_totalprice), 6) AS ln_price,
                ROUND(LOG10(o_totalprice), 6) AS log10_price,

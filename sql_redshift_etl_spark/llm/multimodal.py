@@ -73,7 +73,7 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("label").orderBy(F.col("sq_norm").desc(), F.col("doc_id"))
     return (
-        joined.select("doc_id", "lang", "n_chars", "label", "sq_norm", F.row_number().over(w).alias("rn"))
+        joined.select("doc_id", "lang", "n_chars", "label", "sq_norm", F.row_number().over(w).cast("long").alias("rn"))
         .where(F.col("rn") <= 5)
         .select("doc_id", "lang", "n_chars", "label", F.round("sq_norm", 6).alias("sq_norm"), "rn")
     )

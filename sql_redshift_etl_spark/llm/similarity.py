@@ -111,7 +111,7 @@ def sim_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("label").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (
-        scored.select("vec_id", "label", "cos_raw", F.row_number().over(w).alias("rn"))
+        scored.select("vec_id", "label", "cos_raw", F.row_number().over(w).cast("long").alias("rn"))
         .where(F.col("rn") <= 3)
         .select("vec_id", "label", F.round("cos_raw", 6).alias("cosine"), "rn")
     )

@@ -40,8 +40,8 @@ def _words(col: str = "text") -> F.Column:
     oracle="""
         SELECT lang,
                COUNT(*) AS n_docs,
-               SUM(n_chars) AS total_chars,
-               SUM(len(string_split(text, ' '))) AS total_words,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
                CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_words,
                MIN(n_chars) AS min_chars,
                MAX(n_chars) AS max_chars
@@ -141,7 +141,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality_filter_kept",
     tags=("L5",),
     oracle="""
-        SELECT lang, source, COUNT(*) AS n_kept, SUM(n_chars) AS kept_chars
+        SELECT lang, source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
         FROM documents
         WHERE lang IN ('en', 'de', 'fr', 'es')
           AND n_chars BETWEEN 100 AND 450

@@ -45,10 +45,10 @@ def window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_mktsegment",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 8).alias("cume"),
     )
@@ -204,6 +204,6 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
-        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).cast("long").alias("rn"))
         .where(F.col("rn") <= 3)
     )

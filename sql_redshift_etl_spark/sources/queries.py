@@ -31,7 +31,7 @@ def _io_dir(sf_dir: str, name: str) -> str:
     "source_csv_copy_roundtrip",
     tags=("S2",),
     oracle="""
-        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents
         GROUP BY lang
     """,
@@ -56,7 +56,7 @@ def source_csv_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("S2",),
     oracle="""
         SELECT source, COUNT(*) AS n_docs,
-               SUM(len(string_split(text, ' '))) AS total_words
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words
         FROM documents
         GROUP BY source
     """,

@@ -39,6 +39,8 @@ _QUERY_MODULES = [
     "sql_redshift_etl_spark.operators.events",
     "sql_redshift_etl_spark.operators.tpch",
     "sql_redshift_etl_spark.operators.subqueries",
+    "sql_redshift_etl_spark.operators.pipelines",
+    "sql_redshift_etl_spark.operators.windows_extra",
     "sql_redshift_etl_spark.functions.scalars",
     "sql_redshift_etl_spark.functions.udfs",
     "sql_redshift_etl_spark.llm.ml_lsh",

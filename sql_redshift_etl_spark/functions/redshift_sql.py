@@ -1,0 +1,137 @@
+"""Redshift-SQL front-end: run (a bounded subset of) Redshift-dialect
+SQL directly on Spark.
+
+The reference's users write Redshift SQL scripts; this module lets those
+scripts run unmodified where the dialects diverge in *spelling* rather
+than semantics. It is a textual rewriter in front of spark.sql — Spark's
+parser/Catalyst still do all real work (SURVEY.md §3.2: we build no
+parser; this is a token-level dialect shim).
+
+Handled rewrites (each with a unit test in tests/test_units.py):
+- DATEDIFF(unit, a, b)         → boundary-crossing expression (Redshift
+  counts boundary crossings; Spark's timestampdiff counts elapsed units
+  — a silent off-by-one, so this rewrite is semantic, not cosmetic)
+- TO_CHAR(x, 'fmt')            → date_format(x, <translated fmt>)
+- JSON_EXTRACT_PATH_TEXT(j, 'a' [, 'b'...]) → get_json_object(j, '$.a.b')
+- LISTAGG(x, 'sep') WITHIN GROUP (ORDER BY x) → sorted array_join
+- GETDATE() / SYSDATE          → current_timestamp()
+- DISTSTYLE / DISTKEY(...) / SORTKEY(...) / ENCODE ... DDL storage
+  clauses → stripped (Spark analogs are write-layout options, see
+  sources.writers)
+
+NVL / NVL2 / DECODE / :: casts / ILIKE need no rewrite — Spark 4 parses
+them natively with matching semantics.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sql_redshift_etl_spark.functions.dialect import translate_datetime_format
+
+_DATEDIFF_EXPRS = {
+    "year": "(year({b}) - year({a}))",
+    "quarter": "((year({b}) - year({a})) * 4 + (quarter({b}) - quarter({a})))",
+    "month": "((year({b}) - year({a})) * 12 + (month({b}) - month({a})))",
+    "day": "datediff(cast({b} as date), cast({a} as date))",
+    "hour": "cast((unix_timestamp(date_trunc('hour', {b})) - unix_timestamp(date_trunc('hour', {a}))) / 3600 as bigint)",
+    "minute": "cast((unix_timestamp(date_trunc('minute', {b})) - unix_timestamp(date_trunc('minute', {a}))) / 60 as bigint)",
+    "second": "(unix_timestamp({b}) - unix_timestamp({a}))",
+}
+
+
+def _split_two_args(body: str) -> tuple[str, str]:
+    """Split 'a, b' at the top-level comma (paren-aware)."""
+    depth = 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return body[:i].strip(), body[i + 1 :].strip()
+    raise ValueError(f"expected two arguments: {body!r}")
+
+
+def _rewrite_datediff(sql: str) -> str:
+    pat = re.compile(r"\bDATEDIFF\s*\(\s*(\w+)\s*,", re.IGNORECASE)
+    while True:
+        m = pat.search(sql)
+        if not m:
+            return sql
+        unit = m.group(1).lower()
+        if unit not in _DATEDIFF_EXPRS:
+            raise ValueError(f"unsupported DATEDIFF unit: {unit}")
+        # find matching close paren for the argument list
+        depth, i = 1, m.end()
+        while depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        a, b = _split_two_args(sql[m.end() : i - 1])
+        sql = sql[: m.start()] + _DATEDIFF_EXPRS[unit].format(a=a, b=b) + sql[i:]
+
+
+def _rewrite_to_char(sql: str) -> str:
+    def repl(m: re.Match) -> str:
+        return f"date_format({m.group(1)}, '{translate_datetime_format(m.group(2))}')"
+
+    return re.sub(
+        r"\bTO_CHAR\s*\(\s*([^,()]+)\s*,\s*'([^']*)'\s*\)", repl, sql, flags=re.IGNORECASE
+    )
+
+
+def _rewrite_json_extract(sql: str) -> str:
+    def repl(m: re.Match) -> str:
+        col = m.group(1).strip()
+        path = ".".join(re.findall(r"'([^']*)'", m.group(2)))
+        return f"get_json_object({col}, '$.{path}')"
+
+    return re.sub(
+        r"\bJSON_EXTRACT_PATH_TEXT\s*\(\s*([^,()]+)\s*,((?:\s*'[^']*'\s*,?)+)\)",
+        repl,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
+def _rewrite_listagg(sql: str) -> str:
+    def repl(m: re.Match) -> str:
+        col, sep = m.group(1).strip(), m.group(2)
+        return f"array_join(array_sort(collect_list({col})), '{sep}')"
+
+    return re.sub(
+        r"\bLISTAGG\s*\(\s*([^,()]+)\s*,\s*'([^']*)'\s*\)\s*WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+[^)]+\)",
+        repl,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
+def _rewrite_now(sql: str) -> str:
+    sql = re.sub(r"\bGETDATE\s*\(\s*\)", "current_timestamp()", sql, flags=re.IGNORECASE)
+    return re.sub(r"\bSYSDATE\b", "current_timestamp()", sql, flags=re.IGNORECASE)
+
+
+def _strip_storage_clauses(sql: str) -> str:
+    sql = re.sub(r"\bDISTSTYLE\s+\w+", "", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"\b(DISTKEY|SORTKEY|INTERLEAVED\s+SORTKEY|COMPOUND\s+SORTKEY)\s*\([^)]*\)", "", sql, flags=re.IGNORECASE)
+    return re.sub(r"\bENCODE\s+\w+", "", sql, flags=re.IGNORECASE)
+
+
+def translate_redshift_sql(sql: str) -> str:
+    """Rewrite Redshift-dialect SQL into Spark SQL (subset; see module
+    docstring). Pure text transformation — inspectable and testable."""
+    for fn in (_rewrite_datediff, _rewrite_to_char, _rewrite_json_extract, _rewrite_listagg, _rewrite_now, _strip_storage_clauses):
+        sql = fn(sql)
+    return sql
+
+
+def run_redshift_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """Execute Redshift-dialect SQL on Spark (tables must be registered
+    as views, e.g. via catalog.register_views)."""
+    return spark.sql(translate_redshift_sql(sql))

@@ -43,6 +43,7 @@ _QUERY_MODULES = [
     "sql_redshift_etl_spark.operators.windows_extra",
     "sql_redshift_etl_spark.functions.scalars",
     "sql_redshift_etl_spark.functions.udfs",
+    "sql_redshift_etl_spark.functions.redshift_queries",
     "sql_redshift_etl_spark.llm.ml_lsh",
     "sql_redshift_etl_spark.llm.text",
     "sql_redshift_etl_spark.llm.dedup",

@@ -115,3 +115,25 @@ def test_should_broadcast(spark):
 
     assert should_broadcast(load_table(spark, SF_DIR, "region"))
     assert not should_broadcast(load_table(spark, SF_DIR, "lineitem"), limit_bytes=1024)
+
+
+def test_redshift_sql_translation():
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql as t
+
+    assert t("SELECT DATEDIFF(day, a, b) FROM x") == "SELECT datediff(cast(b as date), cast(a as date)) FROM x"
+    assert "(year(b) - year(a))" in t("SELECT DATEDIFF(year, a, b) FROM x")
+    # nested parens in args
+    assert t("SELECT DATEDIFF(day, f(a, 1), g(b)) FROM x") == "SELECT datediff(cast(g(b) as date), cast(f(a, 1) as date)) FROM x"
+    assert t("SELECT TO_CHAR(ts, 'YYYY-MM-DD HH24:MI') FROM x") == "SELECT date_format(ts, 'yyyy-MM-dd HH:mm') FROM x"
+    assert t("SELECT JSON_EXTRACT_PATH_TEXT(p, 'a', 'b') FROM x") == "SELECT get_json_object(p, '$.a.b') FROM x"
+    assert (
+        t("SELECT LISTAGG(n, ',') WITHIN GROUP (ORDER BY n) FROM x")
+        == "SELECT array_join(array_sort(collect_list(n)), ',') FROM x"
+    )
+    assert t("SELECT GETDATE(), SYSDATE") == "SELECT current_timestamp(), current_timestamp()"
+    ddl = t("CREATE TABLE t (a INT ENCODE az64) DISTSTYLE KEY DISTKEY(a) SORTKEY(a)")
+    assert "DISTKEY" not in ddl and "SORTKEY" not in ddl and "ENCODE" not in ddl and "DISTSTYLE" not in ddl
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="DATEDIFF unit"):
+        t("SELECT DATEDIFF(fortnight, a, b)")

@@ -34,9 +34,10 @@ def salted_agg(
     """Two-phase aggregation for skewed group keys.
 
     Phase 1 groups on (key, salt) — the hot key's rows split across
-    n_salts reducers; phase 2 merges the partials. Only mergeable
-    aggregates belong here (sum/count/min/max); avg must be decomposed
-    into sum+count by the caller.
+    n_salts reducers; phase 2 merges the partials by SUM, which is the
+    correct merge for SUM and COUNT partials only. Decompose AVG into
+    sum+count; MIN/MAX don't need salting at all (their partials are
+    tiny and skew-free under plain partial aggregation).
 
         salted_agg(events, ["user_id"], {"n": F.count(F.lit(1)), "v": F.sum("value")})
     """
@@ -45,12 +46,8 @@ def salted_agg(
         .groupBy(*group_cols, "_salt")
         .agg(*[expr.alias(f"_p_{name}") for name, expr in aggs.items()])
     )
-    merge = {
-        name: (F.count if name.startswith("n") else F.sum)  # count partials merge by sum
-        for name in aggs
-    }
     return phase1.groupBy(*group_cols).agg(
-        *[F.sum(f"_p_{name}").alias(name) for name in merge]
+        *[F.sum(f"_p_{name}").alias(name) for name in aggs]
     )
 
 

@@ -21,8 +21,17 @@ from pyspark.sql import functions as F
 from sql_redshift_etl_spark.catalog import load_table
 from sql_redshift_etl_spark.plans.registry import register
 
-N_MINHASH = 8  # minhash permutations (md5-seeded)
+N_MINHASH = 8  # minhash permutations (32-bit slices of seeded md5 digests)
 N_BANDS = 4  # LSH bands of 2 rows each
+_SLICES_PER_DIGEST = 4  # a 32-hex md5 yields four 8-hex (32-bit) slices
+
+
+def _digest_seed(s: int) -> int:
+    return s // _SLICES_PER_DIGEST
+
+
+def _slice_start(s: int) -> int:
+    return 1 + 8 * (s % _SLICES_PER_DIGEST)
 SIMHASH_BITS = 16
 
 # 3-word shingles; docs shorter than 3 words are excluded symmetrically.
@@ -105,19 +114,28 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_spark_digest(seed: int) -> F.Column:
+    base = F.col("sh") if seed == 0 else F.concat(F.lit(f"{seed}:"), F.col("sh"))
+    return F.md5(base.cast("binary"))
+
+
+def _minhash_duck_expr(s: int) -> str:
+    seed = _digest_seed(s)
+    digest = "md5(sh)" if seed == 0 else f"md5('{seed}:' || sh)"
+    return f"MIN(substr({digest}, {_slice_start(s)}, 8)) AS m{s}"
+
+
 def _minhash_agg_cols() -> list[F.Column]:
-    """8 minhash values from TWO md5 digests per shingle (not eight):
+    """N_MINHASH minhash values from ceil(N/4) md5 digests per shingle:
     each digest's 32 hex chars split into four 32-bit slices — md5 bits
     are independent, so slices are valid independent hash functions.
-    Measured ~1.8× faster signature build than one digest per seed;
+    Measured faster signature build than one digest per seed;
     lexicographic MIN over fixed-width hex == numeric MIN."""
-    d0 = F.md5(F.col("sh").cast("binary"))
-    d1 = F.md5(F.concat(F.lit("x:"), F.col("sh")).cast("binary"))
-    cols = []
-    for s in range(N_MINHASH):
-        digest = d0 if s < 4 else d1
-        cols.append(F.min(F.substring(digest, 1 + 8 * (s % 4), 8)).alias(f"m{s}"))
-    return cols
+    digests = {seed: _minhash_spark_digest(seed) for seed in range(_digest_seed(N_MINHASH - 1) + 1)}
+    return [
+        F.min(F.substring(digests[_digest_seed(s)], _slice_start(s), 8)).alias(f"m{s}")
+        for s in range(N_MINHASH)
+    ]
 
 
 @register(
@@ -132,10 +150,7 @@ def _minhash_agg_cols() -> list[F.Column]:
         ),
         sig AS (
             SELECT doc_id,
-                   {", ".join(
-                       f"MIN(substr(md5({'sh' if s < 4 else chr(39) + 'x:' + chr(39) + ' || sh'}), {1 + 8 * (s % 4)}, 8)) AS m{s}"
-                       for s in range(N_MINHASH)
-                   )}
+                   {", ".join(_minhash_duck_expr(s) for s in range(N_MINHASH))}
             FROM sh GROUP BY doc_id
         ),
         bands AS (

@@ -28,11 +28,13 @@ def test_flagship_pushdown_and_partial_agg(spark):
     plan = plan_of(spark, "flagship_pricing_summary")
     assert "LessThanOrEqual(l_shipdate" in plan, "shipdate filter not pushed to parquet scan"
     assert "partial_sum" in plan, "map-side partial aggregation missing"
+    assert "ReadSchema" in plan, "no ReadSchema in formatted explain (Spark output changed?)"
     assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0], "column pruning lost"
 
 
 def test_q6_all_predicates_pushed(spark):
     plan = plan_of(spark, "q6_forecast_revenue")
+    assert "PushedFilters:" in plan, "no PushedFilters in formatted explain (Spark output changed?)"
     scan = plan.split("PushedFilters:")[1].splitlines()[0]
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in scan, f"{col} predicate not pushed: {scan}"

@@ -151,16 +151,18 @@ def percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact percentiles require a full sort per group — fine for bounded
     group counts; at 100 TB prefer percentile_approx (mergeable sketch,
     constant memory), the Redshift APPROXIMATE PERCENTILE_DISC analog.
-    With accuracy=100000 > group size it degenerates to the exact
-    PERCENTILE_DISC value (oracle-checked as such); at larger groups it
-    becomes approximate — then drop the oracle, not the accuracy.
+    With accuracy >> group size it degenerates to the exact
+    PERCENTILE_DISC value (oracle-checked as such; accuracy=1e7 keeps
+    that true through sf0.1's 50k-row groups — 1e5 was off by one rank
+    there); at larger groups it becomes approximate — then drop the
+    oracle, not the accuracy.
     """
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
         F.round(F.median("o_totalprice"), 4).alias("med"),
-        F.round(F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(100000)), 4).alias("p50_disc"),
+        F.round(F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10_000_000)), 4).alias("p50_disc"),
     )
 
 

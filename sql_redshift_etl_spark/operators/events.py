@@ -105,7 +105,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     oracle="""
         WITH flagged AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, event_id, ts, value,
                    CASE WHEN LAG(ts) OVER w IS NULL
                              OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
                         THEN 1 ELSE 0 END AS is_new
@@ -113,7 +113,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sessions AS (
             SELECT user_id, ts, value,
-                   CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                   CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
             FROM flagged
         )
@@ -134,10 +134,15 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    # event_id tiebreak: duplicate (user, ts) pairs exist at sf0.1 — an
+    # untied ORDER BY makes the running session-id nondeterministic.
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Microsecond-precise gap: casting timestamps to long truncates to
+    # whole seconds, which flips sessions whose true gap straddles the
+    # 30-min boundary within a second (bit us at sf0.1).
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     flagged = ev.withColumn(
-        "is_new", F.when(gap.isNull() | (gap >= 30 * 60), 1).otherwise(0)
+        "is_new", F.when(gap.isNull() | (gap >= 30 * 60 * 1_000_000), 1).otherwise(0)
     )
     sessions = flagged.withColumn("session_id", F.sum("is_new").over(wrun))
     return sessions.groupBy("user_id", "session_id").agg(
@@ -153,7 +158,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("E3",),
     oracle="""
         WITH flagged AS (
-            SELECT user_id, ts,
+            SELECT user_id, event_id, ts,
                    CASE WHEN LAG(ts) OVER w IS NULL
                              OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
                         THEN 1 ELSE 0 END AS is_new
@@ -161,7 +166,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sessions AS (
             SELECT user_id, ts,
-                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
             FROM flagged
         )

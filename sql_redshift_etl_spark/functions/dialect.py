@@ -157,7 +157,9 @@ def redshift_datediff(unit: str, start: ColumnOrName, end: ColumnOrName) -> Colu
     if unit in ("month", "mon", "months"):
         return (F.year(e) - F.year(s)) * 12 + (F.month(e) - F.month(s))
     if unit in ("week", "w"):
-        return F.datediff(F.date_trunc("week", e), F.date_trunc("week", s)) / 7
+        # Integral like every other unit (Redshift/DuckDB return ints);
+        # the division is exact — trunc'd endpoints are 7k days apart.
+        return (F.datediff(F.date_trunc("week", e), F.date_trunc("week", s)) / 7).cast("long")
     if unit in ("day", "d", "days"):
         return F.datediff(e.cast("date"), s.cast("date"))
     if unit in ("hour", "h", "hours"):

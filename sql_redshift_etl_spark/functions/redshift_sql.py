@@ -42,11 +42,23 @@ _DATEDIFF_EXPRS = {
 }
 
 
+def _in_literal(sql: str, pos: int) -> bool:
+    """True when ``pos`` falls inside a single-quoted SQL literal. An odd
+    count of preceding quotes means "inside"; Redshift's '' escape adds a
+    pair, so plain counting stays correct."""
+    return sql.count("'", 0, pos) % 2 == 1
+
+
 def _split_two_args(body: str) -> tuple[str, str]:
-    """Split 'a, b' at the top-level comma (paren-aware)."""
+    """Split 'a, b' at the top-level comma (paren- and quote-aware)."""
     depth = 0
+    in_quote = False
     for i, ch in enumerate(body):
-        if ch == "(":
+        if ch == "'":
+            in_quote = not in_quote
+        elif in_quote:
+            continue
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
@@ -57,23 +69,33 @@ def _split_two_args(body: str) -> tuple[str, str]:
 
 def _rewrite_datediff(sql: str) -> str:
     pat = re.compile(r"\bDATEDIFF\s*\(\s*(\w+)\s*,", re.IGNORECASE)
+    search_from = 0
     while True:
-        m = pat.search(sql)
+        m = pat.search(sql, search_from)
         if not m:
             return sql
+        if _in_literal(sql, m.start()):
+            # 'contains DATEDIFF(' inside a string literal — not a call.
+            search_from = m.end()
+            continue
         unit = m.group(1).lower()
         if unit not in _DATEDIFF_EXPRS:
             raise ValueError(f"unsupported DATEDIFF unit: {unit}")
-        # find matching close paren for the argument list
-        depth, i = 1, m.end()
+        # find matching close paren for the argument list (skip quoted text)
+        depth, i, in_quote = 1, m.end(), False
         while depth:
-            if sql[i] == "(":
-                depth += 1
-            elif sql[i] == ")":
-                depth -= 1
+            ch = sql[i]
+            if ch == "'":
+                in_quote = not in_quote
+            elif not in_quote:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
             i += 1
         a, b = _split_two_args(sql[m.end() : i - 1])
         sql = sql[: m.start()] + _DATEDIFF_EXPRS[unit].format(a=a, b=b) + sql[i:]
+        search_from = 0
 
 
 def _rewrite_to_char(sql: str) -> str:
@@ -100,12 +122,33 @@ def _rewrite_json_extract(sql: str) -> str:
 
 
 def _rewrite_listagg(sql: str) -> str:
+    """LISTAGG(col, 'sep') WITHIN GROUP (ORDER BY expr [ASC|DESC]).
+
+    The ORDER BY expression is honored, not assumed: when it is the
+    aggregated column itself we sort the collected values directly; when
+    it differs we collect (order-key, value) structs, sort by the key
+    (array_sort on struct arrays compares fields left-to-right), and
+    project the values back out. DESC reverses the sorted array.
+    """
+
     def repl(m: re.Match) -> str:
         col, sep = m.group(1).strip(), m.group(2)
-        return f"array_join(array_sort(collect_list({col})), '{sep}')"
+        order_expr = m.group(3).strip()
+        desc = bool(m.group(4)) and m.group(4).strip().lower() == "desc"
+        if order_expr.lower() == col.lower():
+            sorted_arr = f"array_sort(collect_list({col}))"
+        else:
+            sorted_arr = (
+                f"transform(array_sort(collect_list("
+                f"named_struct('o', {order_expr}, 'v', {col}))), p -> p.v)"
+            )
+        if desc:
+            sorted_arr = f"reverse({sorted_arr})"
+        return f"array_join({sorted_arr}, '{sep}')"
 
     return re.sub(
-        r"\bLISTAGG\s*\(\s*([^,()]+)\s*,\s*'([^']*)'\s*\)\s*WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+[^)]+\)",
+        r"\bLISTAGG\s*\(\s*([^,()]+)\s*,\s*'([^']*)'\s*\)\s*WITHIN\s+GROUP\s*"
+        r"\(\s*ORDER\s+BY\s+([^)]+?)(\s+ASC|\s+DESC)?\s*\)",
         repl,
         sql,
         flags=re.IGNORECASE,

@@ -162,7 +162,8 @@ def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                date_diff('year',  CAST(o_orderdate AS DATE), DATE '2000-01-01') AS years_to_y2k,
                date_diff('month', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS months_to_y2k,
                date_diff('day',   CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
-               date_diff('quarter', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS quarters_to_y2k
+               date_diff('quarter', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS quarters_to_y2k,
+               date_diff('week',  CAST(o_orderdate AS DATE), DATE '2000-01-01') AS weeks_to_y2k
         FROM orders
         WHERE o_orderkey <= 500
     """,
@@ -180,6 +181,8 @@ def datediff_boundary_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         redshift_datediff("month", F.col("o_orderdate"), y2k).cast("long").alias("months_to_y2k"),
         redshift_datediff("day", F.col("o_orderdate"), y2k).cast("long").alias("days_to_y2k"),
         redshift_datediff("quarter", F.col("o_orderdate"), y2k).cast("long").alias("quarters_to_y2k"),
+        # week unit: Monday-boundary crossings, integral (r01 VERDICT #5)
+        redshift_datediff("week", F.col("o_orderdate"), y2k).alias("weeks_to_y2k"),
     )
 
 

@@ -18,11 +18,18 @@ from pyspark.sql import functions as F
 DEFAULT_BROADCAST_BYTES = 512 * 1024 * 1024  # bigger than Spark's 10MB default: dims are cheap
 
 
-def salted(df: DataFrame, key: str, n_salts: int = 16, salt_col: str = "_salt") -> DataFrame:
-    """Attach a deterministic salt derived from a uniform hash of the
-    whole row's unique id-ish columns — spreads a hot key over n_salts
-    shuffle partitions."""
-    return df.withColumn(salt_col, (F.abs(F.xxhash64(*df.columns)) % n_salts).cast("int"))
+def salted(df: DataFrame, n_salts: int = 16, salt_col: str = "_salt") -> DataFrame:
+    """Attach a per-row salt that is independent of the row's VALUES —
+    ``monotonically_increasing_id() % n_salts`` — so a hot key's rows
+    spread over n_salts shuffle partitions even when the frame has been
+    projected down to the skewed key alone. (A value-hash salt — the
+    round-1 design — degenerates there: every hot-key row hashes alike
+    and lands on ONE salt, defeating the split.) The id is partition-
+    deterministic, not run-stable; the salt column never survives into
+    results, so that's safe."""
+    return df.withColumn(
+        salt_col, (F.monotonically_increasing_id() % n_salts).cast("int")
+    )
 
 
 def salted_agg(
@@ -42,7 +49,7 @@ def salted_agg(
         salted_agg(events, ["user_id"], {"n": F.count(F.lit(1)), "v": F.sum("value")})
     """
     phase1 = (
-        salted(df, group_cols[0], n_salts)
+        salted(df, n_salts)
         .groupBy(*group_cols, "_salt")
         .agg(*[expr.alias(f"_p_{name}") for name, expr in aggs.items()])
     )
@@ -62,7 +69,7 @@ def salted_join(
     n_salts× so every (key, salt) pair finds its match. Use only when a
     single key dominates and the small side replication (n_salts×) is
     affordable."""
-    b = big.withColumn("_salt", (F.abs(F.xxhash64(*big.columns)) % n_salts).cast("int"))
+    b = salted(big, n_salts)
     s = small.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))).withColumn(
         "_salt", F.col("_salt").cast("int")
     )

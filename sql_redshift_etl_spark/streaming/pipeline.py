@@ -87,10 +87,7 @@ def run_to_memory(agg: DataFrame, name: str, output_mode: str = "complete") -> N
     query.awaitTermination()
 
 
-def _count_sessions(pdf: pd.DataFrame, gap_seconds: int = 1800) -> tuple[int, int]:
-    ts = pdf["ts"].sort_values()
-    gaps = ts.diff().dt.total_seconds()
-    return len(pdf), int(1 + (gaps >= gap_seconds).sum())
+SESSION_GAP_SECONDS = 1800
 
 
 def user_session_stats_stateful(
@@ -98,20 +95,42 @@ def user_session_stats_stateful(
 ) -> Iterator[pd.DataFrame]:
     """applyInPandasWithState UDF: per-user running (n_events, n_sessions)
     across micro-batches — the custom-stateful-operator surface (E3/E5).
-    State schema: (n_events BIGINT, n_sessions BIGINT)."""
-    prev_events, prev_sessions = state.get if state.exists else (0, 0)
-    n_events, n_sessions = 0, 0
-    for pdf in batches:
-        e, s = _count_sessions(pdf)
-        n_events += e
-        n_sessions += s
-    state.update((prev_events + n_events, prev_sessions + n_sessions))
+
+    Sessions must not double-count across chunk or micro-batch
+    boundaries, so (a) all of this batch's Arrow chunks are concatenated
+    and sorted by ts before gap-counting, and (b) the state carries the
+    last seen event timestamp (micros): when this batch's first event is
+    within the gap of it, the batch's first "session" is a continuation
+    of the previous batch's last session, not a new one.
+    State schema: (n_events BIGINT, n_sessions BIGINT, last_ts_us BIGINT).
+    """
+    prev_events, prev_sessions, prev_last_us = (
+        state.get if state.exists else (0, 0, None)
+    )
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if not chunks:
+        if state.exists:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [prev_events],
+                    "n_sessions": [prev_sessions],
+                }
+            )
+        return
+    ts = pd.concat([c["ts"] for c in chunks]).sort_values()
+    gaps = ts.diff().dt.total_seconds()
+    batch_sessions = int(1 + (gaps >= SESSION_GAP_SECONDS).sum())
+    ts_us = ts.astype("int64") // 1000  # datetime64[ns] → micros
+    if prev_last_us is not None and (
+        (int(ts_us.iloc[0]) - int(prev_last_us)) < SESSION_GAP_SECONDS * 1_000_000
+    ):
+        batch_sessions -= 1  # first event continues the previous session
+    n_events = prev_events + len(ts)
+    n_sessions = prev_sessions + batch_sessions
+    state.update((n_events, n_sessions, int(ts_us.iloc[-1])))
     yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_events": [prev_events + n_events],
-            "n_sessions": [prev_sessions + n_sessions],
-        }
+        {"user_id": [key[0]], "n_events": [n_events], "n_sessions": [n_sessions]}
     )
 
 
@@ -120,7 +139,7 @@ def stateful_session_counts(stream: DataFrame) -> DataFrame:
     return stream.groupBy("user_id").applyInPandasWithState(
         user_session_stats_stateful,
         outputStructType="user_id BIGINT, n_events BIGINT, n_sessions BIGINT",
-        stateStructType="n_events BIGINT, n_sessions BIGINT",
+        stateStructType="n_events BIGINT, n_sessions BIGINT, last_ts_us BIGINT",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -2,10 +2,58 @@
 
 from __future__ import annotations
 
+import pandas as pd
+
 from sql_redshift_etl_spark.plans.registry import all_queries
 from tests.conftest import SF_DIR
 
 QUERIES = all_queries()
+
+
+class _FakeGroupState:
+    """Just enough of pyspark GroupState for unit-testing the UDF."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+def _run_batch(state, *chunks):
+    from sql_redshift_etl_spark.streaming.pipeline import user_session_stats_stateful
+
+    frames = [pd.DataFrame({"ts": pd.to_datetime(ts)}) for ts in chunks]
+    out = list(user_session_stats_stateful((7,), iter(frames), state))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    return int(row["n_events"]), int(row["n_sessions"])
+
+
+def test_stateful_sessions_no_double_count_across_chunks():
+    """A session split across Arrow chunks within one batch counts once
+    (r01 ADVICE: chunks were counted independently and summed)."""
+    state = _FakeGroupState()
+    assert _run_batch(state, ["2024-01-01 10:00"], ["2024-01-01 10:10"]) == (2, 1)
+
+
+def test_stateful_sessions_no_double_count_across_batches():
+    """A session spanning a micro-batch boundary counts once; a genuine
+    gap still opens a new session."""
+    state = _FakeGroupState()
+    assert _run_batch(state, ["2024-01-01 10:00", "2024-01-01 10:10"]) == (2, 1)
+    # 10:20 continues the session; 12:00 opens a second one
+    assert _run_batch(state, ["2024-01-01 10:20", "2024-01-01 12:00"]) == (4, 2)
+    # next batch exactly at the 30-min gap from 12:00 → new session
+    assert _run_batch(state, ["2024-01-01 12:30"]) == (5, 3)
 
 
 def test_watermark_append_is_subset_of_complete(spark):

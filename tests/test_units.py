@@ -137,3 +137,92 @@ def test_redshift_sql_translation():
 
     with _pytest.raises(ValueError, match="DATEDIFF unit"):
         t("SELECT DATEDIFF(fortnight, a, b)")
+
+
+def test_redshift_sql_listagg_order_expr():
+    """WITHIN GROUP (ORDER BY expr) must order by EXPR, not by the
+    aggregated values (round-2 fix, ADVICE r01)."""
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql as t
+
+    out = t("SELECT LISTAGG(name, ',') WITHIN GROUP (ORDER BY created_at) FROM x")
+    assert out == (
+        "SELECT array_join(transform(array_sort(collect_list("
+        "named_struct('o', created_at, 'v', name))), p -> p.v), ',') FROM x"
+    )
+    # DESC reverses; same-column keeps the direct sort
+    assert (
+        t("SELECT LISTAGG(n, '|') WITHIN GROUP (ORDER BY n DESC) FROM x")
+        == "SELECT array_join(reverse(array_sort(collect_list(n))), '|') FROM x"
+    )
+    assert (
+        t("SELECT LISTAGG(n, ',') WITHIN GROUP (ORDER BY N ASC) FROM x")
+        == "SELECT array_join(array_sort(collect_list(n)), ',') FROM x"
+    )
+
+
+def test_redshift_sql_listagg_order_expr_executes(spark):
+    """The struct-sort rewrite actually runs and orders by the key col."""
+    from sql_redshift_etl_spark.functions.redshift_sql import run_redshift_sql
+
+    spark.createDataFrame(
+        [("b", 1), ("a", 3), ("c", 2)], "name string, created_at int"
+    ).createOrReplaceTempView("_listagg_t")
+    row = run_redshift_sql(
+        spark,
+        "SELECT LISTAGG(name, ',') WITHIN GROUP (ORDER BY created_at) AS s FROM _listagg_t",
+    ).collect()[0]
+    assert row["s"] == "b,c,a"
+    spark.catalog.dropTempView("_listagg_t")
+
+
+def test_redshift_sql_quote_awareness():
+    """DATEDIFF( inside a string literal, and quoted commas/parens inside
+    argument spans, must not corrupt the rewrite (ADVICE r01)."""
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql as t
+
+    # literal mentioning DATEDIFF( is left alone; the real call rewrites
+    out = t("SELECT 'use DATEDIFF(day, x, y)' AS hint, DATEDIFF(day, a, b) FROM x")
+    assert "'use DATEDIFF(day, x, y)'" in out
+    assert "datediff(cast(b as date), cast(a as date))" in out
+    # quoted comma / unbalanced paren inside an argument
+    assert t("SELECT DATEDIFF(day, coalesce(a, ','), b) FROM x") == (
+        "SELECT datediff(cast(b as date), cast(coalesce(a, ',') as date)) FROM x"
+    )
+    assert t("SELECT DATEDIFF(day, coalesce(a, '('), b) FROM x") == (
+        "SELECT datediff(cast(b as date), cast(coalesce(a, '(') as date)) FROM x"
+    )
+
+
+def test_datediff_week_integral(spark):
+    """week-unit DATEDIFF returns a bigint like every other unit
+    (r01 VERDICT item 5) and counts Monday-boundary crossings."""
+    from pyspark.sql import functions as F
+
+    from sql_redshift_etl_spark.functions.dialect import redshift_datediff
+
+    df = spark.createDataFrame(
+        [("2024-01-07", "2024-01-08")], "a string, b string"
+    ).select(
+        redshift_datediff("week", F.col("a").cast("date"), F.col("b").cast("date")).alias("w")
+    )
+    assert dict(df.dtypes)["w"] == "bigint"
+    # Sun 2024-01-07 → Mon 2024-01-08 crosses one ISO week boundary
+    assert df.collect()[0]["w"] == 1
+
+
+def test_salted_spreads_hot_key_on_key_only_frame(spark):
+    """salted() must spread a hot key even when the frame is projected
+    down to the key alone (r01 VERDICT item 4: value-hash salts
+    degenerate there)."""
+    from pyspark.sql import functions as F
+
+    from sql_redshift_etl_spark.scale import salted
+
+    n_salts = 8
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(42)).otherwise(F.col("id")).alias("key")
+    ).select("key")
+    distinct_hot_salts = (
+        salted(df, n_salts=n_salts).where(F.col("key") == 42).select("_salt").distinct().count()
+    )
+    assert distinct_hot_salts >= n_salts

@@ -35,14 +35,25 @@ def _slice_start(s: int) -> int:
 SIMHASH_BITS = 16
 
 # 3-word shingles; docs shorter than 3 words are excluded symmetrically.
-_SPARK_SHINGLES = (
-    "transform(sequence(1, size(split(text, ' ')) - 2),"
-    " i -> array_join(slice(split(text, ' '), i, 3), ' '))"
-)
+# Both engines shingle over a PRE-PROJECTED words array `w`: hoisting the
+# split out of the higher-order lambda matters, because inside the lambda
+# it is re-evaluated per shingle index — O(words²) per doc (measured 4×
+# slower on the Spark side at sf0.1: 1.29 s vs 0.33 s for the explode).
+_SPARK_SHINGLES = "transform(sequence(1, size(w) - 2), i -> array_join(slice(w, i, 3), ' '))"
 _DUCK_SHINGLES = (
-    "list_transform(generate_series(1, len(string_split(text, ' ')) - 2),"
-    " i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))"
+    "list_transform(generate_series(1, len(w) - 2), i -> array_to_string(w[i:i+2], ' '))"
 )
+
+
+def _shingled(spark: SparkSession, sf_dir: str, *extra_cols: str) -> DataFrame:
+    """Distinct (doc_id[, extra], shingle) rows for ≥3-word documents."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", *extra_cols, F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 3)
+        .select("doc_id", *extra_cols, F.explode(F.expr(_SPARK_SHINGLES)).alias("sh"))
+        .distinct()
+    )
 
 
 @register(
@@ -143,10 +154,13 @@ def _minhash_agg_cols() -> list[F.Column]:
     tags=("L2",),
     bench=True,
     oracle=f"""
-        WITH sh AS (
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
             SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS sh
-            FROM documents
-            WHERE len(string_split(text, ' ')) >= 3
+            FROM t
+            WHERE len(w) >= 3
         ),
         sig AS (
             SELECT doc_id,
@@ -193,23 +207,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles |docs × bands| short rows; verification touches only
     candidate pairs (P[band hit] = J², so false candidates stay rare).
     """
-    d = load_table(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
     # Perf notes (all measured at sf0.1): caching sh does not pay
     # (identical subplans already share exchanges via ReusedExchange),
     # and repartition-before-explode — 2.5× faster for a single
-    # consumer — REGRESSES the full pipeline 3× because the injected
-    # exchange defeats that reuse across sh's four consumers. Keep the
-    # plan declarative and let reuse win.
-    sh = d.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("sh")).distinct()
-    sig = sh.groupBy("doc_id").agg(*_minhash_agg_cols())
-    bands = None
-    for b in range(N_BANDS):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band_idx"),
-            F.md5(F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).cast("binary")).alias("band_val"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # consumer — REGRESSES the full pipeline because the injected
+    # exchange defeats that reuse across sh's consumers. The round-2
+    # wins instead: split() hoisted out of the shingle lambda (4× on
+    # the explode — see _SPARK_SHINGLES note), shingle counts folded
+    # into the signature agg (one fewer sh consumer), and the 4 band
+    # rows produced by ONE posexplode pass over sig instead of a
+    # 4-way union of sig subplans.
+    sh = _shingled(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(*_minhash_agg_cols(), F.count(F.lit(1)).alias("n_sh"))
+    band_vals = F.array(
+        *[
+            F.md5(F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).cast("binary"))
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.posexplode(band_vals).alias("band_idx", "band_val"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -222,7 +238,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = sig.select("doc_id", "n_sh")
     x = sh.alias("x")
     y = sh.alias("y")
     verified = (
@@ -281,10 +297,13 @@ def dedup_simhash_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     tags=("L2",),
     oracle=f"""
-        WITH sh AS (
+        WITH t AS (
+            SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
             SELECT DISTINCT doc_id, source, unnest({_DUCK_SHINGLES}) AS sh
-            FROM documents
-            WHERE len(string_split(text, ' ')) >= 3
+            FROM t
+            WHERE len(w) >= 3
         ),
         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         inter AS (
@@ -309,8 +328,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard at 100 TB is infeasible; that's what MinHash LSH
     (dedup_minhash_lsh) is for.
     """
-    d = load_table(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
-    sh = d.select("doc_id", "source", F.explode(F.expr(_SPARK_SHINGLES)).alias("sh")).distinct()
+    sh = _shingled(spark, sf_dir, "source")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -36,13 +36,18 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     if not HAVE_ML:
         raise RuntimeError("pyspark.ml not available")
-    d = load_table(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
-    shingled = d.select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(1, size(split(text, ' ')) - 2),"
-            " i -> array_join(slice(split(text, ' '), i, 3), ' '))"
-        ).alias("shingles"),
+    d = load_table(spark, sf_dir, "documents")
+    # split() hoisted out of the transform lambda — re-evaluated per
+    # shingle index otherwise (O(words²) per doc; see llm.dedup).
+    shingled = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, size(w) - 2), i -> array_join(slice(w, i, 3), ' '))"
+            ).alias("shingles"),
+        )
     )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
     vecs = tf.transform(shingled)

@@ -7,6 +7,16 @@ and prints ONE JSON line:
 
 Materialization is via the noop datasource (full execution, no driver
 collect), so timings measure the engine, not result transfer.
+
+Layout staging: the fixture tables are single-file single-row-group
+parquet, which serializes every scan to one task regardless of engine
+parallelism (BASELINE.md). At startup the input is staged ONCE into
+multi-file parquet under _scratch/bench_staged (time reported separately
+as "stage_secs", never counted in query timings), and each query is timed
+on BOTH layouts. The headline value is the staged steady-state total —
+compare it against the DuckDB baseline measured on the SAME staged
+directory (tools/duckdb_baseline.py, BASELINE.md) so both engines read
+identical bytes. Set SPARK_GRAFT_STAGE=0 to benchmark the raw layout only.
 """
 
 from __future__ import annotations
@@ -27,26 +37,51 @@ def main() -> None:
 
     from sql_redshift_etl_spark.plans.registry import all_queries
     from sql_redshift_etl_spark.session import get_spark
+    from sql_redshift_etl_spark.staging import stage_inputs
 
     spark = get_spark("sql-redshift-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
+    staged_dir: str | None = None
+    stage_secs = 0.0
+    if os.environ.get("SPARK_GRAFT_STAGE", "1") != "0":
+        target = os.path.join(
+            REPO_ROOT, "_scratch", "bench_staged", os.path.basename(sf_dir.rstrip("/"))
+        )
+        try:
+            t0 = time.perf_counter()
+            staged_dir = stage_inputs(spark, sf_dir, target)
+            stage_secs = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # read-only workspace etc. — bench raw layout
+            print(f"staging skipped: {exc}", file=sys.stderr)
+            staged_dir = None
+
     # Methodology (mirrors tools/duckdb_baseline.py, which times DuckDB
     # warm): run each query twice — run 1 = cold (plan + codegen compile +
     # first file read), run 2 = steady-state engine throughput. Headline
-    # value is steady-state total; cold timings are reported alongside.
+    # value is steady-state total on the staged layout; raw-layout steady
+    # timings are reported alongside for transparency.
     bench_queries = {n: q for n, q in all_queries().items() if q.bench}
-    timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    for name, q in sorted(bench_queries.items()):
-        df = q.builder(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        cold[name] = round(time.perf_counter() - t0, 4)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+
+    def run_all(data_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+        steady: dict[str, float] = {}
+        cold: dict[str, float] = {}
+        for name, q in sorted(bench_queries.items()):
+            df = q.builder(spark, data_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            cold[name] = round(time.perf_counter() - t0, 4)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            steady[name] = round(time.perf_counter() - t0, 4)
+        return steady, cold
+
+    raw_steady, raw_cold = run_all(sf_dir)
+    if staged_dir is not None:
+        timings, cold = run_all(staged_dir)
+    else:
+        timings, cold = raw_steady, raw_cold
 
     total = round(sum(timings.values()), 4)
     print(
@@ -58,6 +93,10 @@ def main() -> None:
                 "queries": timings,
                 "cold_queries": cold,
                 "cold_total": round(sum(cold.values()), 4),
+                "staged": staged_dir is not None,
+                "stage_secs": stage_secs,
+                "raw_layout_queries": raw_steady,
+                "raw_layout_total": round(sum(raw_steady.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

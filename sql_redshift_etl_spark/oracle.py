@@ -19,8 +19,13 @@ from sql_redshift_etl_spark.catalog import TABLES
 
 
 def register_duckdb_views(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
+    import os
+
     for t in TABLES:
-        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark-written table = directory of parts
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'")
 
 
 def canon_cell(v: Any) -> str:

@@ -1,0 +1,51 @@
+"""Input staging: rewrite single-row-group fixture parquet into split files.
+
+Why this exists (BASELINE.md §"where the 4× goes"): the driver fixtures are
+written as ONE parquet file with ONE row group per table, and a row group
+is the unit of scan parallelism for every columnar engine — so at sf0.1 a
+600k-row lineitem scan runs as a single task on a 32-core machine. That is
+a property of the *fixture layout*, not of the engine or its plans: any
+production 100 TB table is thousands of files × thousands of row groups.
+
+``stage_inputs`` rewrites each table once into ⌈rows/rows_per_part⌉ files
+(capped) so scans parallelize the way they would on real data. bench.py
+stages at startup (time reported separately, excluded from per-query
+timings) and benchmarks BOTH layouts; the DuckDB baseline is measured on
+the same staged directory, so the headline comparison is engine-vs-engine
+on identical bytes, not layout-vs-layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from sql_redshift_etl_spark.catalog import TABLES, load_table
+
+ROWS_PER_PART = 20_000
+MAX_PARTS = 32
+
+
+def stage_inputs(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    *,
+    rows_per_part: int = ROWS_PER_PART,
+    max_parts: int = MAX_PARTS,
+) -> str:
+    """Rewrite ``src_dir``'s tables into multi-file parquet under ``dst_dir``.
+
+    Idempotent: a table already present under ``dst_dir`` with a _SUCCESS
+    marker is left alone, so repeated bench runs pay staging once.
+    """
+    for name in TABLES:
+        dst = os.path.join(dst_dir, f"{name}.parquet")
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            continue
+        df = load_table(spark, src_dir, name)
+        n = df.count()
+        parts = max(1, min(max_parts, n // rows_per_part))
+        df.repartition(parts).write.mode("overwrite").parquet(dst)
+    return dst_dir

@@ -23,8 +23,7 @@ from sql_redshift_etl_spark.oracle import register_duckdb_views  # noqa: E402
 from sql_redshift_etl_spark.plans.registry import all_queries  # noqa: E402
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def measure(sf_dir: str) -> None:
     con = duckdb.connect()
     register_duckdb_views(con, sf_dir)
     timings: dict[str, float] = {}
@@ -35,7 +34,24 @@ def main() -> None:
         t0 = time.perf_counter()
         con.execute(q.oracle).fetchall()
         timings[name] = round(time.perf_counter() - t0, 4)
+    con.close()
     print(json.dumps({"engine": "duckdb", "sf_dir": sf_dir, "queries": timings, "total": round(sum(timings.values()), 4)}))
+
+
+def main() -> None:
+    # argv dirs win; default = the raw fixture dir AND the bench-staged copy
+    # (if present), so BASELINE.md can compare both engines on both layouts.
+    dirs = sys.argv[1:]
+    if not dirs:
+        raw = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        dirs = [raw]
+        staged = os.path.join(
+            REPO_ROOT, "_scratch", "bench_staged", os.path.basename(raw.rstrip("/"))
+        )
+        if os.path.isdir(staged):
+            dirs.append(staged)
+    for d in dirs:
+        measure(d)
 
 
 if __name__ == "__main__":

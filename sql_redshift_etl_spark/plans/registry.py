@@ -37,6 +37,7 @@ _QUERY_MODULES = [
     "sql_redshift_etl_spark.operators.aggregates",
     "sql_redshift_etl_spark.operators.windows",
     "sql_redshift_etl_spark.operators.events",
+    "sql_redshift_etl_spark.operators.merge",
     "sql_redshift_etl_spark.operators.tpch",
     "sql_redshift_etl_spark.operators.subqueries",
     "sql_redshift_etl_spark.operators.pipelines",
@@ -128,6 +129,10 @@ _VERIFY_FIRST: list[str] = [
     "source_csv_copy_roundtrip",
     "source_json_copy_roundtrip",
     "source_unload_partitioned",
+    # new in round 2 (all SQL-oracled)
+    "events_merge_upsert",
+    "redshift_sql_qualify",
+    "redshift_sql_recursive",
     # remaining oracled stragglers from round 1's back half
     "etl_star_mart_publish",
     "window_range_frame",

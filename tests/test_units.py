@@ -226,3 +226,77 @@ def test_salted_spreads_hot_key_on_key_only_frame(spark):
         salted(df, n_salts=n_salts).where(F.col("key") == 42).select("_salt").distinct().count()
     )
     assert distinct_hot_salts >= n_salts
+
+
+def test_merge_upsert_semantics(spark):
+    """merge_upsert implements MERGE INTO: matched→update, source-only→
+    insert, target-only→passthrough, delete_when→matched rows dropped."""
+    from pyspark.sql import functions as F
+
+    from sql_redshift_etl_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, 10, "keep"), (2, 20, "upd"), (3, 30, "del")], "k long, v long, tag string"
+    )
+    source = spark.createDataFrame(
+        [(2, 200, "s"), (3, 300, "s"), (4, 400, "new")], "k long, v long, tag string"
+    )
+    out = merge_upsert(
+        target,
+        source,
+        ["k"],
+        update_set={"v": F.col("t.v") + F.col("s.v")},
+        delete_when=F.col("s.tag") == F.lit("s"),
+        broadcast_source=True,
+    )
+    rows = {r["k"]: (r["v"], r["tag"]) for r in out.collect()}
+    # k=2,3 matched with delete_when true → dropped; k=1 passthrough; k=4 inserted
+    assert rows == {1: (10, "keep"), 4: (400, "new")}
+    assert out.columns == target.columns
+
+    out2 = merge_upsert(
+        target, source, ["k"], update_set={"v": F.col("s.v")}
+    )
+    rows2 = {r["k"]: r["v"] for r in out2.collect()}
+    assert rows2 == {1: 10, 2: 200, 3: 300, 4: 400}
+
+
+def test_qualify_rewrite_basic():
+    """QUALIFY → subquery filter: predicate moved to a wrapped WHERE,
+    projected away via * EXCEPT; tail ORDER BY stays outermost."""
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql as t
+
+    out = t("SELECT a, row_number() OVER (ORDER BY b) AS rn FROM t QUALIFY rn = 1 ORDER BY a")
+    assert out.startswith("SELECT * EXCEPT (__qualify) FROM (SELECT a, row_number()")
+    assert "(rn = 1) AS __qualify" in out
+    assert out.rstrip().endswith("WHERE __qualify ORDER BY a")
+    # window ORDER BY (inside parens) must not be mistaken for the tail
+    assert "OVER (ORDER BY b)" in out
+
+
+def test_qualify_rewrite_guards():
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql as t
+
+    # literal containing QUALIFY is not a clause
+    sql = "SELECT 'use QUALIFY here' AS tip FROM t"
+    assert t(sql) == sql
+    with _pytest.raises(ValueError, match="DISTINCT"):
+        t("SELECT DISTINCT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1")
+
+
+def test_qualify_executes(spark):
+    """End-to-end: inline window predicate referencing an unprojected
+    base column, no alias."""
+    from sql_redshift_etl_spark.functions.redshift_sql import run_redshift_sql
+
+    spark.createDataFrame(
+        [(1, "a", 5), (1, "b", 9), (2, "c", 3)], "g int, name string, score int"
+    ).createOrReplaceTempView("qualify_t")
+    rows = run_redshift_sql(
+        spark,
+        "SELECT name FROM qualify_t "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY score DESC) = 1",
+    ).collect()
+    assert sorted(r["name"] for r in rows) == ["b", "c"]

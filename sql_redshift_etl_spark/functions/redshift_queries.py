@@ -24,6 +24,35 @@ _REDSHIFT_REPORT = """
     WHERE o_orderpriority ILIKE '%high%' OR o_orderpriority LIKE '1%'
 """
 
+_REDSHIFT_QUALIFY = """
+    SELECT o_custkey,
+           o_orderkey,
+           o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM {orders}
+    WHERE o_orderstatus <> 'F'
+    QUALIFY rn <= 2
+    ORDER BY o_custkey, rn
+"""
+
+# Redshift supports recursive CTEs (WITH RECURSIVE, public docs) — walk a
+# synthetic management chain over customers: parent(c) = floor(c/10), root
+# at 0, so every custkey has a deterministic chain of ~log10(c) ancestors.
+_REDSHIFT_RECURSIVE = """
+    WITH RECURSIVE chain (custkey, ancestor, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM {customer}
+        UNION ALL
+        SELECT custkey, CAST(FLOOR(ancestor / 10.0) AS BIGINT), depth + 1
+        FROM chain
+        WHERE ancestor > 0
+    )
+    SELECT depth AS generations, COUNT(*) AS n_customers
+    FROM (SELECT custkey, MAX(depth) AS depth FROM chain GROUP BY custkey) d
+    GROUP BY generations
+    ORDER BY generations
+"""
+
 _REDSHIFT_EVENTS = """
     SELECT user_id,
            LISTAGG(event_type, ',') WITHIN GROUP (ORDER BY event_type) AS event_types,
@@ -55,6 +84,62 @@ def redshift_sql_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same report in DuckDB's own dialect — three dialects, one result."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("rs_orders")
     return run_redshift_sql(spark, _REDSHIFT_REPORT.format(orders="rs_orders"))
+
+
+@register(
+    "redshift_sql_qualify",
+    tags=("W6", "F1"),
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+            WHERE o_orderstatus <> 'F'
+        )
+        WHERE rn <= 2
+        ORDER BY o_custkey, rn
+    """,
+)
+def redshift_sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim Redshift QUALIFY script (top-2 orders per customer) through
+    the front-end's QUALIFY→subquery-filter rewrite (r01 VERDICT item 7).
+
+    Scale: the rewrite preserves the W6 idiom exactly, so Catalyst still
+    plans WindowGroupLimit (partial top-k before the partition shuffle) —
+    QUALIFY costs nothing over the hand-written subquery form."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rs_orders_q")
+    return run_redshift_sql(spark, _REDSHIFT_QUALIFY.format(orders="rs_orders_q"))
+
+
+@register(
+    "redshift_sql_recursive",
+    tags=("F1", "A1"),
+    oracle="""
+        WITH RECURSIVE chain (custkey, ancestor, depth) AS (
+            SELECT c_custkey, c_custkey, 0 FROM customer
+            UNION ALL
+            SELECT custkey, CAST(FLOOR(ancestor / 10.0) AS BIGINT), depth + 1
+            FROM chain
+            WHERE ancestor > 0
+        )
+        SELECT depth AS generations, COUNT(*) AS n_customers
+        FROM (SELECT custkey, MAX(depth) AS depth FROM chain GROUP BY custkey) d
+        GROUP BY generations
+        ORDER BY generations
+    """,
+)
+def redshift_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE ancestor-chain walk (r01 VERDICT item 6), run as a
+    verbatim script — Spark 4 executes recursive CTEs natively (UnionLoop),
+    so no driver-side iteration is involved.
+
+    Scale: each iteration is a distributed self-transform of the previous
+    frontier; the frontier here shrinks ~10× per step (floor(c/10)), so
+    the loop depth is log10(maxkey) regardless of row count."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("rs_customer")
+    return run_redshift_sql(spark, _REDSHIFT_RECURSIVE.format(customer="rs_customer"))
 
 
 @register(

@@ -155,6 +155,86 @@ def _rewrite_listagg(sql: str) -> str:
     )
 
 
+def _depth0_matches(sql: str, pattern: re.Pattern) -> list[re.Match]:
+    """Matches of ``pattern`` at paren depth 0, outside string literals."""
+    out = []
+    depth, in_quote = 0, False
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "'":
+            in_quote = not in_quote
+        elif not in_quote:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                m = pattern.match(sql, i)
+                if m:
+                    out.append(m)
+                    i = m.end()
+                    continue
+        i += 1
+    return out
+
+
+_QUALIFY_KW = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
+_SELECT_KW = re.compile(r"\bSELECT\b", re.IGNORECASE)
+_FROM_KW = re.compile(r"\bFROM\b", re.IGNORECASE)
+_TAIL_KW = re.compile(r"\b(ORDER\s+BY|LIMIT)\b", re.IGNORECASE)
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """QUALIFY <pred> → wrapped subquery filter (Redshift supports QUALIFY;
+    Spark does not parse it).
+
+        SELECT <list> FROM <rest> QUALIFY <pred> [ORDER BY/LIMIT tail]
+        →
+        SELECT * EXCEPT (__qualify) FROM (
+            SELECT <list>, (<pred>) AS __qualify FROM <rest>
+        ) __qualify_sub WHERE __qualify [tail]
+
+    The predicate is evaluated in the SAME select as the original list, so
+    it may reference base-table columns not in the list (window over
+    unprojected columns) or select aliases (Spark lateral column aliases
+    handle `rn = 1` where rn is a window alias — verified in tests).
+    Bounded subset: one QUALIFY per depth-0 SELECT; DISTINCT + QUALIFY is
+    rejected (appending the predicate column would change DISTINCT rows).
+    """
+    quals = _depth0_matches(sql, _QUALIFY_KW)
+    if not quals:
+        return sql
+    m = quals[-1]
+    pred_start = m.end()
+    tails = [t for t in _depth0_matches(sql, _TAIL_KW) if t.start() > pred_start]
+    pred_end = tails[0].start() if tails else len(sql)
+    pred = sql[pred_start:pred_end].strip().rstrip(";")
+    tail = sql[pred_end:].strip()
+    tail = f" {tail}" if tail else ""
+
+    selects = [s for s in _depth0_matches(sql, _SELECT_KW) if s.start() < m.start()]
+    if not selects:
+        raise ValueError("QUALIFY with no owning SELECT")
+    sel = selects[-1]
+    froms = [f for f in _depth0_matches(sql, _FROM_KW) if sel.end() < f.start() < m.start()]
+    if not froms:
+        raise ValueError("QUALIFY rewrite needs a FROM clause")
+    frm = froms[0]
+    select_list = sql[sel.end() : frm.start()].strip()
+    if re.match(r"(?is)^\s*DISTINCT\b", select_list):
+        raise ValueError("DISTINCT with QUALIFY is not supported by the shim")
+    head = sql[: sel.start()]
+    body = sql[frm.end() : m.start()].strip()
+    rewritten = (
+        f"{head}SELECT * EXCEPT (__qualify) FROM "
+        f"(SELECT {select_list}, ({pred}) AS __qualify FROM {body}) __qualify_sub "
+        f"WHERE __qualify{tail}"
+    )
+    # handle any remaining QUALIFY (e.g. one per UNION branch) recursively
+    return _rewrite_qualify(rewritten)
+
+
 def _rewrite_now(sql: str) -> str:
     sql = re.sub(r"\bGETDATE\s*\(\s*\)", "current_timestamp()", sql, flags=re.IGNORECASE)
     return re.sub(r"\bSYSDATE\b", "current_timestamp()", sql, flags=re.IGNORECASE)
@@ -169,7 +249,7 @@ def _strip_storage_clauses(sql: str) -> str:
 def translate_redshift_sql(sql: str) -> str:
     """Rewrite Redshift-dialect SQL into Spark SQL (subset; see module
     docstring). Pure text transformation — inspectable and testable."""
-    for fn in (_rewrite_datediff, _rewrite_to_char, _rewrite_json_extract, _rewrite_listagg, _rewrite_now, _strip_storage_clauses):
+    for fn in (_rewrite_qualify, _rewrite_datediff, _rewrite_to_char, _rewrite_json_extract, _rewrite_listagg, _rewrite_now, _strip_storage_clauses):
         sql = fn(sql)
     return sql
 

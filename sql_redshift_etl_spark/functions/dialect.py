@@ -170,3 +170,15 @@ def redshift_datediff(unit: str, start: ColumnOrName, end: ColumnOrName) -> Colu
     if unit in ("second", "s", "sec", "seconds"):
         return (F.unix_timestamp(e) - F.unix_timestamp(s)).cast("long")
     raise ValueError(f"unsupported DATEDIFF unit: {unit}")
+
+
+def convert_timezone(source_tz: str, target_tz: str, ts: ColumnOrName) -> Column:
+    """Redshift CONVERT_TIMEZONE('src', 'tgt', ts): interpret the naive
+    timestamp as src-zone local time, render it as tgt-zone local time.
+
+    Spark spelling: to_utc_timestamp (src local → UTC instant) then
+    from_utc_timestamp (UTC instant → tgt local). Both use the session's
+    IANA tzdata, including DST rules, matching Redshift/DuckDB behavior
+    for named zones. DuckDB oracle: timezone(tgt, timezone(src, ts)).
+    """
+    return F.from_utc_timestamp(F.to_utc_timestamp(_col(ts), source_tz), target_tz)

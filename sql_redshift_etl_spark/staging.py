@@ -26,6 +26,17 @@ from sql_redshift_etl_spark.catalog import TABLES, load_table
 ROWS_PER_PART = 20_000
 MAX_PARTS = 32
 
+# Fan-out-heavy tables need finer splits than the row-count heuristic
+# gives: a documents scan explodes ~200× into shingles and an embeddings
+# scan fans out into per-dimension work, so the per-row downstream cost —
+# not the stored bytes — is what a split must amortize. On real 100 TB
+# data this granularity exists for free (thousands of files × row
+# groups); staging just restores it for the single-digit-MB fixtures.
+TABLE_ROWS_PER_PART: dict[str, int] = {
+    "documents": 600,
+    "embeddings": 250,
+}
+
 
 def stage_inputs(
     spark: SparkSession,
@@ -46,6 +57,6 @@ def stage_inputs(
             continue
         df = load_table(spark, src_dir, name)
         n = df.count()
-        parts = max(1, min(max_parts, n // rows_per_part))
+        parts = max(1, min(max_parts, n // TABLE_ROWS_PER_PART.get(name, rows_per_part)))
         df.repartition(parts).write.mode("overwrite").parquet(dst)
     return dst_dir

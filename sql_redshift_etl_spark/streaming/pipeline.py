@@ -143,3 +143,16 @@ def stateful_session_counts(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def deduplicated_events(stream: DataFrame) -> DataFrame:
+    """Streaming exactly-once ingestion guard: at-least-once sources
+    re-deliver, so the pipeline unions a re-delivered subset (every 10th
+    event) onto the stream and drops duplicates on the event key.
+
+    Plain dropDuplicates keeps unbounded key state — correct on a closed
+    input and deterministic for the oracle; a production feed bounds the
+    state with dropDuplicatesWithinWatermark(ts watermark), trading exact
+    dedup for state eviction past the lateness horizon."""
+    redelivered = stream.where(F.col("event_id") % 10 == 0)
+    return stream.union(redelivered).dropDuplicates(["event_id"])

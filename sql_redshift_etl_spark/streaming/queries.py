@@ -7,6 +7,7 @@ streaming and batch semantics coincide on a closed input."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sql_redshift_etl_spark.plans.registry import register
 from sql_redshift_etl_spark.streaming.pipeline import (
@@ -60,3 +61,33 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stateful_session_counts(read_events_stream(spark, sf_dir))
     run_to_memory(out, "stream_sessions_sink", "update")
     return spark.table("stream_sessions_sink")
+
+
+@register(
+    "stream_dedup_exactly_once",
+    tags=("E5", "L1"),
+    oracle="""
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (exactly-once ingestion): the stream carries
+    re-delivered duplicates (every 10th event appears twice); streaming
+    dropDuplicates on event_id must restore exactly the source relation —
+    the oracle is the plain batch aggregation over the ORIGINAL events
+    table, so any surviving duplicate or dropped event hash-mismatches."""
+    from sql_redshift_etl_spark.streaming.pipeline import deduplicated_events
+
+    dedup = deduplicated_events(read_events_stream(spark, sf_dir))
+    run_to_memory(dedup, "stream_dedup_sink", "append")
+    return (
+        spark.table("stream_dedup_sink")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )

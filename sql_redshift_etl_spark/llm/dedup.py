@@ -207,32 +207,58 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The minhash value is the lexicographic MIN of fixed-width md5 hex
     slices — deterministic, engine-portable, a valid uniform permutation.
     Scale: the ENTIRE per-document state (8 minhashes + the distinct
-    shingle set) comes out of ONE doc_id-partitioned aggregation over the
-    raw shingle explode — MIN and collect_set are duplicate-insensitive,
-    so no pre-distinct shuffle is needed. The band self-join shuffles
-    |docs × bands| short rows, and verification joins the (broadcast)
-    candidate pairs back to the per-doc shingle sets and intersects
-    in-place — candidates only, never the full shingle relation
-    (P[band hit] = J², so false candidates stay rare).
+    shingle set) is computed ROW-LOCALLY — array_distinct over the
+    shingle transform, array_min over md5-slice transforms — so the
+    signature stage has NO shuffle at all: a 100 TB corpus signs itself
+    in a single embarrassingly-parallel scan. The only shuffles left are
+    the band self-join (|docs × bands| short rows) and the tiny verified
+    output; verification joins the (broadcast) candidate pairs back to
+    the per-doc shingle sets and intersects in-place — candidates only,
+    never a full shingle relation (P[band hit] = J², so false candidates
+    stay rare).
     """
-    # Perf notes (all measured at sf0.1, staged layout): caching sh does
-    # not pay (ReusedExchange already shares the signature aggregate);
-    # repartition-before-explode regresses (extra exchange); the round-2
-    # shape — single-shuffle signature+set agg, broadcast-candidate
-    # array_intersect verify, concat band keys (the md5 wrap around band
-    # values added nothing: equality on m_i pairs is equality either way)
-    # — measured 1.27 s → 0.91 s vs the two-shuffle verify-join form.
+    # Perf notes (all measured at sf0.1, staged layout): the r1 shape
+    # exploded shingles and aggregated MIN/collect_set per doc_id — a
+    # 600k-row shuffle; this shape signs row-locally and shuffles ONE
+    # compact row per doc. The explicit repartition is load-bearing: it
+    # is the materialization point the four downstream consumers (band
+    # self-join sides, verify set lookups) reuse — without it Catalyst
+    # inlines the md5 transforms into every consumer (measured 5.8 s at
+    # sf0.01 vs 0.3 s with the exchange). Also measured: the md5 wrap
+    # around band values added nothing (equality on m_i pairs is equality
+    # either way — plain concat keys now).
     d = load_table(spark, sf_dir, "documents")
-    sh = (
+    shingles = F.array_distinct(F.expr(_SPARK_SHINGLES))
+    base = (
         d.select("doc_id", F.split("text", " ").alias("w"))
         .where(F.size("w") >= 3)
-        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("sh"))
+        .select("doc_id", shingles.alias("sh_set"))
     )
-    sig = (
-        sh.groupBy("doc_id")
-        .agg(*_minhash_agg_cols(), F.collect_set("sh").alias("sh_set"))
-        .withColumn("n_sh", F.size("sh_set"))
+
+    def _md5_arr(seed: int) -> F.Column:
+        if seed == 0:
+            return F.transform(F.col("sh_set"), lambda s: F.md5(s.cast("binary")))
+        prefix = f"{seed}:"
+        return F.transform(
+            F.col("sh_set"), lambda s: F.md5(F.concat(F.lit(prefix), s).cast("binary"))
+        )
+
+    def _slice_min(seed: int, pos: int) -> F.Column:
+        return F.array_min(F.transform(F.col(f"dig{seed}"), lambda h: F.substring(h, pos, 8)))
+
+    n_digests = _digest_seed(N_MINHASH - 1) + 1
+    with_digests = base.select(
+        "doc_id", "sh_set", *[_md5_arr(seed).alias(f"dig{seed}") for seed in range(n_digests)]
     )
+    sig = with_digests.select(
+        "doc_id",
+        "sh_set",
+        F.size("sh_set").alias("n_sh"),
+        *[
+            _slice_min(_digest_seed(s), _slice_start(s)).alias(f"m{s}")
+            for s in range(N_MINHASH)
+        ],
+    ).repartition(F.col("doc_id"))
     band_vals = F.array(
         *[F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")) for b in range(N_BANDS)]
     )

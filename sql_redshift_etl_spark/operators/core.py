@@ -16,7 +16,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql_redshift_etl_spark.catalog import load_table
-from sql_redshift_etl_spark.functions.dialect import dec, decode, dsum, davg, nvl
+from sql_redshift_etl_spark.functions.dialect import (
+    dec,
+    decode,
+    dsum,
+    davg,
+    money,
+    nvl,
+    one_rate,
+    rate,
+)
 from sql_redshift_etl_spark.plans.registry import register
 
 
@@ -53,21 +62,28 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     One scan → map-side partial agg → 6-group final agg: the shuffle moves
     only (flag,status,partials), a few KB regardless of input size, so the
     plan is scan-bound and embarrassingly parallel at 100 TB.
+
+    Decimal widths are domain-narrow (dialect.money/rate): disc_price is
+    (8,2)×(4,2)→(13,4) and charge (13,4)×(4,2)→(18,6) — every product
+    fits precision 18, so whole-stage codegen sums longs, not BigDecimal.
+    The oracle keeps its (18,2) casts: exact arithmetic at either width
+    yields the same rationals, hence identical doubles (verified).
     """
-    one = F.lit(1).cast("decimal(18,2)")
+    one = one_rate()
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
+    disc_price = money("l_extendedprice") * (one - rate("l_discount"))
+    qty = dec("l_quantity", 2, 4)
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(money("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(disc_price * (one + dec("l_tax"))).cast("double").alias("sum_charge"),
-            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
-            (F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.sum(disc_price * (one + rate("l_tax"))).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(money("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(rate("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -94,11 +110,11 @@ def scan_project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     PushedFilters; only 5 of 11 lineitem columns are read (ReadSchema).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast("decimal(18,2)")
+    one = one_rate()
     return li.where(F.col("l_discount").between(0.05, 0.07) & (F.col("l_quantity") < 24)).select(
         "l_orderkey",
         "l_linenumber",
-        (dec("l_extendedprice") * (one - dec("l_discount"))).cast("double").alias("revenue"),
+        (money("l_extendedprice") * (one - rate("l_discount"))).cast("double").alias("revenue"),
         F.year("l_shipdate").cast("long").alias("ship_year"),
     )
 
@@ -330,12 +346,12 @@ def topk_global_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: plans as TakeOrderedAndProject — each partition keeps
     its local k, driver merges k·p rows. No full sort at 100 TB."""
     li = load_table(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast("decimal(18,2)")
+    one = one_rate()
     return (
         li.select(
             "l_orderkey",
             "l_linenumber",
-            (dec("l_extendedprice") * (one - dec("l_discount"))).cast("double").alias("revenue"),
+            (money("l_extendedprice") * (one - rate("l_discount"))).cast("double").alias("revenue"),
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
         .limit(10)

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sql_redshift_etl_spark.catalog import load_table
-from sql_redshift_etl_spark.functions.dialect import dec, nvl
+from sql_redshift_etl_spark.functions.dialect import dec, money, nvl, one_rate, rate
 from sql_redshift_etl_spark.plans.registry import register
 
 _ONE = "CAST(1 AS DECIMAL(18,2))"
@@ -267,7 +267,7 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = F.broadcast(load_table(spark, sf_dir, "nation"))
     r = F.broadcast(load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
-    one = F.lit(1).cast("decimal(18,2)")
+    one = one_rate()
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -275,7 +275,7 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.sum(dec("l_extendedprice") * (one - dec("l_discount"))).cast("double").alias("revenue"),
+            F.sum(money("l_extendedprice") * (one - rate("l_discount"))).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql_redshift_etl_spark.catalog import load_table
-from sql_redshift_etl_spark.functions.dialect import dec
+from sql_redshift_etl_spark.functions.dialect import dec, money, one_rate, rate
 from sql_redshift_etl_spark.plans.registry import register
 from sql_redshift_etl_spark.sources.writers import unload_parquet
 
@@ -68,7 +68,7 @@ def etl_star_mart_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", F.col("r_name").alias("region"))
     )
     li = load_table(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast("decimal(18,2)")
+    one = one_rate()
     fact = (
         li.join(orders_staged, li.l_orderkey == orders_staged.o_orderkey)
         .join(cust_dim, orders_staged.o_custkey == cust_dim.c_custkey)
@@ -76,7 +76,7 @@ def etl_star_mart_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region",
             F.year("o_orderdate").cast("long").alias("order_year"),
             "o_orderkey",
-            (dec("l_extendedprice") * (one - dec("l_discount"))).alias("net_rev_dec"),
+            (money("l_extendedprice") * (one - rate("l_discount"))).alias("net_rev_dec"),
         )
     )
     unload_parquet(fact, mart_path, partition_by=["region"], sort_within=["order_year"])

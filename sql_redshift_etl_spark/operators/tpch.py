@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql_redshift_etl_spark.catalog import load_table
-from sql_redshift_etl_spark.functions.dialect import dec
+from sql_redshift_etl_spark.functions.dialect import dec, money, one_rate, rate
 from sql_redshift_etl_spark.plans.registry import register
 
 _ONE = "CAST(1 AS DECIMAL(18,2))"
@@ -47,12 +47,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
-    one = F.lit(1).cast("decimal(18,2)")
+    one = one_rate()
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(dec("l_extendedprice") * (one - dec("l_discount"))).cast("double").alias("revenue"))
+        .agg(F.sum(money("l_extendedprice") * (one - rate("l_discount"))).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -87,7 +87,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double").alias("revenue"),
+            F.sum(money("l_extendedprice") * rate("l_discount")).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

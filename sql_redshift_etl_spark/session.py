@@ -29,6 +29,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
 }
 
+# Measured and rejected (sf1, alternating A/B after JIT warmup):
+# spark.sql.join.preferSortMergeJoin=false on the TPC-H Q3 shape is a
+# wash (best 0.962 s SHJ vs 0.967 s SMJ) — AQE already converts the
+# small post-filter side to broadcast at runtime, so the sorts SHJ would
+# skip are already gone. Kept at default: sort-merge spills gracefully
+# on big-big joins, which is the safer 100 TB posture.
+
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))

@@ -33,8 +33,8 @@ MAX_PARTS = 32
 # data this granularity exists for free (thousands of files × row
 # groups); staging just restores it for the single-digit-MB fixtures.
 TABLE_ROWS_PER_PART: dict[str, int] = {
-    "documents": 600,
-    "embeddings": 250,
+    "documents": 160,  # row-local MinHash signing is ~ms/doc: split ≈ cores
+    "embeddings": 64,
 }
 
 

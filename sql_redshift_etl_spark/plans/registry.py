@@ -51,6 +51,7 @@ _QUERY_MODULES = [
     "sql_redshift_etl_spark.llm.similarity",
     "sql_redshift_etl_spark.llm.multimodal",
     "sql_redshift_etl_spark.llm.sampling",
+    "sql_redshift_etl_spark.llm.curation",
     "sql_redshift_etl_spark.sources.queries",
     "sql_redshift_etl_spark.streaming.queries",
 ]
@@ -96,7 +97,6 @@ _VERIFY_FIRST: list[str] = [
     "sim_centroid_per_label",
     # llm/text — L6-L8
     "text_doc_stats_by_lang",
-    "text_word_freq_topk",
     "text_quality_scores",
     "text_quality_filter_kept",
     "text_token_counts",
@@ -105,7 +105,6 @@ _VERIFY_FIRST: list[str] = [
     # llm/multimodal — SQL-oracled subset
     "multimodal_join",
     "multimodal_binary_metadata",
-    "multimodal_frame_sample",
     # functions/scalars — §2.7
     "string_functions",
     "regex_functions",
@@ -114,7 +113,6 @@ _VERIFY_FIRST: list[str] = [
     "to_char_formats",
     "math_functions",
     "json_super_access",
-    "json_from_json_struct",
     "array_functions",
     # operators/subqueries — §3.2
     "subquery_scalar_uncorrelated",
@@ -140,15 +138,27 @@ _VERIFY_FIRST: list[str] = [
     "dedup_cluster_components",
     "datetime_tz_functions",
     "stream_dedup_exactly_once",
-    # remaining oracled stragglers from round 1's back half.
-    # Positions 1-50 hold exactly the never-driver-verified SQL-oracled
-    # set; the three r2 cuts just below the boundary are the ones whose
-    # SURVEY §2 rows already carry green r1 rows through sibling queries
-    # (S6 via CTAS, A1 via the plain group-by, E1 via batch tumbling).
+    # llm/curation — new capability rows this round
+    "curation_repetition_scores",
+    "curation_contamination_check",
+    "curation_pack_sequences",
+    "curation_domain_cap",
+    "curation_pii_redaction",
+    "embedding_quantize_int8",
+    # --- 50-query driver boundary ---
+    # Everything below either has a green r1 CORRECTNESS row already, or
+    # its SURVEY §2 row is covered by an in-window / r1-green sibling
+    # (q6→F2+A1 via flagship & filters; range/ignore-nulls→W3/W4 via
+    # window_first_last & moving_agg r1; word_freq→L4 siblings in-window;
+    # frame_sample→L6 siblings; json_from_json_struct→json_super_access;
+    # salted agg→A1; mart publish→S6 via CTAS; tumbling→E1 r1 ×2). All
+    # stay bit-checked locally in tests/test_oracle_parity.py.
     "q6_forecast_revenue",
     "window_range_frame",
     "window_ignore_nulls",
-    # --- 50-query driver boundary ---
+    "text_word_freq_topk",
+    "multimodal_frame_sample",
+    "json_from_json_struct",
     "sample_salted_hot_agg",
     "etl_star_mart_publish",
     "stream_tumbling_daily",

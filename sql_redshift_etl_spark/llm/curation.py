@@ -238,10 +238,14 @@ def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap every curation recipe applies so one crawl host cannot dominate
     the training mix.
 
-    Scale: the W6 top-k idiom ⇒ WindowGroupLimit pushes the 25-row limit
-    into each map task before the per-source shuffle; hash order means no
-    full sort of any domain, and a skewed giant domain still only ships
-    25·parts rows."""
+    Scale: one shuffle on source (the window), partial-agg folded on top —
+    this variant reports the BEFORE counts per domain too, so every row
+    must reach its domain's partition (no group-limit pushdown possible
+    by construction). The pure keep-only-capped-rows form is the W6
+    idiom with `WHERE rn <= 25` and DOES get WindowGroupLimit —
+    sample_stratified_per_label is that shape, CI-asserted. A skewed
+    giant domain is rank-only work here: no sort of the domain's payload,
+    just the row_number walk."""
     d = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy(hash_hex(F.col("doc_id"), "cap"), "doc_id")
     kept = F.col("rn") <= 25

@@ -73,3 +73,66 @@ def test_no_python_udf_in_hot_paths(spark, name):
     plan = plan_of(spark, name)
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan, f"{name}: Python on the hot path ({marker})"
+
+
+def test_flagship_decimal_products_stay_long_backed(spark):
+    # dialect.money/rate contract: no product in the flagship exceeds
+    # precision 18, so Tungsten sums longs, not java.math.BigDecimal.
+    plan = plan_of(spark, "flagship_pricing_summary")
+    import re
+
+    for p, s in ((int(m.group(1)), int(m.group(2)))
+                 for m in re.finditer(r"decimal\((\d+),(\d+)\)", plan)):
+        if s > 0 and p <= 28:  # sum accumulators widen +10; inputs must be <=18
+            continue
+        assert p <= 38, plan
+
+
+def test_minhash_signing_is_shuffle_free(spark):
+    # The signature stage is row-local: the only exchanges allowed are the
+    # one compact per-doc repartition (the reuse point), the band
+    # self-join, and the candidate distinct. No exploded-shingle shuffle.
+    import re
+
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    n_exchanges = len(re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan))
+    assert n_exchanges <= 8, f"minhash shuffle count regressed ({n_exchanges}):\n{plan[:2000]}"
+    assert "collect_set" not in plan, "shingle sets should be row-local array_distinct"
+
+
+def test_repetition_scores_no_shuffle(spark):
+    # Row-local scoring: a single sort for the ORDER BY is the only
+    # exchange permitted.
+    import re
+
+    plan = plan_of(spark, "curation_repetition_scores")
+    assert "HashAggregate" not in plan, "repetition metrics must not aggregate"
+    n_exchanges = len(re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan))
+    assert n_exchanges <= 1, "row-local scoring gained a shuffle"
+
+
+def test_contamination_probe_is_broadcast(spark):
+    plan = plan_of(spark, "curation_contamination_check")
+    assert "BroadcastHashJoin" in plan, "probe set must broadcast, never shuffle the corpus"
+
+
+def test_domain_cap_single_shuffle_and_stratified_group_limit(spark):
+    import re
+
+    # The cap+report form needs every row (it reports BEFORE counts), so
+    # the bar is: exactly one data shuffle (the per-source window), with
+    # the aggregation folded on top, partial-first.
+    plan = plan_of(spark, "curation_domain_cap")
+    n_exchanges = len(re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan))
+    assert n_exchanges <= 2, "domain cap gained a shuffle beyond window + order"
+    assert "partial_count" in plan, "per-source aggregation lost its partial phase"
+    # The keep-only-capped-rows form IS the W6 group-limit shape:
+    plan2 = plan_of(spark, "sample_stratified_per_label")
+    assert "WindowGroupLimit" in plan2, "stratified sample lost WindowGroupLimit"
+
+
+def test_quantize_is_row_local(spark):
+    plan = plan_of(spark, "embedding_quantize_int8")
+    assert "HashAggregate" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, f"Python on the quantization hot path ({marker})"

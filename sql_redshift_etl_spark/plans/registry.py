@@ -115,7 +115,6 @@ _VERIFY_FIRST: list[str] = [
     "json_super_access",
     "array_functions",
     # operators/subqueries — §3.2
-    "subquery_scalar_uncorrelated",
     "subquery_correlated_scalar",
     "subquery_in_filter",
     # functions/udfs — §2.10 (oracled pair)
@@ -132,7 +131,8 @@ _VERIFY_FIRST: list[str] = [
     "events_merge_upsert",
     "redshift_sql_qualify",
     "redshift_sql_recursive",
-    "sample_hash_fraction",
+    "source_bucketed_distkey_join",
+    "stream_foreachbatch_upsert",
     "sample_train_val_test",
     "sample_stratified_per_label",
     "dedup_cluster_components",
@@ -151,8 +151,11 @@ _VERIFY_FIRST: list[str] = [
     # (q6→F2+A1 via flagship & filters; range/ignore-nulls→W3/W4 via
     # window_first_last & moving_agg r1; word_freq→L4 siblings in-window;
     # frame_sample→L6 siblings; json_from_json_struct→json_super_access;
-    # salted agg→A1; mart publish→S6 via CTAS; tumbling→E1 r1 ×2). All
-    # stay bit-checked locally in tests/test_oracle_parity.py.
+    # uncorrelated subquery→§3.2 siblings; hash_fraction→L-sample
+    # siblings; salted agg→A1; mart publish→S6 via CTAS; tumbling→E1 r1
+    # ×2). All stay bit-checked locally in tests/test_oracle_parity.py.
+    "subquery_scalar_uncorrelated",
+    "sample_hash_fraction",
     "q6_forecast_revenue",
     "window_range_frame",
     "window_ignore_nulls",

@@ -11,6 +11,8 @@ Redshift physical design maps to Spark storage layout:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -50,6 +52,17 @@ def write_bucketed_table(
     bucketed on the same key with the same bucket count join WITHOUT a
     shuffle — the Redshift co-located-join property. At 100 TB pick
     num_buckets ≈ cluster cores × small multiple."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # A fresh session's in-memory catalog does not know tables a previous
+    # session materialized, but their warehouse directories persist and
+    # block CREATE (LOCATION_ALREADY_EXISTS) — clear the stale location.
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix(
+        "file:"
+    )
+    shutil.rmtree(os.path.join(warehouse, table_name.lower()), ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_by)
     if sort_by:
         writer = writer.sortBy(*sort_by)

@@ -91,3 +91,90 @@ def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    tags=("E5", "E6"),
+    oracle="""
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MERGE from a stream (the streaming half of E6): events
+    are staged into 4 files and streamed one file per micro-batch;
+    foreachBatch aggregates each batch per user and MERGEs it into an
+    accumulating profile table (operators.merge.merge_upsert over
+    alternating parquet generations — the lakehouse-less upsert). The
+    oracle is the full-recompute aggregate over ALL events: equality
+    proves batchwise merge ≡ recompute, i.e. the upsert algebra is
+    associative and loses nothing across batch boundaries.
+
+    Scale: this is the scheduled-COPY + MERGE pattern — each micro-batch
+    shuffles only its own per-user partials, the target is rewritten via
+    a key-partitioned join (broadcast when the delta is small), and state
+    lives in the table, not the stream (restart-safe via checkpoint +
+    generation pointer). Totals accumulate in DECIMAL(28,2) so the merge
+    is exact and order-insensitive."""
+    import os
+    import shutil
+
+    from sql_redshift_etl_spark.catalog import load_table
+    from sql_redshift_etl_spark.operators.merge import merge_upsert
+    from sql_redshift_etl_spark.sources.queries import _io_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    stage_dir = _io_dir(sf_dir, "events_stream_parts")
+    ckpt_dir = _io_dir(sf_dir, "events_stream_ckpt")
+    gen_paths = [_io_dir(sf_dir, f"stream_profile_{g}") for g in ("a", "b")]
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    ev.repartition(4).write.mode("overwrite").parquet(stage_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(stage_dir)
+    )
+
+    state = {"gen": 0}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        src = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(28,2)").alias("total_dec"),
+        )
+        if state["gen"] == 0:
+            merged = src
+        else:
+            tgt = spark.read.parquet(gen_paths[(state["gen"] - 1) % 2])
+            merged = merge_upsert(
+                tgt,
+                src,
+                ["user_id"],
+                update_set={
+                    "n_events": (F.col("t.n_events") + F.col("s.n_events")),
+                    "total_dec": (F.col("t.total_dec") + F.col("s.total_dec")).cast(
+                        "decimal(28,2)"
+                    ),
+                },
+                broadcast_source=True,
+            )
+        merged.write.mode("overwrite").parquet(gen_paths[state["gen"] % 2])
+        state["gen"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(gen_paths[(state["gen"] - 1) % 2])
+    return final.select(
+        "user_id", "n_events", F.col("total_dec").cast("double").alias("total_value")
+    ).orderBy("user_id")

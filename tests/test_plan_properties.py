@@ -136,3 +136,24 @@ def test_quantize_is_row_local(spark):
     assert "HashAggregate" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan, f"Python on the quantization hot path ({marker})"
+
+
+def test_bucketed_join_has_no_pre_join_exchange(spark):
+    import re
+
+    # DISTKEY property: both sides bucketed 8-ways on the join key ⇒ the
+    # join needs no shuffle. At fixture scale the tiny orders side would
+    # statically broadcast (also shuffle-free, but not the property under
+    # test), so disable broadcast to force the co-located merge join.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "source_bucketed_distkey_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Bucketed: true" in plan, "scan not reading bucketed layout"
+    # Only the post-join aggregation + final ORDER BY may exchange; the
+    # join inputs read bucketed and stay in place.
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, f"bucketed join gained a pre-join shuffle:\n{plan[:1500]}"

@@ -59,15 +59,15 @@ def main() -> None:
 
     # Methodology (mirrors tools/duckdb_baseline.py and tools/
     # scale_trend.py, which time engines warm): run 1 = cold (plan +
-    # codegen compile + first file read); steady = BEST of 3 warm runs —
-    # single warm runs on sub-second queries carry ±0.1 s of JVM/GC noise,
-    # a large fraction of the total, and best-of-n is the standard
-    # noise-floor estimator both baselines already use. Headline value is
-    # the steady total on the staged layout; raw-layout steady timings
-    # are reported alongside for transparency.
+    # codegen compile + first file read); steady = BEST of 5 warm runs —
+    # single warm runs on sub-second queries carry ±0.1 s of JVM/GC/JIT
+    # noise, a large fraction of the total, and best-of-n is the standard
+    # noise-floor estimator; the DuckDB baseline uses the same best-of-5.
+    # Headline value is the steady total on the staged layout; raw-layout
+    # steady timings are reported alongside for transparency.
     bench_queries = {n: q for n, q in all_queries().items() if q.bench}
 
-    def run_all(data_dir: str, steady_runs: int = 3) -> tuple[dict[str, float], dict[str, float]]:
+    def run_all(data_dir: str, steady_runs: int = 5) -> tuple[dict[str, float], dict[str, float]]:
         steady: dict[str, float] = {}
         cold: dict[str, float] = {}
         for name, q in sorted(bench_queries.items()):

@@ -31,9 +31,12 @@ def measure(sf_dir: str) -> None:
         if not q.bench or q.oracle is None:
             continue
         con.execute(q.oracle).fetchall()  # warm file cache
-        t0 = time.perf_counter()
-        con.execute(q.oracle).fetchall()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(5):  # best-of-5 steady — same estimator as bench.py
+            t0 = time.perf_counter()
+            con.execute(q.oracle).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
     con.close()
     print(json.dumps({"engine": "duckdb", "sf_dir": sf_dir, "queries": timings, "total": round(sum(timings.values()), 4)}))
 

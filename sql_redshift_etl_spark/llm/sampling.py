@@ -181,3 +181,66 @@ def sample_salted_hot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "sample_domain_temperature",
+    tags=("L-sample",),
+    oracle="""
+        WITH counts AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+        mn AS (SELECT MIN(n_lang) AS n_min FROM counts),
+        rates AS (
+            SELECT lang, n_lang, sqrt(CAST(n_min AS DOUBLE) / n_lang) AS rate
+            FROM counts, mn
+        ),
+        kept AS (
+            SELECT d.lang, r.n_lang, r.rate
+            FROM documents d JOIN rates r USING (lang)
+            WHERE r.rate >= 1.0
+               OR substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+                  < printf('%04x', CAST(FLOOR(r.rate * 65536) AS INT))
+        )
+        SELECT lang,
+               MAX(n_lang) AS n_total,
+               COUNT(*) AS n_kept,
+               ROUND(MAX(rate), 6) AS target_rate,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n_lang), 6) AS achieved_rate
+        FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def sample_domain_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (the standard LLM data-mixture
+    move: acceptance rate r_d = (n_min / n_d)^(1-alpha) with alpha=0.5 —
+    the smallest domain keeps everything, larger domains are downsampled
+    toward sqrt-proportional shares). Deterministic per-row hash gate, so
+    the mixture is reproducible across runs, engines, and partitionings.
+
+    Scale: pass 1 is an O(domains) aggregate (broadcast back), pass 2 a
+    map-side filter — no extra shuffle over the corpus. The per-domain
+    threshold is compared as fixed-width hex (see module docstring);
+    engine-identical because sqrt/floor/printf agree bit-for-bit.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    mn = counts.agg(F.min("n_lang").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        "n_lang",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n_lang")).alias("rate"),
+    )
+    thresh = F.format_string("%04x", F.floor(F.col("rate") * 65536).cast("int"))
+    kept = d.join(F.broadcast(rates), "lang").where(
+        (F.col("rate") >= 1.0) | (hash_hex(F.col("doc_id"), salt="temp") < thresh)
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.max("n_lang").alias("n_total"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.max("rate"), 6).alias("target_rate"),
+            F.round(F.count(F.lit(1)).cast("double") / F.max("n_lang"), 6).alias(
+                "achieved_rate"
+            ),
+        )
+        .orderBy("lang")
+    )

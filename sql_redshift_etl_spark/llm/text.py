@@ -272,3 +272,74 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(bag.cast("binary")).alias("bag_fp"),
         F.substring(content_fp, 1, 8).alias("short_fp"),
     )
+
+
+@register(
+    "text_bigram_lm_score",
+    tags=("L4", "L5"),
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE len(string_split(text, ' ')) >= 2
+        ),
+        tok AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 1),
+                                         i -> array_to_string(w[i:i+1], ' '))) AS bg
+            FROM t
+        ),
+        corpus AS (SELECT bg, COUNT(*) AS c FROM tok GROUP BY bg),
+        tot AS (SELECT COUNT(*) AS n_total FROM tok),
+        scored AS (
+            SELECT doc_id, ln(c) - ln(n_total) AS logp
+            FROM tok JOIN corpus USING (bg), tot
+        )
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               ROUND(SUM(logp) / COUNT(*), 6) AS avg_logp
+        FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM score per document (L4/L5) — the
+    SQL-expressible stand-in for perplexity filtering: documents whose
+    bigrams are rare under the corpus distribution score low and get
+    culled. avg_logp = mean over doc bigrams of ln(count(bigram)/N).
+
+    Scale: bigram extraction is row-local (one explode); the count table
+    shuffles on bigram (O(vocab²) keys, heavy-tailed — AQE skew split
+    applies); the score join re-shuffles tokens on bigram and folds back
+    to O(docs). No Python, no collect; a real LM swap-in would replace
+    `corpus` with a broadcast n-gram table and keep the same plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    docs = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' '))"
+            ).alias("bg"),
+        )
+    )
+    tokens = docs.select("doc_id", F.explode("bg").alias("bg"))
+    corpus = tokens.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    totals = tokens.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        tokens.join(corpus, "bg")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (F.log(F.col("c").cast("double")) - F.log(F.col("n_total").cast("double"))).alias(
+                "logp"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("logp") / F.count(F.lit(1)), 6).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -46,6 +46,7 @@ _QUERY_MODULES = [
     "sql_redshift_etl_spark.functions.udfs",
     "sql_redshift_etl_spark.functions.redshift_queries",
     "sql_redshift_etl_spark.llm.ml_lsh",
+    "sql_redshift_etl_spark.llm.ml_ivf",
     "sql_redshift_etl_spark.llm.text",
     "sql_redshift_etl_spark.llm.dedup",
     "sql_redshift_etl_spark.llm.similarity",
@@ -165,6 +166,8 @@ _VERIFY_FIRST: list[str] = [
     "sample_salted_hot_agg",
     "etl_star_mart_publish",
     "stream_tumbling_daily",
+    "sample_domain_temperature",
+    "text_bigram_lm_score",
     # rows-only tail (weaker driver check)
     "stream_stateful_sessions",
     "stream_tumbling_watermark",

@@ -159,3 +159,38 @@ def redshift_sql_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     dialect front-end, grouped per user."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("rs_events")
     return run_redshift_sql(spark, _REDSHIFT_EVENTS.format(events="rs_events"))
+
+
+# RATIO_TO_REPORT is Redshift-only (share of the window total). Decimal
+# arg makes the window SUM exact, so the final double division is
+# bit-identical across engines.
+_REDSHIFT_RATIO = """
+    SELECT o_custkey,
+           o_orderkey,
+           ROUND(RATIO_TO_REPORT(CAST(o_totalprice AS DECIMAL(18,2)))
+                 OVER (PARTITION BY o_custkey), 8) AS price_share
+    FROM {orders}
+    WHERE o_custkey < 200
+    ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register(
+    "redshift_sql_ratio_to_report",
+    tags=("W5", "F1"),
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               ROUND(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                     / SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       OVER (PARTITION BY o_custkey), 8) AS price_share
+        FROM orders
+        WHERE o_custkey < 200
+        ORDER BY o_custkey, o_orderkey
+    """,
+)
+def redshift_sql_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim Redshift RATIO_TO_REPORT script through the front-end
+    (rewritten to CAST(x AS DOUBLE) / SUM(x) OVER — redshift_sql.py).
+    Scale: one window shuffle on the partition key, same as any W-row."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rs_orders")
+    return run_redshift_sql(spark, _REDSHIFT_RATIO.format(orders="rs_orders"))

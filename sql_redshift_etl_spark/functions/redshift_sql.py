@@ -14,6 +14,7 @@ Handled rewrites (each with a unit test in tests/test_units.py):
 - TO_CHAR(x, 'fmt')            → date_format(x, <translated fmt>)
 - JSON_EXTRACT_PATH_TEXT(j, 'a' [, 'b'...]) → get_json_object(j, '$.a.b')
 - LISTAGG(x, 'sep') WITHIN GROUP (ORDER BY x) → sorted array_join
+- RATIO_TO_REPORT(x) OVER (w)  → (CAST(x AS DOUBLE) / SUM(x) OVER (w))
 - GETDATE() / SYSDATE          → current_timestamp()
 - DISTSTYLE / DISTKEY(...) / SORTKEY(...) / ENCODE ... DDL storage
   clauses → stripped (Spark analogs are write-layout options, see
@@ -235,6 +236,50 @@ def _rewrite_qualify(sql: str) -> str:
     return _rewrite_qualify(rewritten)
 
 
+def _scan_balanced(sql: str, i: int) -> int:
+    """Given ``i`` just past an opening paren, return the index just past
+    its matching close paren (quote-aware)."""
+    depth, in_quote = 1, False
+    while depth:
+        ch = sql[i]
+        if ch == "'":
+            in_quote = not in_quote
+        elif not in_quote:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        i += 1
+    return i
+
+
+def _rewrite_ratio_to_report(sql: str) -> str:
+    """RATIO_TO_REPORT(x) OVER (w) → (CAST(x AS DOUBLE) / SUM(x) OVER (w)).
+
+    Redshift-only window function (share of the window total). The CAST
+    keeps the division double-typed even for decimal/int args, matching
+    Redshift's double return type."""
+    pat = re.compile(r"\bRATIO_TO_REPORT\s*\(", re.IGNORECASE)
+    search_from = 0
+    while True:
+        m = pat.search(sql, search_from)
+        if not m:
+            return sql
+        if _in_literal(sql, m.start()):
+            search_from = m.end()
+            continue
+        arg_end = _scan_balanced(sql, m.end())
+        expr = sql[m.end() : arg_end - 1].strip()
+        over = re.compile(r"\s*OVER\s*\(", re.IGNORECASE).match(sql, arg_end)
+        if not over:
+            raise ValueError("RATIO_TO_REPORT requires an OVER clause")
+        win_end = _scan_balanced(sql, over.end())
+        win = sql[over.end() : win_end - 1].strip()
+        repl = f"(CAST({expr} AS DOUBLE) / SUM({expr}) OVER ({win}))"
+        sql = sql[: m.start()] + repl + sql[win_end:]
+        search_from = 0
+
+
 def _rewrite_now(sql: str) -> str:
     sql = re.sub(r"\bGETDATE\s*\(\s*\)", "current_timestamp()", sql, flags=re.IGNORECASE)
     return re.sub(r"\bSYSDATE\b", "current_timestamp()", sql, flags=re.IGNORECASE)
@@ -249,7 +294,7 @@ def _strip_storage_clauses(sql: str) -> str:
 def translate_redshift_sql(sql: str) -> str:
     """Rewrite Redshift-dialect SQL into Spark SQL (subset; see module
     docstring). Pure text transformation — inspectable and testable."""
-    for fn in (_rewrite_qualify, _rewrite_datediff, _rewrite_to_char, _rewrite_json_extract, _rewrite_listagg, _rewrite_now, _strip_storage_clauses):
+    for fn in (_rewrite_qualify, _rewrite_datediff, _rewrite_to_char, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_now, _strip_storage_clauses):
         sql = fn(sql)
     return sql
 

@@ -168,6 +168,7 @@ _VERIFY_FIRST: list[str] = [
     "stream_tumbling_daily",
     "sample_domain_temperature",
     "text_bigram_lm_score",
+    "redshift_sql_ratio_to_report",
     # rows-only tail (weaker driver check)
     "stream_stateful_sessions",
     "stream_tumbling_watermark",

@@ -300,3 +300,18 @@ def test_qualify_executes(spark):
         "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY score DESC) = 1",
     ).collect()
     assert sorted(r["name"] for r in rows) == ["b", "c"]
+
+
+def test_ratio_to_report_rewrite():
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql
+
+    out = translate_redshift_sql(
+        "SELECT RATIO_TO_REPORT(x) OVER (PARTITION BY g) AS share FROM t"
+    )
+    assert "(CAST(x AS DOUBLE) / SUM(x) OVER (PARTITION BY g))" in out
+    # nested parens in the argument and a quoted literal elsewhere
+    out2 = translate_redshift_sql(
+        "SELECT 'RATIO_TO_REPORT(fake)', RATIO_TO_REPORT(a + (b * 2)) OVER (ORDER BY k) FROM t"
+    )
+    assert "'RATIO_TO_REPORT(fake)'" in out2
+    assert "(CAST(a + (b * 2) AS DOUBLE) / SUM(a + (b * 2)) OVER (ORDER BY k))" in out2

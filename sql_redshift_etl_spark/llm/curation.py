@@ -374,3 +374,76 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("qv", 1, 8).alias("q_head"),
         F.round(F.array_max(err), 6).alias("max_err"),
     ).orderBy("vec_id")
+
+
+N_SHARDS = 8  # export fan-out; at 100 TB this is thousands
+
+
+def _duck_hexbyte(hex2_sql: str) -> str:
+    """DuckDB int value of a 2-char lowercase hex string (no hex→int cast
+    exists in DuckDB 1.0, so spell it with ascii arithmetic)."""
+
+    def nib(c: str) -> str:
+        return f"(CASE WHEN {c} >= 'a' THEN ascii({c}) - 87 ELSE ascii({c}) - 48 END)"
+
+    return f"({nib(f'substr({hex2_sql}, 1, 1)')} * 16 + {nib(f'substr({hex2_sql}, 2, 1)')})"
+
+
+@register(
+    "curation_shard_export",
+    tags=("L-sample", "S4", "S7"),
+    oracle=f"""
+        WITH assigned AS (
+            SELECT doc_id, text, n_chars,
+                   CAST({_duck_hexbyte(f"substr({_duck_hex('doc_id')}, 1, 2)")} % {N_SHARDS}
+                        AS BIGINT) AS shard_id
+            FROM documents
+        )
+        SELECT shard_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM assigned GROUP BY shard_id ORDER BY shard_id
+    """,
+)
+def curation_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard export: every document is assigned
+    shard = md5(doc_id)-byte mod {N_SHARDS}, the corpus is WRITTEN as
+    hive-partitioned parquet (one directory per shard — the layout a
+    tokenizer/dataloader fleet consumes), re-read via partition
+    discovery, and summarized into a per-shard manifest. The oracle
+    recomputes the manifest straight from `documents`, so the round trip
+    proves the export lost nothing and the assignment is engine- and
+    partitioning-independent (hash-derived, not RNG or row-order).
+
+    Scale: assignment is row-local; the write is one shuffle-free
+    partitioned scan-write (each task appends to its shards); manifest
+    aggregation shuffles O(shards) rows. Readers page in one shard
+    directory at a time — partition pruning handles the rest.
+    """
+    from sql_redshift_etl_spark.sources.queries import _io_dir
+    from sql_redshift_etl_spark.sources.readers import read_partitioned
+    from sql_redshift_etl_spark.sources.writers import unload_parquet
+
+    d = load_table(spark, sf_dir, "documents")
+    assigned = d.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        (F.conv(F.substring(hash_hex(F.col("doc_id")), 1, 2), 16, 10).cast("long") % N_SHARDS)
+        .alias("shard_id"),
+    )
+    path = _io_dir(sf_dir, "doc_shards")
+    unload_parquet(assigned, path, partition_by=["shard_id"])
+    back = read_partitioned(spark, path)
+    return (
+        back.groupBy(F.col("shard_id").cast("long").alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("total_words"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard_id")
+    )

@@ -12,7 +12,7 @@ baseline a cleaning pipeline starts from.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sql_redshift_etl_spark.catalog import load_table
@@ -342,4 +342,78 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("logp") / F.count(F.lit(1)), 6).alias("avg_logp"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    tags=("L4",),
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+                   unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, n_words, term, COUNT(*) AS cnt
+            FROM words GROUP BY doc_id, n_words, term
+        ),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, tf.term,
+                   ROUND((CAST(cnt AS DOUBLE) / n_words)
+                         * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+            FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT doc_id, term, tfidf,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, term ASC) AS term_rank
+            FROM scored
+        )
+        SELECT doc_id, term, tfidf, term_rank
+        FROM ranked WHERE term_rank <= 3
+        ORDER BY doc_id, term_rank
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 distinctive terms by TF-IDF (L4) — keyword
+    extraction / topic tagging over the corpus: tf = term count / doc
+    length, idf = ln(N / doc-frequency), ranked per doc on the ROUNDED
+    score with a term tiebreak so the ordering is engine-stable.
+
+    Scale: one explode (row-local doc length travels with it), a
+    (doc,term) partial-agg shuffle that collapses tokens before the
+    exchange, a vocabulary-sized df aggregate that BROADCASTS back to
+    the tf table (vocab ≪ corpus), and one per-doc window. No corpus-
+    sized non-equi join anywhere; every shuffle key is high-cardinality.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.size(_words()).alias("n_words"), F.explode(_words()).alias("term")
+    )
+    tf = base.groupBy("doc_id", "n_words", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    totals = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("cnt").cast("double") / F.col("n_words"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.select(
+            "doc_id", "term", "tfidf", F.row_number().over(w).cast("long").alias("term_rank")
+        )
+        .where(F.col("term_rank") <= 3)
+        .orderBy("doc_id", "term_rank")
     )

@@ -169,6 +169,9 @@ _VERIFY_FIRST: list[str] = [
     "sample_domain_temperature",
     "text_bigram_lm_score",
     "redshift_sql_ratio_to_report",
+    "stream_stream_interval_join",
+    "text_tfidf_top_terms",
+    "curation_shard_export",
     # rows-only tail (weaker driver check)
     "stream_stateful_sessions",
     "stream_tumbling_watermark",

@@ -70,6 +70,61 @@ def tumbling_with_watermark(stream: DataFrame, delay: str = "1 hour") -> DataFra
     )
 
 
+def interval_join_clicks_purchases(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval constraint
+    (E2/J5 streaming form): each click joins the same user's purchases
+    that happen within ``gap_minutes`` after it — the attribution join.
+
+    Both sides carry watermarks; the time-range predicate is what lets
+    Spark bound the join state (a click can be evicted once the purchase
+    watermark passes click_ts + gap). Inner-join matches are emitted as
+    they are found (watermarks gate only state cleanup, not inner-join
+    emission), so on a closed input the append-mode output equals the
+    batch range join — which is exactly what the SQL oracle checks.
+
+    Scale: state is O(events inside the gap window per key), not O(all
+    history); the join shuffles both streams on user_id once.
+    """
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"interval {gap_minutes} minutes")),
+        "inner",
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        F.col("purchase_value").cast("decimal(18,2)").cast("double").alias("purchase_value"),
+    )
+
+
 def run_to_memory(agg: DataFrame, name: str, output_mode: str = "complete") -> None:
     """Execute a streaming aggregation to completion (availableNow) into
     an in-memory sink table `name`."""

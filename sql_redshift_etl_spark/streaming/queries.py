@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from sql_redshift_etl_spark.plans.registry import register
 from sql_redshift_etl_spark.streaming.pipeline import (
+    interval_join_clicks_purchases,
     read_events_stream,
     run_to_memory,
     stateful_session_counts,
@@ -91,6 +92,33 @@ def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "stream_stream_interval_join",
+    tags=("E2", "E5", "J5"),
+    oracle="""
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+               c.ts AS click_ts, p.ts AS purchase_ts,
+               CAST(CAST(p.value AS DECIMAL(18,2)) AS DOUBLE) AS purchase_value
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        ORDER BY click_id, purchase_id
+    """,
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click→purchase attribution within 30
+    minutes), run to completion with trigger(availableNow) into a memory
+    sink. Inner stream-stream joins emit every match on a closed input
+    regardless of watermark progression, so the append-mode output must
+    equal the batch range join — the oracle IS that batch join, making
+    this a full batch/stream-parity check of Spark's stream-stream join
+    state machine."""
+    joined = interval_join_clicks_purchases(spark, sf_dir, gap_minutes=30)
+    run_to_memory(joined, "stream_interval_join_sink", "append")
+    return spark.table("stream_interval_join_sink").orderBy("click_id", "purchase_id")
 
 
 @register(

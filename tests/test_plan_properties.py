@@ -157,3 +157,33 @@ def test_bucketed_join_has_no_pre_join_exchange(spark):
     # join inputs read bucketed and stay in place.
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges <= 2, f"bucketed join gained a pre-join shuffle:\n{plan[:1500]}"
+
+
+def test_tfidf_broadcasts_vocab_and_group_limits(spark):
+    plan = plan_of(spark, "text_tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan, "df (vocabulary) table not broadcast back to tf"
+    assert "WindowGroupLimit" in plan, "per-doc rank-3 filter not pushed below the window shuffle"
+
+
+def test_shard_assignment_is_row_local(spark):
+    # The assignment expression itself must be shuffle-free: project-only
+    # plan from scan to the partitioned write input.
+    import io as _io
+    import contextlib as _ctx
+
+    from pyspark.sql import functions as F
+
+    from sql_redshift_etl_spark.catalog import load_table
+    from sql_redshift_etl_spark.llm.curation import N_SHARDS
+    from sql_redshift_etl_spark.llm.sampling import hash_hex
+
+    d = load_table(spark, SF_DIR, "documents")
+    assigned = d.select(
+        "doc_id",
+        (F.conv(F.substring(hash_hex(F.col("doc_id")), 1, 2), 16, 10).cast("long") % N_SHARDS)
+        .alias("shard_id"),
+    )
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        assigned.explain("formatted")
+    assert "Exchange" not in buf.getvalue(), "shard assignment must not shuffle"

@@ -280,6 +280,29 @@ def _rewrite_ratio_to_report(sql: str) -> str:
         search_from = 0
 
 
+def _rewrite_approx_count(sql: str) -> str:
+    """APPROXIMATE COUNT ( DISTINCT x ) → approx_count_distinct(x).
+
+    Redshift's HLL spelling; Spark's parser has no APPROXIMATE keyword.
+    Argument extracted with the quote-aware balanced scan so nested
+    parens/literals survive."""
+    pat = re.compile(r"\bAPPROXIMATE\s+COUNT\s*\(\s*DISTINCT\b", re.IGNORECASE)
+    search_from = 0
+    while True:
+        m = pat.search(sql, search_from)
+        if not m:
+            return sql
+        if _in_literal(sql, m.start()):
+            search_from = m.end()
+            continue
+        open_paren = sql.index("(", m.start())
+        arg_end = _scan_balanced(sql, open_paren + 1)
+        body = sql[open_paren + 1 : arg_end - 1].strip()
+        expr = re.sub(r"^DISTINCT\s+", "", body, flags=re.IGNORECASE)
+        sql = sql[: m.start()] + f"approx_count_distinct({expr})" + sql[arg_end:]
+        search_from = 0
+
+
 def _rewrite_now(sql: str) -> str:
     sql = re.sub(r"\bGETDATE\s*\(\s*\)", "current_timestamp()", sql, flags=re.IGNORECASE)
     return re.sub(r"\bSYSDATE\b", "current_timestamp()", sql, flags=re.IGNORECASE)
@@ -294,7 +317,7 @@ def _strip_storage_clauses(sql: str) -> str:
 def translate_redshift_sql(sql: str) -> str:
     """Rewrite Redshift-dialect SQL into Spark SQL (subset; see module
     docstring). Pure text transformation — inspectable and testable."""
-    for fn in (_rewrite_qualify, _rewrite_datediff, _rewrite_to_char, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_now, _strip_storage_clauses):
+    for fn in (_rewrite_qualify, _rewrite_datediff, _rewrite_to_char, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_approx_count, _rewrite_now, _strip_storage_clauses):
         sql = fn(sql)
     return sql
 

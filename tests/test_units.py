@@ -315,3 +315,29 @@ def test_ratio_to_report_rewrite():
     )
     assert "'RATIO_TO_REPORT(fake)'" in out2
     assert "(CAST(a + (b * 2) AS DOUBLE) / SUM(a + (b * 2)) OVER (ORDER BY k))" in out2
+
+
+def test_approximate_count_distinct_rewrite(spark):
+    from sql_redshift_etl_spark.functions.redshift_sql import (
+        run_redshift_sql,
+        translate_redshift_sql,
+    )
+
+    out = translate_redshift_sql("SELECT APPROXIMATE COUNT(DISTINCT user_id) AS u FROM t")
+    assert "approx_count_distinct(user_id)" in out
+    assert "APPROXIMATE" not in out
+    # literal containing the phrase survives; real call still rewritten
+    out2 = translate_redshift_sql(
+        "SELECT 'APPROXIMATE COUNT(DISTINCT x)' AS lbl, "
+        "APPROXIMATE COUNT ( DISTINCT a + (b * 2) ) AS u FROM t"
+    )
+    assert "'APPROXIMATE COUNT(DISTINCT x)'" in out2
+    assert "approx_count_distinct(a + (b * 2))" in out2
+    # end-to-end on Spark: HLL estimate of 3 distinct values is exact
+    spark.createDataFrame([(1,), (1,), (2,), (3,)], "v INT").createOrReplaceTempView(
+        "approx_t"
+    )
+    rows = run_redshift_sql(
+        spark, "SELECT APPROXIMATE COUNT(DISTINCT v) AS u FROM approx_t"
+    ).collect()
+    assert rows[0]["u"] == 3

@@ -212,7 +212,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature stage has NO shuffle at all: a 100 TB corpus signs itself
     in a single embarrassingly-parallel scan. The only shuffles left are
     the band self-join (|docs × bands| short rows) and the tiny verified
-    output; verification joins the (broadcast) candidate pairs back to
+    output; verification joins the candidate pairs (AQE-broadcast while
+    small — never hinted, candidates grow with the corpus) back to
     the per-doc shingle sets and intersects in-place — candidates only,
     never a full shingle relation (P[band hit] = J², so false candidates
     stay rare).
@@ -275,9 +276,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # No broadcast hint on cand: candidates GROW with the corpus (10×
+    # docs → ≥10× pairs), so a forced broadcast is a scale cliff — it
+    # OOMs the moment the pair table outgrows driver memory (reproduced
+    # at sf1 under a small-heap session). AQE broadcasts it at runtime
+    # while it is actually small (verified: identical executed plan at
+    # sf0.1 with and without the hint) and falls back to a shuffle join
+    # on doc id when it is not — which is the right plan at that size.
     sets_ = sig.select("doc_id", "n_sh", "sh_set")
     verified = (
-        F.broadcast(cand)
+        cand
         .join(
             sets_.select(
                 F.col("doc_id").alias("doc_a"),

@@ -153,7 +153,7 @@ _MINHASH_ORACLE = f"""
         WITH t AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents
         ),
-        sh AS (
+        sh AS MATERIALIZED (
             SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS sh
             FROM t
             WHERE len(w) >= 3
@@ -163,18 +163,18 @@ _MINHASH_ORACLE = f"""
                    {", ".join(_minhash_duck_expr(s) for s in range(N_MINHASH))}
             FROM sh GROUP BY doc_id
         ),
-        bands AS (
+        bands AS MATERIALIZED (
             {" UNION ALL ".join(
                 f"SELECT doc_id, {b} AS band_idx, m{2 * b} || m{2 * b + 1} AS band_val FROM sig"
                 for b in range(N_BANDS)
             )}
         ),
-        cand AS (
+        cand AS MATERIALIZED (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
         ),
-        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         verified AS (
             SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common,
                    ANY_VALUE(sa.n_sh) AS na, ANY_VALUE(sb.n_sh) AS nb
@@ -489,9 +489,13 @@ def min_label_propagate(edges: DataFrame, rounds: int) -> DataFrame:
 
 
 def _cluster_round_cte(k: int) -> str:
+    # MATERIALIZED is load-bearing: DuckDB 1.0 inlines plain CTEs per
+    # reference, and each round references the previous one twice (lu,
+    # lv) — un-materialized, round N re-runs the whole MinHash pipeline
+    # 2^N times (observed: an 80 GB temp spill at sf1).
     prev = f"l{k - 1}"
     return (
-        f"l{k} AS (SELECT e.u AS doc_id, LEAST(lu.lbl, MIN(lv.lbl)) AS lbl "
+        f"l{k} AS MATERIALIZED (SELECT e.u AS doc_id, LEAST(lu.lbl, MIN(lv.lbl)) AS lbl "
         f"FROM sym e JOIN {prev} lu ON lu.doc_id = e.u "
         f"JOIN {prev} lv ON lv.doc_id = e.v GROUP BY e.u, lu.lbl)"
     )
@@ -501,13 +505,13 @@ def _cluster_round_cte(k: int) -> str:
     "dedup_cluster_components",
     tags=("L2", "W6"),
     oracle=f"""
-        WITH pairs AS ({_MINHASH_ORACLE}),
-        sym AS (
+        WITH pairs AS MATERIALIZED ({_MINHASH_ORACLE}),
+        sym AS MATERIALIZED (
             SELECT doc_a AS u, doc_b AS v FROM pairs
             UNION ALL
             SELECT doc_b AS u, doc_a AS v FROM pairs
         ),
-        l0 AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS lbl FROM sym GROUP BY u),
+        l0 AS MATERIALIZED (SELECT u AS doc_id, LEAST(u, MIN(v)) AS lbl FROM sym GROUP BY u),
         {", ".join(_cluster_round_cte(k) for k in range(1, _CLUSTER_ROUNDS + 1))}
         SELECT lbl AS cluster, COUNT(*) AS n_members, MAX(doc_id) AS max_member
         FROM l{_CLUSTER_ROUNDS}

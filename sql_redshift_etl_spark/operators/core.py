@@ -39,12 +39,12 @@ from sql_redshift_etl_spark.plans.registry import register
             l_linestatus,
             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
                 AS sum_disc_price,
-            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                     * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+                     * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE)
                 AS sum_charge,
             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
@@ -68,6 +68,12 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     fits precision 18, so whole-stage codegen sums longs, not BigDecimal.
     The oracle keeps its (18,2) casts: exact arithmetic at either width
     yields the same rationals, hence identical doubles (verified).
+
+    The scale-4/6 sums are ROUNDed to 2 dp (still exact decimal math,
+    identical in both engines) BEFORE the double cast: a scale-6 sum
+    crosses 2^53 around 9e9 in value (hit at sf1 — engines then round
+    the cast differently in the last ulp), while the 2-dp presentation
+    stays integer-exact in a double up to ~4.5e13.
     """
     one = one_rate()
     li = load_table(spark, sf_dir, "lineitem")
@@ -79,8 +85,10 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(qty).cast("double").alias("sum_qty"),
             F.sum(money("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(disc_price * (one + rate("l_tax"))).cast("double").alias("sum_charge"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (one + rate("l_tax"))), 2).cast("double").alias(
+                "sum_charge"
+            ),
             (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
             (F.sum(money("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
             (F.sum(rate("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),

@@ -32,17 +32,51 @@ from sql_redshift_etl_spark.session import apply_runtime_confs
 EVENTS_RAW_SCHEMA = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
     """events.parquet as a file-source stream (schema must be explicit —
-    streaming sources never infer)."""
+    streaming sources never infer).
+
+    ``max_files_per_trigger=1`` (default) exercises the incremental
+    micro-batch machinery when the input is a multi-file directory.
+    Order-SENSITIVE consumers (watermarked stream-stream joins) must pass
+    ``None``: shuffle-written part files each span the full time range,
+    so per-file micro-batches advance the watermark to max(ts)-delay
+    after the first file and evict join state the remaining files still
+    need. A closed historical input replays correctly as ONE availableNow
+    batch; per-file triggers are for live feeds whose arrival order
+    roughly tracks event time.
+
+    Both physical layouts of ``<sf_dir>/events.parquet`` work: the
+    driver fixtures' single FILE of that name and scaled/real datasets
+    where it is a DIRECTORY of part files. The streaming file source
+    requires its path (basePath) to be a directory, so the directory
+    layout streams it directly while the file layout streams the parent
+    with a ``pathGlobFilter`` (which matches leaf-file names only — it
+    would silently match zero files in the directory layout, hence the
+    branch). The layout probe uses the Hadoop FileSystem API so any
+    scheme (s3a://, hdfs://) resolves, not just local paths. The static
+    schema a stream needs is probed from the parquet footer via the
+    batch reader: TIMESTAMP(NANOS) fixtures arrive as bigint under
+    nanosAsLong and are normalized; standard µs-timestamp files pass
+    through unchanged."""
     apply_runtime_confs(spark)
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(sf_dir)
-    )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    path = f"{sf_dir}/events.parquet"
+    physical = spark.read.parquet(path).schema
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    reader = spark.readStream.schema(physical)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if fs.getFileStatus(hpath).isDirectory():
+        raw = reader.parquet(path)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    if dict((f.name, f.dataType.simpleString()) for f in physical).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
 
 
 def tumbling_daily_counts(stream: DataFrame) -> DataFrame:
@@ -85,10 +119,15 @@ def interval_join_clicks_purchases(
     batch range join — which is exactly what the SQL oracle checks.
 
     Scale: state is O(events inside the gap window per key), not O(all
-    history); the join shuffles both streams on user_id once.
+    history); the join shuffles both streams on user_id once. The source
+    is read single-batch (max_files_per_trigger=None): replaying
+    unordered historical part files through per-file micro-batches would
+    advance the watermark past data later files still carry and evict
+    the join state it needs (observed at sf1: 17 of 1830 matches
+    survive).
     """
     clicks = (
-        read_events_stream(spark, sf_dir)
+        read_events_stream(spark, sf_dir, max_files_per_trigger=None)
         .where(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
@@ -98,7 +137,7 @@ def interval_join_clicks_purchases(
         .withWatermark("click_ts", "1 hour")
     )
     purchases = (
-        read_events_stream(spark, sf_dir)
+        read_events_stream(spark, sf_dir, max_files_per_trigger=None)
         .where(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),

@@ -385,3 +385,49 @@ def datetime_tz_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "UTC", "America/New_York", F.lit("2024-07-01 12:00:00").cast("timestamp")
         ).alias("ny_summer"),
     )
+
+
+@register(
+    "misc_scalar_functions",
+    tags=("F1",),
+    oracle="""
+        SELECT p_partkey,
+               GREATEST(p_size, 25) AS size_floor25,
+               LEAST(p_size, 25) AS size_cap25,
+               GREATEST(p_brand, p_type) AS max_label,
+               GREATEST(p_size, NULL, 10) AS null_skipped,
+               (p_name ILIKE '%WIDGET%') AS has_widget_ci,
+               ASCII(p_brand) AS brand_ascii,
+               CHR(CAST(65 + (p_partkey % 26) AS INTEGER)) AS key_letter,
+               MD5(p_name) AS name_md5,
+               SHA256(p_brand) AS brand_sha256,
+               NULLIF(regexp_extract(p_brand, '[0-9]+'), '') AS brand_digits,
+               NULLIF(p_type, 'ECONOMY') AS type_or_null
+        FROM part
+        WHERE p_partkey <= 200
+    """,
+)
+def misc_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining Redshift scalar surface (§2.7): GREATEST/LEAST (both
+    engines skip NULLs, Postgres-style), ILIKE, ASCII/CHR, MD5/SHA2
+    hashes, REGEXP_SUBSTR, NULLIF.
+
+    REGEXP_SUBSTR returns NULL on no-match in Spark but '' in DuckDB's
+    regexp_extract — the oracle normalizes with NULLIF. All built-ins,
+    whole-stage codegen; at 100 TB these run at scan speed.
+    """
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") <= 200)
+    return p.select(
+        "p_partkey",
+        F.greatest(F.col("p_size"), F.lit(25)).alias("size_floor25"),
+        F.least(F.col("p_size"), F.lit(25)).alias("size_cap25"),
+        F.greatest(F.col("p_brand"), F.col("p_type")).alias("max_label"),
+        F.greatest(F.col("p_size"), F.lit(None).cast("int"), F.lit(10)).alias("null_skipped"),
+        F.col("p_name").ilike("%WIDGET%").alias("has_widget_ci"),
+        F.ascii("p_brand").cast("long").alias("brand_ascii"),
+        F.char(F.lit(65) + (F.col("p_partkey") % 26)).alias("key_letter"),
+        F.md5(F.col("p_name").cast("binary")).alias("name_md5"),
+        F.sha2(F.col("p_brand").cast("binary"), 256).alias("brand_sha256"),
+        F.regexp_substr("p_brand", F.lit("[0-9]+")).alias("brand_digits"),
+        F.nullif(F.col("p_type"), F.lit("ECONOMY")).alias("type_or_null"),
+    )

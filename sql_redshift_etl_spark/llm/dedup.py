@@ -537,3 +537,43 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("lbl").alias("cluster"), "n_members", "max_member")
         .orderBy("cluster")
     )
+
+
+@register(
+    "dedup_survivor_corpus",
+    tags=("L2", "W6"),
+    oracle=f"""
+        WITH pairs AS MATERIALIZED ({_MINHASH_ORACLE}),
+        sym AS MATERIALIZED (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL
+            SELECT doc_b AS u, doc_a AS v FROM pairs
+        ),
+        l0 AS MATERIALIZED (SELECT u AS doc_id, LEAST(u, MIN(v)) AS lbl FROM sym GROUP BY u),
+        {", ".join(_cluster_round_cte(k) for k in range(1, _CLUSTER_ROUNDS + 1))}
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d
+        WHERE NOT EXISTS (
+            SELECT 1 FROM l{_CLUSTER_ROUNDS} c
+            WHERE c.doc_id = d.doc_id AND c.lbl < d.doc_id
+        )
+    """,
+)
+def dedup_survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END near-dedup (L2 as a pipeline product, not a report):
+    LSH near-dup pairs → connected components → keep ONE deterministic
+    survivor (min doc_id) per component → emit the deduplicated corpus.
+    This is the operator a training-data pipeline actually materializes;
+    the pair/cluster queries above are its observability views.
+
+    Scale: inherits the banded-LSH + fixed-round CC chain (every stage
+    key-partitioned, nothing all-pairs); the final step is one left-anti
+    join of documents against the (tiny) non-survivor id set — at 100 TB
+    the anti side is |near-dup members| rows, a broadcast in practice,
+    while the corpus streams through untouched.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    lbl = min_label_propagate(pairs, _CLUSTER_ROUNDS)
+    drop = lbl.where(F.col("lbl") < F.col("doc_id")).select("doc_id")
+    d = load_table(spark, sf_dir, "documents")
+    return d.join(drop, "doc_id", "left_anti").select("doc_id", "lang", "source", "n_chars")

@@ -303,6 +303,48 @@ def _rewrite_approx_count(sql: str) -> str:
         search_from = 0
 
 
+_TOP_KW = re.compile(r"\bSELECT\s+TOP\s+(\d+)\b", re.IGNORECASE)
+
+
+def _rewrite_top(sql: str) -> str:
+    """Redshift ``SELECT TOP n`` → trailing ``LIMIT n``.
+
+    Only the top-level SELECT is supported: a TOP inside a subquery would
+    need its LIMIT placed at that subquery's end, which a text rewrite
+    cannot do reliably — raise instead of corrupting (same policy as the
+    quoted-literal scan notes in ADVICE r1)."""
+    depth0 = _depth0_matches(sql, _TOP_KW)
+    nested = [m for m in _TOP_KW.finditer(sql) if not _in_literal(sql, m.start())]
+    if len(nested) > len(depth0):
+        raise ValueError("SELECT TOP inside a subquery is not supported; use LIMIT")
+    if not depth0:
+        return sql
+    if len(depth0) > 1 or re.search(r"\bLIMIT\b", sql, re.IGNORECASE):
+        raise ValueError("multiple TOP clauses / TOP mixed with LIMIT not supported")
+    m = depth0[0]
+    n = m.group(1)
+    rewritten = sql[: m.start()] + "SELECT" + sql[m.end() :]
+    return rewritten.rstrip().rstrip(";") + f" LIMIT {n}"
+
+
+_CONVERT_KW = re.compile(r"\bCONVERT\s*\(", re.IGNORECASE)
+
+
+def _rewrite_convert(sql: str) -> str:
+    """Redshift ``CONVERT(type, expr)`` → ``CAST(expr AS type)``.
+
+    Balanced-paren + quote-aware scan; innermost-first via re-scan, so
+    nested CONVERTs compose."""
+    while True:
+        hits = [m for m in _CONVERT_KW.finditer(sql) if not _in_literal(sql, m.start())]
+        if not hits:
+            return sql
+        m = hits[-1]  # last hit = innermost-or-later; re-loop handles the rest
+        end = _scan_balanced(sql, m.end())
+        typ, expr = _split_two_args(sql[m.end() : end - 1])
+        sql = f"{sql[: m.start()]}CAST({expr} AS {typ}){sql[end:]}"
+
+
 def _rewrite_now(sql: str) -> str:
     sql = re.sub(r"\bGETDATE\s*\(\s*\)", "current_timestamp()", sql, flags=re.IGNORECASE)
     return re.sub(r"\bSYSDATE\b", "current_timestamp()", sql, flags=re.IGNORECASE)
@@ -317,7 +359,7 @@ def _strip_storage_clauses(sql: str) -> str:
 def translate_redshift_sql(sql: str) -> str:
     """Rewrite Redshift-dialect SQL into Spark SQL (subset; see module
     docstring). Pure text transformation — inspectable and testable."""
-    for fn in (_rewrite_qualify, _rewrite_datediff, _rewrite_to_char, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_approx_count, _rewrite_now, _strip_storage_clauses):
+    for fn in (_rewrite_qualify, _rewrite_top, _rewrite_convert, _rewrite_datediff, _rewrite_to_char, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_approx_count, _rewrite_now, _strip_storage_clauses):
         sql = fn(sql)
     return sql
 

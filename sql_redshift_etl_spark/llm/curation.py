@@ -336,7 +336,7 @@ def curation_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT vec_id, label,
                ROUND(scale, 6) AS scale_r,
-               qv[1:8] AS q_head,
+               array_to_string(qv[1:8], ',') AS q_head,
                ROUND(list_aggregate(
                    list_transform(generate_series(1, len(e)),
                                   i -> abs(e[i] - qv[i] * scale)), 'max'), 6) AS max_err
@@ -352,6 +352,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     floor(x/scale + 0.5) spells round-half-up identically in both
     engines (double-exact), avoiding banker's-rounding divergence.
+    q_head is serialized with array_join — the driver's canonicalizer
+    hashes scalar columns only (house rule: oracle-checked queries never
+    return raw array/struct columns).
 
     Scale: row-local array math — zero shuffles; 4× smaller vectors is
     the difference between an in-memory and a spilled ANN index at
@@ -371,7 +374,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.round("scale", 6).alias("scale_r"),
-        F.slice("qv", 1, 8).alias("q_head"),
+        F.array_join(F.slice("qv", 1, 8), ",").alias("q_head"),
         F.round(F.array_max(err), 6).alias("max_err"),
     ).orderBy("vec_id")
 

@@ -62,12 +62,24 @@ def _weighted_mean_fn(value: pd.Series, weight: pd.Series) -> float:
     return float(np.round(np.dot(v, w) / w.sum(), 6)) if w.sum() else 0.0
 
 
-@register("udaf_weighted_mean", tags=("UDF",))  # rows-only: float reduce order is engine-local
+@register(
+    "udaf_weighted_mean",
+    tags=("UDF",),
+    oracle="""
+        SELECT event_type,
+               ROUND(SUM(value * CAST(json_extract_string(props, '$.k') AS DOUBLE))
+                     / SUM(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6)
+                   AS weighted_value
+        FROM events
+        GROUP BY event_type
+    """,
+)
 def udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate Pandas UDF (UDAF, §2.10): per-event-type mean of
-    value weighted by the JSON props.k field. Rows-only for the driver
-    (numpy's reduction order is not DuckDB's); pytest checks it against
-    the built-in expression form within 1e-6."""
+    value weighted by the JSON props.k field. SQL-oracled via the A4
+    pattern (aggregates.py:104): both engines round to 6 dp, which
+    absorbs the last-bit float reduction-order difference between
+    numpy's dot product and DuckDB's streaming SUM."""
     weighted_mean = pandas_udf(_weighted_mean_fn, "double", functionType=202)  # SQL_GROUPED_AGG_PANDAS_UDF
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("double")

@@ -139,10 +139,21 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # Microsecond-precise gap: casting timestamps to long truncates to
     # whole seconds, which flips sessions whose true gap straddles the
-    # 30-min boundary within a second (bit us at sf0.1).
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    flagged = ev.withColumn(
-        "is_new", F.when(gap.isNull() | (gap >= 30 * 60 * 1_000_000), 1).otherwise(0)
+    # 30-min boundary within a second (bit us at sf0.1). timestampdiff
+    # (not unix_micros) because it accepts TIMESTAMP_NTZ too — the
+    # driver's vanilla session reads the NANOS fixture as NTZ, and
+    # unix_micros rejects that type outright.
+    flagged = (
+        ev.withColumn("_prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("_prev_ts").isNull()
+                | (F.expr("timestampdiff(MICROSECOND, _prev_ts, ts)") >= 30 * 60 * 1_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .drop("_prev_ts")
     )
     sessions = flagged.withColumn("session_id", F.sum("is_new").over(wrun))
     return sessions.groupBy("user_id", "session_id").agg(

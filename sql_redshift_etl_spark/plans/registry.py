@@ -76,37 +76,104 @@ def register(
 
 # Driver-verification priority. The round driver oracle-checks the FIRST
 # ~50 names in registration order, so ordering is evidence strategy, not
-# style: round 1 verified the original first 50 (operators.core ..
-# operators.tpch/q3 — all green in CORRECTNESS_r01.json); round 2 front-
-# loads everything that run missed plus queries new this round, so the
-# union of the two rounds' CORRECTNESS files covers the full registry.
-# Maintain this list when adding queries: new SQL-oracled queries go ABOVE
-# the rows-only tail (last 4 entries) so they displace weaker checks, not
-# stronger ones. Names not listed keep their module registration order
-# after these.
+# style: round 1 verified the original first 50 (CORRECTNESS_r01), round
+# 2 the next window (CORRECTNESS_r02), and round 3 front-loads the 38
+# queries no round had ever checked plus the embedding_quantize_int8
+# retry, flagship, and the bench headline set — so r1∪r2∪r3 covers every
+# registered query.
+# Maintenance rules (CI-enforced in tests/test_registry_hygiene.py):
+#  - every SQL-oracled query must appear in this list OR carry a
+#    "sibling-coverage:" note in its docstring naming the in-list query
+#    that exercises the same SURVEY §2 row;
+#  - new SQL-oracled queries go ABOVE the rows-only tail so they displace
+#    weaker checks, not stronger ones;
+#  - oracle-checked queries return scalar columns only (the driver's
+#    canonicalizer hashes via pandas sort_values — raw array/struct
+#    columns throw; serialize with array_join/to_json).
+# Names not listed keep their module registration order after these.
 _VERIFY_FIRST: list[str] = [
-    # llm/dedup — L1-L5 (all SQL-oracled)
-    "dedup_exact_groups",
-    "dedup_keep_canonical",
+    # --- round-3 window: the 38 never-driver-checked queries ---
+    # TPC-H shapes (SQL-oracled; q6 is a bench headline query)
+    "q6_forecast_revenue",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_bracketed_revenue",
+    "q22_dormant_accounts",
+    # streaming family (batch-parity SQL oracles)
+    "stream_tumbling_daily",
+    "stream_stream_interval_join",
+    # window/subquery tail
+    "subquery_scalar_uncorrelated",
+    "window_range_frame",
+    "window_ignore_nulls",
+    # text analysis tail
+    "text_word_freq_topk",
+    "text_tfidf_top_terms",
+    "text_bigram_lm_score",
+    # sampling tail
+    "sample_hash_fraction",
+    "sample_domain_temperature",
+    "sample_salted_hot_agg",
+    # multimodal / json / ETL / front-end tail
+    "multimodal_frame_sample",
+    "json_from_json_struct",
+    "etl_star_mart_publish",
+    "redshift_sql_ratio_to_report",
+    # curation / dedup tail
+    "curation_shard_export",
+    "dedup_survivor_corpus",
+    "misc_scalar_functions",
+    # newly SQL-oracled this round (r3: rounded 6dp both sides)
+    "udaf_weighted_mean",
+    # r2 red row — fixed (array serialized via array_join; retry)
+    "embedding_quantize_int8",
+    # flagship re-confirm (judge request)
+    "flagship_pricing_summary",
+    # rows-only members of the never-checked 38 (weaker driver check by
+    # design: streaming semantics / ANN approximations are not
+    # SQL-expressible; pytest covers them bit-level where possible)
+    "stream_stateful_sessions",
+    "stream_tumbling_watermark",
+    "sim_ann_lsh",
+    "sim_ivf_search",
+    "sim_ivf_kmeans",
+    "dedup_minhash_ml",
+    "multimodal_decode_features",
+    # --- spare slots: re-confirm the bench headline set (all r1/r2 green)
     "dedup_minhash_lsh",
+    "sim_knn_bruteforce",
+    "text_doc_stats_by_lang",
+    "join_star_revenue",
+    "window_topk_per_group",
+    "events_tumbling_daily",
+    "events_sessionize",
+    "q3_shipping_priority",
+    "dedup_exact_groups",
+    "events_merge_upsert",
+    # --- 50-query driver boundary ---
+    # Everything below has a green r1 or r2 CORRECTNESS row (union of
+    # CORRECTNESS_r01.json + CORRECTNESS_r02.json) and stays bit-checked
+    # locally in tests/test_oracle_parity.py.
+    "dedup_keep_canonical",
     "dedup_simhash_codes",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
-    # llm/similarity — SQL-oracled subset
-    "sim_knn_bruteforce",
     "sim_knn_per_label",
     "sim_centroid_per_label",
-    # llm/text — L6-L8
-    "text_doc_stats_by_lang",
     "text_quality_scores",
     "text_quality_filter_kept",
     "text_token_counts",
     "text_lang_id_heuristic",
     "text_fingerprints",
-    # llm/multimodal — SQL-oracled subset
     "multimodal_join",
     "multimodal_binary_metadata",
-    # functions/scalars — §2.7
     "string_functions",
     "regex_functions",
     "datetime_functions",
@@ -115,21 +182,15 @@ _VERIFY_FIRST: list[str] = [
     "math_functions",
     "json_super_access",
     "array_functions",
-    # operators/subqueries — §3.2
     "subquery_correlated_scalar",
     "subquery_in_filter",
-    # functions/udfs — §2.10 (oracled pair)
     "udf_pandas_scalar_score",
     "udtf_chunk_documents",
-    # Redshift-SQL front-end
     "redshift_sql_report",
     "redshift_sql_events",
-    # sources — S2/S4/S7
     "source_csv_copy_roundtrip",
     "source_json_copy_roundtrip",
     "source_unload_partitioned",
-    # new in round 2 (all SQL-oracled)
-    "events_merge_upsert",
     "redshift_sql_qualify",
     "redshift_sql_recursive",
     "source_bucketed_distkey_join",
@@ -139,44 +200,55 @@ _VERIFY_FIRST: list[str] = [
     "dedup_cluster_components",
     "datetime_tz_functions",
     "stream_dedup_exactly_once",
-    # llm/curation — new capability rows this round
     "curation_repetition_scores",
     "curation_contamination_check",
     "curation_pack_sequences",
     "curation_domain_cap",
     "curation_pii_redaction",
-    "embedding_quantize_int8",
-    # --- 50-query driver boundary ---
-    # Everything below either has a green r1 CORRECTNESS row already, or
-    # its SURVEY §2 row is covered by an in-window / r1-green sibling
-    # (q6→F2+A1 via flagship & filters; range/ignore-nulls→W3/W4 via
-    # window_first_last & moving_agg r1; word_freq→L4 siblings in-window;
-    # frame_sample→L6 siblings; json_from_json_struct→json_super_access;
-    # uncorrelated subquery→§3.2 siblings; hash_fraction→L-sample
-    # siblings; salted agg→A1; mart publish→S6 via CTAS; tumbling→E1 r1
-    # ×2). All stay bit-checked locally in tests/test_oracle_parity.py.
-    "subquery_scalar_uncorrelated",
-    "sample_hash_fraction",
-    "q6_forecast_revenue",
-    "window_range_frame",
-    "window_ignore_nulls",
-    "text_word_freq_topk",
-    "multimodal_frame_sample",
-    "json_from_json_struct",
-    "sample_salted_hot_agg",
-    "etl_star_mart_publish",
-    "stream_tumbling_daily",
-    "sample_domain_temperature",
-    "text_bigram_lm_score",
-    "redshift_sql_ratio_to_report",
-    "stream_stream_interval_join",
-    "text_tfidf_top_terms",
-    "curation_shard_export",
-    # rows-only tail (weaker driver check)
-    "stream_stateful_sessions",
-    "stream_tumbling_watermark",
-    "sim_ann_lsh",
-    "sim_ivf_search",
+    # r1-green (CORRECTNESS_r01.json)
+    "scan_project_expr",
+    "filter_predicates",
+    "case_when_decode",
+    "distinct_projection",
+    "cast_conversions",
+    "union_all_accounts",
+    "union_distinct_nations",
+    "intersect_nations",
+    "except_nations",
+    "orderby_limit_offset",
+    "topk_global_revenue",
+    "ctas_staging_chain",
+    "join_inner_broadcast",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_semi_exists",
+    "join_anti_not_exists",
+    "join_cross",
+    "join_theta_range",
+    "join_asof_last_view",
+    "agg_basic_supplier",
+    "count_distinct_multi",
+    "stats_moments",
+    "listagg_nations",
+    "percentiles_price",
+    "rollup_region_nation",
+    "cube_flag_status",
+    "grouping_sets_mixed",
+    "bool_aggregates",
+    "conditional_agg_filter",
+    "pivot_status",
+    "unpivot_part",
+    "window_ranks",
+    "window_lag_lead",
+    "window_first_last",
+    "window_moving_agg",
+    "window_running_total",
+    "events_tumbling_hourly_window",
+    "events_sliding_window",
+    "events_session_window_native",
+    "events_funnel",
+    "events_incremental_load",
 ]
 
 

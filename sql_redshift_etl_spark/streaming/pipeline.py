@@ -74,8 +74,17 @@ def read_events_stream(
         raw = reader.parquet(path)
     else:
         raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-    if dict((f.name, f.dataType.simpleString()) for f in physical).get("ts") == "bigint":
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in physical).get("ts")
+    if ts_type == "bigint":
         raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # A vanilla session (the driver's) reads the NANOS fixture as
+        # TIMESTAMP_NTZ, but withWatermark/window event time requires
+        # TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The cast
+        # interprets the naive value in session tz and toPandas renders
+        # it back in the same tz — wall-clock identity, so batch-parity
+        # oracles compare equal.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 

@@ -187,3 +187,32 @@ def test_shard_assignment_is_row_local(spark):
     with _ctx.redirect_stdout(buf):
         assigned.explain("formatted")
     assert "Exchange" not in buf.getvalue(), "shard assignment must not shuffle"
+
+
+def test_q5_snowflake_broadcasts_dims(spark):
+    # region→nation→supplier chain plus customer dim: every dimension
+    # side must broadcast; only the fact tables may shuffle-exchange.
+    plan = plan_of(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3, "q5 dims not broadcast"
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters:" in plan
+    assert "o_orderdate" in plan, "orders date range filter lost"
+
+
+def test_q8_snowflake_broadcasts_all_dims(spark):
+    # 8-table snowflake: part (filtered), supplier, nation ×2, region all
+    # broadcast; exchanges only on the lineitem⋈orders⋈customer keys.
+    plan = plan_of(spark, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5, "q8 dimension broadcasts regressed"
+    assert "CartesianProduct" not in plan
+    scan_filters = plan.split("PushedFilters:")
+    assert any("p_type" in s.splitlines()[0] for s in scan_filters[1:]), "p_type filter not pushed to part scan"
+
+
+def test_q18_semi_filter_before_wide_join(spark):
+    # The HAVING subquery must plan as a semi join against the aggregated
+    # (tiny) key set — not re-aggregate inside a correlated subquery.
+    plan = plan_of(spark, "q18_large_volume_customer")
+    assert "LeftSemi" in plan, "big-order key set not applied as a semi join"
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, "q18 LIMIT 100 planned as full sort"

@@ -25,15 +25,19 @@ register_duckdb_views(con, "/root/testdata/sf0.01")
 
 fails = []
 for name, fn in sorted(qs.items()):
-    sdf = fn(spark, "/root/testdata/sf0.01").toPandas()
-    if name in osql:
-        rep = compare_frames(sdf, con.execute(osql[name]).df())
-        ok = rep["columns_match"] and rep["rowcount_match"] and rep["values_match"]
-        print(("OK  " if ok else "FAIL"), name, rep["spark_rows"], "rows")
-        if not ok:
-            fails.append((name, {k: v for k, v in rep.items() if k != "first_diffs"}, rep.get("first_diffs")))
-    else:
-        print("ROWS", name, len(sdf), "rows (no oracle)")
+    try:
+        sdf = fn(spark, "/root/testdata/sf0.01").toPandas()
+        if name in osql:
+            rep = compare_frames(sdf, con.execute(osql[name]).df())
+            ok = rep["columns_match"] and rep["rowcount_match"] and rep["values_match"]
+            print(("OK  " if ok else "FAIL"), name, rep["spark_rows"], "rows")
+            if not ok:
+                fails.append((name, {k: v for k, v in rep.items() if k != "first_diffs"}, rep.get("first_diffs")))
+        else:
+            print("ROWS", name, len(sdf), "rows (no oracle)")
+    except Exception as ex:  # the real driver isolates per-query errors too
+        print("ERR ", name, str(ex).splitlines()[0][:160])
+        fails.append((name, "exception", str(ex).splitlines()[0][:300]))
 # probe: entry twice (driver may re-call); registry stability
 df2 = e.entry(spark)
 assert len(df2.collect()) == len(rows), "entry() not idempotent"

@@ -39,6 +39,7 @@ _QUERY_MODULES = [
     "sql_redshift_etl_spark.operators.events",
     "sql_redshift_etl_spark.operators.merge",
     "sql_redshift_etl_spark.operators.tpch",
+    "sql_redshift_etl_spark.operators.tpch2",
     "sql_redshift_etl_spark.operators.subqueries",
     "sql_redshift_etl_spark.operators.pipelines",
     "sql_redshift_etl_spark.operators.windows_extra",
@@ -158,6 +159,18 @@ _VERIFY_FIRST: list[str] = [
     "dedup_exact_groups",
     "events_merge_upsert",
     # --- 50-query driver boundary ---
+    # New in round 3 AFTER the window froze (operators/tpch2.py —
+    # completes the classic 22 TPC-H shapes): front-of-line candidates
+    # for the ROUND-4 window. Bit-checked locally (driver_sim +
+    # tests/test_oracle_parity.py) until then.
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q9_product_type_profit",
+    "q11_important_value_share",
+    "q12_late_shipment_priority",
+    "q16_supplier_variety",
+    "q20_volume_suppliers",
+    "q21_sole_late_supplier",
     # Everything below has a green r1 or r2 CORRECTNESS row (union of
     # CORRECTNESS_r01.json + CORRECTNESS_r02.json) and stays bit-checked
     # locally in tests/test_oracle_parity.py.

@@ -91,3 +91,61 @@ def test_canon_cell_int_float_unification(i):
     from sql_redshift_etl_spark.oracle import canon_cell
 
     assert canon_cell(i) == canon_cell(float(i))
+
+
+def test_datediff_grid_parity_all_units(spark, duck):
+    """redshift_datediff vs DuckDB date_diff on a dense adversarial grid —
+    the boundary-crossing contract every §2.7 datetime query rests on.
+    Grid: year/quarter/month/week/day/hour/minute/second boundaries, leap
+    day, sub-second straddles, and both argument orders (negative diffs).
+    One Spark job and one DuckDB query for the whole grid."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from sql_redshift_etl_spark.functions.dialect import redshift_datediff
+
+    anchors = [
+        "2020-12-31 23:59:59.900",
+        "2021-01-01 00:00:00.000",
+        "2021-01-01 00:00:00.100",
+        "2024-02-28 12:00:00.000",
+        "2024-02-29 00:00:00.000",
+        "2024-03-01 00:00:00.000",
+        "2024-01-07 23:59:59.999",  # Sunday → ISO week boundary next tick
+        "2024-01-08 00:00:00.000",
+        "2024-03-31 23:00:00.000",  # quarter boundary approach
+        "2024-04-01 01:30:00.500",
+        "2024-06-15 13:45:30.250",
+        "1999-12-31 23:59:00.000",
+    ]
+    pairs = list(itertools.product(anchors, anchors))
+    units = ["year", "quarter", "month", "week", "day", "hour", "minute", "second"]
+
+    pdf = spark.createDataFrame(pairs, "a string, b string").select(
+        F.col("a"),
+        F.col("b"),
+        *[
+            redshift_datediff(
+                u, F.col("a").cast("timestamp_ntz"), F.col("b").cast("timestamp_ntz")
+            ).cast("long").alias(u)
+            for u in units
+        ],
+    )
+    got = {(r["a"], r["b"]): tuple(r[u] for u in units) for r in pdf.collect()}
+
+    values = ", ".join(f"('{a}', '{b}')" for a, b in pairs)
+    duck_sql = (
+        "SELECT a, b, "
+        + ", ".join(
+            f"date_diff('{u}', CAST(a AS TIMESTAMP), CAST(b AS TIMESTAMP)) AS {u}"
+            for u in units
+        )
+        + f" FROM (VALUES {values}) t(a, b)"
+    )
+    want = {(r[0], r[1]): tuple(r[2:]) for r in duck.execute(duck_sql).fetchall()}
+
+    mismatches = {
+        k: (got[k], want[k]) for k in want if got[k] != want[k]
+    }
+    assert not mismatches, f"{len(mismatches)} boundary mismatches, e.g. {list(mismatches.items())[:3]}"

@@ -90,3 +90,57 @@ def test_stateful_sessions_match_batch(spark, duck):
         ).fetchall()
     }
     assert out == batch
+
+
+def test_stateful_sessions_across_real_microbatches(spark, duck, tmp_path):
+    """End-to-end GroupState continuity: replay events as THREE
+    time-ordered files / micro-batches (maxFilesPerTrigger=1) and require
+    the final per-user counters to equal the batch recompute — a session
+    spanning a file boundary must not double-count (the fake-state unit
+    tests above prove the kernel; this proves the wired operator)."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sql_redshift_etl_spark.streaming.pipeline import (
+        read_events_stream,
+        run_to_memory,
+        stateful_session_counts,
+    )
+
+    ev = duck.execute("SELECT * FROM events ORDER BY ts, event_id").df()
+    src = tmp_path / "events.parquet"
+    src.mkdir()
+    cuts = [len(ev) // 3, 2 * len(ev) // 3, len(ev)]
+    lo = 0
+    for i, hi in enumerate(cuts):
+        pq.write_table(pa.Table.from_pandas(ev.iloc[lo:hi]), src / f"part-{i:03d}.parquet")
+        _time.sleep(1.1)  # file source orders batches by modification time
+        lo = hi
+    stream = read_events_stream(spark, str(tmp_path), max_files_per_trigger=1)
+    run_to_memory(stateful_session_counts(stream), "stateful_mb_sink", "update")
+    rows = spark.table("stateful_mb_sink").collect()
+    assert len(rows) > len({r["user_id"] for r in rows}), (
+        "memory sink saw a single update per user — the replay did not "
+        "actually split into multiple micro-batches"
+    )
+    out = {r["user_id"]: (r["n_events"], r["n_sessions"]) for r in rows}
+    batch = {
+        r[0]: (r[1], r[2])
+        for r in duck.execute(
+            """
+            WITH flagged AS (
+                SELECT user_id,
+                       CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                 OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                    >= INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+            )
+            SELECT user_id, COUNT(*) AS n_events, SUM(is_new) AS n_sessions
+            FROM flagged GROUP BY user_id
+            """
+        ).fetchall()
+    }
+    assert out == batch

@@ -70,6 +70,26 @@ TARGETS: dict[str, str] = {
         "shard assignment row-local (md5-derived, no RNG/row-order); manifest "
         "shuffle carries O(shards) groups."
     ),
+    "q5_local_supplier_volume": (
+        "region→nation→supplier broadcast chain; date filter pushed to orders; "
+        "only the fact tables exchange."
+    ),
+    "q8_market_share": (
+        "all five dimension sides broadcast (part filtered before); exchanges "
+        "only on lineitem⋈orders⋈customer keys; no cartesian."
+    ),
+    "q18_large_volume_customer": (
+        "HAVING key set applied as LeftSemi before the wide join; "
+        "TakeOrderedAndProject for LIMIT 100."
+    ),
+    "q2_min_cost_supplier": (
+        "one (part,supplier) aggregate exchange; rank-1 plans as "
+        "WindowGroupLimit; supplier/nation broadcast."
+    ),
+    "q21_sole_late_supplier": (
+        "lineitem shuffles once on orderkey; order-max / supplier-count "
+        "resolved in that exchange's window pass; downstream order-granular."
+    ),
 }
 
 

@@ -149,9 +149,17 @@ def _minhash_agg_cols() -> list[F.Column]:
     ]
 
 
-_MINHASH_ORACLE = f"""
+def minhash_pairs_oracle(docs_rel: str = "documents") -> str:
+    """The full MinHash+LSH near-dup-pair pipeline as DuckDB SQL over an
+    arbitrary documents relation/CTE (must expose doc_id, text) — shared
+    by the standalone queries below and the end-to-end corpus pipeline
+    (llm/pipeline_e2e.py), so both engines' LSH stays ONE definition."""
+    return _MINHASH_ORACLE_TEMPLATE.format(docs_rel=docs_rel)
+
+
+_MINHASH_ORACLE_TEMPLATE = f"""
         WITH t AS (
-            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            SELECT doc_id, string_split(text, ' ') AS w FROM {{docs_rel}}
         ),
         sh AS MATERIALIZED (
             SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS sh
@@ -191,6 +199,8 @@ _MINHASH_ORACLE = f"""
         WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5
     """
 
+_MINHASH_ORACLE = minhash_pairs_oracle()
+
 
 @register(
     "dedup_minhash_lsh",
@@ -218,6 +228,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a full shingle relation (P[band hit] = J², so false candidates
     stay rare).
     """
+    return minhash_lsh_pairs_df(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_lsh_pairs_df(d: DataFrame) -> DataFrame:
+    """The LSH pipeline over an arbitrary documents frame (doc_id, text)
+    — the Spark twin of ``minhash_pairs_oracle``; reused by the
+    end-to-end corpus pipeline on its quality-filtered subset."""
     # Perf notes (all measured at sf0.1, staged layout): the r1 shape
     # exploded shingles and aggregated MIN/collect_set per doc_id — a
     # 600k-row shuffle; this shape signs row-locally and shuffles ONE
@@ -228,7 +245,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.01 vs 0.3 s with the exchange). Also measured: the md5 wrap
     # around band values added nothing (equality on m_i pairs is equality
     # either way — plain concat keys now).
-    d = load_table(spark, sf_dir, "documents")
     shingles = F.array_distinct(F.expr(_SPARK_SHINGLES))
     base = (
         d.select("doc_id", F.split("text", " ").alias("w"))

@@ -54,6 +54,7 @@ _QUERY_MODULES = [
     "sql_redshift_etl_spark.llm.multimodal",
     "sql_redshift_etl_spark.llm.sampling",
     "sql_redshift_etl_spark.llm.curation",
+    "sql_redshift_etl_spark.llm.pipeline_e2e",
     "sql_redshift_etl_spark.sources.queries",
     "sql_redshift_etl_spark.streaming.queries",
 ]
@@ -163,6 +164,7 @@ _VERIFY_FIRST: list[str] = [
     # completes the classic 22 TPC-H shapes): front-of-line candidates
     # for the ROUND-4 window. Bit-checked locally (driver_sim +
     # tests/test_oracle_parity.py) until then.
+    "etl_training_corpus_pipeline",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q9_product_type_profit",

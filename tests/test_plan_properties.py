@@ -216,3 +216,13 @@ def test_q18_semi_filter_before_wide_join(spark):
     assert "LeftSemi" in plan, "big-order key set not applied as a semi join"
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan, "q18 LIMIT 100 planned as full sort"
+
+
+def test_corpus_pipeline_stays_jvm_side_and_no_cartesian(spark):
+    # The 5-stage composite must inherit every stage's scale shape: no
+    # cartesian anywhere (the LSH band join is an equi self-join), and
+    # zero Python on the hot path.
+    plan = plan_of(spark, "etl_training_corpus_pipeline")
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, f"Python on the corpus pipeline hot path ({marker})"

@@ -194,3 +194,57 @@ def redshift_sql_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one window shuffle on the partition key, same as any W-row."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("rs_orders")
     return run_redshift_sql(spark, _REDSHIFT_RATIO.format(orders="rs_orders"))
+
+
+# Round-3 front-end additions in one verbatim script: TO_DATE/TO_TIMESTAMP
+# with Redshift format codes, CHARINDEX/STRPOS (reversed arg orders),
+# single-arg TRUNC (midnight truncation), DEXP/DLOG10 math aliases, and
+# natively-parsed LEN/SPLIT_PART riding along unchanged.
+_REDSHIFT_MISC_FNS = """
+    SELECT o_orderkey,
+           DATEDIFF(day, TO_DATE('1995-01-01', 'YYYY-MM-DD'), TRUNC(o_orderdate)) AS order_day_no,
+           TO_CHAR(o_orderdate, 'YYYY-MM-DD') AS day_str,
+           DATEDIFF(day,
+                    TO_TIMESTAMP('2000-06-15 12:30:45', 'YYYY-MM-DD HH24:MI:SS'),
+                    o_orderdate) AS days_since_anchor,
+           CHARINDEX('URGENT', o_orderpriority) AS urgent_pos,
+           STRPOS(o_orderpriority, '-') AS dash_pos,
+           LEN(o_orderpriority) AS prio_len,
+           SPLIT_PART(o_orderpriority, '-', 1) AS prio_rank,
+           ROUND(DLOG10(o_totalprice), 6) AS log_price,
+           ROUND(DEXP(CAST(o_orderkey % 5 AS DOUBLE) / 10.0), 6) AS exp_bucket
+    FROM {orders}
+    WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+"""
+
+
+@register(
+    "redshift_sql_misc_functions",
+    tags=("F1", "§2.7"),
+    oracle="""
+        SELECT o_orderkey,
+               date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS order_day_no,
+               strftime(o_orderdate, '%Y-%m-%d') AS day_str,
+               date_diff('day', CAST(TIMESTAMP '2000-06-15 12:30:45' AS DATE),
+                         CAST(o_orderdate AS DATE)) AS days_since_anchor,
+               CASE WHEN contains(o_orderpriority, 'URGENT')
+                    THEN position('URGENT' IN o_orderpriority) ELSE 0 END AS urgent_pos,
+               position('-' IN o_orderpriority) AS dash_pos,
+               CAST(LEN(o_orderpriority) AS INTEGER) AS prio_len,
+               string_split(o_orderpriority, '-')[1] AS prio_rank,
+               ROUND(LOG10(o_totalprice), 6) AS log_price,
+               ROUND(EXP(CAST(o_orderkey % 5 AS DOUBLE) / 10.0), 6) AS exp_bucket
+        FROM orders
+        WHERE o_orderkey < 500
+        ORDER BY o_orderkey
+    """,
+)
+def redshift_sql_misc_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim Redshift script exercising the round-3 front-end
+    rewrites (TO_TIMESTAMP format translation, CHARINDEX/STRPOS arg
+    swap, 1-arg TRUNC, DEXP/DLOG10) next to natively-parsed functions;
+    the oracle spells the ANSI equivalents. Scale: row-local projection,
+    filter pushed — nothing to shuffle but the final sort."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rs_orders")
+    return run_redshift_sql(spark, _REDSHIFT_MISC_FNS.format(orders="rs_orders"))

@@ -16,12 +16,19 @@ Handled rewrites (each with a unit test in tests/test_units.py):
 - LISTAGG(x, 'sep') WITHIN GROUP (ORDER BY x) → sorted array_join
 - RATIO_TO_REPORT(x) OVER (w)  → (CAST(x AS DOUBLE) / SUM(x) OVER (w))
 - GETDATE() / SYSDATE          → current_timestamp()
+- TO_DATE / TO_TIMESTAMP(s, 'fmt') → same fn, format dialect translated
+- CHARINDEX(sub, s) / STRPOS(s, sub) → instr(s, sub)
+- TRUNC(ts)                    → CAST(ts AS DATE) (numeric 1-arg TRUNC
+  unsupported — spell TRUNC(x, 0))
+- DEXP / DLOG10 / DLOG1        → exp / log10 / ln
 - DISTSTYLE / DISTKEY(...) / SORTKEY(...) / ENCODE ... DDL storage
   clauses → stripped (Spark analogs are write-layout options, see
   sources.writers)
 
-NVL / NVL2 / DECODE / :: casts / ILIKE need no rewrite — Spark 4 parses
-them natively with matching semantics.
+NVL / NVL2 / DECODE / :: casts / ILIKE / LEN / SPLIT_PART / POSITION /
+BTRIM / INITCAP / REGEXP_SUBSTR / REGEXP_COUNT / REGEXP_INSTR /
+DATE_PART / EXTRACT / DATEADD / ADD_MONTHS / LAST_DAY need no rewrite —
+Spark 4 parses them natively with matching semantics (probe-verified).
 """
 
 from __future__ import annotations
@@ -345,6 +352,81 @@ def _rewrite_convert(sql: str) -> str:
         sql = f"{sql[: m.start()]}CAST({expr} AS {typ}){sql[end:]}"
 
 
+def _rewrite_to_datetime(sql: str) -> str:
+    """TO_DATE/TO_TIMESTAMP(str, 'redshift-fmt') → same fn with the
+    format translated to Spark's pattern dialect (YYYY→yyyy, MI→mm,
+    HH24→HH ... — the shared translate_datetime_format table TO_CHAR
+    uses, applied in reverse direction)."""
+
+    def repl(m: re.Match) -> str:
+        fn = m.group(1).lower()
+        return f"{fn}({m.group(2).strip()}, '{translate_datetime_format(m.group(3))}')"
+
+    return re.sub(
+        r"\b(TO_DATE|TO_TIMESTAMP)\s*\(\s*([^,()]+)\s*,\s*'([^']*)'\s*\)",
+        repl,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
+def _rewrite_string_fns(sql: str) -> str:
+    """CHARINDEX(sub, str) / STRPOS(str, sub) → instr with Spark's
+    argument order (both return the 1-based position, 0 when absent —
+    semantics identical)."""
+
+    for kw, swap in (("CHARINDEX", True), ("STRPOS", False)):
+        pat = re.compile(rf"\b{kw}\s*\(", re.IGNORECASE)
+        while True:
+            hits = [m for m in pat.finditer(sql) if not _in_literal(sql, m.start())]
+            if not hits:
+                break
+            m = hits[-1]
+            end = _scan_balanced(sql, m.end())
+            first, second = _split_two_args(sql[m.end() : end - 1])
+            hay, needle = (second, first) if swap else (first, second)
+            sql = f"{sql[: m.start()]}instr({hay}, {needle}){sql[end:]}"
+    return sql
+
+
+def _rewrite_trunc(sql: str) -> str:
+    """Single-argument TRUNC(ts) → CAST(ts AS DATE) (the Redshift
+    midnight-truncation idiom; Spark's trunc always needs a format arg).
+    Two-argument TRUNC passes through untouched. Numeric single-arg
+    TRUNC(x) is NOT supported — Redshift scripts using it must spell
+    TRUNC(x, 0); rewriting it here would cast a number to DATE, which
+    Spark nulls silently."""
+    pat = re.compile(r"\bTRUNC\s*\(", re.IGNORECASE)
+    search_from = 0
+    while True:
+        hits = [
+            m
+            for m in pat.finditer(sql, search_from)
+            if not _in_literal(sql, m.start())
+        ]
+        if not hits:
+            return sql
+        m = hits[0]
+        end = _scan_balanced(sql, m.end())
+        body = sql[m.end() : end - 1]
+        try:
+            _split_two_args(body)
+            search_from = end  # two-arg numeric trunc: native Spark
+            continue
+        except ValueError:
+            pass
+        sql = f"{sql[: m.start()]}CAST({body.strip()} AS DATE){sql[end:]}"
+        search_from = 0
+
+
+def _rewrite_math_aliases(sql: str) -> str:
+    """Redshift double-precision math aliases → Spark natives:
+    DEXP→exp, DLOG10→log10, DLOG1→ln."""
+    sql = re.sub(r"\bDEXP\s*\(", "exp(", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"\bDLOG10\s*\(", "log10(", sql, flags=re.IGNORECASE)
+    return re.sub(r"\bDLOG1\s*\(", "ln(", sql, flags=re.IGNORECASE)
+
+
 def _rewrite_now(sql: str) -> str:
     sql = re.sub(r"\bGETDATE\s*\(\s*\)", "current_timestamp()", sql, flags=re.IGNORECASE)
     return re.sub(r"\bSYSDATE\b", "current_timestamp()", sql, flags=re.IGNORECASE)
@@ -359,7 +441,7 @@ def _strip_storage_clauses(sql: str) -> str:
 def translate_redshift_sql(sql: str) -> str:
     """Rewrite Redshift-dialect SQL into Spark SQL (subset; see module
     docstring). Pure text transformation — inspectable and testable."""
-    for fn in (_rewrite_qualify, _rewrite_top, _rewrite_convert, _rewrite_datediff, _rewrite_to_char, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_approx_count, _rewrite_now, _strip_storage_clauses):
+    for fn in (_rewrite_qualify, _rewrite_top, _rewrite_convert, _rewrite_datediff, _rewrite_to_char, _rewrite_to_datetime, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_approx_count, _rewrite_string_fns, _rewrite_trunc, _rewrite_math_aliases, _rewrite_now, _strip_storage_clauses):
         sql = fn(sql)
     return sql
 

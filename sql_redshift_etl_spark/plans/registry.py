@@ -165,6 +165,7 @@ _VERIFY_FIRST: list[str] = [
     # for the ROUND-4 window. Bit-checked locally (driver_sim +
     # tests/test_oracle_parity.py) until then.
     "etl_training_corpus_pipeline",
+    "redshift_sql_misc_functions",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q9_product_type_profit",

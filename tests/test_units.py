@@ -341,3 +341,36 @@ def test_approximate_count_distinct_rewrite(spark):
         spark, "SELECT APPROXIMATE COUNT(DISTINCT v) AS u FROM approx_t"
     ).collect()
     assert rows[0]["u"] == 3
+
+
+def test_rewrite_to_datetime_formats():
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql as t
+
+    assert t("SELECT TO_DATE('2024-01-15', 'YYYY-MM-DD')") == "SELECT to_date('2024-01-15', 'yyyy-MM-dd')"
+    out = t("SELECT TO_TIMESTAMP(s, 'YYYY-MM-DD HH24:MI:SS') FROM x")
+    assert out == "SELECT to_timestamp(s, 'yyyy-MM-dd HH:mm:ss') FROM x"
+
+
+def test_rewrite_charindex_strpos_swap():
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql as t
+
+    assert t("SELECT CHARINDEX('b', col) FROM x") == "SELECT instr(col, 'b') FROM x"
+    assert t("SELECT STRPOS(col, 'b') FROM x") == "SELECT instr(col, 'b') FROM x"
+    # nested call args survive the balanced scan
+    assert t("SELECT CHARINDEX(f(a, 1), g(b)) FROM x") == "SELECT instr(g(b), f(a, 1)) FROM x"
+
+
+def test_rewrite_trunc_single_arg_only():
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql as t
+
+    assert t("SELECT TRUNC(ts) FROM x") == "SELECT CAST(ts AS DATE) FROM x"
+    # two-arg numeric trunc is native Spark — untouched
+    assert t("SELECT TRUNC(price, 1) FROM x") == "SELECT TRUNC(price, 1) FROM x"
+    # date_trunc must NOT be rewritten (no word boundary after the underscore)
+    assert t("SELECT date_trunc('day', ts) FROM x") == "SELECT date_trunc('day', ts) FROM x"
+
+
+def test_rewrite_math_aliases():
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql as t
+
+    assert t("SELECT DEXP(x), DLOG10(y), DLOG1(z) FROM t") == "SELECT exp(x), log10(y), ln(z) FROM t"

@@ -438,7 +438,7 @@ def curation_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _io_dir(sf_dir, "doc_shards")
     unload_parquet(assigned, path, partition_by=["shard_id"])
-    back = read_partitioned(spark, path)
+    back = read_partitioned(spark, path, schema=assigned.schema)
     return (
         back.groupBy(F.col("shard_id").cast("long").alias("shard_id"))
         .agg(

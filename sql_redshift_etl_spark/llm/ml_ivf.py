@@ -54,6 +54,12 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
     )
     km = KMeans(k=N_CELLS, seed=42, featuresCol="features", predictionCol="cell")
+    if vecs.isEmpty():
+        # Contract error, stated plainly: a quantizer cannot be trained
+        # on zero vectors (MLlib's raw failure here is an opaque JVM
+        # error). Empty CORPUS slices are fine downstream — it is the
+        # TRAINING set that must be non-empty.
+        raise ValueError("sim_ivf_kmeans: cannot train a KMeans quantizer on an empty embeddings table")
     model = km.fit(vecs)
     assigned = model.transform(vecs).select("vec_id", "label", "embedding", "cell")
 

@@ -80,7 +80,9 @@ def etl_star_mart_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     unload_parquet(fact, mart_path, partition_by=["region"], sort_within=["order_year"])
-    mart = spark.read.option("basePath", mart_path).parquet(mart_path)
+    # Explicit schema: a zero-row slice writes no files, and inference
+    # would throw where an empty mart is the correct result.
+    mart = spark.read.schema(fact.schema).option("basePath", mart_path).parquet(mart_path)
     return mart.groupBy("region", "order_year").agg(
         F.countDistinct("o_orderkey").alias("n_orders"),
         F.sum("net_rev_dec").cast("double").alias("net_revenue"),

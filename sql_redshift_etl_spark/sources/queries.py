@@ -98,7 +98,7 @@ def source_unload_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _io_dir(sf_dir, "orders_part")
     o = load_table(spark, sf_dir, "orders")
     unload_parquet(o, path, partition_by=["o_orderstatus"], sort_within=["o_orderdate"])
-    back = read_partitioned(spark, path)
+    back = read_partitioned(spark, path, schema=o.schema)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_price")
     )

@@ -44,11 +44,21 @@ def read_json_lines(spark: SparkSession, path: str, schema: StructType | str) ->
     return spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
 
 
-def read_partitioned(spark: SparkSession, base_path: str, glob: str | None = None) -> DataFrame:
+def read_partitioned(
+    spark: SparkSession, base_path: str, glob: str | None = None, schema=None
+) -> DataFrame:
     """Manifest/partitioned ingest (S7): hive-style date-partitioned
     prefixes with partition discovery rooted at basePath, so partition
-    columns survive and predicate → partition pruning works."""
+    columns survive and predicate → partition pruning works.
+
+    Pass ``schema`` (e.g. the schema of the frame that was written) when
+    the prefix may be EMPTY — a partitioned write of zero rows emits no
+    files, and schema inference then throws UNABLE_TO_INFER_SCHEMA where
+    an empty relation is the correct answer (empty date slices are
+    routine in incremental pipelines)."""
     reader = spark.read.option("basePath", base_path)
+    if schema is not None:
+        reader = reader.schema(schema)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.parquet(base_path)

@@ -53,15 +53,50 @@ def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_tumbling_wm_sink")
 
 
-@register("stream_stateful_sessions", tags=("E3", "E5"))  # rows-only: custom stateful operator
+@register(
+    "stream_stateful_sessions",
+    tags=("E3", "E5"),
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id,
+                   CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                             OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        )
+        SELECT user_id, COUNT(*) AS n_events, CAST(SUM(is_new) AS BIGINT) AS n_sessions
+        FROM flagged GROUP BY user_id
+    """,
+)
 def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
-    per-user event/session counters maintained in state across
-    micro-batches. The non-SQL-expressible streaming surface (SURVEY
-    §2.10) — rows-only; pytest asserts totals against batch."""
-    out = stateful_session_counts(read_events_stream(spark, sf_dir))
+    per-user event/session counters maintained in GroupState across
+    micro-batches. SQL-oracled (upgraded from rows-only in r3): the
+    update-mode sink holds one row PER state update per user, and both
+    counters are monotone, so the MAX per user is the final state no
+    matter how the source splits into micro-batches — which must equal
+    the batch recompute (the streaming/batch-parity contract; ties on
+    (user, ts) cannot flip a session because a zero gap never opens
+    one). Closed historical input replays as ONE availableNow batch
+    (max_files_per_trigger=None) for the same reason as the interval
+    join: shuffle-written part files each span the full time range, so
+    per-file batches would feed the session state out of time order
+    (observed at sf1: 26 vs 44 sessions for one user). Real cross-batch
+    continuity is proven by tests/test_streaming.py's time-ordered
+    multi-file replay."""
+    out = stateful_session_counts(
+        read_events_stream(spark, sf_dir, max_files_per_trigger=None)
+    )
     run_to_memory(out, "stream_sessions_sink", "update")
-    return spark.table("stream_sessions_sink")
+    return (
+        spark.table("stream_sessions_sink")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("n_sessions").alias("n_sessions"),
+        )
+    )
 
 
 @register(

@@ -138,9 +138,10 @@ _VERIFY_FIRST: list[str] = [
     "embedding_quantize_int8",
     # flagship re-confirm (judge request)
     "flagship_pricing_summary",
-    # rows-only members of the never-checked 38 (weaker driver check by
-    # design: streaming semantics / ANN approximations are not
-    # SQL-expressible; pytest covers them bit-level where possible)
+    # members of the never-checked 38 that were rows-only at window
+    # freeze; the two streaming ones gained SQL oracles later in r3
+    # (monotone-counter MAX / closed-form watermark set), the ANN/ML
+    # ones stay rows-only by design (approximations / JVM seeds)
     "stream_stateful_sessions",
     "stream_tumbling_watermark",
     "sim_ann_lsh",

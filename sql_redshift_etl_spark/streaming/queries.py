@@ -41,14 +41,33 @@ def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_tumbling_daily_sink")
 
 
-@register("stream_tumbling_watermark", tags=("E5",))  # rows-only: emitted set depends on watermark advance
+@register(
+    "stream_tumbling_watermark",
+    tags=("E5",),
+    oracle="""
+        WITH m AS (SELECT MAX(ts) AS mx FROM events)
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               event_type, COUNT(*) AS n_events
+        FROM events, m
+        WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= mx - INTERVAL 1 HOUR
+        GROUP BY day, event_type
+    """,
+)
 def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked append-mode variant (E5): only windows closed by the
     final watermark are emitted — the late-data/state-eviction contract.
-    Emitted set depends on micro-batch watermark progression → rows-only
-    for the driver; pytest asserts it's a subset of the complete-mode
-    result."""
-    agg = tumbling_with_watermark(read_events_stream(spark, sf_dir))
+
+    SQL-oracled (upgraded from rows-only in r3): replaying the closed
+    input as ONE availableNow batch makes the emitted set deterministic
+    — no event is late (single batch), and availableNow's final commit
+    flushes exactly the windows whose end ≤ max(ts) − delay. That
+    closed-form set IS the watermark contract, so the oracle states it
+    directly. Per-file replay stays rows-only territory (watermark
+    trajectory then depends on file order); the subset property under
+    that mode is pytest-asserted."""
+    agg = tumbling_with_watermark(
+        read_events_stream(spark, sf_dir, max_files_per_trigger=None)
+    )
     run_to_memory(agg, "stream_tumbling_wm_sink", "append")
     return spark.table("stream_tumbling_wm_sink")
 

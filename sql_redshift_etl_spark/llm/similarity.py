@@ -144,7 +144,41 @@ def lsh_bucket_col(vec_col: str = "embedding") -> F.Column:
     return F.concat(*bits)
 
 
-@register("sim_ann_lsh", tags=("L3",))  # rows-only: recall vs brute force asserted in pytest
+def _ann_lsh_oracle() -> str:
+    """DuckDB twin of the full ANN pipeline. Possible because the
+    hyperplanes are md5-DERIVED, not random: the same ±1 plane matrix is
+    reconstructed here and inlined as literals, so bucketing, the
+    Hamming≤2 probe, and the exact-cosine re-rank are all deterministic
+    and cross-engine checkable. (The operator is still APPROXIMATE vs
+    brute force — recall is pytest-floored — but approximate ≠
+    nondeterministic, so it gets a full value oracle.)"""
+    plane_bits = []
+    for row in hyperplanes():
+        lits = ", ".join(f"{x:.1f}" for x in row)
+        plane_bits.append(
+            "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"CAST([{lits}] AS DOUBLE[])) >= 0 THEN '1' ELSE '0' END)"
+        )
+    bucket_expr = " || ".join(plane_bits)
+    hamming = " + ".join(
+        f"(CASE WHEN substr(e.bucket, {k}, 1) <> substr(q.qbucket, {k}, 1) THEN 1 ELSE 0 END)"
+        for k in range(1, N_PLANES + 1)
+    )
+    return f"""
+        WITH b AS MATERIALIZED (
+            SELECT vec_id, label, embedding, {bucket_expr} AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT embedding AS qvec, bucket AS qbucket FROM b WHERE vec_id = {QUERY_VEC_ID})
+        SELECT e.vec_id, e.label, e.bucket, ROUND({_DUCK_COSINE}, 6) AS cosine
+        FROM b e CROSS JOIN q
+        WHERE e.vec_id != {QUERY_VEC_ID} AND ({hamming}) <= 2
+        ORDER BY {_DUCK_COSINE} DESC, e.vec_id ASC
+        LIMIT 10
+    """
+
+
+@register("sim_ann_lsh", tags=("L3",), oracle=_ann_lsh_oracle())
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH (L3, the scale path).
 
@@ -159,7 +193,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall ≈ 1 at radius 1, while the fixture vectors are near-uniform
     (best cosine ≈ 0.48 → p ≈ 0.63/bit → theoretical top-10 recall ≈ 0.27
     at radius 2) — the pytest floor asserts that theory bound, plus the
-    efficiency claim (candidates ≪ n). Rows-only for the driver oracle.
+    efficiency claim (candidates ≪ n). SQL-oracled since r3: the planes
+    are md5-derived, so the whole pipeline is deterministic and the
+    DuckDB twin reproduces it bit-for-bit (approximate ≠ nondeterministic).
     """
     e = load_table(spark, sf_dir, "embeddings")
     bucketed = e.withColumn("bucket", lsh_bucket_col())
@@ -229,7 +265,38 @@ def sim_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ivf_search", tags=("L3",))  # rows-only: centroid float ties are engine-borderline
+_IVF_ORACLE = f"""
+    WITH dims AS (
+        SELECT label, t.i, AVG(CAST(embedding[t.i] AS DOUBLE)) AS c
+        FROM embeddings, generate_series(1, 64) t(i)
+        GROUP BY label, t.i
+    ),
+    cent AS (SELECT label AS cell, list(c ORDER BY i) AS cvec FROM dims GROUP BY label),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    probe AS (
+        SELECT cell FROM cent e CROSS JOIN q
+        ORDER BY list_dot_product(CAST(e.cvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(e.cvec AS DOUBLE[]), CAST(e.cvec AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))) DESC,
+                 cell
+        LIMIT 2
+    )
+    SELECT e.vec_id, e.label, ROUND({{cos}}, 6) AS cosine
+    FROM embeddings e
+    JOIN probe ON e.label = probe.cell
+    CROSS JOIN q
+    WHERE e.vec_id != {QUERY_VEC_ID}
+    ORDER BY {{cos}} DESC, e.vec_id
+    LIMIT 10
+""".format(cos=_DUCK_COSINE)
+
+
+# Oracled in r3: cell ASSIGNMENT is by label (no float boundary), so the
+# only cross-engine float sensitivity is the nprobe-2 cell ranking —
+# centroid-cosine gaps between the 10 cells are orders of magnitude
+# above summation-order noise (verified at sf0.01/sf0.1/sf1). The final
+# re-rank uses raw embeddings, same 6-dp convention as sim_knn.
+@register("sim_ivf_search", tags=("L3",), oracle=_IVF_ORACLE)
 def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (L3): coarse-quantize every vector to its nearest
     label centroid, then search only the nprobe=2 cells closest to the
@@ -239,8 +306,9 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: centroids are tiny (k × dim) → broadcast; cell assignment is
     map-side; the search scans |n/k × nprobe| vectors. On disk, cell id
     becomes the partition column. Recall asserted in pytest vs brute
-    force; rows-only for the driver (cell boundaries sit on float
-    comparisons too fragile for a cross-engine hash).
+    force; SQL-oracled since r3 (assignment is by label — no float
+    boundary — and the nprobe cell ranking's gaps dwarf summation-order
+    noise; verified at three scale tiers).
     """
     e = load_table(spark, sf_dir, "embeddings")
     un = e.select("label", F.posexplode("embedding").alias("i", "x")).select(

@@ -139,9 +139,12 @@ _VERIFY_FIRST: list[str] = [
     # flagship re-confirm (judge request)
     "flagship_pricing_summary",
     # members of the never-checked 38 that were rows-only at window
-    # freeze; the two streaming ones gained SQL oracles later in r3
-    # (monotone-counter MAX / closed-form watermark set), the ANN/ML
-    # ones stay rows-only by design (approximations / JVM seeds)
+    # freeze; four gained SQL oracles later in r3 (stateful sessions:
+    # monotone-counter MAX; watermark: closed-form emitted set; ANN LSH:
+    # md5-derived planes inlined in the twin; IVF: label-cell assignment
+    # has no float boundary). Still rows-only by design: sim_ivf_kmeans
+    # (seeded MLlib), dedup_minhash_ml (JVM hash seeds),
+    # multimodal_decode_features (Pandas-UDF seam)
     "stream_stateful_sessions",
     "stream_tumbling_watermark",
     "sim_ann_lsh",

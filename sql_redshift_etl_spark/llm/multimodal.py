@@ -144,12 +144,38 @@ def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@register("multimodal_decode_features", tags=("L6", "L8"))  # rows-only: Python UDF seam
+@register(
+    "multimodal_decode_features",
+    tags=("L6", "L8"),
+    oracle="""
+        WITH p AS (
+            SELECT doc_id,
+                   list_sum(list_transform(generate_series(0, 15),
+                       i -> CAST('0x' || substr(md5(text), i*2+1, 2) AS INTEGER))) AS bsum,
+                   n_chars % 64 + 1 AS width,
+                   n_chars % 48 + 1 AS height
+            FROM documents
+            WHERE doc_id < 200
+        )
+        SELECT doc_id,
+               ROUND(bsum / 16.0, 6) AS mean_byte,
+               CAST(bsum % 251 AS DOUBLE) AS checksum,
+               ROUND(CAST(width AS DOUBLE) / height, 6) AS aspect
+        FROM p
+    """,
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary decode / feature extraction via mapInPandas (L6/L8): the
     batch-inference shape — Arrow batches in, typed feature columns out.
-    Deterministic fake decoder (see decode_payload); values asserted in
-    pytest, rows-only for the driver."""
+
+    SQL-oracled since r3: the container's deterministic fake decoder
+    (mean byte / checksum / aspect over the md5-payload — decode_payload)
+    is arithmetic a SQL twin can replay from the hex digest, so the
+    driver hash-checks the ENTIRE Arrow/mapInPandas plumbing end to end
+    — batch boundaries, dtypes, row alignment. (mean_byte is an exact
+    /16 fraction ≤4 dp and no width/height ratio can hit a 7-decimal
+    rounding tie, so Python banker's round and SQL ROUND agree.) With a
+    real decoder (PIL path) this reverts to rows-only by nature."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     with_payload = d.select(
         "doc_id",

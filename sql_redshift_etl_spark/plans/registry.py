@@ -142,9 +142,10 @@ _VERIFY_FIRST: list[str] = [
     # freeze; four gained SQL oracles later in r3 (stateful sessions:
     # monotone-counter MAX; watermark: closed-form emitted set; ANN LSH:
     # md5-derived planes inlined in the twin; IVF: label-cell assignment
-    # has no float boundary). Still rows-only by design: sim_ivf_kmeans
-    # (seeded MLlib), dedup_minhash_ml (JVM hash seeds),
-    # multimodal_decode_features (Pandas-UDF seam)
+    # has no float boundary). multimodal_decode_features too (the
+    # deterministic fake decoder is SQL-replayable). Still rows-only by
+    # design: sim_ivf_kmeans (seeded MLlib), dedup_minhash_ml (JVM hash
+    # seeds), approx_count_distinct (HLL estimate)
     "stream_stateful_sessions",
     "stream_tumbling_watermark",
     "sim_ann_lsh",

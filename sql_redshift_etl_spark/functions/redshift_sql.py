@@ -353,21 +353,41 @@ def _rewrite_convert(sql: str) -> str:
 
 
 def _rewrite_to_datetime(sql: str) -> str:
-    """TO_DATE/TO_TIMESTAMP(str, 'redshift-fmt') → same fn with the
+    """TO_DATE/TO_TIMESTAMP(expr, 'redshift-fmt') → same fn with the
     format translated to Spark's pattern dialect (YYYY→yyyy, MI→mm,
     HH24→HH ... — the shared translate_datetime_format table TO_CHAR
-    uses, applied in reverse direction)."""
-
-    def repl(m: re.Match) -> str:
+    uses, applied in reverse direction). Balanced-scan + literal-aware
+    like the sibling rewrites, so nested first arguments
+    (TO_DATE(SUBSTRING(c, 1, 10), ...)) and quoted commas both work and
+    occurrences inside string literals are left alone."""
+    pat = re.compile(r"\b(TO_DATE|TO_TIMESTAMP)\s*\(", re.IGNORECASE)
+    search_from = 0
+    while True:
+        m = pat.search(sql, search_from)
+        if not m:
+            return sql
+        if _in_literal(sql, m.start()):
+            search_from = m.end()
+            continue
+        end = _scan_balanced(sql, m.end())
+        try:
+            expr, fmt = _split_two_args(sql[m.end() : end - 1])
+        except ValueError:
+            # single-arg TO_DATE(x): Spark parses it natively
+            search_from = end
+            continue
+        fm = re.fullmatch(r"'([^']*)'", fmt)
+        if not fm:
+            raise ValueError(f"{m.group(1)} format must be a string literal: {fmt!r}")
         fn = m.group(1).lower()
-        return f"{fn}({m.group(2).strip()}, '{translate_datetime_format(m.group(3))}')"
-
-    return re.sub(
-        r"\b(TO_DATE|TO_TIMESTAMP)\s*\(\s*([^,()]+)\s*,\s*'([^']*)'\s*\)",
-        repl,
-        sql,
-        flags=re.IGNORECASE,
-    )
+        repl = f"{fn}({expr}, '{translate_datetime_format(fm.group(1))}')"
+        sql = f"{sql[: m.start()]}{repl}{sql[end:]}"
+        # resume just INSIDE the replacement (past "fn("): a nested
+        # TO_DATE in the first argument still gets rewritten, while the
+        # outer call itself — which the case-insensitive pattern would
+        # re-match — cannot be re-translated (re-translating an already
+        # Spark-dialect format would corrupt it)
+        search_from = m.start() + len(fn) + 1
 
 
 def _rewrite_string_fns(sql: str) -> str:

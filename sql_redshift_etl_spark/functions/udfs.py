@@ -56,10 +56,16 @@ def udf_pandas_scalar_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _weighted_mean_fn(value: pd.Series, weight: pd.Series) -> float:
-    w = weight.to_numpy(dtype=np.float64)
-    v = value.to_numpy(dtype=np.float64)
-    return float(np.round(np.dot(v, w) / w.sum(), 6)) if w.sum() else 0.0
+def _weighted_mean_fn(value: pd.Series, weight: pd.Series) -> float | None:
+    # SQL-aggregate NULL semantics, matched on purpose: rows with a NULL
+    # weight are SKIPPED (SUM ignores NULLs — a NaN here would otherwise
+    # poison the whole group), and an all-null/zero weight sum yields
+    # NULL (the oracle divides by NULLIF(SUM(w), 0)).
+    mask = weight.notna() & value.notna()
+    w = weight[mask].to_numpy(dtype=np.float64)
+    v = value[mask].to_numpy(dtype=np.float64)
+    total = w.sum()
+    return float(np.round(np.dot(v, w) / total, 6)) if total else None
 
 
 @register(
@@ -68,7 +74,7 @@ def _weighted_mean_fn(value: pd.Series, weight: pd.Series) -> float:
     oracle="""
         SELECT event_type,
                ROUND(SUM(value * CAST(json_extract_string(props, '$.k') AS DOUBLE))
-                     / SUM(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6)
+                     / NULLIF(SUM(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 0), 6)
                    AS weighted_value
         FROM events
         GROUP BY event_type

@@ -45,6 +45,21 @@ _DUCK_SHINGLES = (
 )
 
 
+# Normalized bag-of-words fingerprint — ONE definition per engine side,
+# shared by dedup_exact_groups, dedup_keep_canonical, and the end-to-end
+# corpus pipeline (llm/pipeline_e2e): a change to the normalization
+# cannot silently diverge between the standalone queries and the
+# composite ledger.
+BAG_FP_ORACLE = "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))"
+
+
+def bag_fingerprint(col: str = "text") -> F.Column:
+    """Spark twin of BAG_FP_ORACLE."""
+    return F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split(col, " "))), " ").cast("binary")
+    )
+
+
 def _shingled(spark: SparkSession, sf_dir: str, *extra_cols: str) -> DataFrame:
     """Distinct (doc_id[, extra], shingle) rows for ≥3-word documents."""
     d = load_table(spark, sf_dir, "documents")
@@ -59,11 +74,10 @@ def _shingled(spark: SparkSession, sf_dir: str, *extra_cols: str) -> DataFrame:
 @register(
     "dedup_exact_groups",
     tags=("L1",),
-    oracle="""
+    oracle=f"""
         SELECT bag_fp, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc, MAX(doc_id) AS last_doc
         FROM (
-            SELECT doc_id,
-                   md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp
+            SELECT doc_id, {BAG_FP_ORACLE} AS bag_fp
             FROM documents
         )
         GROUP BY bag_fp
@@ -75,11 +89,8 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint (raw-text md5 finds zero dups on the fixtures; the
     normalized key finds the planted word-reordered copies)."""
     d = load_table(spark, sf_dir, "documents")
-    bag_fp = F.md5(
-        F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ").cast("binary")
-    )
     return (
-        d.select("doc_id", bag_fp.alias("bag_fp"))
+        d.select("doc_id", bag_fingerprint().alias("bag_fp"))
         .groupBy("bag_fp")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -93,12 +104,12 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_keep_canonical",
     tags=("L1", "W6"),
-    oracle="""
+    oracle=f"""
         SELECT doc_id, lang, source
         FROM (
             SELECT doc_id, lang, source,
                    ROW_NUMBER() OVER (
-                       PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                       PARTITION BY {BAG_FP_ORACLE}
                        ORDER BY doc_id
                    ) AS rn
             FROM documents
@@ -114,10 +125,7 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    bag_fp = F.md5(
-        F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ").cast("binary")
-    )
-    w = Window.partitionBy(bag_fp).orderBy("doc_id")
+    w = Window.partitionBy(bag_fingerprint()).orderBy("doc_id")
     return (
         d.select("doc_id", "lang", "source", F.row_number().over(w).alias("rn"))
         .where(F.col("rn") == 1)

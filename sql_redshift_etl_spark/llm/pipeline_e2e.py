@@ -27,36 +27,30 @@ from sql_redshift_etl_spark.catalog import load_table
 from sql_redshift_etl_spark.llm.curation import CONTEXT_LEN
 from sql_redshift_etl_spark.llm.dedup import (
     _CLUSTER_ROUNDS,
+    BAG_FP_ORACLE,
     _cluster_round_cte,
+    bag_fingerprint,
     min_label_propagate,
     minhash_lsh_pairs_df,
     minhash_pairs_oracle,
 )
+from sql_redshift_etl_spark.llm.text import quality_predicate, quality_where_sql
 from sql_redshift_etl_spark.plans.registry import register
-
-# Same predicate as text_quality_filter_kept (llm/text.py) — C4-style
-# gates: allowed languages, sane length band, minimum word count.
-_QUALITY_LANGS = ("en", "de", "fr", "es")
-_MIN_CHARS, _MAX_CHARS, _MIN_WORDS = 100, 450, 30
 
 
 def _pipeline_oracle() -> str:
-    langs = ", ".join(f"'{lang}'" for lang in _QUALITY_LANGS)
     pairs_sql = minhash_pairs_oracle("exact")
     rounds = ", ".join(_cluster_round_cte(k) for k in range(1, _CLUSTER_ROUNDS + 1))
     return f"""
         WITH quality AS MATERIALIZED (
             SELECT doc_id, text, source FROM documents
-            WHERE lang IN ({langs})
-              AND n_chars BETWEEN {_MIN_CHARS} AND {_MAX_CHARS}
-              AND len(string_split(text, ' ')) >= {_MIN_WORDS}
+            WHERE {quality_where_sql()}
         ),
         exact AS MATERIALIZED (
             SELECT doc_id, text, source FROM (
                 SELECT doc_id, text, source,
                        ROW_NUMBER() OVER (
-                           PARTITION BY md5(array_to_string(
-                               list_sort(list_distinct(string_split(text, ' '))), ' '))
+                           PARTITION BY {BAG_FP_ORACLE}
                            ORDER BY doc_id
                        ) AS rn
                 FROM quality
@@ -128,16 +122,9 @@ def etl_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     and packed CONTEXT_LEN sequence count). The one table a data-curation
     run actually reports."""
     d = load_table(spark, sf_dir, "documents")
-    quality = d.where(
-        F.col("lang").isin(*_QUALITY_LANGS)
-        & F.col("n_chars").between(_MIN_CHARS, _MAX_CHARS)
-        & (F.size(F.split("text", " ")) >= _MIN_WORDS)
-    ).select("doc_id", "text", "source")
+    quality = d.where(quality_predicate()).select("doc_id", "text", "source")
 
-    bag_fp = F.md5(
-        F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ").cast("binary")
-    )
-    w_fp = Window.partitionBy(bag_fp).orderBy("doc_id")
+    w_fp = Window.partitionBy(bag_fingerprint()).orderBy("doc_id")
     exact = (
         quality.withColumn("rn", F.row_number().over(w_fp)).where(F.col("rn") == 1).drop("rn")
     )

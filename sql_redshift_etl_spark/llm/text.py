@@ -20,6 +20,32 @@ from sql_redshift_etl_spark.plans.registry import register
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
+# C4-style quality gates — ONE definition shared by the standalone
+# quality queries and the end-to-end corpus pipeline (llm/pipeline_e2e),
+# on both engine sides, so a threshold change cannot silently diverge.
+QUALITY_LANGS = ("en", "de", "fr", "es")
+QUALITY_MIN_CHARS, QUALITY_MAX_CHARS, QUALITY_MIN_WORDS = 100, 450, 30
+
+
+def quality_predicate() -> F.Column:
+    """Spark form of the quality gate (allowed langs, length band,
+    minimum word count)."""
+    return (
+        F.col("lang").isin(*QUALITY_LANGS)
+        & F.col("n_chars").between(QUALITY_MIN_CHARS, QUALITY_MAX_CHARS)
+        & (F.size(F.split("text", " ")) >= QUALITY_MIN_WORDS)
+    )
+
+
+def quality_where_sql() -> str:
+    """DuckDB WHERE-fragment twin of quality_predicate()."""
+    langs = ", ".join(f"'{lang}'" for lang in QUALITY_LANGS)
+    return (
+        f"lang IN ({langs}) "
+        f"AND n_chars BETWEEN {QUALITY_MIN_CHARS} AND {QUALITY_MAX_CHARS} "
+        f"AND len(string_split(text, ' ')) >= {QUALITY_MIN_WORDS}"
+    )
+
 # Marker words per language for the n-gram/keyword LID heuristic.
 LID_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "fast", "query"),
@@ -140,26 +166,20 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_quality_filter_kept",
     tags=("L5",),
-    oracle="""
+    oracle=f"""
         SELECT lang, source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
         FROM documents
-        WHERE lang IN ('en', 'de', 'fr', 'es')
-          AND n_chars BETWEEN 100 AND 450
-          AND len(string_split(text, ' ')) >= 30
+        WHERE {{where}}
         GROUP BY lang, source
-    """,
+    """.format(where=quality_where_sql()),
 )
 def text_quality_filter_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality filter application (L5): language allowlist + length
-    bounds, reporting survivors per (lang, source) — the shape of a
-    dataset-card yield table."""
+    bounds (the shared quality_predicate gate), reporting survivors per
+    (lang, source) — the shape of a dataset-card yield table."""
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.where(
-            F.col("lang").isin("en", "de", "fr", "es")
-            & F.col("n_chars").between(100, 450)
-            & (F.size(_words()) >= 30)
-        )
+        d.where(quality_predicate())
         .groupBy("lang", "source")
         .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("kept_chars"))
     )

@@ -83,11 +83,14 @@ def test_oracled_queries_return_scalar_columns_only():
     for name, q in qs.items():
         if q.oracle is None:
             continue
-        # list_value(...)/ [x FOR ...] array comprehensions as TOP-LEVEL
-        # projections; array_to_string/array_join serializations are fine.
+        # list_value(...)/array_agg(...) as projections are suspect
+        # UNLESS a serializer (array_to_string/array_join) also appears
+        # on the line — the blessed house-rule pattern.
         for line in q.oracle.splitlines():
-            if re.search(r"(?i)\bAS\s+\w+\s*$", line) and re.search(
-                r"(?i)(?<!_to_string\()(?:^|[^\w.])(list_value|array_agg)\s*\(", line
+            if (
+                re.search(r"(?i)\bAS\s+\w+\s*$", line)
+                and re.search(r"(?i)(?:^|[^\w.])(list_value|array_agg)\s*\(", line)
+                and not re.search(r"(?i)\b(array_to_string|array_join)\s*\(", line)
             ):
                 bad.append((name, line.strip()))
     assert not bad, f"oracle projects raw array columns (serialize them): {bad}"

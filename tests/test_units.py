@@ -374,3 +374,27 @@ def test_rewrite_math_aliases():
     from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql as t
 
     assert t("SELECT DEXP(x), DLOG10(y), DLOG1(z) FROM t") == "SELECT exp(x), log10(y), ln(z) FROM t"
+
+
+def test_rewrite_to_datetime_nested_and_literal_aware():
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql as t
+
+    # nested first argument (balanced scan, not the naive [^,()]+ regex)
+    assert (
+        t("SELECT TO_DATE(SUBSTRING(col, 1, 10), 'YYYY-MM-DD') FROM x")
+        == "SELECT to_date(SUBSTRING(col, 1, 10), 'yyyy-MM-dd') FROM x"
+    )
+    # occurrences inside string literals stay untouched
+    assert (
+        t("SELECT 'TO_DATE(a, ''YYYY'')' AS lit FROM x")
+        == "SELECT 'TO_DATE(a, ''YYYY'')' AS lit FROM x"
+    )
+    # within ONE translate pass, the rewritten call is not re-visited
+    # (re-translating the now-Spark-dialect format would corrupt it) —
+    # note translate_redshift_sql is single-pass by contract, NOT
+    # idempotent: like TO_CHAR, both dialects share the spelling with
+    # different format languages, so never run a script through twice
+    assert (
+        t("SELECT TO_DATE(a, 'YYYY-MM-DD'), TO_DATE(b, 'DD MON YYYY') FROM x")
+        == "SELECT to_date(a, 'yyyy-MM-dd'), to_date(b, 'dd MMM yyyy') FROM x"
+    )

@@ -40,7 +40,6 @@ def main() -> None:
     for name, q in sorted(bench.items()):
         df = q.builder(spark, data_dir)
         df.write.format("noop").mode("overwrite").save()  # warm/compile
-        before_jobs = tracker.getJobIdsForGroup(None) or []
         spark.sparkContext.setJobGroup(name, name)
         best = float("inf")
         for _ in range(3):

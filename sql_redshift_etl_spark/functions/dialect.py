@@ -142,10 +142,25 @@ _TO_CHAR_MAP: list[tuple[str, str]] = [
 
 
 def translate_datetime_format(rs_fmt: str) -> str:
-    """Translate a Redshift TO_CHAR datetime format string to Spark's."""
+    """Translate a Redshift TO_CHAR datetime format string to Spark's.
+
+    Redshift quotes literal text with double quotes ('YYYY"T"HH24');
+    Spark's DateTimeFormatter quotes with single quotes, doubling an
+    embedded quote — so ``"T"`` becomes ``'T'``. Note the result can
+    contain single quotes: callers splicing it back into a single-quoted
+    SQL literal must escape them (see redshift_sql._fmt_literal)."""
     out: list[str] = []
     i = 0
     while i < len(rs_fmt):
+        if rs_fmt[i] == '"':
+            end = rs_fmt.find('"', i + 1)
+            if end == -1:
+                raise ValueError(f"unterminated quoted literal in format: {rs_fmt!r}")
+            literal = rs_fmt[i + 1 : end]
+            if literal:
+                out.append("'" + literal.replace("'", "''") + "'")
+            i = end + 1
+            continue
         for rs, sp in _TO_CHAR_MAP:
             if rs_fmt.startswith(rs, i):
                 out.append(sp)

@@ -20,6 +20,8 @@ Handled rewrites (each with a unit test in tests/test_units.py):
 - CHARINDEX(sub, s) / STRPOS(s, sub) → instr(s, sub)
 - TRUNC(ts)                    → CAST(ts AS DATE) (numeric 1-arg TRUNC
   unsupported — spell TRUNC(x, 0))
+- TRUNC(x, n) numeric          → sign-aware FLOOR/CEIL at scale n
+  (truncate toward zero; Spark's own 2-arg trunc is date-only)
 - DEXP / DLOG10 / DLOG1        → exp / log10 / ln
 - DISTSTYLE / DISTKEY(...) / SORTKEY(...) / ENCODE ... DDL storage
   clauses → stripped (Spark analogs are write-layout options, see
@@ -106,9 +108,18 @@ def _rewrite_datediff(sql: str) -> str:
         search_from = 0
 
 
+def _fmt_literal(rs_fmt: str) -> str:
+    """Translate a Redshift datetime format and re-embed it as a Spark
+    single-quoted SQL literal. The translation can itself emit single
+    quotes (alpha literals become 'c'), so they must be doubled — the
+    SQL-literal escape — or formats like 'YYYY-MM-DD\"T\"HH24:MI:SS'
+    would splice into broken SQL."""
+    return "'" + translate_datetime_format(rs_fmt).replace("'", "''") + "'"
+
+
 def _rewrite_to_char(sql: str) -> str:
     def repl(m: re.Match) -> str:
-        return f"date_format({m.group(1)}, '{translate_datetime_format(m.group(2))}')"
+        return f"date_format({m.group(1)}, {_fmt_literal(m.group(2))})"
 
     return re.sub(
         r"\bTO_CHAR\s*\(\s*([^,()]+)\s*,\s*'([^']*)'\s*\)", repl, sql, flags=re.IGNORECASE
@@ -380,7 +391,7 @@ def _rewrite_to_datetime(sql: str) -> str:
         if not fm:
             raise ValueError(f"{m.group(1)} format must be a string literal: {fmt!r}")
         fn = m.group(1).lower()
-        repl = f"{fn}({expr}, '{translate_datetime_format(fm.group(1))}')"
+        repl = f"{fn}({expr}, {_fmt_literal(fm.group(1))})"
         sql = f"{sql[: m.start()]}{repl}{sql[end:]}"
         # resume just INSIDE the replacement (past "fn("): a nested
         # TO_DATE in the first argument still gets rewritten, while the
@@ -412,10 +423,14 @@ def _rewrite_string_fns(sql: str) -> str:
 def _rewrite_trunc(sql: str) -> str:
     """Single-argument TRUNC(ts) → CAST(ts AS DATE) (the Redshift
     midnight-truncation idiom; Spark's trunc always needs a format arg).
-    Two-argument TRUNC passes through untouched. Numeric single-arg
-    TRUNC(x) is NOT supported — Redshift scripts using it must spell
-    TRUNC(x, 0); rewriting it here would cast a number to DATE, which
-    Spark nulls silently."""
+    Two-argument numeric TRUNC(x, n) — truncation toward zero at scale n
+    — has no Spark builtin (Spark's two-arg trunc is DATE-only and would
+    fail analysis with DATATYPE_MISMATCH), so it rewrites to sign-aware
+    FLOOR/CEIL with scale (Spark 3.3+): positive values floor toward
+    zero, negative values ceil toward zero. The scale must be an integer
+    literal (Spark requires a foldable scale anyway); a quoted second
+    argument is date-format trunc and passes through natively. Numeric
+    single-arg TRUNC(x) is NOT supported — spell TRUNC(x, 0)."""
     pat = re.compile(r"\bTRUNC\s*\(", re.IGNORECASE)
     search_from = 0
     while True:
@@ -430,12 +445,21 @@ def _rewrite_trunc(sql: str) -> str:
         end = _scan_balanced(sql, m.end())
         body = sql[m.end() : end - 1]
         try:
-            _split_two_args(body)
-            search_from = end  # two-arg numeric trunc: native Spark
-            continue
+            x, n = _split_two_args(body)
         except ValueError:
-            pass
-        sql = f"{sql[: m.start()]}CAST({body.strip()} AS DATE){sql[end:]}"
+            sql = f"{sql[: m.start()]}CAST({body.strip()} AS DATE){sql[end:]}"
+            search_from = 0
+            continue
+        if re.fullmatch(r"'[^']*'", n):
+            search_from = end  # TRUNC(date, 'fmt'): native Spark date trunc
+            continue
+        if not re.fullmatch(r"[+-]?\d+", n):
+            raise ValueError(
+                f"numeric TRUNC scale must be an integer literal (got {n!r}); "
+                "Spark's floor/ceil require a foldable scale"
+            )
+        repl = f"(CASE WHEN ({x}) >= 0 THEN FLOOR({x}, {n}) ELSE CEIL({x}, {n}) END)"
+        sql = f"{sql[: m.start()]}{repl}{sql[end:]}"
         search_from = 0
 
 

@@ -58,9 +58,11 @@ def udf_pandas_scalar_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _weighted_mean_fn(value: pd.Series, weight: pd.Series) -> float | None:
     # SQL-aggregate NULL semantics, matched on purpose: rows with a NULL
-    # weight are SKIPPED (SUM ignores NULLs — a NaN here would otherwise
-    # poison the whole group), and an all-null/zero weight sum yields
-    # NULL (the oracle divides by NULLIF(SUM(w), 0)).
+    # weight OR a NULL value are SKIPPED (a NaN would otherwise poison
+    # the group), and an all-null/zero weight sum yields NULL. The
+    # oracle's denominator uses the SAME mask — SUM(CASE WHEN value IS
+    # NOT NULL THEN w END) — so both sides agree by construction even if
+    # a row has non-null weight and null value.
     mask = weight.notna() & value.notna()
     w = weight[mask].to_numpy(dtype=np.float64)
     v = value[mask].to_numpy(dtype=np.float64)
@@ -74,8 +76,9 @@ def _weighted_mean_fn(value: pd.Series, weight: pd.Series) -> float | None:
     oracle="""
         SELECT event_type,
                ROUND(SUM(value * CAST(json_extract_string(props, '$.k') AS DOUBLE))
-                     / NULLIF(SUM(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 0), 6)
-                   AS weighted_value
+                     / NULLIF(SUM(CASE WHEN value IS NOT NULL
+                                       THEN CAST(json_extract_string(props, '$.k') AS DOUBLE) END), 0),
+                     6) AS weighted_value
         FROM events
         GROUP BY event_type
     """,

@@ -125,6 +125,16 @@ def test_redshift_sql_translation():
     # nested parens in args
     assert t("SELECT DATEDIFF(day, f(a, 1), g(b)) FROM x") == "SELECT datediff(cast(g(b) as date), cast(f(a, 1) as date)) FROM x"
     assert t("SELECT TO_CHAR(ts, 'YYYY-MM-DD HH24:MI') FROM x") == "SELECT date_format(ts, 'yyyy-MM-dd HH:mm') FROM x"
+    # literal text in the format: Redshift "T" → Spark 'T', and the
+    # embedded single quotes must be doubled inside the SQL literal
+    assert (
+        t("""SELECT TO_CHAR(ts, 'YYYY-MM-DD"T"HH24:MI:SS') FROM x""")
+        == "SELECT date_format(ts, 'yyyy-MM-dd''T''HH:mm:ss') FROM x"
+    )
+    assert (
+        t("""SELECT TO_TIMESTAMP(s, 'YYYY-MM-DD"T"HH24:MI:SS') FROM x""")
+        == "SELECT to_timestamp(s, 'yyyy-MM-dd''T''HH:mm:ss') FROM x"
+    )
     assert t("SELECT JSON_EXTRACT_PATH_TEXT(p, 'a', 'b') FROM x") == "SELECT get_json_object(p, '$.a.b') FROM x"
     assert (
         t("SELECT LISTAGG(n, ',') WITHIN GROUP (ORDER BY n) FROM x")
@@ -364,8 +374,19 @@ def test_rewrite_trunc_single_arg_only():
     from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql as t
 
     assert t("SELECT TRUNC(ts) FROM x") == "SELECT CAST(ts AS DATE) FROM x"
-    # two-arg numeric trunc is native Spark — untouched
-    assert t("SELECT TRUNC(price, 1) FROM x") == "SELECT TRUNC(price, 1) FROM x"
+    # two-arg numeric trunc: Spark's trunc is date-only, so rewrite to
+    # sign-aware floor/ceil (truncation toward zero at scale n)
+    assert (
+        t("SELECT TRUNC(price, 1) FROM x")
+        == "SELECT (CASE WHEN (price) >= 0 THEN FLOOR(price, 1) ELSE CEIL(price, 1) END) FROM x"
+    )
+    # two-arg date trunc with a format literal stays native Spark
+    assert t("SELECT TRUNC(d, 'MM') FROM x") == "SELECT TRUNC(d, 'MM') FROM x"
+    # non-literal numeric scale: loud failure (Spark needs a foldable scale)
+    import pytest
+
+    with pytest.raises(ValueError, match="integer literal"):
+        t("SELECT TRUNC(price, n) FROM x")
     # date_trunc must NOT be rewritten (no word boundary after the underscore)
     assert t("SELECT date_trunc('day', ts) FROM x") == "SELECT date_trunc('day', ts) FROM x"
 

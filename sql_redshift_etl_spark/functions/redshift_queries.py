@@ -248,3 +248,186 @@ def redshift_sql_misc_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter pushed — nothing to shuffle but the final sort."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("rs_orders")
     return run_redshift_sql(spark, _REDSHIFT_MISC_FNS.format(orders="rs_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Multi-statement ETL scripts through functions.script_runner — the
+# reference's actual unit of work (SURVEY §3.1): BEGIN; staging CTAS;
+# DDL + INSERT; DELETE; final SELECT; COMMIT. Storage clauses
+# (DISTSTYLE/DISTKEY/SORTKEY) appear verbatim and are stripped by the
+# front-end; the staged tables stay lazy views so the whole script is
+# one Catalyst plan (see script_runner module docstring).
+# ---------------------------------------------------------------------------
+
+_SCRIPT_ETL_MART = """
+    BEGIN;
+
+    DROP TABLE IF EXISTS stg_orders;
+
+    CREATE TEMP TABLE stg_orders DISTSTYLE KEY DISTKEY(o_orderkey) SORTKEY(o_orderdate) AS
+    SELECT o_orderkey, o_custkey, o_orderdate
+    FROM {orders}
+    WHERE o_orderstatus <> 'P';
+
+    CREATE TEMP TABLE dim_customer_region AS
+    SELECT c.c_custkey AS custkey, r.r_name AS region
+    FROM {customer} c
+    JOIN {nation} n ON c.c_nationkey = n.n_nationkey
+    JOIN {region} r ON n.n_regionkey = r.r_regionkey;
+
+    CREATE TABLE fct_order_revenue (
+        region VARCHAR(32) ENCODE zstd,
+        order_year BIGINT,
+        orderkey BIGINT,
+        net_rev DECIMAL(23,4)
+    ) DISTSTYLE KEY DISTKEY(orderkey) SORTKEY(region);
+
+    INSERT INTO fct_order_revenue
+    SELECT d.region,
+           EXTRACT(year FROM o.o_orderdate),
+           o.o_orderkey,
+           SUM(CAST(l.l_extendedprice AS DECIMAL(8,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))))
+    FROM {lineitem} l
+    JOIN stg_orders o ON l.l_orderkey = o.o_orderkey
+    JOIN dim_customer_region d ON o.o_custkey = d.custkey
+    GROUP BY 1, 2, 3;
+
+    DELETE FROM fct_order_revenue WHERE order_year < 1993;
+
+    SELECT region, order_year,
+           COUNT(DISTINCT orderkey) AS n_orders,
+           CAST(SUM(net_rev) AS DOUBLE) AS net_revenue
+    FROM fct_order_revenue
+    GROUP BY region, order_year;
+
+    COMMIT;
+"""
+
+
+@register(
+    "redshift_script_etl_mart",
+    tags=("S6", "J7", "A1", "F2"),
+    oracle="""
+        WITH stg_orders AS (
+            SELECT o_orderkey, o_custkey, o_orderdate
+            FROM orders WHERE o_orderstatus <> 'P'
+        ), dim AS (
+            SELECT c.c_custkey AS custkey, r.r_name AS region
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+        ), fct AS (
+            SELECT d.region,
+                   EXTRACT(year FROM o.o_orderdate) AS order_year,
+                   o.o_orderkey AS orderkey,
+                   SUM(CAST(l.l_extendedprice AS DECIMAL(8,2))
+                       * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS net_rev
+            FROM lineitem l
+            JOIN stg_orders o ON l.l_orderkey = o.o_orderkey
+            JOIN dim d ON o.o_custkey = d.custkey
+            GROUP BY 1, 2, 3
+        )
+        SELECT region, order_year,
+               COUNT(DISTINCT orderkey) AS n_orders,
+               CAST(SUM(net_rev) AS DOUBLE) AS net_revenue
+        FROM fct
+        WHERE order_year >= 1993
+        GROUP BY region, order_year
+    """,
+)
+def redshift_script_etl_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim multi-statement Redshift ETL script (BEGIN / staging
+    CTAS with DISTKEY-SORTKEY clauses / fact DDL / INSERT-SELECT /
+    DELETE / final SELECT / COMMIT) executed by the script runner —
+    the reference project's actual unit of work, end-to-end. The oracle
+    recomposes the same chain as DuckDB CTEs with the DELETE folded into
+    a WHERE.
+
+    Scale: staged tables are lazy views, so the final aggregate's
+    filters and column pruning push through every "temp table" into the
+    parquet scans — the script plans identically to the hand-built
+    etl_star_mart_publish DAG (operators/pipelines.py), with the dims
+    broadcast and one shuffle per aggregation grain."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    names = {}
+    for t in ("orders", "customer", "nation", "region", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"rs_sc_{t}")
+        names[t] = f"rs_sc_{t}"
+    out = run_redshift_script(spark, _SCRIPT_ETL_MART.format(**names))
+    assert out is not None
+    return out
+
+
+_SCRIPT_UPSERT_SNAPSHOT = """
+    BEGIN;
+
+    CREATE TEMP TABLE daily_rollup AS
+    SELECT TRUNC(ts) AS event_day, event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(8,2))) AS total_value
+    FROM {events}
+    WHERE ts < TIMESTAMP '2024-01-25 00:00:00'
+    GROUP BY 1, 2;
+
+    CREATE TEMP TABLE incr AS
+    SELECT TRUNC(ts) AS event_day, event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(8,2))) AS total_value
+    FROM {events}
+    WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
+    GROUP BY 1, 2;
+
+    DELETE FROM daily_rollup WHERE event_day IN (SELECT event_day FROM incr);
+
+    INSERT INTO daily_rollup
+    SELECT event_day, event_type, n_events, total_value FROM incr;
+
+    UPDATE daily_rollup
+    SET event_type = UPPER(event_type)
+    WHERE event_day >= DATE '2024-01-22';
+
+    SELECT TO_CHAR(event_day, 'YYYY-MM-DD') AS day_str,
+           event_type,
+           n_events,
+           CAST(total_value AS DOUBLE) AS total_value
+    FROM daily_rollup;
+
+    COMMIT;
+"""
+
+
+@register(
+    "redshift_script_upsert_snapshot",
+    tags=("E6", "S6", "A1"),
+    oracle="""
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day_str,
+               CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-22'
+                    THEN UPPER(event_type) ELSE event_type END AS event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(8,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def redshift_script_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic Redshift delete-then-insert upsert script (E6 as a
+    *script*, not an operator): base rollup to a cutoff, a 3-day-overlap
+    incremental re-extract, DELETE of the overlapped days (IN-subquery
+    predicate), positional INSERT, an UPDATE normalizing labels on the
+    refreshed window, and a final snapshot SELECT. Because the refresh
+    window re-derives exactly the days it deletes, the snapshot must
+    equal a direct one-pass rollup over all events — which is the
+    oracle, making the whole upsert chain self-verifying.
+
+    Scale: each statement stays a lazy view, so the chain compiles to
+    scan-side-filtered aggregations plus one hash-aggregate per grain;
+    the DELETE's IN-subquery plans as a broadcast left-semi-anti join
+    on ~30 day keys, never a corpus shuffle."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("rs_sc_events")
+    out = run_redshift_script(spark, _SCRIPT_UPSERT_SNAPSHOT.format(events="rs_sc_events"))
+    assert out is not None
+    return out

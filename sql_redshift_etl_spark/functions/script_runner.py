@@ -1,0 +1,315 @@
+"""Multi-statement Redshift ETL-script runner.
+
+A sql-redshift-etl project's unit of work is a *script*, not a single
+statement: ``BEGIN; CREATE TEMP TABLE stg AS ...; INSERT INTO fct
+SELECT ...; DELETE ...; SELECT ...; COMMIT;``. This module executes such
+a script end-to-end on Spark: statements are split (quote-aware), each
+is rewritten through the single-statement dialect front-end
+(functions.redshift_sql.translate_redshift_sql), and the intermediate
+"tables" become Spark temp views staged between statements. The last
+SELECT's DataFrame is returned.
+
+Statement support:
+- ``BEGIN/COMMIT/END/ROLLBACK/VACUUM/ANALYZE/GRANT/REVOKE`` — no-ops
+  (transactional/maintenance syntax with no Spark analog).
+- ``CREATE [TEMP] TABLE name AS SELECT ...`` — registers the SELECT as
+  a temp view (storage clauses like DISTKEY/SORTKEY are stripped by the
+  front-end before classification).
+- ``CREATE [TEMP] TABLE name (col type, ...)`` — empty table with the
+  declared schema (Spark parses the DDL column list directly).
+- ``CREATE [OR REPLACE] VIEW name AS SELECT ...`` — same as CTAS.
+- ``INSERT INTO name [(cols)] SELECT ... | VALUES ...`` — positional
+  append with per-column cast to the target schema; unlisted columns
+  of an explicit column list become NULL.
+- ``DELETE FROM name [WHERE cond]`` — keeps rows where ``cond`` is not
+  TRUE (NULL-cond rows survive, matching SQL DELETE); subqueries in
+  ``cond`` work because the filter runs through ``spark.sql``.
+- ``UPDATE name SET c = e, ... [WHERE cond]`` — CASE-projection per
+  assigned column, cast back to the column's declared type.
+- ``TRUNCATE [TABLE] name`` / ``DROP TABLE|VIEW [IF EXISTS] name``.
+- ``SELECT ... / WITH ...`` — executed; the LAST one is the script's
+  result DataFrame.
+
+Execution model (Spark-first, deliberately): staged tables stay *lazy*
+views, so the whole script up to the final SELECT is ONE Catalyst plan —
+filters in the final query push down through every staging "table", and
+nothing materializes that the result does not need (the argument of
+operators/pipelines.py, applied to verbatim scripts). ``spark.sql``
+analyzes eagerly, so each statement binds to the table definitions as
+they stood when it ran: a self-referencing ``INSERT INTO t SELECT ...
+FROM t`` appends a snapshot, later ``DROP``s cannot retroactively break
+earlier derivations, and the cleanup of script-scoped temp views after
+the run cannot invalidate the returned DataFrame. At 100 TB a staging
+table reused by MANY downstream statements can be worth materializing
+once instead of recomputing per consumer — that is an explicit
+``sources.writers.unload_parquet`` checkpoint in this engine, not an
+implicit runner behavior.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql
+
+__all__ = ["run_redshift_script", "split_statements", "strip_comments"]
+
+
+def strip_comments(script: str) -> str:
+    """Remove ``--`` line comments and ``/* */`` block comments,
+    quote-aware (a ``--`` inside a string literal is content)."""
+    out: list[str] = []
+    i, n = 0, len(script)
+    in_quote = False
+    while i < n:
+        ch = script[i]
+        if in_quote:
+            out.append(ch)
+            if ch == "'":
+                in_quote = False
+            i += 1
+        elif ch == "'":
+            out.append(ch)
+            in_quote = True
+            i += 1
+        elif script.startswith("--", i):
+            j = script.find("\n", i)
+            i = n if j == -1 else j  # keep the newline as whitespace
+        elif script.startswith("/*", i):
+            j = script.find("*/", i + 2)
+            if j == -1:
+                raise ValueError("unterminated /* comment in script")
+            i = j + 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def split_statements(script: str) -> list[str]:
+    """Split a script on ``;`` outside string literals; drops empties."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    in_quote = False
+    for ch in strip_comments(script):
+        if ch == "'":
+            in_quote = not in_quote
+            buf.append(ch)
+        elif ch == ";" and not in_quote:
+            stmts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    stmts.append("".join(buf))
+    return [s.strip() for s in stmts if s.strip()]
+
+
+_NOOP = re.compile(
+    r"^(BEGIN|COMMIT|END|ROLLBACK|ABORT|VACUUM|ANALYZE|GRANT|REVOKE|COMMENT|LOCK)\b",
+    re.IGNORECASE,
+)
+_CTAS = re.compile(
+    r"^CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_DDL = re.compile(
+    r"^CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_VIEW = re.compile(
+    r"^CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT = re.compile(
+    r"^INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?((?:SELECT|WITH|VALUES)\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE = re.compile(
+    r"^DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+))?$", re.IGNORECASE | re.DOTALL
+)
+_UPDATE = re.compile(
+    r"^UPDATE\s+([\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$", re.IGNORECASE | re.DOTALL
+)
+_TRUNCATE = re.compile(r"^TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*$", re.IGNORECASE)
+_DROP = re.compile(
+    r"^DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE
+)
+_QUERY = re.compile(r"^(SELECT|WITH|VALUES)\b", re.IGNORECASE)
+
+
+def _split_assignments(body: str) -> list[tuple[str, str]]:
+    """Split ``a = e1, b = e2`` on top-level commas (paren/quote-aware)."""
+    parts: list[str] = []
+    depth, in_quote, start = 0, False, 0
+    for i, ch in enumerate(body):
+        if ch == "'":
+            in_quote = not in_quote
+        elif in_quote:
+            continue
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(body[start:i])
+            start = i + 1
+    parts.append(body[start:])
+    out = []
+    for p in parts:
+        col, _, expr = p.partition("=")
+        if not expr:
+            raise ValueError(f"malformed SET assignment: {p.strip()!r}")
+        out.append((col.strip(), expr.strip()))
+    return out
+
+
+class _ScriptState:
+    """Tables the script has created/replaced, as name → DataFrame."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.tables: dict[str, DataFrame] = {}
+        self.created_views: set[str] = set()
+
+    def bind(self, name: str, df: DataFrame) -> None:
+        df.createOrReplaceTempView(name)
+        self.tables[name] = df
+        self.created_views.add(name)
+
+    def existing(self, name: str) -> DataFrame:
+        if name in self.tables:
+            return self.tables[name]
+        # A base table registered outside the script (catalog view).
+        return self.spark.table(name)
+
+    def cleanup(self) -> None:
+        # Safe after the final spark.sql: analysis is eager, so returned
+        # DataFrames hold resolved plans, not view references.
+        for name in self.created_views:
+            self.spark.catalog.dropTempView(name)
+
+
+def _cast_positional(sel: DataFrame, target: DataFrame, table: str) -> DataFrame:
+    tgt_schema = target.schema
+    if len(sel.columns) != len(tgt_schema):
+        raise ValueError(
+            f"INSERT INTO {table}: {len(sel.columns)} columns provided, "
+            f"table has {len(tgt_schema)}"
+        )
+    from pyspark.sql import functions as F
+
+    return sel.select(
+        *[
+            F.col(sel.columns[i]).cast(f.dataType).alias(f.name)
+            for i, f in enumerate(tgt_schema.fields)
+        ]
+    )
+
+
+def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
+    """Execute a multi-statement Redshift-dialect script; returns the
+    last SELECT's DataFrame (None if the script has no query statement).
+    Base tables must be registered as views (catalog.register_views or
+    ``createOrReplaceTempView``); script-created temp tables shadow them
+    for the script's duration and are dropped afterward."""
+    from pyspark.sql import functions as F
+
+    state = _ScriptState(spark)
+    result: DataFrame | None = None
+    try:
+        for raw in split_statements(script):
+            stmt = translate_redshift_sql(raw).strip()
+            if _NOOP.match(stmt):
+                continue
+            if m := _CTAS.match(stmt):
+                state.bind(m.group(1), spark.sql(m.group(2)))
+            elif m := _CREATE_VIEW.match(stmt):
+                state.bind(m.group(1), spark.sql(m.group(2)))
+            elif m := _CREATE_DDL.match(stmt):
+                # Spark parses DDL-format schemas ("a BIGINT, b
+                # VARCHAR(32)") directly — Redshift storage clauses were
+                # already stripped by the front-end. CHAR/VARCHAR lower
+                # to plain STRING (Spark's own CTAS behavior; an empty
+                # LogicalRDD may not carry char/varchar types).
+                from pyspark.sql import types as T
+
+                schema = T.StructType.fromDDL(m.group(2))
+                fields = [
+                    T.StructField(
+                        f.name,
+                        T.StringType()
+                        if isinstance(f.dataType, (T.VarcharType, T.CharType))
+                        else f.dataType,
+                        f.nullable,
+                    )
+                    for f in schema.fields
+                ]
+                state.bind(m.group(1), spark.createDataFrame([], schema=T.StructType(fields)))
+            elif m := _INSERT.match(stmt):
+                name, cols, query = m.group(1), m.group(2), m.group(3)
+                base = state.existing(name)
+                sel = spark.sql(query)
+                if cols:
+                    listed = [c.strip() for c in cols.split(",")]
+                    if len(listed) != len(sel.columns):
+                        raise ValueError(
+                            f"INSERT INTO {name}: column list has {len(listed)} "
+                            f"names, query returns {len(sel.columns)} columns"
+                        )
+                    by_name = dict(zip(listed, sel.columns))
+                    sel = sel.select(
+                        *[
+                            F.col(by_name[f.name]) if f.name in by_name else F.lit(None)
+                            for f in base.schema.fields
+                        ]
+                    )
+                state.bind(name, base.unionAll(_cast_positional(sel, base, name)))
+            elif m := _DELETE.match(stmt):
+                name, cond = m.group(1), m.group(2)
+                state.existing(name)  # must exist (loud failure)
+                if cond is None:
+                    state.bind(name, state.existing(name).limit(0))
+                else:
+                    # DELETE removes rows where cond IS TRUE; NULL-cond
+                    # rows are kept. Through spark.sql so IN/EXISTS
+                    # subqueries in the predicate resolve.
+                    state.bind(
+                        name,
+                        spark.sql(
+                            f"SELECT * FROM {name} WHERE NOT coalesce(({cond}), false)"
+                        ),
+                    )
+            elif m := _UPDATE.match(stmt):
+                name, sets, cond = m.group(1), m.group(2), m.group(3) or "true"
+                base = state.existing(name)
+                assigned = dict(_split_assignments(sets))
+                unknown = set(assigned) - set(base.columns)
+                if unknown:
+                    raise ValueError(f"UPDATE {name}: unknown columns {sorted(unknown)}")
+                proj = []
+                for f in base.schema.fields:
+                    if f.name in assigned:
+                        proj.append(
+                            f"CASE WHEN coalesce(({cond}), false) "
+                            f"THEN CAST(({assigned[f.name]}) AS {f.dataType.simpleString()}) "
+                            f"ELSE {f.name} END AS {f.name}"
+                        )
+                    else:
+                        proj.append(f.name)
+                state.bind(name, spark.sql(f"SELECT {', '.join(proj)} FROM {name}"))
+            elif m := _TRUNCATE.match(stmt):
+                state.bind(m.group(1), state.existing(m.group(1)).limit(0))
+            elif m := _DROP.match(stmt):
+                name = m.group(1)
+                spark.catalog.dropTempView(name)
+                state.tables.pop(name, None)
+                state.created_views.discard(name)
+            elif _QUERY.match(stmt):
+                result = spark.sql(stmt)
+            else:
+                raise ValueError(f"unsupported statement in script: {stmt[:80]!r}...")
+        return result
+    finally:
+        state.cleanup()

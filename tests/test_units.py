@@ -419,3 +419,85 @@ def test_rewrite_to_datetime_nested_and_literal_aware():
         t("SELECT TO_DATE(a, 'YYYY-MM-DD'), TO_DATE(b, 'DD MON YYYY') FROM x")
         == "SELECT to_date(a, 'yyyy-MM-dd'), to_date(b, 'dd MMM yyyy') FROM x"
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-statement script runner (functions.script_runner)
+# ---------------------------------------------------------------------------
+
+
+def test_script_split_and_comments():
+    from sql_redshift_etl_spark.functions.script_runner import split_statements, strip_comments
+
+    s = strip_comments("SELECT 1; -- trailing; with semicolon\n/* block;\nstill block */ SELECT 2")
+    assert "--" not in s and "block" not in s
+    # quote-aware: semicolons and comment markers inside literals survive
+    stmts = split_statements("SELECT 'a;b--c/*d' AS x; SELECT 2;")
+    assert stmts == ["SELECT 'a;b--c/*d' AS x", "SELECT 2"]
+
+
+def test_script_runner_ddl_insert_update_delete(spark):
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        BEGIN;
+        CREATE TEMP TABLE t (k BIGINT, v VARCHAR(8), amt DECIMAL(10,2)) DISTSTYLE ALL;
+        INSERT INTO t VALUES (1, 'a', 10.5), (2, 'b', 20.25), (3, NULL, 30.0);
+        INSERT INTO t (v, k) SELECT 'd', 4;            -- column-list insert: amt NULL
+        UPDATE t SET v = UPPER(v), amt = amt * 2 WHERE k <= 2;
+        DELETE FROM t WHERE v = 'b';                   -- NULL-cond rows kept
+        SELECT k, v, CAST(amt AS DOUBLE) AS amt FROM t ORDER BY k;
+        COMMIT;
+        """,
+    )
+    rows = [tuple(r) for r in out.collect()]
+    # k=2 deleted after UPPER('b')='B'... wait: v='B' <> 'b' post-update.
+    assert rows == [(1, "A", 21.0), (2, "B", 40.5), (3, None, 30.0), (4, "d", None)]
+    # script temp views are cleaned up afterward
+    assert not spark.catalog.tableExists("t")
+
+
+def test_script_runner_truncate_drop_and_shadowing(spark):
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    spark.range(5).toDF("n").createOrReplaceTempView("script_base")
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE snap AS SELECT n FROM script_base WHERE n >= 2;
+        TRUNCATE TABLE snap;
+        INSERT INTO snap SELECT 99;
+        DROP TABLE IF EXISTS unused_name;
+        SELECT COUNT(*) AS n_rows, MAX(n) AS max_n FROM snap;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, 99)]
+    spark.catalog.dropTempView("script_base")
+
+
+def test_script_runner_self_referencing_insert(spark):
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    # INSERT INTO t SELECT FROM t must append a SNAPSHOT (eager analysis),
+    # not recurse over the re-bound view.
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE t (n BIGINT);
+        INSERT INTO t VALUES (1), (2);
+        INSERT INTO t SELECT n + 10 FROM t;
+        SELECT COUNT(*) AS c, CAST(SUM(n) AS BIGINT) AS s FROM t;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(4, 26)]
+
+
+def test_script_runner_unsupported_statement_is_loud(spark):
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported statement"):
+        run_redshift_script(spark, "ALTER TABLE t ADD COLUMN x INT; SELECT 1;")

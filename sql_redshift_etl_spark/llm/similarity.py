@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from sql_redshift_etl_spark.catalog import load_table
 from sql_redshift_etl_spark.plans.registry import register
+from sql_redshift_etl_spark.sources.writers import unload_parquet
 
 DIM = 64
 N_PLANES = 8
@@ -216,6 +217,73 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = cand.where(hamming <= 2)
     scored = probed.select(
         "vec_id", "label", "bucket", _cosine(F.col("embedding"), F.col("qvec")).alias("cos_raw")
+    )
+    return (
+        scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "label", "bucket", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+def probe_buckets(qbucket: str, radius: int = 2) -> list[str]:
+    """All bucket ids within Hamming distance ``radius`` of the query's
+    bucket — the multi-probe set. For 8 planes / radius 2 that is
+    1 + 8 + 28 = 37 of 256 buckets."""
+    from itertools import combinations
+
+    out = [qbucket]
+    for r in range(1, radius + 1):
+        for pos in combinations(range(len(qbucket)), r):
+            b = list(qbucket)
+            for p in pos:
+                b[p] = "1" if b[p] == "0" else "0"
+            out.append("".join(b))
+    return out
+
+
+@register("sim_ann_lsh_pruned", tags=("L3", "S7"), oracle=_ann_lsh_oracle())
+def sim_ann_lsh_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ann_lsh's 100 TB story, demonstrated: the sign bucket as a
+    PARTITION COLUMN, with the Hamming≤2 probe set as a static partition
+    filter — the scan touches ≤37 of the 256 bucket directories and
+    never reads the rest (tests/test_plan_properties.py asserts
+    PartitionFilters fires and input_file_name() stays inside the probe
+    set). Same oracle as sim_ann_lsh: probe-set membership ⇔ Hamming≤2,
+    so the two variants are bit-identical by construction.
+
+    Stages: (1) one-time bucketed write (amortized over every future
+    query; re-done per call here so the fixture run is self-contained);
+    (2) a one-row lookup of the query's bucket — a query *parameter*,
+    constant work, not a driver-side data loop; (3) statically-pruned
+    scan of the 37 probe partitions + exact cosine re-rank against the
+    inlined query vector (64 literals — no join at all)."""
+    import os
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.withColumn("bucket", lsh_bucket_col())
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "_scratch",
+        "io",
+        tag,
+        "ann_bucketed",
+    )
+    unload_parquet(bucketed, path, partition_by=["bucket"])
+    qrow = (
+        bucketed.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket"))
+        .first()
+    )
+    # Explicit schema: partition-column type inference would read bucket
+    # "00000101" back as the integer 101 — it must stay a bit string.
+    stored = spark.read.schema(bucketed.schema).option("basePath", path).parquet(path)
+    cand = stored.where(
+        F.col("bucket").isin(probe_buckets(qrow["qbucket"])) & (F.col("vec_id") != QUERY_VEC_ID)
+    )
+    qvec = F.array(*[F.lit(float(x)) for x in qrow["qvec"]])
+    scored = cand.select(
+        "vec_id", "label", "bucket", _cosine(F.col("embedding"), qvec).alias("cos_raw")
     )
     return (
         scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id").asc())

@@ -78,11 +78,16 @@ def register(
 
 # Driver-verification priority. The round driver oracle-checks the FIRST
 # ~50 names in registration order, so ordering is evidence strategy, not
-# style: round 1 verified the original first 50 (CORRECTNESS_r01), round
-# 2 the next window (CORRECTNESS_r02), and round 3 front-loads the 38
-# queries no round had ever checked plus the embedding_quantize_int8
-# retry, flagship, and the bench headline set — so r1∪r2∪r3 covers every
-# registered query.
+# style: r1 verified the original first 50 (CORRECTNESS_r01), r2 the next
+# window, r3 the 38 never-checked queries — r1∪r2∪r3 checked 138/148 with
+# zero failures. The ROUND-4 window below front-loads (a) the 10 queries
+# registered after the r3 window froze (the 8 tpch2 shapes, the e2e
+# corpus pipeline, the misc front-end script), (b) the three queries new
+# in round 4 (the two multi-statement script-runner ETLs and the
+# partition-pruned ANN variant), then (c) the bench headline set and a
+# 27-query r1-era sample as regression insurance (r1 rows are three
+# rounds stale). Green r4 rows for block (a)+(b) => every registered
+# query has at least one driver CORRECTNESS row across r1..r4.
 # Maintenance rules (CI-enforced in tests/test_registry_hygiene.py):
 #  - every SQL-oracled query must appear in this list OR carry a
 #    "sibling-coverage:" note in its docstring naming the in-list query
@@ -94,9 +99,62 @@ def register(
 #    columns throw; serialize with array_join/to_json).
 # Names not listed keep their module registration order after these.
 _VERIFY_FIRST: list[str] = [
-    # --- round-3 window: the 38 never-driver-checked queries ---
-    # TPC-H shapes (SQL-oracled; q6 is a bench headline query)
+    # --- round-4 window block (a): never driver-checked (post-r3-freeze) ---
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q9_product_type_profit",
+    "q11_important_value_share",
+    "q12_late_shipment_priority",
+    "q16_supplier_variety",
+    "q20_volume_suppliers",
+    "q21_sole_late_supplier",
+    "etl_training_corpus_pipeline",
+    "redshift_sql_misc_functions",
+    "redshift_script_etl_mart",
+    "redshift_script_upsert_snapshot",
+    "sim_ann_lsh_pruned",
+    # --- block (b): bench headline set re-confirm (all r1-r3 green) ---
+    "flagship_pricing_summary",
     "q6_forecast_revenue",
+    "q3_shipping_priority",
+    "join_star_revenue",
+    "dedup_minhash_lsh",
+    "sim_knn_bruteforce",
+    "text_doc_stats_by_lang",
+    "window_topk_per_group",
+    "events_tumbling_daily",
+    "events_sessionize",
+    # --- block (c): r1-era regression sample (rows three rounds stale) ---
+    "agg_basic_supplier",
+    "count_distinct_multi",
+    "stats_moments",
+    "listagg_nations",
+    "percentiles_price",
+    "grouping_sets_mixed",
+    "rollup_region_nation",
+    "cube_flag_status",
+    "bool_aggregates",
+    "conditional_agg_filter",
+    "pivot_status",
+    "unpivot_part",
+    "join_inner_broadcast",
+    "join_full_outer",
+    "join_semi_exists",
+    "join_anti_not_exists",
+    "join_theta_range",
+    "join_asof_last_view",
+    "window_ranks",
+    "window_lag_lead",
+    "window_first_last",
+    "window_moving_agg",
+    "window_running_total",
+    "topk_global_revenue",
+    "events_funnel",
+    "ctas_staging_chain",
+    "events_sliding_window",
+    # --- 50-query driver boundary ---
+    # Everything below has a green CORRECTNESS row in r1, r2 or r3 and
+    # stays bit-checked locally in tests/test_oracle_parity.py.
     "q5_local_supplier_volume",
     "q7_volume_shipping",
     "q8_market_share",
@@ -108,44 +166,26 @@ _VERIFY_FIRST: list[str] = [
     "q18_large_volume_customer",
     "q19_bracketed_revenue",
     "q22_dormant_accounts",
-    # streaming family (batch-parity SQL oracles)
     "stream_tumbling_daily",
     "stream_stream_interval_join",
-    # window/subquery tail
     "subquery_scalar_uncorrelated",
     "window_range_frame",
     "window_ignore_nulls",
-    # text analysis tail
     "text_word_freq_topk",
     "text_tfidf_top_terms",
     "text_bigram_lm_score",
-    # sampling tail
     "sample_hash_fraction",
     "sample_domain_temperature",
     "sample_salted_hot_agg",
-    # multimodal / json / ETL / front-end tail
     "multimodal_frame_sample",
     "json_from_json_struct",
     "etl_star_mart_publish",
     "redshift_sql_ratio_to_report",
-    # curation / dedup tail
     "curation_shard_export",
     "dedup_survivor_corpus",
     "misc_scalar_functions",
-    # newly SQL-oracled this round (r3: rounded 6dp both sides)
     "udaf_weighted_mean",
-    # r2 red row — fixed (array serialized via array_join; retry)
     "embedding_quantize_int8",
-    # flagship re-confirm (judge request)
-    "flagship_pricing_summary",
-    # members of the never-checked 38 that were rows-only at window
-    # freeze; four gained SQL oracles later in r3 (stateful sessions:
-    # monotone-counter MAX; watermark: closed-form emitted set; ANN LSH:
-    # md5-derived planes inlined in the twin; IVF: label-cell assignment
-    # has no float boundary). multimodal_decode_features too (the
-    # deterministic fake decoder is SQL-replayable). Still rows-only by
-    # design: sim_ivf_kmeans (seeded MLlib), dedup_minhash_ml (JVM hash
-    # seeds), approx_count_distinct (HLL estimate)
     "stream_stateful_sessions",
     "stream_tumbling_watermark",
     "sim_ann_lsh",
@@ -153,35 +193,8 @@ _VERIFY_FIRST: list[str] = [
     "sim_ivf_kmeans",
     "dedup_minhash_ml",
     "multimodal_decode_features",
-    # --- spare slots: re-confirm the bench headline set (all r1/r2 green)
-    "dedup_minhash_lsh",
-    "sim_knn_bruteforce",
-    "text_doc_stats_by_lang",
-    "join_star_revenue",
-    "window_topk_per_group",
-    "events_tumbling_daily",
-    "events_sessionize",
-    "q3_shipping_priority",
     "dedup_exact_groups",
     "events_merge_upsert",
-    # --- 50-query driver boundary ---
-    # New in round 3 AFTER the window froze (operators/tpch2.py —
-    # completes the classic 22 TPC-H shapes): front-of-line candidates
-    # for the ROUND-4 window. Bit-checked locally (driver_sim +
-    # tests/test_oracle_parity.py) until then.
-    "etl_training_corpus_pipeline",
-    "redshift_sql_misc_functions",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q9_product_type_profit",
-    "q11_important_value_share",
-    "q12_late_shipment_priority",
-    "q16_supplier_variety",
-    "q20_volume_suppliers",
-    "q21_sole_late_supplier",
-    # Everything below has a green r1 or r2 CORRECTNESS row (union of
-    # CORRECTNESS_r01.json + CORRECTNESS_r02.json) and stays bit-checked
-    # locally in tests/test_oracle_parity.py.
     "dedup_keep_canonical",
     "dedup_simhash_codes",
     "dedup_ngram_jaccard",
@@ -226,7 +239,6 @@ _VERIFY_FIRST: list[str] = [
     "curation_pack_sequences",
     "curation_domain_cap",
     "curation_pii_redaction",
-    # r1-green (CORRECTNESS_r01.json)
     "scan_project_expr",
     "filter_predicates",
     "case_when_decode",
@@ -237,38 +249,11 @@ _VERIFY_FIRST: list[str] = [
     "intersect_nations",
     "except_nations",
     "orderby_limit_offset",
-    "topk_global_revenue",
-    "ctas_staging_chain",
-    "join_inner_broadcast",
     "join_left_outer",
     "join_right_outer",
-    "join_full_outer",
-    "join_semi_exists",
-    "join_anti_not_exists",
     "join_cross",
-    "join_theta_range",
-    "join_asof_last_view",
-    "agg_basic_supplier",
-    "count_distinct_multi",
-    "stats_moments",
-    "listagg_nations",
-    "percentiles_price",
-    "rollup_region_nation",
-    "cube_flag_status",
-    "grouping_sets_mixed",
-    "bool_aggregates",
-    "conditional_agg_filter",
-    "pivot_status",
-    "unpivot_part",
-    "window_ranks",
-    "window_lag_lead",
-    "window_first_last",
-    "window_moving_agg",
-    "window_running_total",
     "events_tumbling_hourly_window",
-    "events_sliding_window",
     "events_session_window_native",
-    "events_funnel",
     "events_incremental_load",
 ]
 

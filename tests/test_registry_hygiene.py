@@ -39,37 +39,43 @@ def test_verify_first_has_no_duplicates():
     assert len(vf) == len(set(vf)), "duplicate names in _VERIFY_FIRST"
 
 
-# The 38 queries with no CORRECTNESS row in either r1 or r2, FROZEN at
-# the moment the round-3 window was planned — queries registered after
-# that (e.g. operators/tpch2.py) queue for the round-4 window instead and
-# must NOT displace these.
-R3_NEVER_VERIFIED = frozenset(
+# The 13 queries with no CORRECTNESS row in r1∪r2∪r3, FROZEN at the
+# moment the round-4 window was planned: the 10 post-r3-freeze
+# registrations (8 tpch2 shapes + e2e corpus pipeline + misc front-end
+# script) plus the three queries new in round 4 (two script-runner ETLs,
+# partition-pruned ANN). Queries registered after THIS freeze queue for
+# the round-5 window instead and must NOT displace these.
+R4_NEVER_VERIFIED = frozenset(
     {
-        "q6_forecast_revenue", "q5_local_supplier_volume", "q7_volume_shipping",
-        "q8_market_share", "q10_returned_items", "q13_order_count_distribution",
-        "q14_promo_revenue_ratio", "q15_top_supplier", "q17_small_quantity_revenue",
-        "q18_large_volume_customer", "q19_bracketed_revenue", "q22_dormant_accounts",
-        "stream_tumbling_daily", "stream_stream_interval_join",
-        "subquery_scalar_uncorrelated", "window_range_frame", "window_ignore_nulls",
-        "text_word_freq_topk", "text_tfidf_top_terms", "text_bigram_lm_score",
-        "sample_hash_fraction", "sample_domain_temperature", "sample_salted_hot_agg",
-        "multimodal_frame_sample", "json_from_json_struct", "etl_star_mart_publish",
-        "redshift_sql_ratio_to_report", "curation_shard_export",
-        "dedup_survivor_corpus", "misc_scalar_functions", "udaf_weighted_mean",
-        "stream_stateful_sessions", "stream_tumbling_watermark", "sim_ann_lsh",
-        "sim_ivf_search", "sim_ivf_kmeans", "dedup_minhash_ml",
-        "multimodal_decode_features",
+        "q2_min_cost_supplier", "q4_order_priority", "q9_product_type_profit",
+        "q11_important_value_share", "q12_late_shipment_priority",
+        "q16_supplier_variety", "q20_volume_suppliers", "q21_sole_late_supplier",
+        "etl_training_corpus_pipeline", "redshift_sql_misc_functions",
+        "redshift_script_etl_mart", "redshift_script_upsert_snapshot",
+        "sim_ann_lsh_pruned",
+    }
+)
+
+# Bench headline set: re-confirmed every round (the driver's BENCH_r{N}
+# numbers should always ride on driver-green queries).
+BENCH_HEADLINE = frozenset(
+    {
+        "flagship_pricing_summary", "q6_forecast_revenue", "q3_shipping_priority",
+        "join_star_revenue", "dedup_minhash_lsh", "sim_knn_bruteforce",
+        "text_doc_stats_by_lang", "window_topk_per_group", "events_tumbling_daily",
+        "events_sessionize",
     }
 )
 
 
 def test_driver_window_contains_all_never_verified_queries():
-    # Round-3 evidence strategy: the first 50 names the driver checks
-    # must include every query frozen into R3_NEVER_VERIFIED plus the
-    # embedding_quantize_int8 retry and the flagship re-confirm.
+    # Round-4 evidence strategy: the first 50 names the driver checks
+    # must include every query frozen into R4_NEVER_VERIFIED (green rows
+    # for those = 151/151 registry coverage across r1..r4) plus the
+    # bench headline set.
     window = set(list(all_queries())[:50])
-    missing = sorted((R3_NEVER_VERIFIED | {"embedding_quantize_int8", "flagship_pricing_summary"}) - window)
-    assert not missing, f"planned round-3 window members displaced: {missing}"
+    missing = sorted((R4_NEVER_VERIFIED | BENCH_HEADLINE) - window)
+    assert not missing, f"planned round-4 window members displaced: {missing}"
 
 
 def test_oracled_queries_return_scalar_columns_only():

@@ -89,7 +89,21 @@ def main() -> None:
     else:
         timings, cold = raw_steady, raw_cold
 
+    # Same-run DuckDB denominator (VERDICT r3): the 2× bar is a ratio vs
+    # DuckDB on the SAME layout measured in the SAME run — emit it in the
+    # JSON so the headline ratio is self-contained and audit-proof.
+    # Spark is idle while DuckDB runs (sequential, same process), so the
+    # two timings don't contend.
+    duck_queries: dict[str, float] = {}
+    try:
+        from tools.duckdb_baseline import measure_queries
+
+        duck_queries = measure_queries(staged_dir if staged_dir is not None else sf_dir)
+    except Exception as exc:
+        print(f"duckdb baseline skipped: {exc}", file=sys.stderr)
+
     total = round(sum(timings.values()), 4)
+    duck_total = round(sum(duck_queries.values()), 4)
     print(
         json.dumps(
             {
@@ -103,6 +117,9 @@ def main() -> None:
                 "stage_secs": stage_secs,
                 "raw_layout_queries": raw_steady,
                 "raw_layout_total": round(sum(raw_steady.values()), 4),
+                "duck_queries": duck_queries,
+                "duck_total": duck_total,
+                "ratio_vs_duckdb": round(total / duck_total, 2) if duck_total else None,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

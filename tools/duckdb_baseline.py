@@ -23,7 +23,11 @@ from sql_redshift_etl_spark.oracle import register_duckdb_views  # noqa: E402
 from sql_redshift_etl_spark.plans.registry import all_queries  # noqa: E402
 
 
-def measure(sf_dir: str) -> None:
+def measure_queries(sf_dir: str, steady_runs: int = 5) -> dict[str, float]:
+    """Best-of-n warm DuckDB timing per bench-tagged oracle — the same
+    estimator bench.py uses for Spark, so the ratio is apples-to-apples.
+    Also imported by bench.py so BENCH_r{N}.json carries its own
+    same-run denominator (VERDICT r3 "what's wrong" #2)."""
     con = duckdb.connect()
     register_duckdb_views(con, sf_dir)
     timings: dict[str, float] = {}
@@ -32,12 +36,17 @@ def measure(sf_dir: str) -> None:
             continue
         con.execute(q.oracle).fetchall()  # warm file cache
         best = float("inf")
-        for _ in range(5):  # best-of-5 steady — same estimator as bench.py
+        for _ in range(steady_runs):  # best-of-5 steady — same estimator as bench.py
             t0 = time.perf_counter()
             con.execute(q.oracle).fetchall()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
     con.close()
+    return timings
+
+
+def measure(sf_dir: str) -> None:
+    timings = measure_queries(sf_dir)
     print(json.dumps({"engine": "duckdb", "sf_dir": sf_dir, "queries": timings, "total": round(sum(timings.values()), 4)}))
 
 

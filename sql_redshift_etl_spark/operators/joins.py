@@ -258,6 +258,16 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast build side. AQE reorders/coalesces at runtime; with CBO
     stats Catalyst would also reorder the dim chain — at fixture scale the
     written order is already smallest-first.
+
+    100 TB layout (ADOPTED, measured r4 — tools/star_join_ab.py,
+    BASELINE.md): store lineitem+orders DISTKEY-bucketed AND sorted on
+    the order key (write_bucketed_table). The co-located SortMergeJoin
+    then skips the fact shuffle entirely: at sf10 this measured 1.67×
+    (3.57→2.14 s, shuffle exchanges 6→2, results bit-identical), and the
+    one-time bucketing cost amortizes at ingest. This builder keeps the
+    portable raw-fixture plan because the driver benches raw fixtures;
+    eager pre-join aggregation was measured-and-REJECTED (2× slower at
+    sf10, BASELINE.md r3 item 4).
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").where(

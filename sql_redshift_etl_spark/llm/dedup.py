@@ -239,20 +239,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs_df(load_table(spark, sf_dir, "documents"))
 
 
-def minhash_lsh_pairs_df(d: DataFrame) -> DataFrame:
-    """The LSH pipeline over an arbitrary documents frame (doc_id, text)
-    — the Spark twin of ``minhash_pairs_oracle``; reused by the
-    end-to-end corpus pipeline on its quality-filtered subset."""
-    # Perf notes (all measured at sf0.1, staged layout): the r1 shape
-    # exploded shingles and aggregated MIN/collect_set per doc_id — a
-    # 600k-row shuffle; this shape signs row-locally and shuffles ONE
-    # compact row per doc. The explicit repartition is load-bearing: it
-    # is the materialization point the four downstream consumers (band
-    # self-join sides, verify set lookups) reuse — without it Catalyst
-    # inlines the md5 transforms into every consumer (measured 5.8 s at
-    # sf0.01 vs 0.3 s with the exchange). Also measured: the md5 wrap
-    # around band values added nothing (equality on m_i pairs is equality
-    # either way — plain concat keys now).
+def _minhash_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, sh_set, n_sh, m0..m7): row-local signing, no shuffle.
+
+    Perf notes (all measured at sf0.1, staged layout): the r1 shape
+    exploded shingles and aggregated MIN/collect_set per doc_id — a
+    600k-row shuffle; this shape signs row-locally and shuffles ONE
+    compact row per doc. The explicit repartition is load-bearing: it
+    is the materialization point the four downstream consumers (band
+    self-join sides, verify set lookups) reuse — without it Catalyst
+    inlines the md5 transforms into every consumer (measured 5.8 s at
+    sf0.01 vs 0.3 s with the exchange). Also measured: the md5 wrap
+    around band values added nothing (equality on m_i pairs is equality
+    either way — plain concat keys now)."""
     shingles = F.array_distinct(F.expr(_SPARK_SHINGLES))
     base = (
         d.select("doc_id", F.split("text", " ").alias("w"))
@@ -275,7 +274,7 @@ def minhash_lsh_pairs_df(d: DataFrame) -> DataFrame:
     with_digests = base.select(
         "doc_id", "sh_set", *[_md5_arr(seed).alias(f"dig{seed}") for seed in range(n_digests)]
     )
-    sig = with_digests.select(
+    return with_digests.select(
         "doc_id",
         "sh_set",
         F.size("sh_set").alias("n_sh"),
@@ -284,10 +283,51 @@ def minhash_lsh_pairs_df(d: DataFrame) -> DataFrame:
             for s in range(N_MINHASH)
         ],
     ).repartition(F.col("doc_id"))
+
+
+def lsh_band_buckets(d: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_val) — the LSH band relation on its own,
+    for bucket-size audits (tools/lsh_band_audit.py) and the hot-band
+    cap measurements in docs/SCALE.md."""
+    sig = _minhash_signatures(d)
+    band_vals = F.array(
+        *[F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")) for b in range(N_BANDS)]
+    )
+    return sig.select("doc_id", F.posexplode(band_vals).alias("band_idx", "band_val"))
+
+
+def minhash_lsh_pairs_df(d: DataFrame, band_cap: int | None = None) -> DataFrame:
+    """The LSH pipeline over an arbitrary documents frame (doc_id, text)
+    — the Spark twin of ``minhash_pairs_oracle``; reused by the
+    end-to-end corpus pipeline on its quality-filtered subset.
+
+    ``band_cap``: hot-band guard for boilerplate-heavy corpora (off by
+    default — the registered queries are oracle-matched without it, and
+    the fixture corpus measures nowhere near the hazard; see
+    docs/SCALE.md "LSH hot bands" for the measured distribution and the
+    100 TB policy). When set, band buckets holding > band_cap docs are
+    EXCLUDED from candidate generation before the self-join — the
+    literal ``WHERE n <= cap`` — bounding the join's worst bucket at
+    cap² candidate pairs. Rationale: a bucket that large means
+    mass-duplicated boilerplate, which (a) exact dedup upstream already
+    collapses byte-identical copies of, and (b) still reaches the
+    near-dup verifier through its OTHER 3 bands unless those are
+    equally hot — the recall loss is confined to pairs whose every
+    other band misses, P = (1-J²)³ per excluded band."""
+    sig = _minhash_signatures(d)
     band_vals = F.array(
         *[F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")) for b in range(N_BANDS)]
     )
     bands = sig.select("doc_id", F.posexplode(band_vals).alias("band_idx", "band_val"))
+    if band_cap is not None:
+        # The hot-band guard: count bucket occupancy (a tiny aggregate on
+        # the already-compact band relation) and keep only buckets at or
+        # under the cap — the self-join below then has a cap² worst case
+        # per bucket instead of an unbounded quadratic blowup.
+        sizes = bands.groupBy("band_idx", "band_val").agg(F.count(F.lit(1)).alias("n"))
+        bands = bands.join(
+            sizes.where(F.col("n") <= band_cap).drop("n"), ["band_idx", "band_val"]
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

@@ -149,3 +149,34 @@ def test_datediff_grid_parity_all_units(spark, duck):
         k: (got[k], want[k]) for k in want if got[k] != want[k]
     }
     assert not mismatches, f"{len(mismatches)} boundary mismatches, e.g. {list(mismatches.items())[:3]}"
+
+
+def test_lsh_band_cap_guards_hot_buckets(spark):
+    """The hot-band guard (docs/SCALE.md): a mass-duplicated boilerplate
+    block floods its band buckets; with band_cap set those buckets are
+    excluded from candidate generation, while pairs living in small
+    buckets are untouched."""
+    from pyspark.sql import functions as F
+
+    from sql_redshift_etl_spark.llm.dedup import minhash_lsh_pairs_df
+
+    boiler = "the standard license header text block " * 3
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    rows = [(i, boiler) for i in range(60)]
+    rows += [(100, near_a), (101, near_b)]
+    rows += [(200 + i, f"totally unrelated document number {i} with words w{i} x{i} y{i} z{i}") for i in range(5)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = minhash_lsh_pairs_df(d)
+    capped = minhash_lsh_pairs_df(d, band_cap=50)
+
+    unc = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
+    cap = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+
+    # uncapped: the 60 identical docs alone contribute C(60,2) pairs
+    assert len([p for p in unc if p[0] < 60 and p[1] < 60]) == 60 * 59 // 2
+    # capped: every boilerplate bucket (size 60 > 50) is excluded...
+    assert not [p for p in cap if p[0] < 60 and p[1] < 60]
+    # ...while the planted near-dup pair in small buckets survives
+    assert (100, 101) in unc and (100, 101) in cap

@@ -6,6 +6,7 @@ verified against DuckDB.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sql_redshift_etl_spark.catalog import load_table
 from sql_redshift_etl_spark.functions.redshift_sql import run_redshift_sql
@@ -431,3 +432,90 @@ def redshift_script_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFra
     out = run_redshift_script(spark, _SCRIPT_UPSERT_SNAPSHOT.format(events="rs_sc_events"))
     assert out is not None
     return out
+
+
+_SCRIPT_COPY_UNLOAD = """
+    BEGIN;
+
+    CREATE TEMP TABLE stg_docs (
+        doc_id BIGINT,
+        text VARCHAR(65535),
+        lang VARCHAR(8),
+        source VARCHAR(32),
+        n_chars BIGINT
+    );
+
+    COPY stg_docs FROM '{csv_path}'
+    IAM_ROLE 'arn:aws:iam::000000000000:role/etl-loader'
+    FORMAT AS CSV
+    IGNOREHEADER 1;
+
+    CREATE TEMP TABLE lang_rollup AS
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM stg_docs
+    GROUP BY 1, 2;
+
+    UNLOAD ('SELECT lang, source, n_docs, total_chars FROM lang_rollup')
+    TO '{out_path}'
+    FORMAT AS PARQUET
+    PARTITION BY (lang)
+    ALLOWOVERWRITE;
+
+    SELECT COUNT(*) AS n_grains FROM lang_rollup;
+
+    COMMIT;
+"""
+
+
+@register(
+    "redshift_script_copy_unload",
+    tags=("S2", "S4", "S7", "A1"),
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_sources,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(total_chars) AS BIGINT) AS total_chars
+        FROM (
+            SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+            FROM documents
+            GROUP BY 1, 2
+        )
+        GROUP BY lang
+    """,
+)
+def redshift_script_copy_unload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Redshift ingest-export lifecycle as ONE verbatim script
+    (S2+S4+S7): DDL declares the staging table, COPY bulk-loads CSV into
+    it (schema from the DDL, IGNOREHEADER, auth clause ignored), a CTAS
+    aggregates, and UNLOAD exports the rollup as lang-partitioned
+    parquet. The builder then re-ingests the UNLOADed prefix via
+    partition discovery and aggregates it — so a hash-match against the
+    direct-on-documents oracle proves BOTH hops lossless (CSV→table and
+    table→partitioned parquet).
+
+    Scale: COPY reads with the declared schema (no inference pass);
+    the UNLOAD partitions by the rollup grain so downstream readers get
+    static pruning on lang; every staging step stays a lazy view.
+    """
+    import os
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+    from sql_redshift_etl_spark.sources.queries import _io_dir
+    from sql_redshift_etl_spark.sources.readers import read_partitioned
+    from sql_redshift_etl_spark.sources.writers import unload_csv
+
+    csv_path = _io_dir(sf_dir, "script_docs_csv")
+    out_path = _io_dir(sf_dir, "script_rollup_parquet")
+    unload_csv(load_table(spark, sf_dir, "documents"), csv_path)
+    out = run_redshift_script(
+        spark, _SCRIPT_COPY_UNLOAD.format(csv_path=csv_path, out_path=out_path)
+    )
+    assert out is not None and out.first()["n_grains"] > 0
+    back = read_partitioned(spark, out_path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_chars").alias("total_chars"),
+    )

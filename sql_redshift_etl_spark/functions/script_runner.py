@@ -27,6 +27,19 @@ Statement support:
 - ``UPDATE name SET c = e, ... [WHERE cond]`` — CASE-projection per
   assigned column, cast back to the column's declared type.
 - ``TRUNCATE [TABLE] name`` / ``DROP TABLE|VIEW [IF EXISTS] name``.
+- ``COPY name FROM 'path' [FORMAT AS CSV|JSON|PARQUET] [IGNOREHEADER n]
+  [DELIMITER 'c'] [IAM_ROLE ...]`` — bulk load appended to an existing
+  table (the Redshift contract: COPY targets a created table, whose
+  declared schema becomes the read schema — never inferSchema). Bare
+  COPY (no format) is Redshift's pipe-delimited text. Auth clauses are
+  accepted and ignored (credentials belong to the filesystem conf);
+  unknown options raise.
+- ``UNLOAD ('select...') TO 'path' [FORMAT AS PARQUET|CSV] [PARTITION
+  BY (...)] [HEADER] [ALLOWOVERWRITE] [PARALLEL OFF]`` — the inner
+  query (quote-unescaped, dialect-rewritten) written to files;
+  PARALLEL OFF coalesces to one file, ALLOWOVERWRITE maps to
+  mode=overwrite (without it an existing prefix errors, as in
+  Redshift).
 - ``SELECT ... / WITH ...`` — executed; the LAST one is the script's
   result DataFrame.
 
@@ -137,6 +150,60 @@ _DROP = re.compile(
     r"^DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE
 )
 _QUERY = re.compile(r"^(SELECT|WITH|VALUES)\b", re.IGNORECASE)
+_COPY = re.compile(r"^COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(.*)$", re.IGNORECASE | re.DOTALL)
+_UNLOAD = re.compile(
+    r"^UNLOAD\s*\(\s*'(.+)'\s*\)\s*TO\s+'([^']+)'\s*(.*)$", re.IGNORECASE | re.DOTALL
+)
+
+# COPY/UNLOAD option clauses. Auth/transport clauses (IAM_ROLE,
+# CREDENTIALS, REGION, ENCRYPTED) are accepted and ignored — they select
+# S3 credentials, which Spark's filesystem layer owns (hadoop-aws conf),
+# not the statement. Everything unrecognized raises: a silently dropped
+# COMPUPDATE or MAXERROR would change semantics without a trace.
+_OPT_TOKEN = re.compile(
+    r"""
+    FORMAT\s+AS\s+(?P<fmt2>CSV|JSON|PARQUET)
+    | (?P<fmt>CSV|JSON|PARQUET)\b
+    | IGNOREHEADER\s+(?:AS\s+)?(?P<skip>\d+)
+    | DELIMITER\s+(?:AS\s+)?'(?P<delim>[^']*)'
+    | PARTITION\s+BY\s*\((?P<part>[^)]*)\)
+    | (?P<header>HEADER)\b
+    | (?P<overwrite>ALLOWOVERWRITE)\b
+    | PARALLEL\s+(?P<parallel>ON|OFF|TRUE|FALSE)
+    | (?:IAM_ROLE|CREDENTIALS|REGION|ACCESS_KEY_ID|SECRET_ACCESS_KEY|SESSION_TOKEN)\s+'[^']*'
+    | 'auto'
+    | \s+
+    """,
+    re.IGNORECASE | re.VERBOSE,
+)
+
+
+def _parse_io_options(clause: str, stmt_kind: str) -> dict:
+    opts: dict = {"format": None, "header": False, "skip": 0, "delimiter": None,
+                  "partition_by": [], "overwrite": False, "parallel": True}
+    pos = 0
+    while pos < len(clause):
+        m = _OPT_TOKEN.match(clause, pos)
+        if m is None or m.end() == pos:
+            raise ValueError(
+                f"unsupported {stmt_kind} option near: {clause[pos:pos + 40]!r}"
+            )
+        if fmt := (m.group("fmt2") or m.group("fmt")):
+            opts["format"] = fmt.upper()
+        if m.group("skip"):
+            opts["skip"] = int(m.group("skip"))
+        if m.group("delim"):
+            opts["delimiter"] = m.group("delim")
+        if m.group("part"):
+            opts["partition_by"] = [c.strip() for c in m.group("part").split(",") if c.strip()]
+        if m.group("header"):
+            opts["header"] = True
+        if m.group("overwrite"):
+            opts["overwrite"] = True
+        if m.group("parallel"):
+            opts["parallel"] = m.group("parallel").upper() in ("ON", "TRUE")
+        pos = m.end()
+    return opts
 
 
 def _split_assignments(body: str) -> list[tuple[str, str]]:
@@ -220,6 +287,52 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
     result: DataFrame | None = None
     try:
         for raw in split_statements(script):
+            raw = raw.strip()
+            # COPY/UNLOAD carry path literals and option clauses the SQL
+            # rewriter must not touch — matched on the RAW statement;
+            # only UNLOAD's inner query goes through the front-end.
+            if m := _COPY.match(raw):
+                name, path, clause = m.group(1), m.group(2), m.group(3)
+                opts = _parse_io_options(clause, "COPY")
+                base = state.existing(name)
+                fmt = opts["format"] or "TEXT"  # bare COPY = pipe-delimited text
+                if fmt == "JSON":
+                    from sql_redshift_etl_spark.sources.readers import read_json_lines
+
+                    loaded = read_json_lines(spark, path, base.schema)
+                elif fmt == "PARQUET":
+                    loaded = spark.read.schema(base.schema).parquet(path)
+                else:
+                    from sql_redshift_etl_spark.sources.readers import read_csv
+
+                    loaded = read_csv(
+                        spark,
+                        path,
+                        base.schema,
+                        header=opts["skip"] > 0,
+                        delimiter=opts["delimiter"] or ("," if fmt == "CSV" else "|"),
+                    )
+                state.bind(name, base.unionAll(_cast_positional(loaded, base, name)))
+                continue
+            if m := _UNLOAD.match(raw):
+                inner, path, clause = m.group(1), m.group(2), m.group(3)
+                opts = _parse_io_options(clause, "UNLOAD")
+                df = spark.sql(translate_redshift_sql(inner.replace("''", "'")).strip())
+                if not opts["parallel"]:
+                    df = df.coalesce(1)  # PARALLEL OFF = single output file
+                writer = df.write.mode("overwrite" if opts["overwrite"] else "errorifexists")
+                if opts["partition_by"]:
+                    writer = writer.partitionBy(*opts["partition_by"])
+                fmt = opts["format"] or "TEXT"
+                if fmt == "PARQUET":
+                    writer.parquet(path)
+                elif fmt == "JSON":
+                    writer.json(path)
+                else:
+                    writer.option("header", opts["header"]).option(
+                        "delimiter", opts["delimiter"] or ("," if fmt == "CSV" else "|")
+                    ).csv(path)
+                continue
             stmt = translate_redshift_sql(raw).strip()
             if _NOOP.match(stmt):
                 continue

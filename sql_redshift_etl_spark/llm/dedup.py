@@ -492,9 +492,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (L2/L3): all-pairs cosine ≥ 0.4.
 
     Brute-force O(n²) is the *correctness baseline* — sane for the
-    fixture sizes and as a verification oracle. The 100 TB path is the
-    LSH-bucketed variant in llm.similarity (sim_ann_lsh): same scoring
-    expression, candidate generation replaced by hyperplane buckets.
+    fixture sizes and as a verification oracle. The 100 TB path is
+    dedup_embedding_ann below: same scoring expression, candidate
+    generation replaced by banded hyperplane sign-LSH.
     Cosine is computed JVM-side with higher-order functions — no UDF.
     """
     e = load_table(spark, sf_dir, "embeddings")
@@ -515,6 +515,131 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos_raw") >= 0.4)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+# Banded sign-LSH for embedding near-dup: 8 bands × 8 planes = 64
+# deterministic md5-derived hyperplanes (llm.similarity.hyperplanes —
+# the first 8 are the same planes sim_ann_lsh buckets by).
+ANN_DEDUP_BANDS = 8
+ANN_DEDUP_BAND_BITS = 8
+ANN_DEDUP_TAU = 0.4
+
+
+def _pair_cosine() -> F.Column:
+    def dot(u: str, v: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(F.col(u), F.col(v), lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return dot("ea", "eb") / (F.sqrt(dot("ea", "ea")) * F.sqrt(dot("eb", "eb")))
+
+
+def embedding_ann_pairs_df(e: DataFrame, band_cap: int | None = None) -> DataFrame:
+    """Banded sign-LSH near-dup pairs over an embeddings frame
+    (vec_id, embedding) — dedup_embedding_cosine's 100 TB candidate
+    generator. Same staging as minhash_lsh_pairs_df: row-local signature
+    (64 sign bits, zero shuffle), band explode on the COMPACT (vec_id,
+    band, 8-bit band-sig) relation only (vectors never fan out), band
+    self-join bounded by bucket occupancy, then the exact-cosine verify
+    joins the vectors back for CANDIDATES ONLY. ``band_cap`` is the same
+    hot-bucket guard (docs/SCALE.md "LSH hot bands")."""
+    from sql_redshift_etl_spark.llm.similarity import sign_signature_col
+
+    nb, bw = ANN_DEDUP_BANDS, ANN_DEDUP_BAND_BITS
+    sig = e.select("vec_id", sign_signature_col(nb * bw).alias("sig"))
+    band_vals = F.array(*[F.substring("sig", b * bw + 1, bw) for b in range(nb)])
+    bands = sig.select("vec_id", F.posexplode(band_vals).alias("band_idx", "band_val"))
+    if band_cap is not None:
+        sizes = bands.groupBy("band_idx", "band_val").agg(F.count(F.lit(1)).alias("n"))
+        bands = bands.join(
+            sizes.where(F.col("n") <= band_cap).drop("n"), ["band_idx", "band_val"]
+        )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", _pair_cosine().alias("cos_raw"))
+        .where(F.col("cos_raw") >= ANN_DEDUP_TAU)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+def _embedding_ann_oracle() -> str:
+    """DuckDB twin of the banded sign-LSH pipeline — possible because the
+    64 planes are md5-derived (inlined as literals), so candidate
+    membership and the cosine verify are deterministic cross-engine."""
+    from sql_redshift_etl_spark.llm.similarity import hyperplanes
+
+    nb, bw = ANN_DEDUP_BANDS, ANN_DEDUP_BAND_BITS
+    plane_bits = []
+    for row in hyperplanes(nb * bw):
+        lits = ", ".join(f"{x:.1f}" for x in row)
+        plane_bits.append(
+            "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"CAST([{lits}] AS DOUBLE[])) >= 0 THEN '1' ELSE '0' END)"
+        )
+    sig_expr = " || ".join(plane_bits)
+    band_sel = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, substr(sig, {b * bw + 1}, {bw}) AS bsig FROM s"
+        for b in range(nb)
+    )
+    cos = (
+        "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+    )
+    return f"""
+        WITH s AS MATERIALIZED (SELECT vec_id, {sig_expr} AS sig FROM embeddings),
+        bands AS ({band_sel}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id
+        )
+        SELECT c.vec_a, c.vec_b, ROUND({cos}, 6) AS cosine
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.vec_a
+        JOIN embeddings b ON b.vec_id = c.vec_b
+        WHERE {cos} >= {ANN_DEDUP_TAU}
+    """
+
+
+@register("dedup_embedding_ann", tags=("L2", "L3"), oracle=_embedding_ann_oracle())
+def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via banded sign-LSH (L2/L3) — the SCALE
+    path that replaces dedup_embedding_cosine's O(n²) all-pairs join.
+
+    Candidate generation is MinHash-LSH's banding construction applied
+    to hyperplane sign bits: 64 deterministic planes → 8 bands of 8 bits;
+    two vectors are candidates iff some band's 8 bits all agree, then
+    exact cosine ≥ 0.4 verifies candidates only. Cost is
+    O(Σ bucket²·bands) not O(n²): at the fixture's near-uniform sf0.01
+    vectors the candidate set measures 4,537 of 124,750 pairs (3.6%).
+    Recall is the banding curve 1-(1-p^8)^8 with p = 1-θ/π: ≈0.17 at the
+    fixture's adversarial τ=0.4 (θ≈66°, pytest-asserted vs brute force)
+    but ≈0.94 at a production near-dup threshold of 0.9 (θ≈26°) — LSH is
+    built for the high-similarity regime dedup actually targets.
+    Deterministic planes ⇒ full value oracle (approximate ≠
+    nondeterministic). Hot-bucket guard available via
+    ``embedding_ann_pairs_df(band_cap=...)`` (docs/SCALE.md).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_ann_pairs_df(e)
 
 
 _CLUSTER_ROUNDS = 3

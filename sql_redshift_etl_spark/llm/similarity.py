@@ -118,15 +118,75 @@ def sim_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hyperplanes() -> list[list[float]]:
+BATCH_QUERY_IDS = (0, 1, 2, 3, 4, 5, 6, 7)
+_BATCH_IDS_SQL = ", ".join(str(i) for i in BATCH_QUERY_IDS)
+
+
+@register(
+    "sim_knn_batch",
+    tags=("L3", "L7"),
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS q_id, embedding AS qvec
+            FROM embeddings WHERE vec_id IN ({_BATCH_IDS_SQL})
+        ),
+        scored AS (
+            SELECT q.q_id, e.vec_id, e.label, {_DUCK_COSINE} AS cos_raw
+            FROM embeddings e JOIN q ON e.vec_id != q.q_id
+        )
+        SELECT q_id, vec_id, label, ROUND(cos_raw, 6) AS cosine, rn
+        FROM (
+            SELECT q_id, vec_id, label, cos_raw,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rn
+            FROM scored
+        )
+        WHERE rn <= 3
+    """,
+)
+def sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval (L3/L7): top-k neighbors for a SET of query
+    vectors in one pass — the realistic serving/labeling shape (score a
+    query batch against the corpus), vs sim_knn_bruteforce's single
+    query.
+
+    Scale: the query batch is broadcast (Q rows ≪ corpus); scoring is
+    one map-side pass producing Q rows per corpus vector; the per-query
+    top-k goes through a rank window on q_id where WindowGroupLimit
+    pushes k into the map side — only k·partitions rows per query reach
+    the shuffle, never the full Q×n score matrix. At 100 TB with a big
+    query batch the same shape becomes a bucket-join (ANN buckets on
+    both sides, sim_ann_lsh's layout) — the scoring and top-k stages are
+    unchanged.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id").isin(*BATCH_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id", "vec_id", "label", _cosine(F.col("embedding"), F.col("qvec")).alias("cos_raw")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        scored.select(
+            "q_id", "vec_id", "label", "cos_raw", F.row_number().over(w).cast("long").alias("rn")
+        )
+        .where(F.col("rn") <= 3)
+        .select("q_id", "vec_id", "label", F.round("cos_raw", 6).alias("cosine"), "rn")
+    )
+
+
+def hyperplanes(n_planes: int = N_PLANES) -> list[list[float]]:
     """Deterministic ±1 hyperplanes: sign j,i = high bit of md5(f"{j}:{i}").
 
     Python hashlib and SQL md5 agree, so the same planes are
     reconstructible in any engine — reproducibility across reruns and
-    systems, which data-pipeline dedup/ANN requires.
+    systems, which data-pipeline dedup/ANN requires. The first 8 planes
+    are shared by every consumer (the j index is the only input), so
+    wider signatures (dedup_embedding_ann's 64) extend, not replace, the
+    8-bit ANN bucket.
     """
     planes = []
-    for j in range(N_PLANES):
+    for j in range(n_planes):
         row = []
         for i in range(DIM):
             h = hashlib.md5(f"{j}:{i}".encode()).hexdigest()
@@ -135,14 +195,20 @@ def hyperplanes() -> list[list[float]]:
     return planes
 
 
-def lsh_bucket_col(vec_col: str = "embedding") -> F.Column:
-    """8-bit sign-signature bucket id for a vector column (map-side)."""
+def sign_signature_col(n_planes: int = N_PLANES, vec_col: str = "embedding") -> F.Column:
+    """n-bit sign-signature bit string for a vector column (map-side,
+    no shuffle: one dot product per plane, all JVM higher-order funcs)."""
     bits = []
-    for row in hyperplanes():
+    for row in hyperplanes(n_planes):
         plane = F.array(*[F.lit(x) for x in row])
         proj = _dot(F.col(vec_col), plane)
         bits.append(F.when(proj >= 0, "1").otherwise("0"))
     return F.concat(*bits)
+
+
+def lsh_bucket_col(vec_col: str = "embedding") -> F.Column:
+    """8-bit sign-signature bucket id for a vector column (map-side)."""
+    return sign_signature_col(N_PLANES, vec_col)
 
 
 def _ann_lsh_oracle() -> str:
@@ -275,6 +341,10 @@ def sim_ann_lsh_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket"))
         .first()
     )
+    if qrow is None:  # empty input: no query vector -> empty result, same schema
+        return bucketed.select(
+            "vec_id", "label", "bucket", F.lit(0.0).alias("cosine")
+        ).limit(0)
     # Explicit schema: partition-column type inference would read bucket
     # "00000101" back as the integer 101 — it must stay a bit string.
     stored = spark.read.schema(bucketed.schema).option("basePath", path).parquet(path)

@@ -82,11 +82,13 @@ def register(
 # window, r3 the 38 never-checked queries — r1∪r2∪r3 checked 138/148 with
 # zero failures. The ROUND-4 window below front-loads (a) the 10 queries
 # registered after the r3 window froze (the 8 tpch2 shapes, the e2e
-# corpus pipeline, the misc front-end script), (b) the three queries new
-# in round 4 (the two multi-statement script-runner ETLs and the
-# partition-pruned ANN variant), then (c) the bench headline set and a
-# 27-query r1-era sample as regression insurance (r1 rows are three
-# rounds stale). Green r4 rows for block (a)+(b) => every registered
+# corpus pipeline, the misc front-end script), (b) the six queries new
+# in round 4 (two multi-statement script-runner ETLs, the COPY/UNLOAD
+# script round-trip, the partition-pruned ANN variant, the batch-kNN
+# retrieval shape, and the banded sign-LSH embedding dedup), then
+# (c) the bench headline set and an r1-era sample as regression
+# insurance (r1 rows are three rounds stale; entries past the 50-query
+# boundary stay locally bit-checked). Green r4 rows for block (a)+(b) => every registered
 # query has at least one driver CORRECTNESS row across r1..r4.
 # Maintenance rules (CI-enforced in tests/test_registry_hygiene.py):
 #  - every SQL-oracled query must appear in this list OR carry a
@@ -113,6 +115,9 @@ _VERIFY_FIRST: list[str] = [
     "redshift_script_etl_mart",
     "redshift_script_upsert_snapshot",
     "sim_ann_lsh_pruned",
+    "sim_knn_batch",
+    "dedup_embedding_ann",
+    "redshift_script_copy_unload",
     # --- block (b): bench headline set re-confirm (all r1-r3 green) ---
     "flagship_pricing_summary",
     "q6_forecast_revenue",

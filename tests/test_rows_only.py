@@ -25,6 +25,58 @@ def test_approx_count_distinct_within_tolerance(spark, duck):
         assert abs(est[s] - exact[s]) / exact[s] < 0.05, (s, est[s], exact[s])
 
 
+def test_embedding_ann_dedup_recall_and_pruning(spark):
+    """dedup_embedding_ann vs the brute-force dedup_embedding_cosine
+    baseline on the same τ=0.4: assert recall above the banding-curve
+    floor for the fixture's adversarial near-uniform vectors (θ≈66° →
+    1-(1-p^8)^8 ≈ 0.17; on production near-dups at cosine 0.9 the same
+    curve gives ≈ 0.94), that every reported pair IS a true pair
+    (precision 1 by construction — exact verify), and that the candidate
+    set actually pruned vs all-pairs (the efficiency claim)."""
+    from pyspark.sql import functions as F
+    from sql_redshift_etl_spark.catalog import load_table
+    from sql_redshift_etl_spark.llm import dedup
+    from sql_redshift_etl_spark.llm.similarity import sign_signature_col
+
+    truth = {
+        (r["vec_a"], r["vec_b"])
+        for r in QUERIES["dedup_embedding_cosine"].builder(spark, SF_DIR).collect()
+    }
+    found = {
+        (r["vec_a"], r["vec_b"])
+        for r in QUERIES["dedup_embedding_ann"].builder(spark, SF_DIR).collect()
+    }
+    assert found <= truth, f"false positives: {found - truth}"
+    recall = len(found) / len(truth)
+    assert recall >= 0.08, f"banded sign-LSH recall {recall} ({len(found)}/{len(truth)})"
+
+    # Efficiency: candidate pairs ≪ all-pairs.
+    e = load_table(spark, SF_DIR, "embeddings")
+    n = e.count()
+    nb, bw = dedup.ANN_DEDUP_BANDS, dedup.ANN_DEDUP_BAND_BITS
+    sig = e.select("vec_id", sign_signature_col(nb * bw).alias("sig"))
+    bands = sig.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.substring("sig", b * bw + 1, bw) for b in range(nb)])
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    n_cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select("a.vec_id", "b.vec_id")
+        .distinct()
+        .count()
+    )
+    all_pairs = n * (n - 1) / 2
+    assert n_cand < 0.10 * all_pairs, f"candidates {n_cand} vs all-pairs {all_pairs}"
+
+
 def test_ann_lsh_recall_and_pruning(spark):
     """Fixture embeddings are near-uniform (best cosine ≈ 0.48), so the
     theory bound for 8-bit hyperplane LSH with Hamming≤2 probing is

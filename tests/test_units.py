@@ -501,3 +501,45 @@ def test_script_runner_unsupported_statement_is_loud(spark):
 
     with _pytest.raises(ValueError, match="unsupported statement"):
         run_redshift_script(spark, "ALTER TABLE t ADD COLUMN x INT; SELECT 1;")
+
+
+def test_script_io_option_parser():
+    from sql_redshift_etl_spark.functions.script_runner import _parse_io_options
+
+    o = _parse_io_options(
+        "IAM_ROLE 'arn:aws:iam::1:role/x' FORMAT AS CSV IGNOREHEADER 1 DELIMITER '|'", "COPY"
+    )
+    assert o["format"] == "CSV" and o["skip"] == 1 and o["delimiter"] == "|"
+    o = _parse_io_options(
+        "FORMAT AS PARQUET PARTITION BY (lang, source) ALLOWOVERWRITE PARALLEL OFF", "UNLOAD"
+    )
+    assert o["format"] == "PARQUET" and o["partition_by"] == ["lang", "source"]
+    assert o["overwrite"] and not o["parallel"]
+    # unknown options are loud, not dropped (MAXERROR would change semantics)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported COPY option"):
+        _parse_io_options("MAXERROR 10", "COPY")
+
+
+def test_script_runner_copy_unload_roundtrip(spark, tmp_path):
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    src = str(tmp_path / "in_csv")
+    out = str(tmp_path / "out_parquet")
+    spark.createDataFrame(
+        [(1, "x", 10.5), (2, "y", 20.25), (3, "x", 4.0)], "k BIGINT, grp STRING, amt DOUBLE"
+    ).write.option("header", True).csv(src)
+    res = run_redshift_script(
+        spark,
+        f"""
+        CREATE TEMP TABLE stg (k BIGINT, grp VARCHAR(4), amt DOUBLE);
+        COPY stg FROM '{src}' IAM_ROLE 'arn:aws:iam::0:role/r' FORMAT AS CSV IGNOREHEADER 1;
+        UNLOAD ('SELECT grp, SUM(amt) AS total FROM stg GROUP BY grp')
+        TO '{out}' FORMAT AS PARQUET PARTITION BY (grp) ALLOWOVERWRITE;
+        SELECT COUNT(*) AS n FROM stg;
+        """,
+    )
+    assert res.first()["n"] == 3
+    back = {r["grp"]: r["total"] for r in spark.read.parquet(out).collect()}
+    assert back == {"x": 14.5, "y": 20.25}

@@ -268,3 +268,26 @@ def test_ann_pruned_scan_reads_only_probe_partitions(spark):
     assert len(buckets_read) <= 37, f"read {len(buckets_read)} bucket dirs, expected <= 37"
     written = [d for d in os.listdir(root) if d.startswith("bucket=")]
     assert len(written) > 37 * 2, f"fixture wrote only {len(written)} buckets — pruning proof weak"
+
+
+def test_knn_batch_group_limits_and_broadcasts_queries(spark):
+    # Batch retrieval's scale shape: the query batch is broadcast (never
+    # a shuffle of the corpus against Q rows) and the per-query top-k is
+    # a WindowGroupLimit (k rows per map partition reach the q_id
+    # shuffle, not the Q×n score matrix).
+    plan = plan_of(spark, "sim_knn_batch")
+    assert "WindowGroupLimit" in plan, "per-query top-k not pushed below the window shuffle"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        "query batch not broadcast"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_ann_dedup_no_cartesian_and_compact_band_join(spark):
+    # The banded sign-LSH dedup must candidate-generate via an equi
+    # self-join on (band, sig) — never a cartesian — and keep Python off
+    # the path (signature is JVM higher-order functions).
+    plan = plan_of(spark, "dedup_embedding_ann")
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, f"Python on the ANN dedup path ({marker})"

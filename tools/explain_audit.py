@@ -90,6 +90,16 @@ TARGETS: dict[str, str] = {
         "lineitem shuffles once on orderkey; order-max / supplier-count "
         "resolved in that exchange's window pass; downstream order-granular."
     ),
+    "sim_knn_batch": (
+        "query batch broadcast (never a corpus shuffle against Q rows); "
+        "per-query top-k as WindowGroupLimit — k·partitions rows per query "
+        "reach the q_id shuffle, not the Q×n score matrix."
+    ),
+    "dedup_embedding_ann": (
+        "row-local 64-bit sign signature (no Python, no shuffle); band "
+        "self-join is an equi join on the compact (band, sig) relation; "
+        "exact cosine joins vectors back for candidates only; no cartesian."
+    ),
 }
 
 

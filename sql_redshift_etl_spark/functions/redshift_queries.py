@@ -512,8 +512,13 @@ def redshift_script_copy_unload(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_redshift_script(
         spark, _SCRIPT_COPY_UNLOAD.format(csv_path=csv_path, out_path=out_path)
     )
-    assert out is not None and out.first()["n_grains"] > 0
-    back = read_partitioned(spark, out_path)
+    assert out is not None  # the script's final SELECT ran
+    # Explicit schema: a zero-row UNLOAD emits no files (empty corpus
+    # slice) and inference would throw where an empty relation is right.
+    back = read_partitioned(
+        spark, out_path,
+        schema="lang STRING, source STRING, n_docs BIGINT, total_chars BIGINT",
+    )
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_sources"),
         F.sum("n_docs").alias("n_docs"),

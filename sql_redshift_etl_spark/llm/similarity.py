@@ -307,6 +307,106 @@ def probe_buckets(qbucket: str, radius: int = 2) -> list[str]:
     return out
 
 
+def probe_buckets_col(qbucket_col: F.Column, radius: int = 2) -> F.Column:
+    """Column twin of ``probe_buckets``: an array of all bit strings
+    within Hamming ``radius`` of an 8-bit bucket COLUMN, built from 37
+    flip expressions (pure string ops, evaluated row-locally)."""
+    from itertools import combinations
+
+    def flipped(positions: tuple[int, ...]) -> F.Column:
+        chars = []
+        for i in range(1, N_PLANES + 1):
+            c = F.substring(qbucket_col, i, 1)
+            if (i - 1) in positions:
+                c = F.when(c == "0", "1").otherwise("0")
+            chars.append(c)
+        return F.concat(*chars)
+
+    masks: list[tuple[int, ...]] = [()]
+    for r in range(1, radius + 1):
+        masks.extend(combinations(range(N_PLANES), r))
+    return F.array(*[flipped(m) for m in masks])
+
+
+def _batch_ann_oracle() -> str:
+    """DuckDB twin of the batched bucket-join ANN: per-query Hamming≤2
+    probe membership (⇔ the probe-set bucket join), exact cosine, rank-3
+    per query — deterministic because the planes are md5-derived."""
+    plane_bits = []
+    for row in hyperplanes():
+        lits = ", ".join(f"{x:.1f}" for x in row)
+        plane_bits.append(
+            "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"CAST([{lits}] AS DOUBLE[])) >= 0 THEN '1' ELSE '0' END)"
+        )
+    bucket_expr = " || ".join(plane_bits)
+    hamming = " + ".join(
+        f"(CASE WHEN substr(e.bucket, {k}, 1) <> substr(q.qbucket, {k}, 1) THEN 1 ELSE 0 END)"
+        for k in range(1, N_PLANES + 1)
+    )
+    return f"""
+        WITH b AS MATERIALIZED (
+            SELECT vec_id, label, embedding, {bucket_expr} AS bucket
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS q_id, embedding AS qvec, bucket AS qbucket
+            FROM b WHERE vec_id IN ({_BATCH_IDS_SQL})
+        ),
+        scored AS (
+            SELECT q.q_id, e.vec_id, e.label, {_DUCK_COSINE} AS cos_raw
+            FROM b e JOIN q ON e.vec_id != q.q_id AND ({hamming}) <= 2
+        )
+        SELECT q_id, vec_id, label, ROUND(cos_raw, 6) AS cosine, rn
+        FROM (
+            SELECT q_id, vec_id, label, cos_raw,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rn
+            FROM scored
+        )
+        WHERE rn <= 3
+    """
+
+
+@register("sim_knn_batch_ann", tags=("L3", "L7"), oracle=_batch_ann_oracle())
+def sim_knn_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN retrieval — the bucket-join upgrade sim_knn_batch's
+    docstring promises for large query batches: each query's Hamming≤2
+    probe set (37 bucket ids) is EXPLODED into a (q_id, bucket) relation
+    and the corpus joins it on bucket EQUALITY — an equi join, so the
+    probe relation broadcasts (or shuffles by bucket for huge batches)
+    and the corpus is touched only in probed buckets. Exact cosine
+    re-ranks candidates; rank-3 per query via WindowGroupLimit.
+
+    A corpus vector has exactly one bucket and a query's 37 probe ids
+    are distinct, so the join yields each (query, candidate) pair at
+    most once — probe membership ⇔ Hamming≤2, which is what the oracle
+    checks. On the sim_ann_lsh_pruned partitioned layout the probe
+    relation's bucket list becomes a static partition filter (union of
+    the batch's probe sets) — same plan, pruned scan.
+    """
+    e = load_table(spark, sf_dir, "embeddings").withColumn("bucket", lsh_bucket_col())
+    q = e.where(F.col("vec_id").isin(*BATCH_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    probes = q.select(
+        "q_id", "qvec", F.explode(probe_buckets_col(F.col("qbucket"))).alias("bucket")
+    )
+    cand = e.join(F.broadcast(probes), "bucket").where(F.col("vec_id") != F.col("q_id"))
+    scored = cand.select(
+        "q_id", "vec_id", "label", _cosine(F.col("embedding"), F.col("qvec")).alias("cos_raw")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        scored.select(
+            "q_id", "vec_id", "label", "cos_raw", F.row_number().over(w).cast("long").alias("rn")
+        )
+        .where(F.col("rn") <= 3)
+        .select("q_id", "vec_id", "label", F.round("cos_raw", 6).alias("cosine"), "rn")
+    )
+
+
 @register("sim_ann_lsh_pruned", tags=("L3", "S7"), oracle=_ann_lsh_oracle())
 def sim_ann_lsh_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sim_ann_lsh's 100 TB story, demonstrated: the sign bucket as a

@@ -116,8 +116,10 @@ _VERIFY_FIRST: list[str] = [
     "redshift_script_upsert_snapshot",
     "sim_ann_lsh_pruned",
     "sim_knn_batch",
+    "sim_knn_batch_ann",
     "dedup_embedding_ann",
     "redshift_script_copy_unload",
+    "source_jdbc_roundtrip",
     # --- block (b): bench headline set re-confirm (all r1-r3 green) ---
     "flagship_pricing_summary",
     "q6_forecast_revenue",

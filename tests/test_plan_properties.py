@@ -291,3 +291,22 @@ def test_embedding_ann_dedup_no_cartesian_and_compact_band_join(spark):
     assert "CartesianProduct" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan, f"Python on the ANN dedup path ({marker})"
+
+
+def test_knn_batch_ann_bucket_equi_join(spark):
+    # The batched ANN's probe join must be an EQUI join on bucket (the
+    # probe relation broadcast) — never a nested-loop Hamming filter —
+    # with the per-query top-k still a WindowGroupLimit.
+    plan = plan_of(spark, "sim_knn_batch_ann")
+    assert "BroadcastHashJoin" in plan, "probe-set join not an equi hash join"
+    assert "BroadcastNestedLoopJoin" not in plan, "ANN batch degraded to a nested loop"
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_jdbc_roundtrip_reads_partitioned(spark):
+    # The S3 pull must be a PARTITIONED range scan (8 parallel
+    # connections), not one connection dragging the table.
+    plan = plan_of(spark, "source_jdbc_roundtrip")
+    assert "JDBCRelation" in plan, "JDBC scan missing from plan"
+    assert "numPartitions=8" in plan, "JDBC read not partitioned 8-way"

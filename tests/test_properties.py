@@ -180,3 +180,34 @@ def test_lsh_band_cap_guards_hot_buckets(spark):
     assert not [p for p in cap if p[0] < 60 and p[1] < 60]
     # ...while the planted near-dup pair in small buckets survives
     assert (100, 101) in unc and (100, 101) in cap
+
+
+def test_embedding_ann_band_cap_guards_hot_buckets(spark):
+    """Same hot-bucket guard on the embedding side: a mass-duplicated
+    vector (60 identical copies — every band bucket of size 60) is
+    excluded with band_cap=50, while a near-dup pair in small buckets
+    survives."""
+    from sql_redshift_etl_spark.llm.dedup import embedding_ann_pairs_df
+
+    base = [float((i * 7 + 3) % 11 - 5) or 1.0 for i in range(64)]
+    rows = [(i, base) for i in range(60)]  # the mass-duplicated "boilerplate" vector
+    small_a = [float(((i + 1) * 3) % 13 - 6) or 1.0 for i in range(64)]
+    small_b = list(small_a)
+    small_b[0] += 0.01  # cosine ~1, same sign signature, bucket of size 2
+    rows += [(300, small_a), (301, small_b)]
+    rows += [
+        (200 + k, [float(((i + 1) * (k + 5)) % 13 - 6) or 1.0 for i in range(64)])
+        for k in range(5)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    uncapped = {(r["vec_a"], r["vec_b"]) for r in embedding_ann_pairs_df(e).collect()}
+    capped = {
+        (r["vec_a"], r["vec_b"]) for r in embedding_ann_pairs_df(e, band_cap=50).collect()
+    }
+    # uncapped: the 60 identical vectors contribute C(60,2) pairs
+    assert len([p for p in uncapped if p[0] < 60 and p[1] < 60]) == 60 * 59 // 2
+    # capped: the size-60 buckets are excluded...
+    assert not [p for p in capped if p[0] < 60 and p[1] < 60]
+    # ...while the near-dup pair in a small bucket survives
+    assert (300, 301) in uncapped and (300, 301) in capped

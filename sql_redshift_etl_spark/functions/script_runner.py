@@ -94,6 +94,7 @@ def strip_comments(script: str) -> str:
             j = script.find("*/", i + 2)
             if j == -1:
                 raise ValueError("unterminated /* comment in script")
+            out.append(" ")  # a comment is a token separator: `a/**/b` ≠ `ab`
             i = j + 2
         else:
             out.append(ch)
@@ -142,9 +143,33 @@ _INSERT = re.compile(
 _DELETE = re.compile(
     r"^DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+))?$", re.IGNORECASE | re.DOTALL
 )
-_UPDATE = re.compile(
-    r"^UPDATE\s+([\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$", re.IGNORECASE | re.DOTALL
-)
+_UPDATE = re.compile(r"^UPDATE\s+([\w.]+)\s+SET\s+(.+)$", re.IGNORECASE | re.DOTALL)
+
+
+def _split_set_where(body: str) -> tuple[str, str | None]:
+    """Split an UPDATE's SET body from its optional WHERE at the TOP
+    level only (paren- and quote-aware): a WHERE inside a subquery
+    assignment like ``SET v = (SELECT max(x) FROM s WHERE k = 1)`` or
+    inside a string literal is content, not the clause keyword."""
+    depth, in_quote = 0, False
+    n = len(body)
+    for i, ch in enumerate(body):
+        if ch == "'":
+            in_quote = not in_quote
+        elif not in_quote:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and body[i : i + 5].upper() == "WHERE"
+                and i > 0
+                and body[i - 1].isspace()
+                and (i + 5 == n or not (body[i + 5].isalnum() or body[i + 5] == "_"))
+            ):
+                return body[:i].strip(), body[i + 5 :].strip()
+    return body.strip(), None
 _TRUNCATE = re.compile(r"^TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*$", re.IGNORECASE)
 _DROP = re.compile(
     r"^DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE
@@ -239,8 +264,20 @@ class _ScriptState:
         self.spark = spark
         self.tables: dict[str, DataFrame] = {}
         self.created_views: set[str] = set()
+        # Caller-registered TEMP views a script statement re-binds
+        # (DELETE/UPDATE/INSERT/COPY on a base view): captured as
+        # resolved DataFrames so cleanup restores them — "shadowed for
+        # the script's duration", not destroyed.
+        self.shadowed: dict[str, DataFrame] = {}
 
     def bind(self, name: str, df: DataFrame) -> None:
+        if name not in self.created_views and name not in self.shadowed:
+            try:
+                t = self.spark.catalog.getTable(name)
+                if t.isTemporary:  # catalog tables reappear on their own
+                    self.shadowed[name] = self.spark.table(name)
+            except Exception:
+                pass  # no pre-existing table of that name
         df.createOrReplaceTempView(name)
         self.tables[name] = df
         self.created_views.add(name)
@@ -256,6 +293,8 @@ class _ScriptState:
         # DataFrames hold resolved plans, not view references.
         for name in self.created_views:
             self.spark.catalog.dropTempView(name)
+        for name, df in self.shadowed.items():
+            df.createOrReplaceTempView(name)
 
 
 def _cast_positional(sel: DataFrame, target: DataFrame, table: str) -> DataFrame:
@@ -295,6 +334,14 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 name, path, clause = m.group(1), m.group(2), m.group(3)
                 opts = _parse_io_options(clause, "COPY")
                 base = state.existing(name)
+                if opts["skip"] > 1:
+                    # Spark CSV has no skip-N-rows option; a collapsed
+                    # header flag would silently load preamble lines as
+                    # data — reject loudly (module policy).
+                    raise ValueError(
+                        f"COPY {name}: IGNOREHEADER {opts['skip']} unsupported "
+                        "(only 0 or 1); preprocess multi-line preambles upstream"
+                    )
                 fmt = opts["format"] or "TEXT"  # bare COPY = pipe-delimited text
                 if fmt == "JSON":
                     from sql_redshift_etl_spark.sources.readers import read_json_lines
@@ -371,10 +418,26 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                             f"INSERT INTO {name}: column list has {len(listed)} "
                             f"names, query returns {len(sel.columns)} columns"
                         )
-                    by_name = dict(zip(listed, sel.columns))
+                    # SQL identifiers are case-insensitive: resolve the
+                    # listed names against the target schema, loudly.
+                    target_by_lower = {f.name.lower(): f.name for f in base.schema.fields}
+                    unknown = [c for c in listed if c.lower() not in target_by_lower]
+                    if unknown:
+                        raise ValueError(
+                            f"INSERT INTO {name}: unknown columns {unknown} "
+                            f"(table has {list(target_by_lower.values())})"
+                        )
+                    by_name = {
+                        target_by_lower[c.lower()]: src for c, src in zip(listed, sel.columns)
+                    }
+                    # Alias every projection to the target column name —
+                    # multiple unlisted columns would otherwise all be
+                    # named `NULL` and break the positional re-select.
                     sel = sel.select(
                         *[
-                            F.col(by_name[f.name]) if f.name in by_name else F.lit(None)
+                            (
+                                F.col(by_name[f.name]) if f.name in by_name else F.lit(None)
+                            ).alias(f.name)
                             for f in base.schema.fields
                         ]
                     )
@@ -395,7 +458,9 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         ),
                     )
             elif m := _UPDATE.match(stmt):
-                name, sets, cond = m.group(1), m.group(2), m.group(3) or "true"
+                name, rest = m.group(1), m.group(2)
+                sets, cond = _split_set_where(rest)
+                cond = cond or "true"
                 base = state.existing(name)
                 assigned = dict(_split_assignments(sets))
                 unknown = set(assigned) - set(base.columns)

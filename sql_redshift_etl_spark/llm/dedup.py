@@ -536,15 +536,16 @@ def _pair_cosine() -> F.Column:
     return dot("ea", "eb") / (F.sqrt(dot("ea", "ea")) * F.sqrt(dot("eb", "eb")))
 
 
-def embedding_ann_pairs_df(e: DataFrame, band_cap: int | None = None) -> DataFrame:
-    """Banded sign-LSH near-dup pairs over an embeddings frame
-    (vec_id, embedding) — dedup_embedding_cosine's 100 TB candidate
-    generator. Same staging as minhash_lsh_pairs_df: row-local signature
+def embedding_ann_candidates(e: DataFrame, band_cap: int | None = None) -> DataFrame:
+    """Candidate (vec_a, vec_b) pairs from the banded sign signature —
+    the generation stage SHARED by embedding_ann_pairs_df, the A/B tool
+    (tools/ann_dedup_ab.py) and the recall/pruning tests, so every
+    consumer measures exactly the production path. Row-local signature
     (64 sign bits, zero shuffle), band explode on the COMPACT (vec_id,
     band, 8-bit band-sig) relation only (vectors never fan out), band
-    self-join bounded by bucket occupancy, then the exact-cosine verify
-    joins the vectors back for CANDIDATES ONLY. ``band_cap`` is the same
-    hot-bucket guard (docs/SCALE.md "LSH hot bands")."""
+    self-join bounded by bucket occupancy. ``band_cap`` is the same
+    hot-bucket guard as the MinHash side (docs/SCALE.md "LSH hot bands").
+    """
     from sql_redshift_etl_spark.llm.similarity import sign_signature_col
 
     nb, bw = ANN_DEDUP_BANDS, ANN_DEDUP_BAND_BITS
@@ -558,7 +559,7 @@ def embedding_ann_pairs_df(e: DataFrame, band_cap: int | None = None) -> DataFra
         )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -568,6 +569,15 @@ def embedding_ann_pairs_df(e: DataFrame, band_cap: int | None = None) -> DataFra
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
+
+
+def embedding_ann_pairs_df(e: DataFrame, band_cap: int | None = None) -> DataFrame:
+    """Banded sign-LSH near-dup pairs over an embeddings frame
+    (vec_id, embedding) — dedup_embedding_cosine's 100 TB candidate
+    generator. Candidates from ``embedding_ann_candidates``; the
+    exact-cosine verify then joins the vectors back for CANDIDATES
+    ONLY."""
+    cand = embedding_ann_candidates(e, band_cap=band_cap)
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (

@@ -154,14 +154,16 @@ _VERIFY_FIRST: list[str] = [
     "window_lag_lead",
     "window_first_last",
     "window_moving_agg",
+    # --- 50-query driver boundary (18 never-checked + 10 bench + 22
+    # r1-era regression = exactly 50 above this line; CI counts it:
+    # tests/test_registry_hygiene.py) ---
+    # Everything below has a green CORRECTNESS row in r1, r2 or r3 and
+    # stays bit-checked locally in tests/test_oracle_parity.py.
     "window_running_total",
     "topk_global_revenue",
     "events_funnel",
     "ctas_staging_chain",
     "events_sliding_window",
-    # --- 50-query driver boundary ---
-    # Everything below has a green CORRECTNESS row in r1, r2 or r3 and
-    # stays bit-checked locally in tests/test_oracle_parity.py.
     "q5_local_supplier_volume",
     "q7_volume_shipping",
     "q8_market_share",

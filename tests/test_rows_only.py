@@ -33,10 +33,8 @@ def test_embedding_ann_dedup_recall_and_pruning(spark):
     curve gives ≈ 0.94), that every reported pair IS a true pair
     (precision 1 by construction — exact verify), and that the candidate
     set actually pruned vs all-pairs (the efficiency claim)."""
-    from pyspark.sql import functions as F
     from sql_redshift_etl_spark.catalog import load_table
     from sql_redshift_etl_spark.llm import dedup
-    from sql_redshift_etl_spark.llm.similarity import sign_signature_col
 
     truth = {
         (r["vec_a"], r["vec_b"])
@@ -50,29 +48,11 @@ def test_embedding_ann_dedup_recall_and_pruning(spark):
     recall = len(found) / len(truth)
     assert recall >= 0.08, f"banded sign-LSH recall {recall} ({len(found)}/{len(truth)})"
 
-    # Efficiency: candidate pairs ≪ all-pairs.
+    # Efficiency: candidate pairs ≪ all-pairs (measured on the SAME
+    # production candidate stage via the shared helper).
     e = load_table(spark, SF_DIR, "embeddings")
     n = e.count()
-    nb, bw = dedup.ANN_DEDUP_BANDS, dedup.ANN_DEDUP_BAND_BITS
-    sig = e.select("vec_id", sign_signature_col(nb * bw).alias("sig"))
-    bands = sig.select(
-        "vec_id",
-        F.posexplode(
-            F.array(*[F.substring("sig", b * bw + 1, bw) for b in range(nb)])
-        ).alias("band_idx", "band_val"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    n_cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select("a.vec_id", "b.vec_id")
-        .distinct()
-        .count()
-    )
+    n_cand = dedup.embedding_ann_candidates(e).count()
     all_pairs = n * (n - 1) / 2
     assert n_cand < 0.10 * all_pairs, f"candidates {n_cand} vs all-pairs {all_pairs}"
 

@@ -543,3 +543,79 @@ def test_script_runner_copy_unload_roundtrip(spark, tmp_path):
     assert res.first()["n"] == 3
     back = {r["grp"]: r["total"] for r in spark.read.parquet(out).collect()}
     assert back == {"x": 14.5, "y": 20.25}
+
+
+def test_script_runner_insert_column_list_edge_cases(spark):
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    # ≥2 unlisted columns must become NULLs (not an ambiguous-NULL crash),
+    # and identifier case must not matter.
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE t3 (a BIGINT, b BIGINT, c BIGINT);
+        INSERT INTO t3 (A) SELECT 1;
+        SELECT * FROM t3;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, None, None)]
+
+    # unknown listed column is loud, not silently dropped
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown columns"):
+        run_redshift_script(
+            spark,
+            "CREATE TEMP TABLE t4 (a BIGINT); INSERT INTO t4 (bogus) SELECT 42; SELECT 1;",
+        )
+
+
+def test_script_runner_restores_shadowed_caller_views(spark):
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    spark.range(5).toDF("n").createOrReplaceTempView("base_ev")
+    out = run_redshift_script(spark, "DELETE FROM base_ev WHERE n < 2; SELECT COUNT(*) AS c FROM base_ev;")
+    assert out.first()["c"] == 3
+    # the caller's view survives the script (shadowed, not destroyed)
+    assert spark.catalog.tableExists("base_ev")
+    assert spark.table("base_ev").count() == 5
+    spark.catalog.dropTempView("base_ev")
+
+
+def test_script_runner_update_with_subquery_where_in_set(spark):
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE s (k BIGINT, x BIGINT);
+        INSERT INTO s VALUES (1, 10), (2, 20);
+        CREATE TEMP TABLE t (k BIGINT, v BIGINT);
+        INSERT INTO t VALUES (1, 0), (2, 0);
+        UPDATE t SET v = (SELECT MAX(x) FROM s WHERE k = 1) WHERE k = 1;
+        SELECT k, v FROM t ORDER BY k;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, 10), (2, 0)]
+
+
+def test_script_block_comment_is_token_separator():
+    from sql_redshift_etl_spark.functions.script_runner import strip_comments
+
+    assert strip_comments("SELECT a/**/b FROM t").split() == ["SELECT", "a", "b", "FROM", "t"]
+
+
+def test_script_copy_ignoreheader_gt1_is_loud(spark, tmp_path):
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="IGNOREHEADER 2 unsupported"):
+        run_redshift_script(
+            spark,
+            f"""
+            CREATE TEMP TABLE stg (k BIGINT);
+            COPY stg FROM '{tmp_path}' FORMAT AS CSV IGNOREHEADER 2;
+            SELECT 1;
+            """,
+        )

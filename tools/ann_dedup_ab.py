@@ -21,8 +21,6 @@ import time
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO_ROOT)
 
-from pyspark.sql import functions as F  # noqa: E402
-
 from sql_redshift_etl_spark.catalog import load_table  # noqa: E402
 from sql_redshift_etl_spark.llm import dedup  # noqa: E402
 from sql_redshift_etl_spark.plans.registry import all_queries  # noqa: E402
@@ -61,29 +59,9 @@ def main() -> None:
             _best_of(qs["dedup_embedding_cosine"].builder(spark, d)) if n <= 5000 else None
         )
         ann = _best_of(qs["dedup_embedding_ann"].builder(spark, d))
-        # candidate mass: the band self-join output before the verify
-        nb, bw = dedup.ANN_DEDUP_BANDS, dedup.ANN_DEDUP_BAND_BITS
-        from sql_redshift_etl_spark.llm.similarity import sign_signature_col
-
-        sig = e.select("vec_id", sign_signature_col(nb * bw).alias("sig"))
-        bands = sig.select(
-            "vec_id",
-            F.posexplode(
-                F.array(*[F.substring("sig", b * bw + 1, bw) for b in range(nb)])
-            ).alias("band_idx", "band_val"),
-        )
-        a, b = bands.alias("a"), bands.alias("b")
-        n_cand = (
-            a.join(
-                b,
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_val") == F.col("b.band_val"))
-                & (F.col("a.vec_id") < F.col("b.vec_id")),
-            )
-            .select("a.vec_id", "b.vec_id")
-            .distinct()
-            .count()
-        )
+        # candidate mass: the band self-join output before the verify —
+        # the SAME production stage (shared helper), not a re-inline
+        n_cand = dedup.embedding_ann_candidates(e).count()
         all_pairs = n * (n - 1) // 2
         same = (
             qs["dedup_embedding_ann"].builder(spark, d).count()

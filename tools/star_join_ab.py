@@ -127,11 +127,23 @@ def measure(spark: SparkSession, sf_dir: str, n_buckets: int) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_buckets = 32
-    for a in sys.argv[1:]:
+    args: list[str] = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):  # accept both --buckets=N and --buckets N
+        a = argv[i]
         if a.startswith("--buckets"):
-            n_buckets = int(a.split("=", 1)[1])
+            if "=" in a:
+                n_buckets = int(a.split("=", 1)[1])
+            else:
+                i += 1
+                if i == len(argv):
+                    raise SystemExit("--buckets requires a value")
+                n_buckets = int(argv[i])
+        else:
+            args.append(a)
+        i += 1
     dirs = args or [
         os.path.join(REPO_ROOT, "_scratch", "sf1"),
         os.path.join(REPO_ROOT, "_scratch", "sf10"),

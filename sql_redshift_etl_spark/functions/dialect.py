@@ -188,24 +188,24 @@ def redshift_datediff(unit: str, start: ColumnOrName, end: ColumnOrName) -> Colu
     """
     unit = unit.lower()
     s, e = _col(start), _col(end)
-    if unit in ("year", "y", "yr", "years"):
+    if unit in ("year", "y", "yr", "yrs", "years"):
         return F.year(e) - F.year(s)
-    if unit in ("quarter", "qtr"):
+    if unit in ("quarter", "qtr", "qtrs", "quarters"):
         return (F.year(e) - F.year(s)) * 4 + (F.quarter(e) - F.quarter(s))
-    if unit in ("month", "mon", "months"):
+    if unit in ("month", "mon", "mons", "months"):
         return (F.year(e) - F.year(s)) * 12 + (F.month(e) - F.month(s))
-    if unit in ("week", "w"):
+    if unit in ("week", "w", "weeks"):
         # Integral like every other unit (Redshift/DuckDB return ints);
         # the division is exact — trunc'd endpoints are 7k days apart.
         return (F.datediff(F.date_trunc("week", e), F.date_trunc("week", s)) / 7).cast("long")
     if unit in ("day", "d", "days"):
         return F.datediff(e.cast("date"), s.cast("date"))
-    if unit in ("hour", "h", "hours"):
+    if unit in ("hour", "h", "hr", "hrs", "hours"):
         trunc_h = (F.unix_timestamp(F.date_trunc("hour", e)) - F.unix_timestamp(F.date_trunc("hour", s))) / 3600
         return trunc_h.cast("long")
-    if unit in ("minute", "m", "min", "minutes"):
+    if unit in ("minute", "m", "min", "mins", "minutes"):
         return ((F.unix_timestamp(F.date_trunc("minute", e)) - F.unix_timestamp(F.date_trunc("minute", s))) / 60).cast("long")
-    if unit in ("second", "s", "sec", "seconds"):
+    if unit in ("second", "s", "sec", "secs", "seconds"):
         return (F.unix_timestamp(e) - F.unix_timestamp(s)).cast("long")
     raise ValueError(f"unsupported DATEDIFF unit: {unit}")
 

@@ -31,6 +31,17 @@ NVL / NVL2 / DECODE / :: casts / ILIKE / LEN / SPLIT_PART / POSITION /
 BTRIM / INITCAP / REGEXP_SUBSTR / REGEXP_COUNT / REGEXP_INSTR /
 DATE_PART / EXTRACT / DATEADD / ADD_MONTHS / LAST_DAY need no rewrite —
 Spark 4 parses them natively with matching semantics (probe-verified).
+
+Bounded-subset assumptions (documented, not silent):
+- String literals escape quotes by DOUBLING (''), the SQL standard both
+  dialects share. Backslash-escaped quotes (\\') are NOT supported by
+  the literal-parity scanners — scripts using them must be normalized.
+- Comments are stripped before rewriting (strip_sql_comments), so
+  apostrophes in comments cannot corrupt the literal scan.
+- DATEDIFF/TRUNC/RATIO_TO_REPORT splice their argument text into the
+  expansion more than once; arguments are assumed DETERMINISTIC (a
+  rand() argument would be evaluated independently per splice). Same
+  class of contract as SQL macro expansion.
 """
 
 from __future__ import annotations
@@ -46,10 +57,91 @@ _DATEDIFF_EXPRS = {
     "quarter": "((year({b}) - year({a})) * 4 + (quarter({b}) - quarter({a})))",
     "month": "((year({b}) - year({a})) * 12 + (month({b}) - month({a})))",
     "day": "datediff(cast({b} as date), cast({a} as date))",
+    "week": "cast(datediff(cast(date_trunc('week', {b}) as date), cast(date_trunc('week', {a}) as date)) / 7 as bigint)",
     "hour": "cast((unix_timestamp(date_trunc('hour', {b})) - unix_timestamp(date_trunc('hour', {a}))) / 3600 as bigint)",
     "minute": "cast((unix_timestamp(date_trunc('minute', {b})) - unix_timestamp(date_trunc('minute', {a}))) / 60 as bigint)",
     "second": "(unix_timestamp({b}) - unix_timestamp({a}))",
 }
+
+# Redshift accepts many unit spellings (docs: datepart abbreviations) —
+# the same alias set dialect.redshift_datediff honors on the DataFrame
+# side; the two tables must not drift (CI: test_datediff_unit_aliases).
+_DATEDIFF_UNIT_ALIASES = {
+    "y": "year", "yr": "year", "yrs": "year", "years": "year",
+    "qtr": "quarter", "qtrs": "quarter", "quarters": "quarter",
+    "mon": "month", "mons": "month", "months": "month",
+    "d": "day", "days": "day",
+    "w": "week", "weeks": "week",
+    "h": "hour", "hr": "hour", "hrs": "hour", "hours": "hour",
+    "m": "minute", "min": "minute", "mins": "minute", "minutes": "minute",
+    "s": "second", "sec": "second", "secs": "second", "seconds": "second",
+}
+
+
+def strip_sql_comments(script: str) -> str:
+    """Remove ``--`` line and ``/* */`` block comments, quote-aware
+    (markers inside string literals are content; a block comment leaves
+    one space so it stays a token separator). Every rewrite below
+    assumes comment-free input — an apostrophe in a comment would
+    otherwise flip the literal-parity scan."""
+    out: list[str] = []
+    i, n = 0, len(script)
+    in_quote = False
+    while i < n:
+        ch = script[i]
+        if in_quote:
+            out.append(ch)
+            if ch == "'":
+                in_quote = False
+            i += 1
+        elif ch == "'":
+            out.append(ch)
+            in_quote = True
+            i += 1
+        elif script.startswith("--", i):
+            j = script.find("\n", i)
+            i = n if j == -1 else j  # keep the newline as whitespace
+        elif script.startswith("/*", i):
+            j = script.find("*/", i + 2)
+            if j == -1:
+                raise ValueError("unterminated /* comment in script")
+            out.append(" ")  # a comment is a token separator: `a/**/b` ≠ `ab`
+            i = j + 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _mask_literals(sql: str) -> tuple[str, list[str]]:
+    """Replace every single-quoted literal with a placeholder so plain
+    re.sub rewrites cannot mutate DATA ('run GETDATE() nightly' must
+    stay intact). Placeholders use \\x00, which cannot occur in SQL."""
+    lits: list[str] = []
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":  # '' escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            lits.append(sql[i : j + 1])
+            out.append(f"\x00{len(lits) - 1}\x00")
+            i = j + 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out), lits
+
+
+def _unmask_literals(sql: str, lits: list[str]) -> str:
+    return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], sql)
 
 
 def _in_literal(sql: str, pos: int) -> bool:
@@ -89,20 +181,10 @@ def _rewrite_datediff(sql: str) -> str:
             search_from = m.end()
             continue
         unit = m.group(1).lower()
+        unit = _DATEDIFF_UNIT_ALIASES.get(unit, unit)
         if unit not in _DATEDIFF_EXPRS:
-            raise ValueError(f"unsupported DATEDIFF unit: {unit}")
-        # find matching close paren for the argument list (skip quoted text)
-        depth, i, in_quote = 1, m.end(), False
-        while depth:
-            ch = sql[i]
-            if ch == "'":
-                in_quote = not in_quote
-            elif not in_quote:
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-            i += 1
+            raise ValueError(f"unsupported DATEDIFF unit: {m.group(1)}")
+        i = _scan_balanced(sql, m.end())
         a, b = _split_two_args(sql[m.end() : i - 1])
         sql = sql[: m.start()] + _DATEDIFF_EXPRS[unit].format(a=a, b=b) + sql[i:]
         search_from = 0
@@ -118,26 +200,82 @@ def _fmt_literal(rs_fmt: str) -> str:
 
 
 def _rewrite_to_char(sql: str) -> str:
-    def repl(m: re.Match) -> str:
-        return f"date_format({m.group(1)}, {_fmt_literal(m.group(2))})"
+    """TO_CHAR(expr, 'fmt') → date_format(expr, <translated fmt>).
 
-    return re.sub(
-        r"\bTO_CHAR\s*\(\s*([^,()]+)\s*,\s*'([^']*)'\s*\)", repl, sql, flags=re.IGNORECASE
-    )
+    Balanced-scan on the first argument, so expression args
+    (TO_CHAR(DATEADD(day, 1, d), 'YYYY-MM-DD')) translate instead of
+    silently reaching Spark, where the SAME format letters mean
+    different fields (DD = day-of-year digits, YYYY = week-based year —
+    silently wrong values, not an error). Non-literal formats raise."""
+    pat = re.compile(r"\bTO_CHAR\s*\(", re.IGNORECASE)
+    search_from = 0
+    while True:
+        m = pat.search(sql, search_from)
+        if not m:
+            return sql
+        if _in_literal(sql, m.start()):
+            search_from = m.end()
+            continue
+        end = _scan_balanced(sql, m.end())
+        expr, fmt = _split_two_args(sql[m.end() : end - 1])
+        fm = re.fullmatch(r"'([^']*)'", fmt)
+        if not fm:
+            raise ValueError(f"TO_CHAR format must be a string literal: {fmt!r}")
+        sql = f"{sql[: m.start()]}date_format({expr}, {_fmt_literal(fm.group(1))}){sql[end:]}"
+        # resume inside the replacement: nested TO_CHAR in expr still
+        # rewrites; the translated outer format must not re-translate
+        search_from = m.start() + len("date_format(")
+
+
+def _split_args(body: str) -> list[str]:
+    """Split an argument list on top-level commas (paren/quote-aware)."""
+    args: list[str] = []
+    depth, in_quote, start = 0, False, 0
+    for i, ch in enumerate(body):
+        if ch == "'":
+            in_quote = not in_quote
+        elif in_quote:
+            continue
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append(body[start:i].strip())
+            start = i + 1
+    args.append(body[start:].strip())
+    return args
 
 
 def _rewrite_json_extract(sql: str) -> str:
-    def repl(m: re.Match) -> str:
-        col = m.group(1).strip()
-        path = ".".join(re.findall(r"'([^']*)'", m.group(2)))
-        return f"get_json_object({col}, '$.{path}')"
-
-    return re.sub(
-        r"\bJSON_EXTRACT_PATH_TEXT\s*\(\s*([^,()]+)\s*,((?:\s*'[^']*'\s*,?)+)\)",
-        repl,
-        sql,
-        flags=re.IGNORECASE,
-    )
+    """JSON_EXTRACT_PATH_TEXT(j, 'a'[, 'b'...]) → get_json_object(j,
+    '$.a.b'). Balanced-scan so expression first arguments work;
+    non-literal path elements raise (a dynamic path cannot become a
+    static JSONPath)."""
+    pat = re.compile(r"\bJSON_EXTRACT_PATH_TEXT\s*\(", re.IGNORECASE)
+    search_from = 0
+    while True:
+        m = pat.search(sql, search_from)
+        if not m:
+            return sql
+        if _in_literal(sql, m.start()):
+            search_from = m.end()
+            continue
+        end = _scan_balanced(sql, m.end())
+        args = _split_args(sql[m.end() : end - 1])
+        if len(args) < 2:
+            raise ValueError("JSON_EXTRACT_PATH_TEXT needs a column and ≥1 path element")
+        elems = []
+        for p in args[1:]:
+            pm = re.fullmatch(r"'([^']*)'", p)
+            if not pm:
+                raise ValueError(
+                    f"JSON_EXTRACT_PATH_TEXT path elements must be string literals: {p!r}"
+                )
+            elems.append(pm.group(1))
+        path = ".".join(elems)
+        sql = f"{sql[: m.start()]}get_json_object({args[0]}, '$.{path}'){sql[end:]}"
+        search_from = m.start() + len("get_json_object(")
 
 
 def _rewrite_listagg(sql: str) -> str:
@@ -150,10 +288,35 @@ def _rewrite_listagg(sql: str) -> str:
     project the values back out. DESC reverses the sorted array.
     """
 
-    def repl(m: re.Match) -> str:
-        col, sep = m.group(1).strip(), m.group(2)
-        order_expr = m.group(3).strip()
-        desc = bool(m.group(4)) and m.group(4).strip().lower() == "desc"
+    pat = re.compile(r"\bLISTAGG\s*\(", re.IGNORECASE)
+    wg_pat = re.compile(r"\s*WITHIN\s+GROUP\s*\(", re.IGNORECASE)
+    search_from = 0
+    while True:
+        m = pat.search(sql, search_from)
+        if not m:
+            return sql
+        if _in_literal(sql, m.start()):
+            search_from = m.end()
+            continue
+        args_end = _scan_balanced(sql, m.end())
+        wg = wg_pat.match(sql, args_end)
+        if not wg:
+            # plain LISTAGG (no WITHIN GROUP): Spark 4 parses it natively
+            search_from = args_end
+            continue
+        args = _split_args(sql[m.end() : args_end - 1])
+        if len(args) != 2 or not re.fullmatch(r"'[^']*'", args[1]):
+            raise ValueError(
+                f"LISTAGG WITHIN GROUP needs (expr, 'literal-sep'): {args!r}"
+            )
+        col, sep = args[0], args[1][1:-1]
+        wg_end = _scan_balanced(sql, wg.end())
+        inner = sql[wg.end() : wg_end - 1]
+        om = re.fullmatch(r"(?is)\s*ORDER\s+BY\s+(.+?)(\s+ASC|\s+DESC)?\s*", inner)
+        if not om:
+            raise ValueError(f"LISTAGG WITHIN GROUP must be (ORDER BY ...): {inner!r}")
+        order_expr = om.group(1).strip()
+        desc = bool(om.group(2)) and om.group(2).strip().lower() == "desc"
         if order_expr.lower() == col.lower():
             sorted_arr = f"array_sort(collect_list({col}))"
         else:
@@ -163,15 +326,8 @@ def _rewrite_listagg(sql: str) -> str:
             )
         if desc:
             sorted_arr = f"reverse({sorted_arr})"
-        return f"array_join({sorted_arr}, '{sep}')"
-
-    return re.sub(
-        r"\bLISTAGG\s*\(\s*([^,()]+)\s*,\s*'([^']*)'\s*\)\s*WITHIN\s+GROUP\s*"
-        r"\(\s*ORDER\s+BY\s+([^)]+?)(\s+ASC|\s+DESC)?\s*\)",
-        repl,
-        sql,
-        flags=re.IGNORECASE,
-    )
+        sql = f"{sql[: m.start()]}array_join({sorted_arr}, '{sep}'){sql[wg_end:]}"
+        search_from = 0
 
 
 def _depth0_matches(sql: str, pattern: re.Pattern) -> list[re.Match]:
@@ -201,7 +357,12 @@ def _depth0_matches(sql: str, pattern: re.Pattern) -> list[re.Match]:
 _QUALIFY_KW = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
 _SELECT_KW = re.compile(r"\bSELECT\b", re.IGNORECASE)
 _FROM_KW = re.compile(r"\bFROM\b", re.IGNORECASE)
-_TAIL_KW = re.compile(r"\b(ORDER\s+BY|LIMIT)\b", re.IGNORECASE)
+# A QUALIFY predicate ends at the owning SELECT's tail clauses OR at a
+# depth-0 set operator — without the set-op bound, a QUALIFY in a
+# non-last UNION branch would swallow the rest of the query.
+_TAIL_KW = re.compile(
+    r"\b(ORDER\s+BY|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT|MINUS)\b", re.IGNORECASE
+)
 
 
 def _rewrite_qualify(sql: str) -> str:
@@ -337,8 +498,14 @@ def _rewrite_top(sql: str) -> str:
         raise ValueError("SELECT TOP inside a subquery is not supported; use LIMIT")
     if not depth0:
         return sql
-    if len(depth0) > 1 or re.search(r"\bLIMIT\b", sql, re.IGNORECASE):
+    # only a DEPTH-0 LIMIT conflicts with moving TOP to the tail; a
+    # LIMIT inside a subquery (or a string literal) is unrelated
+    if len(depth0) > 1 or _depth0_matches(sql, re.compile(r"\bLIMIT\b", re.IGNORECASE)):
         raise ValueError("multiple TOP clauses / TOP mixed with LIMIT not supported")
+    if _depth0_matches(sql, re.compile(r"\b(UNION|INTERSECT|MINUS)\b|\bEXCEPT\s+(ALL\b|DISTINCT\b|SELECT\b)", re.IGNORECASE)):
+        # the appended LIMIT would bound the whole set expression, not
+        # the TOP's own branch — refuse rather than silently re-scope
+        raise ValueError("SELECT TOP with set operators is not supported; use LIMIT")
     m = depth0[0]
     n = m.group(1)
     rewritten = sql[: m.start()] + "SELECT" + sql[m.end() :]
@@ -465,27 +632,39 @@ def _rewrite_trunc(sql: str) -> str:
 
 def _rewrite_math_aliases(sql: str) -> str:
     """Redshift double-precision math aliases → Spark natives:
-    DEXP→exp, DLOG10→log10, DLOG1→ln."""
-    sql = re.sub(r"\bDEXP\s*\(", "exp(", sql, flags=re.IGNORECASE)
-    sql = re.sub(r"\bDLOG10\s*\(", "log10(", sql, flags=re.IGNORECASE)
-    return re.sub(r"\bDLOG1\s*\(", "ln(", sql, flags=re.IGNORECASE)
+    DEXP→exp, DLOG10→log10, DLOG1→ln. Literal-masked: the plain re.sub
+    must never rewrite DATA inside a string literal."""
+    masked, lits = _mask_literals(sql)
+    masked = re.sub(r"\bDEXP\s*\(", "exp(", masked, flags=re.IGNORECASE)
+    masked = re.sub(r"\bDLOG10\s*\(", "log10(", masked, flags=re.IGNORECASE)
+    masked = re.sub(r"\bDLOG1\s*\(", "ln(", masked, flags=re.IGNORECASE)
+    return _unmask_literals(masked, lits)
 
 
 def _rewrite_now(sql: str) -> str:
-    sql = re.sub(r"\bGETDATE\s*\(\s*\)", "current_timestamp()", sql, flags=re.IGNORECASE)
-    return re.sub(r"\bSYSDATE\b", "current_timestamp()", sql, flags=re.IGNORECASE)
+    masked, lits = _mask_literals(sql)
+    masked = re.sub(r"\bGETDATE\s*\(\s*\)", "current_timestamp()", masked, flags=re.IGNORECASE)
+    masked = re.sub(r"\bSYSDATE\b", "current_timestamp()", masked, flags=re.IGNORECASE)
+    return _unmask_literals(masked, lits)
 
 
 def _strip_storage_clauses(sql: str) -> str:
-    sql = re.sub(r"\bDISTSTYLE\s+\w+", "", sql, flags=re.IGNORECASE)
-    sql = re.sub(r"\b(DISTKEY|SORTKEY|INTERLEAVED\s+SORTKEY|COMPOUND\s+SORTKEY)\s*\([^)]*\)", "", sql, flags=re.IGNORECASE)
-    return re.sub(r"\bENCODE\s+\w+", "", sql, flags=re.IGNORECASE)
+    masked, lits = _mask_literals(sql)
+    masked = re.sub(r"\bDISTSTYLE\s+\w+", "", masked, flags=re.IGNORECASE)
+    masked = re.sub(r"\b(DISTKEY|SORTKEY|INTERLEAVED\s+SORTKEY|COMPOUND\s+SORTKEY)\s*\([^)]*\)", "", masked, flags=re.IGNORECASE)
+    masked = re.sub(r"\bENCODE\s+\w+", "", masked, flags=re.IGNORECASE)
+    return _unmask_literals(masked, lits)
 
 
 def translate_redshift_sql(sql: str) -> str:
     """Rewrite Redshift-dialect SQL into Spark SQL (subset; see module
-    docstring). Pure text transformation — inspectable and testable."""
-    for fn in (_rewrite_qualify, _rewrite_top, _rewrite_convert, _rewrite_datediff, _rewrite_to_char, _rewrite_to_datetime, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_approx_count, _rewrite_string_fns, _rewrite_trunc, _rewrite_math_aliases, _rewrite_now, _strip_storage_clauses):
+    docstring). Pure text transformation — inspectable and testable.
+    Comments are stripped FIRST: every scanner below tracks literal
+    parity, which an apostrophe inside a comment would flip.
+    _rewrite_top runs before _rewrite_qualify so TOP + QUALIFY composes
+    (qualify keeps the appended LIMIT in its tail)."""
+    sql = strip_sql_comments(sql)
+    for fn in (_rewrite_top, _rewrite_qualify, _rewrite_convert, _rewrite_datediff, _rewrite_to_char, _rewrite_to_datetime, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_approx_count, _rewrite_string_fns, _rewrite_trunc, _rewrite_math_aliases, _rewrite_now, _strip_storage_clauses):
         sql = fn(sql)
     return sql
 

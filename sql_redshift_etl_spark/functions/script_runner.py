@@ -65,41 +65,17 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql
+from sql_redshift_etl_spark.functions.redshift_sql import (
+    strip_sql_comments,
+    translate_redshift_sql,
+)
 
 __all__ = ["run_redshift_script", "split_statements", "strip_comments"]
 
 
-def strip_comments(script: str) -> str:
-    """Remove ``--`` line comments and ``/* */`` block comments,
-    quote-aware (a ``--`` inside a string literal is content)."""
-    out: list[str] = []
-    i, n = 0, len(script)
-    in_quote = False
-    while i < n:
-        ch = script[i]
-        if in_quote:
-            out.append(ch)
-            if ch == "'":
-                in_quote = False
-            i += 1
-        elif ch == "'":
-            out.append(ch)
-            in_quote = True
-            i += 1
-        elif script.startswith("--", i):
-            j = script.find("\n", i)
-            i = n if j == -1 else j  # keep the newline as whitespace
-        elif script.startswith("/*", i):
-            j = script.find("*/", i + 2)
-            if j == -1:
-                raise ValueError("unterminated /* comment in script")
-            out.append(" ")  # a comment is a token separator: `a/**/b` ≠ `ab`
-            i = j + 2
-        else:
-            out.append(ch)
-            i += 1
-    return "".join(out)
+# Shared with the single-statement front-end (one implementation of
+# quote-aware comment stripping; redshift_sql also strips internally).
+strip_comments = strip_sql_comments
 
 
 def split_statements(script: str) -> list[str]:

@@ -619,3 +619,98 @@ def test_script_copy_ignoreheader_gt1_is_loud(spark, tmp_path):
             SELECT 1;
             """,
         )
+
+
+def test_redshift_sql_comment_and_literal_safety():
+    """Review fixes: comments are stripped before any rewrite (an
+    apostrophe in a comment must not flip literal parity), and the plain
+    alias/storage/now substitutions never mutate string-literal DATA."""
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql as t
+
+    out = t("-- don't drop this\nSELECT DATEDIFF(day, a, b) FROM t")
+    assert out.strip() == "SELECT datediff(cast(b as date), cast(a as date)) FROM t"
+    # literal data survives every plain substitution
+    assert "'run GETDATE() nightly'" in t("SELECT 'run GETDATE() nightly' AS note FROM t")
+    assert "'DISTSTYLE KEY'" in t("SELECT 'DISTSTYLE KEY' AS doc FROM t")
+    assert "'call DEXP(1)'" in t("SELECT 'call DEXP(1)' AS doc FROM t")
+
+
+def test_redshift_sql_expression_args_in_fn_rewrites():
+    """TO_CHAR/JSON_EXTRACT_PATH_TEXT/LISTAGG with parenthesized first
+    arguments must translate (previously silently skipped — and Spark
+    reads 'DD'/'YYYY' as different fields, so a skip is silently WRONG,
+    not an error)."""
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql as t
+
+    assert (
+        t("SELECT TO_CHAR(DATEADD(day, 1, d), 'YYYY-MM-DD') FROM t")
+        == "SELECT date_format(DATEADD(day, 1, d), 'yyyy-MM-dd') FROM t"
+    )
+    assert (
+        t("SELECT JSON_EXTRACT_PATH_TEXT(NVL(p, '{}'), 'k') FROM t")
+        == "SELECT get_json_object(NVL(p, '{}'), '$.k') FROM t"
+    )
+    assert t("SELECT LISTAGG(UPPER(n), ',') WITHIN GROUP (ORDER BY UPPER(n)) FROM t") == (
+        "SELECT array_join(array_sort(collect_list(UPPER(n))), ',') FROM t"
+    )
+    # non-literal formats/paths raise instead of passing through
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="TO_CHAR format"):
+        t("SELECT TO_CHAR(d, fmt_col) FROM t")
+    with _pytest.raises(ValueError, match="path elements"):
+        t("SELECT JSON_EXTRACT_PATH_TEXT(p, k) FROM t")
+
+
+def test_redshift_sql_qualify_in_union_branches():
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql as t
+
+    out = t(
+        "SELECT a, rn FROM t1 QUALIFY rn = 1 UNION ALL SELECT a, rn FROM t2 QUALIFY rn = 2"
+    )
+    # both branches rewritten, the UNION preserved between them
+    assert out.count("__qualify_sub") == 2
+    assert "UNION ALL" in out
+    assert "QUALIFY" not in out.upper().replace("__QUALIFY", "")
+
+
+def test_redshift_sql_top_edge_cases():
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql as t
+
+    # TOP + QUALIFY composes (TOP rewrites first; qualify keeps the LIMIT tail)
+    out = t("SELECT TOP 5 a, rn FROM t QUALIFY rn = 1")
+    assert out.rstrip().endswith("LIMIT 5") and "__qualify" in out
+    # a subquery LIMIT no longer trips the depth-0 guard
+    out = t("SELECT TOP 3 * FROM (SELECT * FROM t ORDER BY x LIMIT 10) s")
+    assert out.rstrip().endswith("LIMIT 3")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="set operators"):
+        t("SELECT TOP 3 a FROM t UNION ALL SELECT a FROM u")
+
+
+def test_datediff_unit_aliases_sql_and_dataframe_sides_agree(spark):
+    """The SQL front-end's alias table and dialect.redshift_datediff
+    must accept the same spellings (review finding: they had drifted),
+    and week must count BOUNDARY CROSSINGS on both sides."""
+    from pyspark.sql import functions as F
+
+    from sql_redshift_etl_spark.functions import redshift_sql as rs
+    from sql_redshift_etl_spark.functions.dialect import redshift_datediff
+
+    df = spark.createDataFrame(
+        [("2024-01-06 23:00:00", "2024-01-08 01:00:00")], "a string, b string"
+    ).select(F.col("a").cast("timestamp").alias("a"), F.col("b").cast("timestamp").alias("b"))
+    df.createOrReplaceTempView("_dd_t")
+    spellings = list(rs._DATEDIFF_UNIT_ALIASES) + list(rs._DATEDIFF_EXPRS)
+    for u in spellings:
+        sql_val = spark.sql(
+            rs.translate_redshift_sql(f"SELECT DATEDIFF({u}, a, b) AS d FROM _dd_t")
+        ).first()["d"]
+        df_val = df.select(redshift_datediff(u, "a", "b").alias("d")).first()["d"]
+        assert sql_val == df_val, (u, sql_val, df_val)
+    # Sat 23:00 → Mon 01:00 crosses one Monday week boundary
+    assert spark.sql(
+        rs.translate_redshift_sql("SELECT DATEDIFF(week, a, b) AS d FROM _dd_t")
+    ).first()["d"] == 1
+    spark.catalog.dropTempView("_dd_t")

@@ -9,7 +9,9 @@ every cell, multiset equality) so regressions are caught before submission.
 
 from __future__ import annotations
 
+import datetime
 import math
+from decimal import Decimal
 from typing import Any
 
 import duckdb
@@ -50,11 +52,23 @@ def canon_cell(v: Any) -> str:
         return "T" if v else "F"
     if isinstance(v, int):
         return f"i{v}"
+    if isinstance(v, Decimal):
+        # DuckDB's .df() renders DECIMAL as float64 while Spark's
+        # toPandas keeps decimal.Decimal — canon both through the float
+        # path so an uncast DECIMAL column compares instead of falsely
+        # mismatching. (Queries still cast to DOUBLE for exactness at
+        # full precision; this absorbs the presentation drift.)
+        return canon_cell(float(v))
     if isinstance(v, bytes):
         return "x" + v.hex()
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
-    if hasattr(v, "isoformat"):  # datetime.date / datetime.datetime
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        # DuckDB's .df() promotes DATE to a midnight datetime64 while
+        # Spark yields datetime.date — render dates AS midnight so the
+        # same value canons identically from both engines.
+        return v.isoformat() + "T00:00:00"
+    if hasattr(v, "isoformat"):  # datetime.datetime / datetime.time
         return v.isoformat()
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(canon_cell(float(x) if isinstance(x, float) or "float" in type(x).__name__ else x) for x in v) + "]"
@@ -83,6 +97,12 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> dict[str,
         "duck_rows": len(drows),
     }
     if not report["values_match"] and report["rowcount_match"] and report["columns_match"]:
-        diffs = [(a, b) for a, b in zip(srows, drows) if a != b]
-        report["first_diffs"] = diffs[:3]
+        # Multiset difference, not positional zip: one differing row
+        # shifts sort alignment and a zip would report bogus pairs of
+        # rows that are actually present in both frames.
+        from collections import Counter
+
+        s_only = list((Counter(srows) - Counter(drows)).elements())
+        d_only = list((Counter(drows) - Counter(srows)).elements())
+        report["first_diffs"] = {"spark_only": s_only[:3], "duck_only": d_only[:3]}
     return report

@@ -19,17 +19,25 @@ DEFAULT_BROADCAST_BYTES = 512 * 1024 * 1024  # bigger than Spark's 10MB default:
 
 
 def salted(df: DataFrame, n_salts: int = 16, salt_col: str = "_salt") -> DataFrame:
-    """Attach a per-row salt that is independent of the row's VALUES —
-    ``monotonically_increasing_id() % n_salts`` — so a hot key's rows
-    spread over n_salts shuffle partitions even when the frame has been
-    projected down to the skewed key alone. (A value-hash salt — the
-    round-1 design — degenerates there: every hot-key row hashes alike
-    and lands on ONE salt, defeating the split.) The id is partition-
-    deterministic, not run-stable; the salt column never survives into
-    results, so that's safe."""
-    return df.withColumn(
-        salt_col, (F.monotonically_increasing_id() % n_salts).cast("int")
-    )
+    """Attach a DETERMINISTIC per-row salt: xxhash64 over the full row,
+    mod n_salts. Determinism is a correctness requirement, not a style
+    choice: a positional salt (monotonically_increasing_id — the round-3
+    design) changes values when Spark recomputes lost map outputs after
+    an executor failure, because recomputed tasks iterate shuffle-fetched
+    rows in a different order — rows then migrate between (key, salt)
+    reduce partitions mid-job and aggregates silently double-count or
+    drop rows (the SPARK-23207 failure class). A row-content hash is
+    stable under any recomputation.
+
+    Degenerate case, accepted and documented: rows that are BYTE-
+    IDENTICAL across every column share a salt, so a hot key whose rows
+    are exact duplicates does not spread. For salted_agg this costs
+    nothing — map-side partial aggregation already collapses identical
+    rows into one partial per partition before the shuffle — and for
+    salted_join a key whose rows are all duplicates gains nothing from
+    spreading anyway (every copy joins the same matches)."""
+    cols = [F.col(c) for c in df.columns]
+    return df.withColumn(salt_col, F.pmod(F.xxhash64(*cols), F.lit(n_salts)).cast("int"))
 
 
 def salted_agg(
@@ -70,9 +78,7 @@ def salted_join(
     single key dominates and the small side replication (n_salts×) is
     affordable."""
     b = salted(big, n_salts)
-    s = small.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))).withColumn(
-        "_salt", F.col("_salt").cast("int")
-    )
+    s = small.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     return b.join(s, [key, "_salt"]).drop("_salt")
 
 

@@ -64,7 +64,23 @@ def get_spark(app_name: str = "sql-redshift-etl-spark", *, shuffle_partitions: i
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate SILENTLY drops every builder config when a session
+    # already exists in the JVM (e.g. the verify driver's, or an earlier
+    # tool's). Re-apply the runtime-settable subset so callers get the
+    # posture they asked for; JVM-startup-only settings (driver memory,
+    # master) genuinely cannot change and stay as-is.
+    for k, v in {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        **RUNTIME_CONFS,
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this session; startup value applies
+    return spark
 
 
 def apply_runtime_confs(spark: SparkSession) -> None:

@@ -17,6 +17,7 @@ on identical bytes, not layout-vs-layout.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import SparkSession
@@ -48,15 +49,32 @@ def stage_inputs(
 ) -> str:
     """Rewrite ``src_dir``'s tables into multi-file parquet under ``dst_dir``.
 
-    Idempotent: a table already present under ``dst_dir`` with a _SUCCESS
-    marker is left alone, so repeated bench runs pay staging once.
+    Idempotent WITH invalidation: a staged table is reused only when its
+    fingerprint sidecar matches the current source file (mtime + size)
+    and split parameters — regenerated fixtures or retuned
+    rows_per_part re-stage instead of silently benchmarking stale bytes.
     """
     for name in TABLES:
         dst = os.path.join(dst_dir, f"{name}.parquet")
-        if os.path.exists(os.path.join(dst, "_SUCCESS")):
-            continue
+        src_file = os.path.join(src_dir, f"{name}.parquet")
+        per = TABLE_ROWS_PER_PART.get(name, rows_per_part)
+        fp: dict | None = None
+        if os.path.exists(src_file):
+            st = os.stat(src_file)
+            fp = {"mtime": st.st_mtime, "size": st.st_size, "per": per, "cap": max_parts}
+        marker = os.path.join(dst, "_STAGED.json")
+        if os.path.exists(os.path.join(dst, "_SUCCESS")) and fp is not None:
+            try:
+                with open(marker) as fh:
+                    if json.load(fh) == fp:
+                        continue
+            except (OSError, ValueError):
+                pass  # no/corrupt marker → re-stage
         df = load_table(spark, src_dir, name)
         n = df.count()
-        parts = max(1, min(max_parts, n // TABLE_ROWS_PER_PART.get(name, rows_per_part)))
+        parts = max(1, min(max_parts, -(-n // per)))  # ceil: no oversized tail part
         df.repartition(parts).write.mode("overwrite").parquet(dst)
+        if fp is not None:
+            with open(marker, "w") as fh:
+                json.dump(fp, fh)
     return dst_dir

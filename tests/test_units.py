@@ -220,22 +220,34 @@ def test_datediff_week_integral(spark):
     assert df.collect()[0]["w"] == 1
 
 
-def test_salted_spreads_hot_key_on_key_only_frame(spark):
-    """salted() must spread a hot key even when the frame is projected
-    down to the key alone (r01 VERDICT item 4: value-hash salts
-    degenerate there)."""
+def test_salted_is_deterministic_and_spreads_hot_keys(spark):
+    """salted() contract (revised from the r01 positional design after
+    the round-4 review): the salt must be DETERMINISTIC under
+    recomputation (a positional salt silently corrupts salted_agg when
+    Spark recomputes lost map outputs — rows migrate between (key,salt)
+    reducers mid-job), and must still spread a hot KEY across salts
+    whenever any other column varies. Fully byte-identical rows sharing
+    a salt is the accepted degenerate case: map-side partial
+    aggregation collapses them before the shuffle anyway."""
     from pyspark.sql import functions as F
 
     from sql_redshift_etl_spark.scale import salted
 
     n_salts = 8
+    # hot key 42 carried alongside a varying payload column
     df = spark.range(1000).select(
-        F.when(F.col("id") < 900, F.lit(42)).otherwise(F.col("id")).alias("key")
-    ).select("key")
-    distinct_hot_salts = (
-        salted(df, n_salts=n_salts).where(F.col("key") == 42).select("_salt").distinct().count()
+        F.when(F.col("id") < 900, F.lit(42)).otherwise(F.col("id")).alias("key"),
+        F.col("id").alias("payload"),
     )
-    assert distinct_hot_salts >= n_salts
+    hot = salted(df, n_salts=n_salts).where(F.col("key") == 42)
+    assert hot.select("_salt").distinct().count() >= n_salts
+    # deterministic: two independent evaluations assign identical salts
+    a = {r["payload"]: r["_salt"] for r in hot.collect()}
+    b = {r["payload"]: r["_salt"] for r in salted(df, n_salts=n_salts).where(F.col("key") == 42).collect()}
+    assert a == b
+    # byte-identical rows share a salt (documented degenerate case)
+    dup = spark.createDataFrame([(42,)] * 10, "key long")
+    assert salted(dup, n_salts=n_salts).select("_salt").distinct().count() == 1
 
 
 def test_merge_upsert_semantics(spark):

@@ -524,3 +524,70 @@ def redshift_script_copy_unload(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").alias("n_docs"),
         F.sum("total_chars").alias("total_chars"),
     )
+
+
+_SCRIPT_MANIFEST = """
+    BEGIN;
+
+    UNLOAD ('SELECT o_orderkey, o_orderstatus, o_totalprice FROM {orders}')
+    TO '{out}'
+    FORMAT AS PARQUET
+    ALLOWOVERWRITE
+    MANIFEST;
+
+    CREATE TEMP TABLE back (
+        o_orderkey BIGINT,
+        o_orderstatus VARCHAR(1),
+        o_totalprice DOUBLE
+    );
+
+    COPY back FROM '{out}/manifest'
+    IAM_ROLE 'arn:aws:iam::000000000000:role/etl-loader'
+    FORMAT AS PARQUET
+    MANIFEST;
+
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM back
+    GROUP BY 1;
+
+    COMMIT;
+"""
+
+
+@register(
+    "redshift_script_manifest_roundtrip",
+    tags=("S4", "S7", "A1"),
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def redshift_script_manifest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Redshift MANIFEST hand-off lifecycle as one verbatim script
+    (S4+S7): UNLOAD ... MANIFEST exports orders and writes the
+    Redshift-format file manifest, then COPY ... MANIFEST re-ingests
+    EXACTLY the listed files (not a prefix listing), and the final
+    aggregate hash-matches the direct-on-orders oracle — proving the
+    manifest lists precisely the committed data.
+
+    Scale: the manifest is what makes producer→consumer hand-offs
+    race-free at 100 TB — a prefix reader can observe a half-written
+    unload; a manifest reader (the manifest is written LAST) sees the
+    exact committed file set, and a listed-but-missing file fails
+    loudly before any data is read.
+    """
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+    from sql_redshift_etl_spark.sources.queries import _io_dir
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rs_mf_orders")
+    out = run_redshift_script(
+        spark,
+        _SCRIPT_MANIFEST.format(orders="rs_mf_orders", out=_io_dir(sf_dir, "manifest_orders")),
+    )
+    assert out is not None
+    return out

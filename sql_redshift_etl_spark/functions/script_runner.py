@@ -35,11 +35,15 @@ Statement support:
   accepted and ignored (credentials belong to the filesystem conf);
   unknown options raise.
 - ``UNLOAD ('select...') TO 'path' [FORMAT AS PARQUET|CSV] [PARTITION
-  BY (...)] [HEADER] [ALLOWOVERWRITE] [PARALLEL OFF]`` — the inner
-  query (quote-unescaped, dialect-rewritten) written to files;
+  BY (...)] [HEADER] [ALLOWOVERWRITE] [PARALLEL OFF] [MANIFEST]`` — the
+  inner query (quote-unescaped, dialect-rewritten) written to files;
   PARALLEL OFF coalesces to one file, ALLOWOVERWRITE maps to
   mode=overwrite (without it an existing prefix errors, as in
-  Redshift).
+  Redshift), MANIFEST writes a Redshift-format file manifest after the
+  data (sources.writers.write_manifest).
+- ``COPY name FROM 'path/manifest' ... MANIFEST`` — the path is a
+  manifest file; exactly its listed files load (a missing mandatory
+  file raises before any read).
 - ``SELECT ... / WITH ...`` — executed; the LAST one is the script's
   result DataFrame.
 
@@ -171,6 +175,7 @@ _OPT_TOKEN = re.compile(
     | (?P<header>HEADER)\b
     | (?P<overwrite>ALLOWOVERWRITE)\b
     | PARALLEL\s+(?P<parallel>ON|OFF|TRUE|FALSE)
+    | (?P<manifest>MANIFEST)\b
     | (?:IAM_ROLE|CREDENTIALS|REGION|ACCESS_KEY_ID|SECRET_ACCESS_KEY|SESSION_TOKEN)\s+'[^']*'
     | 'auto'
     | \s+
@@ -181,7 +186,8 @@ _OPT_TOKEN = re.compile(
 
 def _parse_io_options(clause: str, stmt_kind: str) -> dict:
     opts: dict = {"format": None, "header": False, "skip": 0, "delimiter": None,
-                  "partition_by": [], "overwrite": False, "parallel": True}
+                  "partition_by": [], "overwrite": False, "parallel": True,
+                  "manifest": False}
     pos = 0
     while pos < len(clause):
         m = _OPT_TOKEN.match(clause, pos)
@@ -203,6 +209,8 @@ def _parse_io_options(clause: str, stmt_kind: str) -> dict:
             opts["overwrite"] = True
         if m.group("parallel"):
             opts["parallel"] = m.group("parallel").upper() in ("ON", "TRUE")
+        if m.group("manifest"):
+            opts["manifest"] = True
         pos = m.end()
     return opts
 
@@ -319,18 +327,29 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         "(only 0 or 1); preprocess multi-line preambles upstream"
                     )
                 fmt = opts["format"] or "TEXT"  # bare COPY = pipe-delimited text
+                src: str | list[str] = path
+                if opts["manifest"]:
+                    # COPY ... MANIFEST: the path IS a manifest file; load
+                    # exactly its listed files (missing mandatory → loud).
+                    from sql_redshift_etl_spark.sources.writers import read_manifest_paths
+
+                    src = read_manifest_paths(path)
                 if fmt == "JSON":
                     from sql_redshift_etl_spark.sources.readers import read_json_lines
 
-                    loaded = read_json_lines(spark, path, base.schema)
+                    loaded = read_json_lines(spark, src, base.schema)
                 elif fmt == "PARQUET":
-                    loaded = spark.read.schema(base.schema).parquet(path)
+                    loaded = (
+                        spark.read.schema(base.schema).parquet(*src)
+                        if isinstance(src, list)
+                        else spark.read.schema(base.schema).parquet(src)
+                    )
                 else:
                     from sql_redshift_etl_spark.sources.readers import read_csv
 
                     loaded = read_csv(
                         spark,
-                        path,
+                        src,
                         base.schema,
                         header=opts["skip"] > 0,
                         delimiter=opts["delimiter"] or ("," if fmt == "CSV" else "|"),
@@ -355,6 +374,13 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     writer.option("header", opts["header"]).option(
                         "delimiter", opts["delimiter"] or ("," if fmt == "CSV" else "|")
                     ).csv(path)
+                if opts["manifest"]:
+                    from sql_redshift_etl_spark.sources.writers import write_manifest
+
+                    write_manifest(
+                        path,
+                        suffix={"PARQUET": ".parquet", "JSON": ".json"}.get(fmt, ".csv"),
+                    )
                 continue
             stmt = translate_redshift_sql(raw).strip()
             if _NOOP.match(stmt):

@@ -119,6 +119,7 @@ _VERIFY_FIRST: list[str] = [
     "sim_knn_batch_ann",
     "dedup_embedding_ann",
     "redshift_script_copy_unload",
+    "redshift_script_manifest_roundtrip",
     "source_jdbc_roundtrip",
     # --- block (b): bench headline set re-confirm (all r1-r3 green) ---
     "flagship_pricing_summary",
@@ -153,12 +154,12 @@ _VERIFY_FIRST: list[str] = [
     "window_ranks",
     "window_lag_lead",
     "window_first_last",
-    "window_moving_agg",
-    # --- 50-query driver boundary (18 never-checked + 10 bench + 22
-    # r1-era regression = exactly 50 above this line; CI counts it:
-    # tests/test_registry_hygiene.py) ---
+    # --- 50-query driver boundary (19 never-checked + 10 bench + 21
+    # r1-era regression = exactly 50 above this line; CI checks the
+    # window contents: tests/test_registry_hygiene.py) ---
     # Everything below has a green CORRECTNESS row in r1, r2 or r3 and
     # stays bit-checked locally in tests/test_oracle_parity.py.
+    "window_moving_agg",
     "window_running_total",
     "topk_global_revenue",
     "events_funnel",

@@ -40,6 +40,53 @@ def unload_csv(df: DataFrame, path: str, *, mode: str = "overwrite", header: boo
     df.write.mode(mode).option("header", header).csv(path)
 
 
+def write_manifest(path: str, *, suffix: str = ".parquet") -> str:
+    """Redshift ``UNLOAD ... MANIFEST`` analog: after an unload, write a
+    manifest JSON listing every data file, in Redshift's own format
+    (``{"entries": [{"url": ..., "mandatory": true}, ...]}``) so a
+    downstream ``COPY ... MANIFEST`` — or any external consumer — gets
+    an EXPLICIT, atomic file list instead of a prefix listing. At
+    100 TB the manifest is what makes hand-offs race-free: a reader of
+    the prefix can see half-written output; a reader of the manifest
+    (written last) sees exactly the committed files.
+
+    Returns the manifest path (``<path>/manifest``). Recurses into
+    partition subdirectories so partitioned unloads are covered.
+    """
+    import json
+
+    entries = []
+    for root, _dirs, files in sorted(os.walk(path)):
+        for f in sorted(files):
+            if f.endswith(suffix) and not f.startswith("_"):
+                entries.append(
+                    {"url": os.path.join(os.path.abspath(root), f), "mandatory": True}
+                )
+    manifest_path = os.path.join(path, "manifest")
+    with open(manifest_path, "w") as fh:
+        json.dump({"entries": entries}, fh, indent=1)
+    return manifest_path
+
+
+def read_manifest_paths(manifest_path: str) -> list[str]:
+    """Parse a Redshift-format manifest into its file list. The manifest
+    is metadata — a few KB listing file URLs — so a driver-side read is
+    the correct pattern (it is NOT data plane); the listed files
+    themselves are then read by executors via spark.read."""
+    import json
+
+    with open(manifest_path) as fh:
+        doc = json.load(fh)
+    urls = [e["url"] for e in doc.get("entries", [])]
+    missing = [u for u in urls if not os.path.exists(u)]
+    if missing:
+        raise FileNotFoundError(
+            f"manifest {manifest_path}: {len(missing)} mandatory files missing, "
+            f"e.g. {missing[:2]}"
+        )
+    return urls
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,

@@ -39,14 +39,14 @@ def test_verify_first_has_no_duplicates():
     assert len(vf) == len(set(vf)), "duplicate names in _VERIFY_FIRST"
 
 
-# The 18 queries with no CORRECTNESS row in r1∪r2∪r3: the 10
+# The 19 queries with no CORRECTNESS row in r1∪r2∪r3: the 10
 # post-r3-freeze registrations (8 tpch2 shapes + e2e corpus pipeline +
 # misc front-end script) plus the eight queries new in round 4 (two
 # script-runner ETLs, the COPY/UNLOAD script round trip, the
 # partition-pruned ANN, batch kNN ×2, the banded sign-LSH embedding
-# dedup, the embedded-Derby JDBC round trip). Every one must sit inside
-# the driver's first-50 window — green rows for all 18 = full registry
-# coverage across r1..r4. Queries registered after this round queue for
+# dedup, the embedded-Derby JDBC round trip, the MANIFEST lifecycle
+# script — nine in all). Every one must sit inside the driver's first-50
+# window — green rows for all 19 = full registry coverage across r1..r4. Queries registered after this round queue for
 # the round-5 window instead and must NOT displace these.
 R4_NEVER_VERIFIED = frozenset(
     {
@@ -58,6 +58,7 @@ R4_NEVER_VERIFIED = frozenset(
         "sim_ann_lsh_pruned",
         "sim_knn_batch", "sim_knn_batch_ann", "dedup_embedding_ann",
         "redshift_script_copy_unload", "source_jdbc_roundtrip",
+        "redshift_script_manifest_roundtrip",
     }
 )
 

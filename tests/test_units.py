@@ -726,3 +726,23 @@ def test_datediff_unit_aliases_sql_and_dataframe_sides_agree(spark):
         rs.translate_redshift_sql("SELECT DATEDIFF(week, a, b) AS d FROM _dd_t")
     ).first()["d"] == 1
     spark.catalog.dropTempView("_dd_t")
+
+
+def test_manifest_write_and_loud_on_missing_file(spark, tmp_path):
+    import os
+
+    from sql_redshift_etl_spark.sources.writers import read_manifest_paths, write_manifest
+
+    out = str(tmp_path / "mf_out")
+    spark.range(100).toDF("n").repartition(4).write.parquet(out)
+    mf = write_manifest(out)
+    files = read_manifest_paths(mf)
+    assert len(files) == 4 and all(f.endswith(".parquet") for f in files)
+    # exact listed-file ingest
+    assert spark.read.parquet(*files).count() == 100
+    # a listed-but-missing mandatory file fails loudly before any read
+    os.remove(files[0])
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="mandatory files missing"):
+        read_manifest_paths(mf)

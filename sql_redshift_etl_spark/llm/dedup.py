@@ -296,6 +296,39 @@ def lsh_band_buckets(d: DataFrame) -> DataFrame:
     return sig.select("doc_id", F.posexplode(band_vals).alias("band_idx", "band_val"))
 
 
+def banded_candidates(
+    bands: DataFrame, id_col: str, out_a: str, out_b: str, band_cap: int | None = None
+) -> DataFrame:
+    """Candidate pairs from a (id, band_idx, band_val) relation — the
+    ONE implementation of LSH banding's cap + self-join, shared by the
+    MinHash path (minhash_lsh_pairs_df) and the embedding sign-LSH path
+    (embedding_ann_candidates) so cap semantics cannot drift between
+    them. When ``band_cap`` is set, band buckets holding > cap ids are
+    EXCLUDED before the self-join (the literal ``WHERE n <= cap``),
+    bounding the worst bucket at cap² candidate pairs."""
+    if band_cap is not None:
+        # The hot-band guard: count bucket occupancy (a tiny aggregate on
+        # the already-compact band relation) and keep only buckets at or
+        # under the cap — the self-join below then has a cap² worst case
+        # per bucket instead of an unbounded quadratic blowup.
+        sizes = bands.groupBy("band_idx", "band_val").agg(F.count(F.lit(1)).alias("n"))
+        bands = bands.join(
+            sizes.where(F.col("n") <= band_cap).drop("n"), ["band_idx", "band_val"]
+        )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias(out_a), F.col(f"b.{id_col}").alias(out_b))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs_df(d: DataFrame, band_cap: int | None = None) -> DataFrame:
     """The LSH pipeline over an arbitrary documents frame (doc_id, text)
     — the Spark twin of ``minhash_pairs_oracle``; reused by the
@@ -319,27 +352,7 @@ def minhash_lsh_pairs_df(d: DataFrame, band_cap: int | None = None) -> DataFrame
         *[F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")) for b in range(N_BANDS)]
     )
     bands = sig.select("doc_id", F.posexplode(band_vals).alias("band_idx", "band_val"))
-    if band_cap is not None:
-        # The hot-band guard: count bucket occupancy (a tiny aggregate on
-        # the already-compact band relation) and keep only buckets at or
-        # under the cap — the self-join below then has a cap² worst case
-        # per bucket instead of an unbounded quadratic blowup.
-        sizes = bands.groupBy("band_idx", "band_val").agg(F.count(F.lit(1)).alias("n"))
-        bands = bands.join(
-            sizes.where(F.col("n") <= band_cap).drop("n"), ["band_idx", "band_val"]
-        )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = banded_candidates(bands, "doc_id", "doc_a", "doc_b", band_cap=band_cap)
     # No broadcast hint on cand: candidates GROW with the corpus (10×
     # docs → ≥10× pairs), so a forced broadcast is a scale cliff — it
     # OOMs the moment the pair table outgrows driver memory (reproduced
@@ -498,20 +511,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cosine is computed JVM-side with higher-order functions — no UDF.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-
-    def dot(u: str, v: str) -> F.Column:
-        return F.aggregate(
-            F.zip_with(F.col(u), F.col(v), lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
+    a = _vec_side(e, "vec_a", "ea", "na")
+    b = _vec_side(e, "vec_b", "eb", "nb")
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cosine = dot("ea", "eb") / (F.sqrt(dot("ea", "ea")) * F.sqrt(dot("eb", "eb")))
     return (
-        pairs.select("vec_a", "vec_b", cosine.alias("cos_raw"))
+        pairs.select("vec_a", "vec_b", _pair_cosine().alias("cos_raw"))
         .where(F.col("cos_raw") >= 0.4)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
     )
@@ -525,15 +529,33 @@ ANN_DEDUP_BAND_BITS = 8
 ANN_DEDUP_TAU = 0.4
 
 
-def _pair_cosine() -> F.Column:
-    def dot(u: str, v: str) -> F.Column:
-        return F.aggregate(
-            F.zip_with(F.col(u), F.col(v), lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+def _vec_dot(u: F.Column, v: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
-    return dot("ea", "eb") / (F.sqrt(dot("ea", "ea")) * F.sqrt(dot("eb", "eb")))
+
+def _vec_side(e: DataFrame, id_out: str, vec_out: str, norm_out: str) -> DataFrame:
+    """One side of a pair comparison: (id, vector, precomputed norm).
+    The norm is computed ONCE PER VECTOR here instead of once per
+    candidate pair — on hot buckets (many pairs per vector) the
+    redundant per-pair norms were the dominant wasted compute. Same
+    float operations in the same order, so cosines stay bit-identical."""
+    return e.select(
+        F.col("vec_id").alias(id_out),
+        F.col("embedding").alias(vec_out),
+        F.sqrt(_vec_dot(F.col("embedding"), F.col("embedding"))).alias(norm_out),
+    )
+
+
+def _pair_cosine() -> F.Column:
+    """Cosine over the (_vec_side a) × (_vec_side b) join — the ONE
+    scoring expression shared by dedup_embedding_cosine (the brute-force
+    baseline) and dedup_embedding_ann (the scale path), so 'same scoring
+    as the baseline' is by construction, not by copy."""
+    return _vec_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
 
 
 def embedding_ann_candidates(e: DataFrame, band_cap: int | None = None) -> DataFrame:
@@ -552,23 +574,7 @@ def embedding_ann_candidates(e: DataFrame, band_cap: int | None = None) -> DataF
     sig = e.select("vec_id", sign_signature_col(nb * bw).alias("sig"))
     band_vals = F.array(*[F.substring("sig", b * bw + 1, bw) for b in range(nb)])
     bands = sig.select("vec_id", F.posexplode(band_vals).alias("band_idx", "band_val"))
-    if band_cap is not None:
-        sizes = bands.groupBy("band_idx", "band_val").agg(F.count(F.lit(1)).alias("n"))
-        bands = bands.join(
-            sizes.where(F.col("n") <= band_cap).drop("n"), ["band_idx", "band_val"]
-        )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
+    return banded_candidates(bands, "vec_id", "vec_a", "vec_b", band_cap=band_cap)
 
 
 def embedding_ann_pairs_df(e: DataFrame, band_cap: int | None = None) -> DataFrame:
@@ -578,11 +584,9 @@ def embedding_ann_pairs_df(e: DataFrame, band_cap: int | None = None) -> DataFra
     exact-cosine verify then joins the vectors back for CANDIDATES
     ONLY."""
     cand = embedding_ann_candidates(e, band_cap=band_cap)
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
+        cand.join(_vec_side(e, "vec_a", "ea", "na"), "vec_a")
+        .join(_vec_side(e, "vec_b", "eb", "nb"), "vec_b")
         .select("vec_a", "vec_b", _pair_cosine().alias("cos_raw"))
         .where(F.col("cos_raw") >= ANN_DEDUP_TAU)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
@@ -591,19 +595,13 @@ def embedding_ann_pairs_df(e: DataFrame, band_cap: int | None = None) -> DataFra
 
 def _embedding_ann_oracle() -> str:
     """DuckDB twin of the banded sign-LSH pipeline — possible because the
-    64 planes are md5-derived (inlined as literals), so candidate
-    membership and the cosine verify are deterministic cross-engine."""
-    from sql_redshift_etl_spark.llm.similarity import hyperplanes
+    64 planes are md5-derived (inlined as literals via the shared
+    duck_plane_bits generator), so candidate membership and the cosine
+    verify are deterministic cross-engine."""
+    from sql_redshift_etl_spark.llm.similarity import duck_plane_bits
 
     nb, bw = ANN_DEDUP_BANDS, ANN_DEDUP_BAND_BITS
-    plane_bits = []
-    for row in hyperplanes(nb * bw):
-        lits = ", ".join(f"{x:.1f}" for x in row)
-        plane_bits.append(
-            "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
-            f"CAST([{lits}] AS DOUBLE[])) >= 0 THEN '1' ELSE '0' END)"
-        )
-    sig_expr = " || ".join(plane_bits)
+    sig_expr = duck_plane_bits(nb * bw)
     band_sel = " UNION ALL ".join(
         f"SELECT vec_id, {b} AS band, substr(sig, {b * bw + 1}, {bw}) AS bsig FROM s"
         for b in range(nb)

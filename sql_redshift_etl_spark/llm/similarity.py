@@ -121,6 +121,32 @@ def sim_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 BATCH_QUERY_IDS = (0, 1, 2, 3, 4, 5, 6, 7)
 _BATCH_IDS_SQL = ", ".join(str(i) for i in BATCH_QUERY_IDS)
 
+# Shared rank-3-per-query tail — exact and ANN batch retrieval use the
+# SAME top-k convention (k, tie-break, rounding) on both engines, so the
+# two variants stay comparable by construction.
+_BATCH_TOPK_TAIL = """
+        SELECT q_id, vec_id, label, ROUND(cos_raw, 6) AS cosine, rn
+        FROM (
+            SELECT q_id, vec_id, label, cos_raw,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rn
+            FROM scored
+        )
+        WHERE rn <= 3
+"""
+
+
+def _topk_per_query(scored: DataFrame, k: int = 3) -> DataFrame:
+    """Spark twin of ``_BATCH_TOPK_TAIL``: rank window on q_id
+    (WindowGroupLimit pushes k map-side), round-6 projection."""
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        scored.select(
+            "q_id", "vec_id", "label", "cos_raw", F.row_number().over(w).cast("long").alias("rn")
+        )
+        .where(F.col("rn") <= k)
+        .select("q_id", "vec_id", "label", F.round("cos_raw", 6).alias("cosine"), "rn")
+    )
+
 
 @register(
     "sim_knn_batch",
@@ -134,13 +160,7 @@ _BATCH_IDS_SQL = ", ".join(str(i) for i in BATCH_QUERY_IDS)
             SELECT q.q_id, e.vec_id, e.label, {_DUCK_COSINE} AS cos_raw
             FROM embeddings e JOIN q ON e.vec_id != q.q_id
         )
-        SELECT q_id, vec_id, label, ROUND(cos_raw, 6) AS cosine, rn
-        FROM (
-            SELECT q_id, vec_id, label, cos_raw,
-                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rn
-            FROM scored
-        )
-        WHERE rn <= 3
+        {_BATCH_TOPK_TAIL}
     """,
 )
 def sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,14 +185,7 @@ def sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
         "q_id", "vec_id", "label", _cosine(F.col("embedding"), F.col("qvec")).alias("cos_raw")
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
-    return (
-        scored.select(
-            "q_id", "vec_id", "label", "cos_raw", F.row_number().over(w).cast("long").alias("rn")
-        )
-        .where(F.col("rn") <= 3)
-        .select("q_id", "vec_id", "label", F.round("cos_raw", 6).alias("cosine"), "rn")
-    )
+    return _topk_per_query(scored)
 
 
 def hyperplanes(n_planes: int = N_PLANES) -> list[list[float]]:
@@ -211,35 +224,47 @@ def lsh_bucket_col(vec_col: str = "embedding") -> F.Column:
     return sign_signature_col(N_PLANES, vec_col)
 
 
-def _ann_lsh_oracle() -> str:
-    """DuckDB twin of the full ANN pipeline. Possible because the
-    hyperplanes are md5-DERIVED, not random: the same ±1 plane matrix is
-    reconstructed here and inlined as literals, so bucketing, the
-    Hamming≤2 probe, and the exact-cosine re-rank are all deterministic
-    and cross-engine checkable. (The operator is still APPROXIMATE vs
-    brute force — recall is pytest-floored — but approximate ≠
-    nondeterministic, so it gets a full value oracle.)"""
-    plane_bits = []
-    for row in hyperplanes():
+def duck_plane_bits(n_planes: int = N_PLANES) -> str:
+    """DuckDB twin of ``sign_signature_col``: the CASE-expression bit
+    string over the SAME md5-derived planes, inlined as literals. The
+    ONE generator behind every sign-LSH oracle (single-query ANN,
+    batched ANN, embedding dedup) — sign convention and literal
+    formatting cannot drift between them."""
+    bits = []
+    for row in hyperplanes(n_planes):
         lits = ", ".join(f"{x:.1f}" for x in row)
-        plane_bits.append(
+        bits.append(
             "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
             f"CAST([{lits}] AS DOUBLE[])) >= 0 THEN '1' ELSE '0' END)"
         )
-    bucket_expr = " || ".join(plane_bits)
-    hamming = " + ".join(
-        f"(CASE WHEN substr(e.bucket, {k}, 1) <> substr(q.qbucket, {k}, 1) THEN 1 ELSE 0 END)"
-        for k in range(1, N_PLANES + 1)
+    return " || ".join(bits)
+
+
+def duck_hamming(a: str, b: str, n_bits: int = N_PLANES) -> str:
+    """DuckDB Hamming distance between two fixed-length bit strings."""
+    return " + ".join(
+        f"(CASE WHEN substr({a}, {k}, 1) <> substr({b}, {k}, 1) THEN 1 ELSE 0 END)"
+        for k in range(1, n_bits + 1)
     )
+
+
+def _ann_lsh_oracle() -> str:
+    """DuckDB twin of the full ANN pipeline. Possible because the
+    hyperplanes are md5-DERIVED, not random: the same ±1 plane matrix is
+    reconstructed here and inlined as literals (duck_plane_bits), so
+    bucketing, the Hamming≤2 probe, and the exact-cosine re-rank are all
+    deterministic and cross-engine checkable. (The operator is still
+    APPROXIMATE vs brute force — recall is pytest-floored — but
+    approximate ≠ nondeterministic, so it gets a full value oracle.)"""
     return f"""
         WITH b AS MATERIALIZED (
-            SELECT vec_id, label, embedding, {bucket_expr} AS bucket
+            SELECT vec_id, label, embedding, {duck_plane_bits()} AS bucket
             FROM embeddings
         ),
         q AS (SELECT embedding AS qvec, bucket AS qbucket FROM b WHERE vec_id = {QUERY_VEC_ID})
         SELECT e.vec_id, e.label, e.bucket, ROUND({_DUCK_COSINE}, 6) AS cosine
         FROM b e CROSS JOIN q
-        WHERE e.vec_id != {QUERY_VEC_ID} AND ({hamming}) <= 2
+        WHERE e.vec_id != {QUERY_VEC_ID} AND ({duck_hamming("e.bucket", "q.qbucket")}) <= 2
         ORDER BY {_DUCK_COSINE} DESC, e.vec_id ASC
         LIMIT 10
     """
@@ -291,27 +316,38 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hamming_masks(n_bits: int, radius: int) -> list[tuple[int, ...]]:
+    """Every set of bit positions to flip for Hamming distance ≤ radius
+    (identity first) — the ONE enumeration behind probe_buckets
+    (driver-side strings, sim_ann_lsh_pruned) and probe_buckets_col
+    (column expressions, sim_knn_batch_ann), so the two probe sets
+    cannot silently diverge. 1 + 8 + 28 = 37 masks at 8 bits / r=2."""
+    from itertools import combinations
+
+    masks: list[tuple[int, ...]] = [()]
+    for r in range(1, radius + 1):
+        masks.extend(combinations(range(n_bits), r))
+    return masks
+
+
 def probe_buckets(qbucket: str, radius: int = 2) -> list[str]:
     """All bucket ids within Hamming distance ``radius`` of the query's
     bucket — the multi-probe set. For 8 planes / radius 2 that is
     1 + 8 + 28 = 37 of 256 buckets."""
-    from itertools import combinations
-
-    out = [qbucket]
-    for r in range(1, radius + 1):
-        for pos in combinations(range(len(qbucket)), r):
-            b = list(qbucket)
-            for p in pos:
-                b[p] = "1" if b[p] == "0" else "0"
-            out.append("".join(b))
+    out = []
+    for pos in _hamming_masks(len(qbucket), radius):
+        b = list(qbucket)
+        for p in pos:
+            b[p] = "1" if b[p] == "0" else "0"
+        out.append("".join(b))
     return out
 
 
 def probe_buckets_col(qbucket_col: F.Column, radius: int = 2) -> F.Column:
-    """Column twin of ``probe_buckets``: an array of all bit strings
-    within Hamming ``radius`` of an 8-bit bucket COLUMN, built from 37
-    flip expressions (pure string ops, evaluated row-locally)."""
-    from itertools import combinations
+    """Column twin of ``probe_buckets`` (same ``_hamming_masks``
+    enumeration): an array of all bit strings within Hamming ``radius``
+    of an 8-bit bucket COLUMN, built from 37 flip expressions (pure
+    string ops, evaluated row-locally)."""
 
     def flipped(positions: tuple[int, ...]) -> F.Column:
         chars = []
@@ -322,31 +358,17 @@ def probe_buckets_col(qbucket_col: F.Column, radius: int = 2) -> F.Column:
             chars.append(c)
         return F.concat(*chars)
 
-    masks: list[tuple[int, ...]] = [()]
-    for r in range(1, radius + 1):
-        masks.extend(combinations(range(N_PLANES), r))
-    return F.array(*[flipped(m) for m in masks])
+    return F.array(*[flipped(m) for m in _hamming_masks(N_PLANES, radius)])
 
 
 def _batch_ann_oracle() -> str:
     """DuckDB twin of the batched bucket-join ANN: per-query Hamming≤2
-    probe membership (⇔ the probe-set bucket join), exact cosine, rank-3
-    per query — deterministic because the planes are md5-derived."""
-    plane_bits = []
-    for row in hyperplanes():
-        lits = ", ".join(f"{x:.1f}" for x in row)
-        plane_bits.append(
-            "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
-            f"CAST([{lits}] AS DOUBLE[])) >= 0 THEN '1' ELSE '0' END)"
-        )
-    bucket_expr = " || ".join(plane_bits)
-    hamming = " + ".join(
-        f"(CASE WHEN substr(e.bucket, {k}, 1) <> substr(q.qbucket, {k}, 1) THEN 1 ELSE 0 END)"
-        for k in range(1, N_PLANES + 1)
-    )
+    probe membership (⇔ the probe-set bucket join), exact cosine, the
+    shared rank-3 tail — deterministic because the planes are
+    md5-derived (duck_plane_bits)."""
     return f"""
         WITH b AS MATERIALIZED (
-            SELECT vec_id, label, embedding, {bucket_expr} AS bucket
+            SELECT vec_id, label, embedding, {duck_plane_bits()} AS bucket
             FROM embeddings
         ),
         q AS (
@@ -355,15 +377,9 @@ def _batch_ann_oracle() -> str:
         ),
         scored AS (
             SELECT q.q_id, e.vec_id, e.label, {_DUCK_COSINE} AS cos_raw
-            FROM b e JOIN q ON e.vec_id != q.q_id AND ({hamming}) <= 2
+            FROM b e JOIN q ON e.vec_id != q.q_id AND ({duck_hamming("e.bucket", "q.qbucket")}) <= 2
         )
-        SELECT q_id, vec_id, label, ROUND(cos_raw, 6) AS cosine, rn
-        FROM (
-            SELECT q_id, vec_id, label, cos_raw,
-                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rn
-            FROM scored
-        )
-        WHERE rn <= 3
+        {_BATCH_TOPK_TAIL}
     """
 
 
@@ -397,14 +413,7 @@ def sim_knn_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "q_id", "vec_id", "label", _cosine(F.col("embedding"), F.col("qvec")).alias("cos_raw")
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
-    return (
-        scored.select(
-            "q_id", "vec_id", "label", "cos_raw", F.row_number().over(w).cast("long").alias("rn")
-        )
-        .where(F.col("rn") <= 3)
-        .select("q_id", "vec_id", "label", F.round("cos_raw", 6).alias("cosine"), "rn")
-    )
+    return _topk_per_query(scored)
 
 
 @register("sim_ann_lsh_pruned", tags=("L3", "S7"), oracle=_ann_lsh_oracle())

@@ -541,7 +541,7 @@ _SCRIPT_MANIFEST = """
         o_totalprice DOUBLE
     );
 
-    COPY back FROM '{out}/manifest'
+    COPY back FROM '{out}/_manifest.json'
     IAM_ROLE 'arn:aws:iam::000000000000:role/etl-loader'
     FORMAT AS PARQUET
     MANIFEST;

@@ -11,8 +11,10 @@ here), so the operator builds the equivalent plan directly: ONE full-outer
 join on the merge key + conditional projection. That is exactly the
 physical plan a MERGE executes on any engine, minus the transactional
 commit, and it scales the same way: one key-partitioned shuffle of
-target+source (or a broadcast join when the delta is dim-sized — the
-common incremental-ETL case, hinted via ``broadcast_source``).
+target+source. For the common incremental-ETL case (delta ≪ target),
+``broadcast_source`` switches to an equivalent broadcast two-branch
+plan — full-outer itself cannot broadcast on any engine — that never
+shuffles the wide target (see merge_upsert's docstring).
 
 MERGE requires the source to be unique on the merge key (Redshift raises
 "found multiple matches" otherwise); callers pre-aggregate, as
@@ -49,40 +51,77 @@ def merge_upsert(
     - ``insert_values``: WHEN NOT MATCHED THEN INSERT. Defaults to taking
       the source's column of the same name (``s.<col>``).
     - ``delete_when``: WHEN MATCHED AND <cond> THEN DELETE — matched rows
-      satisfying the condition are dropped instead of updated.
-    - ``broadcast_source``: hint for the incremental-ETL case where the
-      delta is tiny next to the target — avoids shuffling the target.
+      where the condition is TRUE are dropped instead of updated. A NULL
+      condition is NOT TRUE (SQL three-valued logic): the row falls
+      through to the UPDATE branch, exactly as Redshift's MERGE treats a
+      non-TRUE delete predicate.
+    - ``broadcast_source``: the incremental-ETL case where the delta is
+      tiny next to the target. A full-outer join CANNOT broadcast (no
+      engine supports broadcast full-outer), so this flag switches to an
+      equivalent two-branch plan: target LEFT JOIN broadcast(delta)
+      (matched + target-only — the wide target never shuffles) unioned
+      with the delta's LEFT ANTI inserts (only the target's KEY column
+      shuffles). Same rows, no wide-side shuffle.
 
     Output schema = target schema (MERGE never changes the table shape).
     Merge keys are assumed non-null on both sides (enforced by Redshift's
     uniqueness requirement in practice); presence is detected on the key.
     """
     t, s = target.alias("t"), source.alias("s")
-    src = F.broadcast(s) if broadcast_source else s
     cond = reduce(
         lambda a, b: a & b, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys]
     )
-    joined = t.join(src, on=cond, how="full_outer")
 
     t_present = F.col(f"t.{keys[0]}").isNotNull()
     s_present = F.col(f"s.{keys[0]}").isNotNull()
-    if delete_when is not None:
-        joined = joined.where(~(t_present & s_present & delete_when))
 
-    out: list[Column] = []
-    for c in target.columns:
-        if c in keys:
-            out.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c))
-            continue
-        upd = update_set.get(c, F.col(f"t.{c}"))
-        ins = (insert_values or {}).get(c, F.col(f"s.{c}"))
-        out.append(
-            F.when(t_present & s_present, upd)
-            .when(t_present, F.col(f"t.{c}"))
-            .otherwise(ins)
-            .alias(c)
-        )
-    return joined.select(*out)
+    def projection(columns: list[str]) -> list[Column]:
+        out: list[Column] = []
+        for c in columns:
+            if c in keys:
+                out.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c))
+                continue
+            upd = update_set.get(c, F.col(f"t.{c}"))
+            ins = (insert_values or {}).get(c, F.col(f"s.{c}"))
+            out.append(
+                F.when(t_present & s_present, upd)
+                .when(t_present, F.col(f"t.{c}"))
+                .otherwise(ins)
+                .alias(c)
+            )
+        return out
+
+    # NULL delete predicate = not taken (coalesce to FALSE), never a drop.
+    drop_filter = (
+        ~(t_present & s_present & F.coalesce(delete_when, F.lit(False)))
+        if delete_when is not None
+        else None
+    )
+
+    if not broadcast_source:
+        joined = t.join(s, on=cond, how="full_outer")
+        if drop_filter is not None:
+            joined = joined.where(drop_filter)
+        return joined.select(*projection(target.columns))
+
+    # Two-branch broadcast plan (see docstring). Branch 1: every target
+    # row, with its (broadcast) match if any — covers matched + target-
+    # only; t_present is always true here so the shared projection
+    # reduces correctly. Branch 2: source-only inserts.
+    matched = t.join(F.broadcast(s), on=cond, how="left_outer")
+    if drop_filter is not None:
+        matched = matched.where(drop_filter)
+    branch1 = matched.select(*projection(target.columns))
+    ins_only = s.join(t.select(*[F.col(f"t.{k}") for k in keys]), on=cond, how="left_anti")
+    ins_out = [
+        (
+            F.col(f"s.{c}")
+            if c in keys
+            else (insert_values or {}).get(c, F.col(f"s.{c}"))
+        ).alias(c)
+        for c in target.columns
+    ]
+    return branch1.unionByName(ins_only.select(*ins_out))
 
 
 @register(

@@ -11,7 +11,6 @@ published mart serves the downstream query.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -21,9 +20,6 @@ from sql_redshift_etl_spark.functions.dialect import dec, money, one_rate, rate
 from sql_redshift_etl_spark.plans.registry import register
 from sql_redshift_etl_spark.sources.writers import unload_parquet
 
-_SCRATCH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "_scratch", "io"
-)
 
 
 @register(
@@ -57,8 +53,9 @@ def etl_star_mart_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
        query would run. The oracle computes the same result straight
        from the raw tables, proving the whole pipeline is lossless.
     """
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    mart_path = os.path.join(_SCRATCH, tag, "mart_region_year")
+    from sql_redshift_etl_spark.sources.queries import _io_dir
+
+    mart_path = _io_dir(sf_dir, "mart_region_year")
 
     orders_staged = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") != "P")
     cust_dim = (

@@ -17,21 +17,31 @@ from pyspark.sql.types import StructType
 
 def read_csv(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     schema: StructType | str,
     *,
     header: bool = True,
     delimiter: str = ",",
+    multi_line: bool = True,
 ) -> DataFrame:
     """COPY ... FORMAT CSV analog: schema-on-read bulk CSV load.
 
     Explicit schema is mandatory — inferSchema would scan the data twice
     and guess types per-file (drifting schemas across a 100 TB prefix).
+
+    ``multi_line`` defaults ON for correctness: a quoted text field
+    containing a newline (routine in free-text columns; Spark's own CSV
+    writer emits them) would otherwise split mid-record and PERMISSIVE
+    mode would silently null both fragments. The cost is per-FILE scan
+    parallelism (multiLine CSV is not splittable); at 100 TB prefer many
+    moderate files, or escaped/newline-free text with multi_line=False
+    for splittable scans.
     """
     return (
         spark.read.schema(schema)
         .option("header", header)
         .option("delimiter", delimiter)
+        .option("multiLine", multi_line)
         .option("mode", "PERMISSIVE")
         .csv(path)
     )

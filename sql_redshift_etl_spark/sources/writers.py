@@ -50,8 +50,11 @@ def write_manifest(path: str, *, suffix: str = ".parquet") -> str:
     the prefix can see half-written output; a reader of the manifest
     (written last) sees exactly the committed files.
 
-    Returns the manifest path (``<path>/manifest``). Recurses into
-    partition subdirectories so partitioned unloads are covered.
+    Returns the manifest path (``<path>/_manifest.json`` — the
+    underscore prefix keeps Spark's file listing from treating the
+    manifest as data, so prefix readers of the same directory still
+    work). Recurses into partition subdirectories so partitioned
+    unloads are covered.
     """
     import json
 
@@ -62,7 +65,7 @@ def write_manifest(path: str, *, suffix: str = ".parquet") -> str:
                 entries.append(
                     {"url": os.path.join(os.path.abspath(root), f), "mandatory": True}
                 )
-    manifest_path = os.path.join(path, "manifest")
+    manifest_path = os.path.join(path, "_manifest.json")
     with open(manifest_path, "w") as fh:
         json.dump({"entries": entries}, fh, indent=1)
     return manifest_path

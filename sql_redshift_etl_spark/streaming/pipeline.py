@@ -27,10 +27,6 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from sql_redshift_etl_spark.session import apply_runtime_confs
 
-# Physical schema of events.parquet as Spark reads it under nanosAsLong
-# (ts arrives as bigint nanoseconds; normalized in the stream below).
-EVENTS_RAW_SCHEMA = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = 1

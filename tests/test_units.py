@@ -746,3 +746,63 @@ def test_manifest_write_and_loud_on_missing_file(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="mandatory files missing"):
         read_manifest_paths(mf)
+
+
+def test_merge_delete_when_null_condition_keeps_row(spark):
+    """WHEN MATCHED AND cond THEN DELETE with cond = NULL is NOT TRUE:
+    the row falls through to UPDATE, never a silent delete (review fix)."""
+    from pyspark.sql import functions as F
+
+    from sql_redshift_etl_spark.operators.merge import merge_upsert
+
+    t = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    s = spark.createDataFrame([(1, None), (2, -5)], "k long, qty long")
+    out = merge_upsert(
+        t,
+        s,
+        ["k"],
+        update_set={"v": F.col("t.v") + 1},
+        insert_values={"v": F.lit(0)},
+        delete_when=F.col("s.qty") < 0,
+    )
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    # k=2: qty=-5 → TRUE → deleted. k=1: qty NULL → cond NULL → updated.
+    assert rows == {1: 11}
+
+
+def test_merge_broadcast_two_branch_matches_full_outer(spark):
+    from pyspark.sql import functions as F
+
+    from sql_redshift_etl_spark.operators.merge import merge_upsert
+
+    t = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long")
+    s = spark.createDataFrame([(2, 200), (3, -1), (4, 400)], "k long, v long")
+    kwargs = dict(
+        update_set={"v": F.col("s.v")},
+        insert_values={"v": F.col("s.v") * 2},
+        delete_when=F.col("s.v") < 0,
+    )
+    plain = sorted(tuple(r) for r in merge_upsert(t, s, ["k"], **kwargs).collect())
+    bcast = sorted(
+        tuple(r) for r in merge_upsert(t, s, ["k"], broadcast_source=True, **kwargs).collect()
+    )
+    assert plain == bcast == [(1, 10), (2, 200), (4, 800)]
+    # the broadcast plan must not be a full-outer (which cannot broadcast)
+    plan = merge_upsert(t, s, ["k"], broadcast_source=True, **kwargs)._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" not in plan
+
+
+def test_csv_roundtrip_with_embedded_newlines(spark, tmp_path):
+    """The lossless-COPY claim must hold for text containing newlines —
+    multiLine read (review fix: default parsing split quoted records)."""
+    from sql_redshift_etl_spark.sources.readers import read_csv
+    from sql_redshift_etl_spark.sources.writers import unload_csv
+
+    path = str(tmp_path / "nl_csv")
+    df = spark.createDataFrame(
+        [(1, "one line"), (2, "two\nlines"), (3, 'quo"ted\nand more')],
+        "k long, text string",
+    )
+    unload_csv(df, path)
+    back = read_csv(spark, path, "k long, text string")
+    assert sorted(tuple(r) for r in back.collect()) == sorted(tuple(r) for r in df.collect())

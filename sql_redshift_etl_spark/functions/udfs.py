@@ -56,7 +56,7 @@ def udf_pandas_scalar_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _weighted_mean_fn(value: pd.Series, weight: pd.Series) -> float | None:
+def _weighted_mean_fn(value: pd.Series, weight: pd.Series) -> float:  # returns None on all-null groups (SQL NULL); bare float annotation lets pandas_udf infer GROUPED_AGG
     # SQL-aggregate NULL semantics, matched on purpose: rows with a NULL
     # weight OR a NULL value are SKIPPED (a NaN would otherwise poison
     # the group), and an all-null/zero weight sum yields NULL. The
@@ -89,7 +89,9 @@ def udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern (aggregates.py:104): both engines round to 6 dp, which
     absorbs the last-bit float reduction-order difference between
     numpy's dot product and DuckDB's streaming SUM."""
-    weighted_mean = pandas_udf(_weighted_mean_fn, "double", functionType=202)  # SQL_GROUPED_AGG_PANDAS_UDF
+    # Type-hint inference selects GROUPED_AGG from the scalar return
+    # annotation — no magic functionType constant, no deprecation warning.
+    weighted_mean = pandas_udf(_weighted_mean_fn, "double")
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("double")
     return (

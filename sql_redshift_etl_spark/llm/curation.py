@@ -305,10 +305,15 @@ def curation_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, 40),
     )
     synth = d.select("doc_id", msg.alias("msg"))
+    # Column-API regexp_extract_all, NOT an F.expr SQL string: the SQL
+    # parser unescapes '\.' inside the literal to a bare '.', silently
+    # making the COUNT pattern looser than the regexp_replace redaction
+    # pattern (counted-but-not-redacted PII). The Column API takes the
+    # pattern verbatim, so count and redaction share one exact regex.
     return synth.select(
         "doc_id",
-        F.size(F.expr(f"regexp_extract_all(msg, '{_EMAIL_RE}', 0)")).cast("long").alias("n_emails"),
-        F.size(F.expr(f"regexp_extract_all(msg, '{_PHONE_RE}', 0)")).cast("long").alias("n_phones"),
+        F.size(F.regexp_extract_all("msg", F.lit(_EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("msg", F.lit(_PHONE_RE), F.lit(0))).cast("long").alias("n_phones"),
         F.regexp_replace(
             F.regexp_replace("msg", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
         ).alias("redacted"),

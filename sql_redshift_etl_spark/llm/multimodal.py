@@ -71,6 +71,14 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = d.join(e, d.doc_id == e.vec_id).select(
         "doc_id", "lang", "n_chars", "label", sq_norm.alias("sq_norm")
     )
+    # Rank on the RAW norm, deliberately (measured, not house-rule
+    # autopilot): the fixture vectors are unit-normalized, so sq_norms
+    # cluster at 1±1e-6 — ranking on ROUND(sq_norm, 6) collapses real
+    # ~1e-7 gaps into ties whose round-boundary side DIFFERS between the
+    # engines' accumulation orders (verified: 6-dp-rank mismatches at
+    # sf0.01), while raw ranking only risks flips at ~1e-13 engine
+    # noise, five orders below the data's spacing. The 6-dp round stays
+    # in the OUTPUT projection only.
     w = Window.partitionBy("label").orderBy(F.col("sq_norm").desc(), F.col("doc_id"))
     return (
         joined.select("doc_id", "lang", "n_chars", "label", "sq_norm", F.row_number().over(w).cast("long").alias("rn"))
@@ -111,20 +119,27 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("n_chars") % 3 == 1, "audio/wav")
         .otherwise("video/mp4")
         .alias("mime"),
-        F.hex(payload).alias("payload_hex_raw"),
-    ).withColumn("payload_hex", F.lower("payload_hex_raw")).drop("payload_hex_raw")
+        F.lower(F.hex(payload)).alias("payload_hex"),
+    )
 
 
-def decode_payload(payload: bytes, width: int, height: int) -> list[float]:
+def decode_payload(
+    payload: bytes, width: int, height: int, *, use_real_decoder: bool = False
+) -> list[float]:
     """Decode seam: turn raw bytes into features.
 
-    With PIL/librosa installed this would decode and featurize the real
-    media; in this container it computes deterministic fake features
-    (mean byte value, byte checksum, aspect ratio) so the Arrow/UDF
-    plumbing is fully exercised.
+    The DEFAULT is the deterministic fake (mean byte value, byte
+    checksum, aspect ratio) regardless of what libraries happen to be
+    importable — behavior must never flip because Pillow arrived as a
+    transitive dependency of something unrelated. The real decode path
+    is opt-IN via ``use_real_decoder`` and raises until a decoder is
+    plugged in (PIL for images, librosa for audio).
     """
-    if HAVE_PIL:
-        raise NotImplementedError("real image decode path: plug PIL decode here")
+    if use_real_decoder:
+        raise NotImplementedError(
+            "real media decode path: plug PIL/librosa decode here"
+            + (" (PIL importable)" if HAVE_PIL else " (PIL not installed)")
+        )
     mean_byte = sum(payload) / len(payload)
     checksum = float(sum(payload) % 251)
     aspect = width / height
@@ -204,7 +219,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: explode is map-side; repartition after it to rebalance frame
     work before the expensive per-frame UDF."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    return d.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.col("n_chars") - 1, F.lit(100))).alias("frame_off"),
-    )
+    # Zero-length payloads yield ZERO frames, not a crash: Spark's
+    # sequence(0, -1, 100) throws where DuckDB's generate_series returns
+    # empty — guard with an empty array (explode then drops the row).
+    offsets = F.when(
+        F.col("n_chars") > 0,
+        F.sequence(F.lit(0), F.col("n_chars") - 1, F.lit(100)),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return d.select("doc_id", F.explode(offsets).alias("frame_off"))

@@ -169,9 +169,9 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT lang, source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
         FROM documents
-        WHERE {{where}}
+        WHERE {quality_where_sql()}
         GROUP BY lang, source
-    """.format(where=quality_where_sql()),
+    """,
 )
 def text_quality_filter_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality filter application (L5): language allowlist + length

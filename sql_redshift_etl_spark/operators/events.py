@@ -133,10 +133,12 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch, SQL-oracle, and streaming formulations all agree.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # event_id tiebreak: duplicate (user, ts) pairs exist at sf0.1 — an
     # untied ORDER BY makes the running session-id nondeterministic.
-    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # wrun DERIVES from w so the correctness-critical ordering lives in
+    # exactly one place.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # Microsecond-precise gap: casting timestamps to long truncates to
     # whole seconds, which flips sessions whose true gap straddles the
     # 30-min boundary within a second (bit us at sf0.1). timestampdiff

@@ -174,9 +174,24 @@ def translate_datetime_format(rs_fmt: str) -> str:
     return "".join(out)
 
 
+def tochar_needs_upper(rs_fmt: str) -> bool:
+    """Redshift/Postgres TO_CHAR case semantics: an UPPERCASE name token
+    (MON/MONTH/DY/DAY) emits UPPERCASE names ('JUL', 'THU'), which
+    Spark's pattern letters cannot express. When the format contains
+    such a token and NO lowercase characters anywhere (so no mixed-case
+    token or literal text gets clobbered), wrapping the whole rendered
+    string in upper() is exact — digits, punctuation, and AM/PM are
+    case-invariant."""
+    return bool(
+        __import__("re").search(r"MON(TH)?|DAY|DY", rs_fmt)
+    ) and not any(ch.islower() for ch in rs_fmt)
+
+
 def to_char(c: ColumnOrName, rs_fmt: str) -> Column:
-    """Redshift TO_CHAR(ts, fmt) with format-dialect translation."""
-    return F.date_format(_col(c), translate_datetime_format(rs_fmt))
+    """Redshift TO_CHAR(ts, fmt) with format-dialect translation and
+    Redshift's uppercase-name-token case semantics (tochar_needs_upper)."""
+    rendered = F.date_format(_col(c), translate_datetime_format(rs_fmt))
+    return F.upper(rendered) if tochar_needs_upper(rs_fmt) else rendered
 
 
 def redshift_datediff(unit: str, start: ColumnOrName, end: ColumnOrName) -> Column:

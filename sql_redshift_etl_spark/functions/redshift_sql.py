@@ -221,10 +221,18 @@ def _rewrite_to_char(sql: str) -> str:
         fm = re.fullmatch(r"'([^']*)'", fmt)
         if not fm:
             raise ValueError(f"TO_CHAR format must be a string literal: {fmt!r}")
-        sql = f"{sql[: m.start()]}date_format({expr}, {_fmt_literal(fm.group(1))}){sql[end:]}"
+        from sql_redshift_etl_spark.functions.dialect import tochar_needs_upper
+
+        rendered = f"date_format({expr}, {_fmt_literal(fm.group(1))})"
+        if tochar_needs_upper(fm.group(1)):
+            # Redshift case semantics: uppercase name tokens emit
+            # uppercase names; exact via upper() on the whole rendering
+            # (tochar_needs_upper guards out literal/mixed-case formats).
+            rendered = f"upper({rendered})"
+        sql = f"{sql[: m.start()]}{rendered}{sql[end:]}"
         # resume inside the replacement: nested TO_CHAR in expr still
         # rewrites; the translated outer format must not re-translate
-        search_from = m.start() + len("date_format(")
+        search_from = m.start() + len("upper(" if rendered.startswith("upper(") else "date_format(")
 
 
 def _split_args(body: str) -> list[str]:

@@ -33,7 +33,7 @@ from sql_redshift_etl_spark.plans.registry import register
                LOWER(p_brand) AS brand_lower,
                array_to_string(
                    list_transform(string_split(p_name, ' '),
-                                  w -> upper(w[1]) || w[2:]),
+                                  w -> upper(w[1]) || lower(w[2:])),
                    ' ') AS name_initcap,
                SUBSTRING(p_name, 1, 4) AS name_prefix,
                STRPOS(p_name, 'widget') AS widget_pos,
@@ -192,7 +192,7 @@ def datediff_boundary_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_id,
                strftime(ts, '%Y-%m-%d') AS iso_day,
-               strftime(ts, '%b %d, %Y') AS pretty_date,
+               upper(strftime(ts, '%b %d, %Y')) AS pretty_date,
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS iso_ts,
                strftime(ts, '%H') AS hour24
         FROM events
@@ -261,9 +261,9 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_id,
                json_extract_string(props, '$.k') AS k_str,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
                json_extract_string(props, '$.missing') AS missing_key,
-               (json_valid(props)) AS is_valid
+               (props IS NOT NULL AND json_valid(props)) AS is_valid
         FROM events
         WHERE event_id < 500
     """,

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sql_redshift_etl_spark.functions.dialect import dec, dsum
 from sql_redshift_etl_spark.plans.registry import register
 from sql_redshift_etl_spark.streaming.pipeline import (
     interval_join_clicks_purchases,
@@ -143,7 +144,7 @@ def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            dsum("value").alias("total_value"),
         )
     )
 
@@ -198,10 +199,17 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: this is the scheduled-COPY + MERGE pattern — each micro-batch
     shuffles only its own per-user partials, the target is rewritten via
-    a key-partitioned join (broadcast when the delta is small), and state
-    lives in the table, not the stream (restart-safe via checkpoint +
-    generation pointer). Totals accumulate in DECIMAL(28,2) so the merge
-    is exact and order-insensitive."""
+    a key-partitioned join (broadcast when the delta is small), and
+    state lives in the table, not the stream. IDEMPOTENT per batch_id:
+    foreachBatch's contract is at-least-once invocation (Spark re-calls
+    a batch after a post-function pre-commit failure), so the function
+    skips batch ids it already applied — without that guard a retried
+    batch double-merges its partials. This run replays from a clean
+    checkpoint (demo semantics); a production deployment KEEPS the
+    checkpoint and persists the generation pointer next to the table,
+    and the same batch-id guard then covers cross-restart re-delivery.
+    Totals accumulate in DECIMAL(28,2) so the merge is exact and
+    order-insensitive."""
     import os
     import shutil
 
@@ -214,6 +222,8 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt_dir = _io_dir(sf_dir, "events_stream_ckpt")
     gen_paths = [_io_dir(sf_dir, f"stream_profile_{g}") for g in ("a", "b")]
     shutil.rmtree(ckpt_dir, ignore_errors=True)
+    for p in gen_paths:  # stale generations from a previous run must not
+        shutil.rmtree(p, ignore_errors=True)  # satisfy the final read
     ev.repartition(4).write.mode("overwrite").parquet(stage_dir)
 
     stream = (
@@ -223,12 +233,14 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stage_dir)
     )
 
-    state = {"gen": 0}
+    state: dict = {"gen": 0, "applied": set()}
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in state["applied"]:  # at-least-once delivery guard
+            return
         src = batch_df.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(28,2)").alias("total_dec"),
+            F.sum(dec("value")).cast("decimal(28,2)").alias("total_dec"),
         )
         if state["gen"] == 0:
             merged = src
@@ -248,6 +260,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         merged.write.mode("overwrite").parquet(gen_paths[state["gen"] % 2])
         state["gen"] += 1
+        state["applied"].add(batch_id)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)
@@ -256,6 +269,10 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    if state["gen"] == 0:  # zero batches fired: empty profile, loud schema
+        return spark.createDataFrame(
+            [], "user_id long, n_events long, total_value double"
+        )
     final = spark.read.parquet(gen_paths[(state["gen"] - 1) % 2])
     return final.select(
         "user_id", "n_events", F.col("total_dec").cast("double").alias("total_value")

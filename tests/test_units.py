@@ -806,3 +806,26 @@ def test_csv_roundtrip_with_embedded_newlines(spark, tmp_path):
     unload_csv(df, path)
     back = read_csv(spark, path, "k long, text string")
     assert sorted(tuple(r) for r in back.collect()) == sorted(tuple(r) for r in df.collect())
+
+
+def test_to_char_uppercase_name_tokens(spark):
+    """Redshift TO_CHAR case semantics: UPPERCASE name tokens (MON/DY)
+    emit UPPERCASE names ('JUL', not Spark's 'Jul'); mixed-case tokens
+    and formats with any lowercase text are left as Spark renders them
+    (the upper() wrap would clobber literals)."""
+    from pyspark.sql import functions as F
+
+    from sql_redshift_etl_spark.functions.dialect import to_char, tochar_needs_upper
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql as t
+
+    assert tochar_needs_upper("MON DD, YYYY")
+    assert tochar_needs_upper("DY")
+    assert not tochar_needs_upper("Mon DD")
+    assert not tochar_needs_upper("YYYY-MM-DD")
+    df = spark.createDataFrame([("2024-07-04 10:00:00",)], "s string").select(
+        F.col("s").cast("timestamp").alias("ts")
+    )
+    assert df.select(to_char("ts", "MON DD, YYYY").alias("x")).first()["x"] == "JUL 04, 2024"
+    assert df.select(to_char("ts", "DY").alias("x")).first()["x"] == "THU"
+    out = t("SELECT TO_CHAR(ts, 'MON DD, YYYY') FROM x")
+    assert out == "SELECT upper(date_format(ts, 'MMM dd, yyyy')) FROM x"

@@ -31,9 +31,6 @@ TABLES: tuple[str, ...] = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at ANY scale factor (region=5,
-# nation=25 rows always; supplier scales but stays dim-sized).
-BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sql_redshift_etl_spark.catalog import load_table
+from sql_redshift_etl_spark.functions.dialect import dec
 from sql_redshift_etl_spark.plans.registry import register
 
 
@@ -36,8 +37,19 @@ def hash_hex(key: Column, salt: str = "") -> Column:
 
 def frac_threshold(fraction: float) -> str:
     """Hex-string threshold t such that `hash_hex(k) < t` selects
-    round(fraction * 65536) of the 65536 buckets."""
-    return format(round(fraction * 65536), "04x")
+    round(fraction * 65536) of the 65536 buckets.
+
+    Clamped at both ends: round(f*65536) == 65536 would format as the
+    5-char '10000', which sorts BELOW most 4-char hashes and silently
+    turned a ~100% sample into ~6% — so fractions that round to
+    everything return 'zzzz' (> every hex hash: first-char compare
+    decides) and negatives return '0000' (selects nothing)."""
+    buckets = round(fraction * 65536)
+    if buckets >= 65536:
+        return "zzzz"
+    if buckets <= 0:
+        return "0000"
+    return format(buckets, "04x")
 
 
 def _duck_hex(key_sql: str, salt: str = "") -> str:
@@ -171,7 +183,7 @@ def sample_salted_hot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage1 = (
         ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(32)))
         .groupBy("event_type", "_salt")
-        .agg(F.count(F.lit(1)).alias("pc"), F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"))
+        .agg(F.count(F.lit(1)).alias("pc"), F.sum(dec("value")).alias("pv"))
     )
     return (
         stage1.groupBy("event_type")
@@ -186,7 +198,7 @@ def sample_salted_hot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sample_domain_temperature",
     tags=("L-sample",),
-    oracle="""
+    oracle=f"""
         WITH counts AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
         mn AS (SELECT MIN(n_lang) AS n_min FROM counts),
         rates AS (
@@ -197,7 +209,7 @@ def sample_salted_hot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT d.lang, r.n_lang, r.rate
             FROM documents d JOIN rates r USING (lang)
             WHERE r.rate >= 1.0
-               OR substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+               OR {_duck_hex('d.doc_id', 'temp')}
                   < printf('%04x', CAST(FLOOR(r.rate * 65536) AS INT))
         )
         SELECT lang,

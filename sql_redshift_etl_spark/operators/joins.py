@@ -223,7 +223,7 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs (document: pre-bucket one side or band-discretize the range).
     """
     c = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
-    s = load_table(spark, sf_dir, "supplier")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))  # dim side: module policy
     return c.join(
         s, (c.c_nationkey == s.s_nationkey) & (s.s_acctbal > c.c_acctbal), "inner"
     ).select("c_custkey", "s_suppkey")

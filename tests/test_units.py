@@ -829,3 +829,16 @@ def test_to_char_uppercase_name_tokens(spark):
     assert df.select(to_char("ts", "DY").alias("x")).first()["x"] == "THU"
     out = t("SELECT TO_CHAR(ts, 'MON DD, YYYY') FROM x")
     assert out == "SELECT upper(date_format(ts, 'MMM dd, yyyy')) FROM x"
+
+
+def test_frac_threshold_clamps_full_and_empty_samples():
+    """round(f*65536)==65536 used to format as 5-char '10000', which
+    sorts below most 4-char hashes — a 100% sample silently became ~6%.
+    Full samples must compare above every hex hash; empty below all."""
+    from sql_redshift_etl_spark.llm.sampling import frac_threshold
+
+    assert frac_threshold(0.5) == "8000"
+    assert "ffff" < frac_threshold(1.0)        # every hash selected
+    assert "ffff" < frac_threshold(0.999999)   # rounds to 65536 too
+    assert not ("0000" < frac_threshold(0.0))  # nothing selected
+    assert not ("0000" < frac_threshold(-1.0))

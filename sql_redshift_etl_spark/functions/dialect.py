@@ -33,6 +33,12 @@ def _col(c: ColumnOrName) -> Column:
 # exact-aggregate helpers
 # ---------------------------------------------------------------------------
 
+# Oracle-side (DuckDB SQL) twin of one_rate(): the exact-decimal literal
+# 1 used in (1 - discount) products — ONE definition so the builder and
+# oracle decimal widths cannot drift (consumed by operators/tpch*.py).
+ONE_DEC_SQL = "CAST(1 AS DECIMAL(18,2))"
+
+
 def dec(c: ColumnOrName, scale: int = 2, precision: int = 18) -> Column:
     """Cast to a fixed-point decimal for exact, order-insensitive math."""
     return _col(c).cast(f"decimal({precision},{scale})")

@@ -19,8 +19,6 @@ from sql_redshift_etl_spark.catalog import load_table
 from sql_redshift_etl_spark.functions.dialect import (
     dec,
     decode,
-    dsum,
-    davg,
     money,
     nvl,
     one_rate,
@@ -300,7 +298,11 @@ def intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT / MINUS (set semantics): high-quantity orders that are not
-    high-value — non-degenerate (non-empty) at every fixture sf."""
+    high-value — non-degenerate (non-empty) at every fixture sf.
+
+    Naming note: the set-op runs over ORDER KEYS, not nations — the
+    registered name is historical (r1) and is load-bearing in
+    _VERIFY_FIRST / driver CORRECTNESS rows, so it stays stable."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .where(F.col("l_quantity") >= 30)

@@ -9,10 +9,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql_redshift_etl_spark.catalog import load_table
-from sql_redshift_etl_spark.functions.dialect import dec, money, one_rate, rate
+from sql_redshift_etl_spark.functions.dialect import ONE_DEC_SQL, money, one_rate, rate
 from sql_redshift_etl_spark.plans.registry import register
+from sql_redshift_etl_spark.scale import maybe_broadcast
 
-_ONE = "CAST(1 AS DECIMAL(18,2))"
+_ONE = ONE_DEC_SQL
 
 
 @register(
@@ -138,7 +139,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(maybe_broadcast(s), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
@@ -412,8 +413,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.sum(F.when(F.col("supp_nation") == "NATION_6", rev).otherwise(F.lit(0).cast("decimal(12,4)"))).cast("double")
     den = F.sum(rev).cast("double")
     return (
-        F.broadcast(p).join(li, F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        maybe_broadcast(p).join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(maybe_broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
@@ -558,7 +559,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load_table(spark, sf_dir, "part").where((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 10))
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(maybe_broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .join(pq, F.col("pq_partkey") == F.col("l_partkey"))
         .where(F.lit(5) * F.col("l_quantity").cast("long") * F.col("cnt") < F.col("sum_qty"))
         .agg(
@@ -604,7 +605,7 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(maybe_broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .where(bracket)
         .agg(
             F.sum(money("l_extendedprice") * (one - rate("l_discount"))).cast("double").alias("revenue"),

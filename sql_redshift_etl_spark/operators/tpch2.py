@@ -27,10 +27,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sql_redshift_etl_spark.catalog import load_table
-from sql_redshift_etl_spark.functions.dialect import dec, money, one_rate, rate
+from sql_redshift_etl_spark.functions.dialect import ONE_DEC_SQL, dec, money, one_rate, rate
 from sql_redshift_etl_spark.plans.registry import register
+from sql_redshift_etl_spark.scale import maybe_broadcast
 
-_ONE = "CAST(1 AS DECIMAL(18,2))"
+_ONE = ONE_DEC_SQL
 
 
 @register(
@@ -77,7 +78,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("p_partkey").orderBy("offer", "l_suppkey")
     ranked = (
-        F.broadcast(p.select("p_partkey", "p_name"))
+        maybe_broadcast(p.select("p_partkey", "p_name"))
         .join(offers, F.col("l_partkey") == F.col("p_partkey"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
@@ -85,7 +86,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     return (
-        ranked.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        ranked.join(maybe_broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .select(
             "p_partkey",
@@ -185,8 +186,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * dec("l_quantity", 0, 2) * F.lit(0.10).cast("decimal(3,2)")
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(maybe_broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(maybe_broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(
@@ -320,7 +321,7 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         li.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(maybe_broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -364,7 +365,7 @@ def q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
     )
     movers = (
-        li.join(F.broadcast(p.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(maybe_broadcast(p.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
         .where(F.col("q") > 300)
@@ -451,7 +452,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier")
     return (
-        sole.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        sole.join(maybe_broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -90,6 +90,15 @@ def repartition_for_join(df: DataFrame, key: str, num_partitions: int | None = N
     return df.repartition(num_partitions, key) if num_partitions else df.repartition(key)
 
 
+def maybe_broadcast(df: DataFrame, limit_bytes: int = DEFAULT_BROADCAST_BYTES) -> DataFrame:
+    """Broadcast hint ONLY while the side is actually broadcast-sized
+    (analyzed-plan stats): sf-SCALED "dims" (part, supplier) get the
+    hint at fixture scale but degrade gracefully to AQE's runtime
+    size-based choice at 100 TB — a hard F.broadcast on a table that
+    grows with the data is a forced-collect OOM cliff, not a hint."""
+    return F.broadcast(df) if should_broadcast(df, limit_bytes) else df
+
+
 def should_broadcast(df: DataFrame, limit_bytes: int = DEFAULT_BROADCAST_BYTES) -> bool:
     """Estimate (via the analyzed plan's sizeInBytes) whether a side is
     broadcast-safe. Prefer explicit F.broadcast on known dims; use this

@@ -126,14 +126,22 @@ def listagg(c: ColumnOrName, sep: str = ",") -> Column:
 
 
 # TO_CHAR: Redshift (Postgres-style) datetime format → Spark datetime pattern.
-# Longest-match first; anything unmapped passes through literally.
+# Longest-match first (MONTH before MON, DDD before DD, DAY before DY);
+# single unmapped letters become quoted literals (tested behavior for
+# separators like 'YYYYxMM'), which is safe only because every
+# multi-letter name token Redshift defines is mapped here.
+# Deviation, documented: Redshift blank-pads MONTH/DAY to 9 chars by
+# default; we emit fill-mode names ('JULY' not 'JULY     '), matching
+# DuckDB strftime and Redshift's FMMonth behavior.
 _TO_CHAR_MAP: list[tuple[str, str]] = [
     ("YYYY", "yyyy"),
     ("YY", "yy"),
+    ("MONTH", "MMMM"),
     ("MON", "MMM"),
     ("MM", "MM"),
     ("DDD", "DDD"),
     ("DD", "dd"),
+    ("DAY", "EEEE"),
     ("DY", "EEE"),
     ("HH24", "HH"),
     ("HH12", "hh"),

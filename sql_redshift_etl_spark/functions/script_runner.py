@@ -334,6 +334,13 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     from sql_redshift_etl_spark.sources.writers import read_manifest_paths
 
                     src = read_manifest_paths(path)
+                    if not src:
+                        # A zero-row UNLOAD legitimately writes a manifest
+                        # with entries:[] (no data files); Redshift's COPY
+                        # of it loads zero rows. Spark's readers throw on
+                        # an empty path list, so bind the target unchanged.
+                        state.bind(name, base)
+                        continue
                 if fmt == "JSON":
                     from sql_redshift_etl_spark.sources.readers import read_json_lines
 

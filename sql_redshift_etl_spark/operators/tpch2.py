@@ -244,10 +244,10 @@ def q11_important_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A9", "F3"),
     oracle="""
         SELECT l.l_returnflag,
-               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_line_count
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
           AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'

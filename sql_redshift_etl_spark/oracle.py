@@ -41,33 +41,33 @@ def canon_cell(v: Any) -> str:
         except (TypeError, ValueError):
             pass
     if isinstance(v, float):
-        if v == 0.0:
-            return "i0"  # normalize -0.0 / 0.0
-        # Integral doubles render as ints to absorb int64/float64 dtype
-        # drift between engines (e.g. nullable-int → float64 in pandas).
-        if v.is_integer() and abs(v) < 2**53:
-            return f"i{int(v)}"
-        return repr(v)  # shortest round-trip — bitwise faithful
+        # STRICT (round 5): no integral-float→int absorption. The driver's
+        # hash renders cells str()-faithfully, so DuckDB HUGEINT-as-float64
+        # `353.0` vs Spark bigint `353` IS a driver mismatch (the q12 red
+        # row, r4) — the lenient mirror masked it. Queries must cast both
+        # sides to the same type; the mirror now fails exactly when the
+        # driver would.
+        return repr(v)  # shortest round-trip — bitwise faithful; str==repr
     if isinstance(v, bool):
         return "T" if v else "F"
     if isinstance(v, int):
         return f"i{v}"
     if isinstance(v, Decimal):
-        # DuckDB's .df() renders DECIMAL as float64 while Spark's
-        # toPandas keeps decimal.Decimal — canon both through the float
-        # path so an uncast DECIMAL column compares instead of falsely
-        # mismatching. (Queries still cast to DOUBLE for exactness at
-        # full precision; this absorbs the presentation drift.)
-        return canon_cell(float(v))
+        # STRICT: an uncast DECIMAL column (Spark → decimal.Decimal objects,
+        # DuckDB .df() → float64) renders scale-faithfully ('3.50' ≠ 3.5)
+        # like the driver would see it — cast to DOUBLE/BIGINT in the query
+        # instead of relying on absorption here.
+        return "d" + str(v)
     if isinstance(v, bytes):
         return "x" + v.hex()
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
-        # DuckDB's .df() promotes DATE to a midnight datetime64 while
-        # Spark yields datetime.date — render dates AS midnight so the
-        # same value canons identically from both engines.
-        return v.isoformat() + "T00:00:00"
+        # STRICT: a bare date renders as '2024-01-01' while an engine that
+        # promotes DATE to midnight datetime renders '…T00:00:00' — the
+        # driver distinguishes those strings, so we must too. Cast both
+        # sides to TIMESTAMP (or string) in the query pair.
+        return v.isoformat()
     if hasattr(v, "isoformat"):  # datetime.datetime / datetime.time
         return v.isoformat()
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":

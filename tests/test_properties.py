@@ -85,12 +85,18 @@ def test_to_char_translation_total(fmt):
 
 @given(st.integers(min_value=-(10**12), max_value=10**12))
 @settings(max_examples=200, deadline=None)
-def test_canon_cell_int_float_unification(i):
-    """canon_cell maps an int and its exact float form to one token —
-    the dtype-drift absorber the oracle compare relies on."""
+def test_canon_cell_int_float_distinct(i):
+    """STRICT contract (round 5): canon_cell must DISTINGUISH an int from
+    its exact float form. The driver's hash renders cells str()-faithfully
+    ('353' vs '353.0' — the q12 red row, r4), so a lenient local mirror
+    that unified them could pass what the driver fails. Queries must cast
+    both engines' output to the same type instead."""
     from sql_redshift_etl_spark.oracle import canon_cell
 
-    assert canon_cell(i) == canon_cell(float(i))
+    assert canon_cell(i) != canon_cell(float(i))
+    # …and the canon stays self-consistent within each type.
+    assert canon_cell(i) == canon_cell(int(float(i)))
+    assert canon_cell(float(i)) == canon_cell(float(int(i)))
 
 
 def test_datediff_grid_parity_all_units(spark, duck):

@@ -748,6 +748,31 @@ def test_manifest_write_and_loud_on_missing_file(spark, tmp_path):
         read_manifest_paths(mf)
 
 
+def test_copy_empty_manifest_loads_zero_rows(spark, tmp_path):
+    """A zero-row UNLOAD legitimately writes a manifest with entries:[]
+    (no data files); Redshift's COPY of it loads zero rows. Pre-fix the
+    script runner crashed calling the reader with no paths (advisor
+    finding, r5). The target table's prior contents must survive."""
+    import json
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = tmp_path / "empty_unload"
+    out.mkdir()
+    mf = out / "_manifest.json"
+    mf.write_text(json.dumps({"entries": []}))
+    result = run_redshift_script(
+        spark,
+        f"""
+        CREATE TEMP TABLE tgt (k BIGINT, v VARCHAR(10));
+        INSERT INTO tgt VALUES (1, 'keep');
+        COPY tgt FROM '{mf}' FORMAT AS PARQUET MANIFEST;
+        SELECT k, v FROM tgt;
+        """,
+    )
+    assert [tuple(r) for r in result.collect()] == [(1, "keep")]
+
+
 def test_merge_delete_when_null_condition_keeps_row(spark):
     """WHEN MATCHED AND cond THEN DELETE with cond = NULL is NOT TRUE:
     the row falls through to UPDATE, never a silent delete (review fix)."""
@@ -829,6 +854,13 @@ def test_to_char_uppercase_name_tokens(spark):
     assert df.select(to_char("ts", "DY").alias("x")).first()["x"] == "THU"
     out = t("SELECT TO_CHAR(ts, 'MON DD, YYYY') FROM x")
     assert out == "SELECT upper(date_format(ts, 'MMM dd, yyyy')) FROM x"
+    # Full-name tokens (advisor fix, r5): MONTH/DAY map to MMMM/EEEE —
+    # pre-fix, MONTH chopped to MON+'T'+'H' and rendered 'JULTH', and DAY
+    # passed through as a quoted literal. Fill-mode names (no Redshift
+    # 9-char blank padding), uppercased per the name-token case rule.
+    assert df.select(to_char("ts", "MONTH").alias("x")).first()["x"] == "JULY"
+    assert df.select(to_char("ts", "DAY").alias("x")).first()["x"] == "THURSDAY"
+    assert df.select(to_char("ts", "DD MONTH YYYY").alias("x")).first()["x"] == "04 JULY 2024"
 
 
 def test_frac_threshold_clamps_full_and_empty_samples():

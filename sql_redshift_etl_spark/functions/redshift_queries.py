@@ -591,3 +591,93 @@ def redshift_script_manifest_roundtrip(spark: SparkSession, sf_dir: str) -> Data
     )
     assert out is not None
     return out
+
+
+# Round-5 front-end battery: the real-script idioms from the r4 verdict —
+# #temp table names, SIMILAR TO / NOT SIMILAR TO, DATE_PART_YEAR,
+# NVL2 / GREATEST / LEAST (Spark-native, probe-verified), CONVERT(type, x),
+# and LISTAGG's WINDOW form (WITHIN GROUP ... OVER (PARTITION BY ...)).
+_SCRIPT_MISC2 = """
+    BEGIN;
+
+    CREATE TEMP TABLE #prio_orders AS
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM {orders}
+    WHERE o_orderpriority SIMILAR TO '(1|2)-%'
+      AND o_orderstatus NOT SIMILAR TO 'P';
+
+    SELECT order_year, status, n_orders, total_price, floor10, cap1000, has_jumbo,
+           LISTAGG(status, ',') WITHIN GROUP (ORDER BY status)
+               OVER (PARTITION BY order_year) AS statuses_in_year
+    FROM (
+        SELECT DATE_PART_YEAR(o_orderdate) AS order_year,
+               o_orderstatus AS status,
+               COUNT(*) AS n_orders,
+               CONVERT(DOUBLE, SUM(CONVERT(DECIMAL(18,2), o_totalprice))) AS total_price,
+               CONVERT(BIGINT, GREATEST(COUNT(*), 10)) AS floor10,
+               CONVERT(BIGINT, LEAST(COUNT(*), 1000)) AS cap1000,
+               NVL2(MAX(CASE WHEN o_totalprice > 200000 THEN 1 END),
+                    'jumbo', 'regular') AS has_jumbo
+        FROM #prio_orders
+        GROUP BY 1, 2
+    ) yearly;
+
+    COMMIT;
+"""
+
+
+@register(
+    "redshift_sql_misc2",
+    tags=("§2.7", "A5", "W4"),
+    oracle="""
+        WITH prio AS (
+            -- DuckDB's SIMILAR TO takes a raw regex (no SQL % wildcard),
+            -- so the oracle spells the anchored-regex semantics directly.
+            SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+            FROM orders
+            WHERE regexp_full_match(o_orderpriority, '(1|2)-.*')
+              AND NOT regexp_full_match(o_orderstatus, 'P')
+        ), agg AS (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+                   o_orderstatus AS status,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+                   CAST(GREATEST(COUNT(*), 10) AS BIGINT) AS floor10,
+                   CAST(LEAST(COUNT(*), 1000) AS BIGINT) AS cap1000,
+                   CASE WHEN MAX(CASE WHEN o_totalprice > 200000 THEN 1 END) IS NOT NULL
+                        THEN 'jumbo' ELSE 'regular' END AS has_jumbo
+            FROM prio GROUP BY 1, 2
+        ), per_year AS (
+            SELECT order_year, string_agg(status, ',' ORDER BY status) AS statuses_in_year
+            FROM agg GROUP BY order_year
+        )
+        SELECT a.order_year, a.status, a.n_orders, a.total_price,
+               a.floor10, a.cap1000, a.has_jumbo, p.statuses_in_year
+        FROM agg a JOIN per_year p ON a.order_year = p.order_year
+    """,
+)
+def redshift_sql_misc2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 real-script idioms as ONE verbatim Redshift script:
+    a #temp staging table (session-temp spelling), SIMILAR TO and NOT
+    SIMILAR TO filters (→ anchored RLIKE), DATE_PART_YEAR, CONVERT
+    casts, NVL2/GREATEST/LEAST (Spark-native), and the WINDOW form of
+    LISTAGG (WITHIN GROUP ordering + OVER (PARTITION BY) — the OVER
+    attaches to the inner collect_list). The DuckDB oracle spells the
+    anchored-regex semantics via regexp_full_match (DuckDB's SIMILAR TO
+    takes a raw regex, not the SQL %/_ dialect) and replaces the window
+    LISTAGG with a grouped string_agg joined back per year.
+
+    Unsupported neighbors stay LOUD, not silent (unit-tested):
+    SIMILAR TO ... ESCAPE, non-literal SIMILAR TO patterns, and window
+    LISTAGG with ORDER BY inside OVER all raise named errors.
+
+    Scale: the SIMILAR TO predicate is a row-local RLIKE pushed to the
+    scan; one shuffle for the (year, status) aggregate; the window
+    LISTAGG partitions by year over the tiny aggregated frame.
+    """
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rs_misc2_orders")
+    out = run_redshift_script(spark, _SCRIPT_MISC2.format(orders="rs_misc2_orders"))
+    assert out is not None
+    return out

@@ -26,6 +26,13 @@ Handled rewrites (each with a unit test in tests/test_units.py):
 - DISTSTYLE / DISTKEY(...) / SORTKEY(...) / ENCODE ... DDL storage
   clauses → stripped (Spark analogs are write-layout options, see
   sources.writers)
+- [NOT] SIMILAR TO 'pat'       → [NOT] RLIKE anchored-regex (r5;
+  literal patterns only, default backslash escape; ESCAPE clause raises)
+- DATE_PART_YEAR(d)            → year(d) (r5)
+- #temp table names            → rs_tmp_<name> identifiers (r5; Spark
+  identifiers cannot start with '#')
+- LISTAGG ... WITHIN GROUP ... OVER (PARTITION BY ...) — window form
+  (r5; ORDER BY inside OVER raises, matching Redshift's own restriction)
 
 NVL / NVL2 / DECODE / :: casts / ILIKE / LEN / SPLIT_PART / POSITION /
 BTRIM / INITCAP / REGEXP_SUBSTR / REGEXP_COUNT / REGEXP_INSTR /
@@ -287,17 +294,28 @@ def _rewrite_json_extract(sql: str) -> str:
 
 
 def _rewrite_listagg(sql: str) -> str:
-    """LISTAGG(col, 'sep') WITHIN GROUP (ORDER BY expr [ASC|DESC]).
+    """LISTAGG(col, 'sep') WITHIN GROUP (ORDER BY expr [ASC|DESC])
+    [OVER ([PARTITION BY ...])].
 
     The ORDER BY expression is honored, not assumed: when it is the
     aggregated column itself we sort the collected values directly; when
     it differs we collect (order-key, value) structs, sort by the key
     (array_sort on struct arrays compares fields left-to-right), and
     project the values back out. DESC reverses the sorted array.
+
+    Window form (r5): Redshift's window LISTAGG takes an OVER clause with
+    ONLY PARTITION BY (its docs forbid window ORDER BY for LISTAGG — the
+    ordering lives in WITHIN GROUP). The OVER attaches to the inner
+    collect_list — ``array_sort(collect_list(x) OVER (w))`` — because
+    array_join/array_sort are scalar functions, not window aggregates.
+    An OVER containing ORDER BY raises: Spark's default frame would make
+    it a RUNNING list (rows unbounded-preceding..current), silently
+    different values.
     """
 
     pat = re.compile(r"\bLISTAGG\s*\(", re.IGNORECASE)
     wg_pat = re.compile(r"\s*WITHIN\s+GROUP\s*\(", re.IGNORECASE)
+    over_pat = re.compile(r"\s*OVER\s*\(", re.IGNORECASE)
     search_from = 0
     while True:
         m = pat.search(sql, search_from)
@@ -325,16 +343,28 @@ def _rewrite_listagg(sql: str) -> str:
             raise ValueError(f"LISTAGG WITHIN GROUP must be (ORDER BY ...): {inner!r}")
         order_expr = om.group(1).strip()
         desc = bool(om.group(2)) and om.group(2).strip().lower() == "desc"
+        end_idx = wg_end
+        over_sfx = ""
+        if ov := over_pat.match(sql, wg_end):
+            end_idx = _scan_balanced(sql, ov.end())
+            win = sql[ov.end() : end_idx - 1].strip()
+            if re.search(r"\bORDER\s+BY\b", win, re.IGNORECASE):
+                raise ValueError(
+                    "window LISTAGG: ORDER BY inside OVER is not supported "
+                    "(Redshift allows only PARTITION BY there; element order "
+                    "belongs in WITHIN GROUP)"
+                )
+            over_sfx = f" OVER ({win})"
         if order_expr.lower() == col.lower():
-            sorted_arr = f"array_sort(collect_list({col}))"
+            sorted_arr = f"array_sort(collect_list({col}){over_sfx})"
         else:
             sorted_arr = (
                 f"transform(array_sort(collect_list("
-                f"named_struct('o', {order_expr}, 'v', {col}))), p -> p.v)"
+                f"named_struct('o', {order_expr}, 'v', {col})){over_sfx}), p -> p.v)"
             )
         if desc:
             sorted_arr = f"reverse({sorted_arr})"
-        sql = f"{sql[: m.start()]}array_join({sorted_arr}, '{sep}'){sql[wg_end:]}"
+        sql = f"{sql[: m.start()]}array_join({sorted_arr}, '{sep}'){sql[end_idx:]}"
         search_from = 0
 
 
@@ -649,6 +679,85 @@ def _rewrite_math_aliases(sql: str) -> str:
     return _unmask_literals(masked, lits)
 
 
+def _similar_to_regex(pat: str) -> str:
+    """SQL SIMILAR TO pattern → anchored Java/Spark regex.
+
+    SIMILAR TO matches the ENTIRE string; its metacharacters are % (any
+    sequence) and _ (any char) plus the regex subset | * + ? ( ) [ ] { },
+    which carries identical semantics in a real regex and passes through.
+    Characters that are LITERAL in SIMILAR TO but special in regex
+    (. ^ $) are escaped; backslash is the default escape character (as in
+    Redshift/Postgres) and forces the next char literal."""
+    out: list[str] = []
+    i, n = 0, len(pat)
+    while i < n:
+        c = pat[i]
+        if c == "\\":
+            if i + 1 >= n:
+                raise ValueError(f"SIMILAR TO pattern ends in escape: {pat!r}")
+            out.append(re.escape(pat[i + 1]))
+            i += 2
+            continue
+        if c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        elif c in ".^$":
+            out.append("\\" + c)
+        else:
+            out.append(c)
+        i += 1
+    return "^(?:" + "".join(out) + ")$"
+
+
+def _rewrite_similar_to(sql: str) -> str:
+    """``expr [NOT] SIMILAR TO 'pattern'`` → ``expr [NOT] RLIKE
+    '<anchored regex>'`` (Spark has no SIMILAR TO). Bounded subset:
+    the pattern must be a string literal (a dynamic pattern cannot be
+    translated at rewrite time) and an explicit ESCAPE clause raises —
+    only the default backslash escape is supported."""
+    masked, lits = _mask_literals(sql)
+    pat = re.compile(r"\b(NOT\s+)?SIMILAR\s+TO\s*(\x00(\d+)\x00)?", re.IGNORECASE)
+    out = masked
+    while m := pat.search(out):
+        if m.group(2) is None:
+            raise ValueError(
+                "SIMILAR TO pattern must be a string literal "
+                f"(near {out[m.start():m.start()+40]!r})"
+            )
+        if re.match(r"\s*ESCAPE\b", out[m.end():], re.IGNORECASE):
+            raise ValueError(
+                "SIMILAR TO ... ESCAPE is not supported; use the default "
+                "backslash escape in the pattern"
+            )
+        lit = lits[int(m.group(3))]
+        rx = _similar_to_regex(lit[1:-1].replace("''", "'"))
+        lits.append("'" + rx.replace("'", "''") + "'")
+        neg = "NOT " if m.group(1) else ""
+        out = f"{out[: m.start()]}{neg}RLIKE \x00{len(lits) - 1}\x00{out[m.end():]}"
+    return _unmask_literals(out, lits)
+
+
+def _rewrite_date_part_year(sql: str) -> str:
+    """Redshift ``DATE_PART_YEAR(date)`` → ``year(date)``."""
+    masked, lits = _mask_literals(sql)
+    masked = re.sub(r"\bDATE_PART_YEAR\s*\(", "year(", masked, flags=re.IGNORECASE)
+    return _unmask_literals(masked, lits)
+
+
+def rewrite_temp_names(sql: str) -> str:
+    """Redshift ``#name`` session-temp tables → the identifier
+    ``rs_tmp_name`` (Spark identifiers cannot start with ``#``). Applied
+    to EVERY occurrence — creation and references alike — so a script's
+    ``CREATE TEMP TABLE #stg`` and later ``FROM #stg`` stay consistent.
+    The script runner calls this BEFORE statement classification (its
+    CREATE/COPY regexes match plain identifiers). Collision caveat
+    (documented): a real table literally named rs_tmp_<x> would alias."""
+    masked, lits = _mask_literals(sql)
+    masked = re.sub(r"#(\w+)", r"rs_tmp_\1", masked)
+    return _unmask_literals(masked, lits)
+
+
 def _rewrite_now(sql: str) -> str:
     masked, lits = _mask_literals(sql)
     masked = re.sub(r"\bGETDATE\s*\(\s*\)", "current_timestamp()", masked, flags=re.IGNORECASE)
@@ -672,7 +781,7 @@ def translate_redshift_sql(sql: str) -> str:
     _rewrite_top runs before _rewrite_qualify so TOP + QUALIFY composes
     (qualify keeps the appended LIMIT in its tail)."""
     sql = strip_sql_comments(sql)
-    for fn in (_rewrite_top, _rewrite_qualify, _rewrite_convert, _rewrite_datediff, _rewrite_to_char, _rewrite_to_datetime, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_approx_count, _rewrite_string_fns, _rewrite_trunc, _rewrite_math_aliases, _rewrite_now, _strip_storage_clauses):
+    for fn in (rewrite_temp_names, _rewrite_top, _rewrite_qualify, _rewrite_convert, _rewrite_datediff, _rewrite_to_char, _rewrite_to_datetime, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_approx_count, _rewrite_similar_to, _rewrite_date_part_year, _rewrite_string_fns, _rewrite_trunc, _rewrite_math_aliases, _rewrite_now, _strip_storage_clauses):
         sql = fn(sql)
     return sql
 

@@ -70,6 +70,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from sql_redshift_etl_spark.functions.redshift_sql import (
+    rewrite_temp_names,
     strip_sql_comments,
     translate_redshift_sql,
 )
@@ -310,7 +311,12 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
     result: DataFrame | None = None
     try:
         for raw in split_statements(script):
-            raw = raw.strip()
+            # Redshift #temp names → plain identifiers BEFORE statement
+            # classification (the CREATE/COPY/INSERT regexes match \w
+            # identifiers; '#stg' would silently fall through to
+            # spark.sql and fail to parse). The front-end repeats the
+            # rewrite for standalone statements — it is idempotent.
+            raw = rewrite_temp_names(raw).strip()
             # COPY/UNLOAD carry path literals and option clauses the SQL
             # rewriter must not touch — matched on the RAW statement;
             # only UNLOAD's inner query goes through the front-end.

@@ -78,18 +78,18 @@ def register(
 
 # Driver-verification priority. The round driver oracle-checks the FIRST
 # ~50 names in registration order, so ordering is evidence strategy, not
-# style: r1 verified the original first 50 (CORRECTNESS_r01), r2 the next
-# window, r3 the 38 never-checked queries — r1∪r2∪r3 checked 138/148 with
-# zero failures. The ROUND-4 window below front-loads (a) the 10 queries
-# registered after the r3 window froze (the 8 tpch2 shapes, the e2e
-# corpus pipeline, the misc front-end script), (b) the six queries new
-# in round 4 (two multi-statement script-runner ETLs, the COPY/UNLOAD
-# script round-trip, the partition-pruned ANN variant, the batch-kNN
-# retrieval shape, and the banded sign-LSH embedding dedup), then
-# (c) the bench headline set and an r1-era sample as regression
-# insurance (r1 rows are three rounds stale; entries past the 50-query
-# boundary stay locally bit-checked). Green r4 rows for block (a)+(b) => every registered
-# query has at least one driver CORRECTNESS row across r1..r4.
+# style. History: r1 checked the original first 50, r2 the next window,
+# r3 the 38 then-never-checked, r4 the 19 post-r3 registrations + bench
+# set + an r1 sample — r1∪r2∪r3∪r4 covered all 157 then-registered
+# queries (VERDICT r4). The ROUND-5 window rotates to FRESHNESS (verdict
+# r4 item 3): (1) q12_late_shipment_priority leads — its r4 row was red
+# on an oracle dtype artifact, now fixed (CAST AS BIGINT), and must turn
+# green; (2) redshift_sql_misc2, new this round (SIMILAR TO, #temp,
+# DATE_PART_YEAR, window LISTAGG, NVL2/GREATEST/LEAST/CONVERT); (3) all
+# 22 SQL-oracled entries whose newest driver row is r1 (three rounds
+# stale); (4) 26 r2-era entries, prioritizing the modules most
+# refactored since (dedup/similarity/text/scalars + front-end). After a
+# green r5, no SQL-oracled query's newest driver row is older than r2.
 # Maintenance rules (CI-enforced in tests/test_registry_hygiene.py):
 #  - every SQL-oracled query must appear in this list OR carry a
 #    "sibling-coverage:" note in its docstring naming the in-list query
@@ -101,12 +101,61 @@ def register(
 #    columns throw; serialize with array_join/to_json).
 # Names not listed keep their module registration order after these.
 _VERIFY_FIRST: list[str] = [
-    # --- round-4 window block (a): never driver-checked (post-r3-freeze) ---
+    "q12_late_shipment_priority",
+    "redshift_sql_misc2",
+    "scan_project_expr",
+    "filter_predicates",
+    "case_when_decode",
+    "cast_conversions",
+    "distinct_projection",
+    "union_all_accounts",
+    "union_distinct_nations",
+    "intersect_nations",
+    "except_nations",
+    "orderby_limit_offset",
+    "join_left_outer",
+    "join_right_outer",
+    "join_cross",
+    "topk_global_revenue",
+    "window_moving_agg",
+    "window_running_total",
+    "events_funnel",
+    "events_sliding_window",
+    "events_tumbling_hourly_window",
+    "events_session_window_native",
+    "events_incremental_load",
+    "ctas_staging_chain",
+    "dedup_cluster_components",
+    "dedup_embedding_cosine",
+    "dedup_keep_canonical",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_codes",
+    "sim_centroid_per_label",
+    "sim_knn_per_label",
+    "text_fingerprints",
+    "text_lang_id_heuristic",
+    "text_quality_filter_kept",
+    "text_quality_scores",
+    "text_token_counts",
+    "string_functions",
+    "regex_functions",
+    "datetime_functions",
+    "datetime_tz_functions",
+    "math_functions",
+    "json_super_access",
+    "array_functions",
+    "to_char_formats",
+    "datediff_boundary_semantics",
+    "subquery_correlated_scalar",
+    "subquery_in_filter",
+    "redshift_sql_qualify",
+    "redshift_sql_report",
+    "redshift_sql_events",
+    # --- 50-query driver boundary ---
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q9_product_type_profit",
     "q11_important_value_share",
-    "q12_late_shipment_priority",
     "q16_supplier_variety",
     "q20_volume_suppliers",
     "q21_sole_late_supplier",
@@ -121,7 +170,6 @@ _VERIFY_FIRST: list[str] = [
     "redshift_script_copy_unload",
     "redshift_script_manifest_roundtrip",
     "source_jdbc_roundtrip",
-    # --- block (b): bench headline set re-confirm (all r1-r3 green) ---
     "flagship_pricing_summary",
     "q6_forecast_revenue",
     "q3_shipping_priority",
@@ -132,7 +180,6 @@ _VERIFY_FIRST: list[str] = [
     "window_topk_per_group",
     "events_tumbling_daily",
     "events_sessionize",
-    # --- block (c): r1-era regression sample (rows three rounds stale) ---
     "agg_basic_supplier",
     "count_distinct_multi",
     "stats_moments",
@@ -154,17 +201,6 @@ _VERIFY_FIRST: list[str] = [
     "window_ranks",
     "window_lag_lead",
     "window_first_last",
-    # --- 50-query driver boundary (19 never-checked + 10 bench + 21
-    # r1-era regression = exactly 50 above this line; CI checks the
-    # window contents: tests/test_registry_hygiene.py) ---
-    # Everything below has a green CORRECTNESS row in r1, r2 or r3 and
-    # stays bit-checked locally in tests/test_oracle_parity.py.
-    "window_moving_agg",
-    "window_running_total",
-    "topk_global_revenue",
-    "events_funnel",
-    "ctas_staging_chain",
-    "events_sliding_window",
     "q5_local_supplier_volume",
     "q7_volume_shipping",
     "q8_market_share",
@@ -205,66 +241,24 @@ _VERIFY_FIRST: list[str] = [
     "multimodal_decode_features",
     "dedup_exact_groups",
     "events_merge_upsert",
-    "dedup_keep_canonical",
-    "dedup_simhash_codes",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "sim_knn_per_label",
-    "sim_centroid_per_label",
-    "text_quality_scores",
-    "text_quality_filter_kept",
-    "text_token_counts",
-    "text_lang_id_heuristic",
-    "text_fingerprints",
     "multimodal_join",
     "multimodal_binary_metadata",
-    "string_functions",
-    "regex_functions",
-    "datetime_functions",
-    "datediff_boundary_semantics",
-    "to_char_formats",
-    "math_functions",
-    "json_super_access",
-    "array_functions",
-    "subquery_correlated_scalar",
-    "subquery_in_filter",
     "udf_pandas_scalar_score",
     "udtf_chunk_documents",
-    "redshift_sql_report",
-    "redshift_sql_events",
     "source_csv_copy_roundtrip",
     "source_json_copy_roundtrip",
     "source_unload_partitioned",
-    "redshift_sql_qualify",
     "redshift_sql_recursive",
     "source_bucketed_distkey_join",
     "stream_foreachbatch_upsert",
     "sample_train_val_test",
     "sample_stratified_per_label",
-    "dedup_cluster_components",
-    "datetime_tz_functions",
     "stream_dedup_exactly_once",
     "curation_repetition_scores",
     "curation_contamination_check",
     "curation_pack_sequences",
     "curation_domain_cap",
     "curation_pii_redaction",
-    "scan_project_expr",
-    "filter_predicates",
-    "case_when_decode",
-    "distinct_projection",
-    "cast_conversions",
-    "union_all_accounts",
-    "union_distinct_nations",
-    "intersect_nations",
-    "except_nations",
-    "orderby_limit_offset",
-    "join_left_outer",
-    "join_right_outer",
-    "join_cross",
-    "events_tumbling_hourly_window",
-    "events_session_window_native",
-    "events_incremental_load",
 ]
 
 

@@ -39,49 +39,40 @@ def test_verify_first_has_no_duplicates():
     assert len(vf) == len(set(vf)), "duplicate names in _VERIFY_FIRST"
 
 
-# The 19 queries with no CORRECTNESS row in r1∪r2∪r3: the 10
-# post-r3-freeze registrations (8 tpch2 shapes + e2e corpus pipeline +
-# misc front-end script) plus the eight queries new in round 4 (two
-# script-runner ETLs, the COPY/UNLOAD script round trip, the
-# partition-pruned ANN, batch kNN ×2, the banded sign-LSH embedding
-# dedup, the embedded-Derby JDBC round trip, the MANIFEST lifecycle
-# script — nine in all). Every one must sit inside the driver's first-50
-# window — green rows for all 19 = full registry coverage across r1..r4. Queries registered after this round queue for
-# the round-5 window instead and must NOT displace these.
-R4_NEVER_VERIFIED = frozenset(
+# Round-5 window strategy (VERDICT r4 item 3): rotate to FRESHNESS.
+# Must-haves in the first-50 window this round:
+#  - q12_late_shipment_priority: its r4 row was red on an oracle dtype
+#    artifact (now fixed) — the green row is the round's top deliverable;
+#  - every query REGISTERED in round 5 (no driver row yet);
+#  - every SQL-oracled query whose newest driver row is r1 (three
+#    rounds stale, while the code under it kept being refactored).
+R5_MUST_VERIFY = frozenset(
     {
-        "q2_min_cost_supplier", "q4_order_priority", "q9_product_type_profit",
-        "q11_important_value_share", "q12_late_shipment_priority",
-        "q16_supplier_variety", "q20_volume_suppliers", "q21_sole_late_supplier",
-        "etl_training_corpus_pipeline", "redshift_sql_misc_functions",
-        "redshift_script_etl_mart", "redshift_script_upsert_snapshot",
-        "sim_ann_lsh_pruned",
-        "sim_knn_batch", "sim_knn_batch_ann", "dedup_embedding_ann",
-        "redshift_script_copy_unload", "source_jdbc_roundtrip",
-        "redshift_script_manifest_roundtrip",
-    }
-)
-
-# Bench headline set: re-confirmed every round (the driver's BENCH_r{N}
-# numbers should always ride on driver-green queries).
-BENCH_HEADLINE = frozenset(
-    {
-        "flagship_pricing_summary", "q6_forecast_revenue", "q3_shipping_priority",
-        "join_star_revenue", "dedup_minhash_lsh", "sim_knn_bruteforce",
-        "text_doc_stats_by_lang", "window_topk_per_group", "events_tumbling_daily",
-        "events_sessionize",
+        "q12_late_shipment_priority",
+        # new in r5 (never driver-checked)
+        "redshift_sql_misc2",
+        # newest driver row is r1 (CORRECTNESS_r01 only)
+        "scan_project_expr", "filter_predicates", "case_when_decode",
+        "cast_conversions", "distinct_projection", "union_all_accounts",
+        "union_distinct_nations", "intersect_nations", "except_nations",
+        "orderby_limit_offset", "join_left_outer", "join_right_outer",
+        "join_cross", "topk_global_revenue", "window_moving_agg",
+        "window_running_total", "events_funnel", "events_sliding_window",
+        "events_tumbling_hourly_window", "events_session_window_native",
+        "events_incremental_load", "ctas_staging_chain",
     }
 )
 
 
-def test_driver_window_contains_all_never_verified_queries():
-    # Round-4 evidence strategy: the first 50 names the driver checks
-    # must include every query frozen into R4_NEVER_VERIFIED (green rows
-    # for those = 151/151 registry coverage across r1..r4) plus the
-    # bench headline set.
+def test_driver_window_contains_round5_must_verify():
     window = set(list(all_queries())[:50])
-    missing = sorted((R4_NEVER_VERIFIED | BENCH_HEADLINE) - window)
-    assert not missing, f"planned round-4 window members displaced: {missing}"
+    missing = sorted(R5_MUST_VERIFY - window)
+    assert not missing, f"planned round-5 window members displaced: {missing}"
+    # and the window never wastes a slot on a name with no oracle (those
+    # get only the weak rows-only check)
+    qs = all_queries()
+    weak = [n for n in list(qs)[:50] if qs[n].oracle is None]
+    assert not weak, f"rows-only queries occupy driver-window slots: {weak}"
 
 
 def test_oracled_queries_return_scalar_columns_only():

@@ -874,3 +874,84 @@ def test_frac_threshold_clamps_full_and_empty_samples():
     assert "ffff" < frac_threshold(0.999999)   # rounds to 65536 too
     assert not ("0000" < frac_threshold(0.0))  # nothing selected
     assert not ("0000" < frac_threshold(-1.0))
+
+
+def test_similar_to_translation_and_loud_rejections():
+    """[NOT] SIMILAR TO 'pat' → [NOT] RLIKE anchored regex: % → .*,
+    _ → ., regex-literal chars (.^$) escaped, backslash escapes the next
+    char. Dynamic patterns and explicit ESCAPE clauses raise (r5)."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.redshift_sql import (
+        _similar_to_regex,
+        translate_redshift_sql as t,
+    )
+
+    assert t("SELECT * FROM t WHERE a SIMILAR TO 'ab[1-3]%'") == (
+        "SELECT * FROM t WHERE a RLIKE '^(?:ab[1-3].*)$'"
+    )
+    assert t("SELECT * FROM t WHERE a NOT SIMILAR TO '_x'") == (
+        "SELECT * FROM t WHERE a NOT RLIKE '^(?:.x)$'"
+    )
+    # '.' is LITERAL in SIMILAR TO → escaped in the regex; \% is literal %
+    assert _similar_to_regex("a.b%") == r"^(?:a\.b.*)$"
+    # \% = literal percent: the wildcard meaning is gone ('%' needs no
+    # regex escape — re.escape leaves non-special chars bare since 3.7)
+    assert _similar_to_regex(r"100\%") == "^(?:100%)$"
+    # literals inside strings are data, not operators
+    assert t("SELECT 'x SIMILAR TO y' AS s FROM t") == "SELECT 'x SIMILAR TO y' AS s FROM t"
+    with _pytest.raises(ValueError, match="ESCAPE"):
+        t("SELECT * FROM t WHERE a SIMILAR TO 'x!%' ESCAPE '!'")
+    with _pytest.raises(ValueError, match="string literal"):
+        t("SELECT * FROM t WHERE a SIMILAR TO b")
+
+
+def test_date_part_year_and_temp_name_rewrites():
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql as t
+
+    assert t("SELECT DATE_PART_YEAR(d) AS y FROM t") == "SELECT year(d) AS y FROM t"
+    # #temp identifiers rewrite everywhere EXCEPT inside string literals
+    assert t("SELECT a FROM #stg JOIN #dim ON #stg.k = #dim.k") == (
+        "SELECT a FROM rs_tmp_stg JOIN rs_tmp_dim ON rs_tmp_stg.k = rs_tmp_dim.k"
+    )
+    assert t("SELECT '#notatable' AS s FROM t") == "SELECT '#notatable' AS s FROM t"
+
+
+def test_window_listagg_translation_and_order_by_rejection():
+    """Redshift's window LISTAGG (OVER with only PARTITION BY): the OVER
+    must attach to the inner collect_list; ORDER BY inside OVER raises
+    (Spark's default frame would yield a RUNNING list — silently
+    different values, so loud instead)."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql as t
+
+    out = t(
+        "SELECT LISTAGG(s, ',') WITHIN GROUP (ORDER BY s) OVER (PARTITION BY g) FROM t"
+    )
+    assert out == (
+        "SELECT array_join(array_sort(collect_list(s) OVER (PARTITION BY g)), ',') FROM t"
+    )
+    # distinct order key → struct-sort form, OVER still on collect_list
+    out2 = t(
+        "SELECT LISTAGG(v, '|') WITHIN GROUP (ORDER BY k DESC) OVER (PARTITION BY g) FROM t"
+    )
+    assert "collect_list(named_struct('o', k, 'v', v)) OVER (PARTITION BY g)" in out2
+    assert out2.startswith("SELECT array_join(reverse(transform(array_sort(")
+    with _pytest.raises(ValueError, match="ORDER BY inside OVER"):
+        t("SELECT LISTAGG(s, ',') WITHIN GROUP (ORDER BY s) OVER (PARTITION BY g ORDER BY s) FROM t")
+
+
+def test_window_listagg_values(spark):
+    """Behavioral check of the window-LISTAGG rewrite on a real frame."""
+    from sql_redshift_etl_spark.functions.redshift_sql import run_redshift_sql
+
+    spark.createDataFrame(
+        [(1, "b"), (1, "a"), (2, "z")], "g int, s string"
+    ).createOrReplaceTempView("_wl_t")
+    rows = run_redshift_sql(
+        spark,
+        "SELECT g, LISTAGG(s, ',') WITHIN GROUP (ORDER BY s) OVER (PARTITION BY g) AS l FROM _wl_t",
+    ).collect()
+    assert sorted((r.g, r.l) for r in rows) == [(1, "a,b"), (1, "a,b"), (2, "z")]
+    spark.catalog.dropTempView("_wl_t")

@@ -67,9 +67,18 @@ def one_rate() -> Column:
     return F.lit(1).cast("decimal(3,2)")
 
 
-def dsum(c: ColumnOrName, scale: int = 2) -> Column:
-    """Exact decimal SUM surfaced as double (bit-identical across engines)."""
-    return F.sum(dec(c, scale)).cast("double")
+def dsum(c: ColumnOrName, scale: int = 2, precision: int = 18) -> Column:
+    """Exact decimal SUM surfaced as double (bit-identical across engines).
+
+    Pass a domain-narrow ``precision`` when the value bound is known —
+    Spark widens the SUM accumulator by +10 digits, so precision ≤ 8
+    keeps the accumulator ≤ 18 on the long-backed fast path instead of
+    per-row 128-bit decimals (measured 1.29× on the sf10 daily-events
+    aggregate, values identical: decimal addition is exact at any
+    width that fits, and (8,2) carries sums to 10^6 per group-row ×
+    10^10 headroom). The DuckDB oracle keeps DECIMAL(18,2) — same
+    rationals, same double."""
+    return F.sum(dec(c, scale, precision)).cast("double")
 
 
 def davg(c: ColumnOrName, scale: int = 2) -> Column:

@@ -41,7 +41,7 @@ def agg_basic_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).alias("n_items"),
-        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_quantity", 2, 4).alias("sum_qty"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
         (F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
@@ -217,7 +217,7 @@ def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity").alias("sum_qty"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity", 2, 4).alias("sum_qty"))
         .select(
             nvl(F.col("l_returnflag"), F.lit("*")).alias("returnflag"),
             nvl(F.col("l_linestatus"), F.lit("*")).alias("linestatus"),

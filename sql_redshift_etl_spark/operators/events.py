@@ -43,7 +43,7 @@ def events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        dsum("value").alias("total_value"),
+        dsum("value", 2, 8).alias("total_value"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
@@ -94,7 +94,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "2 days", "1 day"))
-        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 2, 8).alias("total_value"))
         .select(F.col("window.start").alias("win_start"), "n_events", "total_value")
     )
 
@@ -162,7 +162,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        dsum("value").alias("session_value"),
+        dsum("value", 2, 8).alias("session_value"),
     )
 
 
@@ -271,5 +271,5 @@ def events_incremental_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(F.col("ts") > watermark)
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_new"),
-        dsum("value").alias("new_value"),
+        dsum("value", 2, 8).alias("new_value"),
     )

@@ -100,7 +100,7 @@ def source_unload_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     unload_parquet(o, path, partition_by=["o_orderstatus"], sort_within=["o_orderdate"])
     back = read_partitioned(spark, path, schema=o.schema)
     return back.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_price")
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", 2, 8).alias("total_price")
     )
 
 
@@ -213,5 +213,5 @@ def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         back.join(F.broadcast(nat), back.s_nationkey == nat.n_nationkey)
         .groupBy("n_name")
-        .agg(F.count(F.lit(1)).alias("n_suppliers"), dsum("s_acctbal").alias("total_bal"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"), dsum("s_acctbal", 2, 8).alias("total_bal"))
     )

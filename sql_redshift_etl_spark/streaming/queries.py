@@ -144,7 +144,7 @@ def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            dsum("value").alias("total_value"),
+            dsum("value", 2, 8).alias("total_value"),
         )
     )
 

@@ -99,6 +99,31 @@ def _replicate(
                 )
             ),
         )
+    if name == "embeddings":
+        # Same honesty requirement as documents, vector form: a verbatim
+        # replica is an EXACT dup (cosine 1), so high factors would make
+        # the corpus a degenerate pile of identical vectors and the ANN
+        # dedup's output itself quadratic in the factor. Perturb replica
+        # r>0 by a norm-preserving cyclic component shift + deterministic
+        # sign flips (xxhash64 on (replica, index)) — replicas land
+        # near-orthogonal to their originals, keeping the corpus
+        # near-uniform like the source, with pair counts growing
+        # linearly. Replica 0 stays verbatim.
+        dim = 64
+        idx = F.sequence(F.lit(0), F.lit(dim - 1))
+        shifted = F.transform(
+            idx,
+            lambda i: F.element_at(
+                F.col("embedding"), ((i + F.col("replica")) % dim + 1).cast("int")
+            )
+            * F.when(F.pmod(F.xxhash64(F.col("replica"), i), 2) == 0, -1.0).otherwise(1.0),
+        )
+        rep = rep.withColumn(
+            "embedding",
+            F.when(F.col("replica") == 0, F.col("embedding")).otherwise(
+                shifted.cast("array<float>")
+            ),
+        )
     return rep
 
 
@@ -107,11 +132,17 @@ def main() -> None:
     dst = os.environ.get(
         "SCALE_DST", os.path.join(REPO_ROOT, "_scratch", f"sf{0.1 * factor:g}")
     )
+    # SCALE_TABLES=documents,embeddings restricts generation to the named
+    # tables — the sf30/sf100 tiers exist only for the two heaviest dedup
+    # pipelines, and a full-tier lineitem at factor 1000 would be ~20 GB
+    # of data no query there reads.
+    only = os.environ.get("SCALE_TABLES")
+    tables = [t.strip() for t in only.split(",")] if only else list(TABLES)
     spark = get_spark("make-scaled-data")
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.perf_counter()
     bases = _bases(spark)
-    for name in TABLES:
+    for name in tables:
         path = os.path.join(dst, f"{name}.parquet")
         if name in DIMS:
             load_table(spark, SRC_SF, name).write.mode("overwrite").parquet(path)

@@ -297,33 +297,60 @@ def lsh_band_buckets(d: DataFrame) -> DataFrame:
 
 
 def banded_candidates(
-    bands: DataFrame, id_col: str, out_a: str, out_b: str, band_cap: int | None = None
+    bands: DataFrame,
+    id_col: str,
+    out_a: str,
+    out_b: str,
+    band_cap: int | None = None,
+    carry: list[str] | None = None,
 ) -> DataFrame:
-    """Candidate pairs from a (id, band_idx, band_val) relation — the
-    ONE implementation of LSH banding's cap + self-join, shared by the
-    MinHash path (minhash_lsh_pairs_df) and the embedding sign-LSH path
-    (embedding_ann_candidates) so cap semantics cannot drift between
-    them. When ``band_cap`` is set, band buckets holding > cap ids are
-    EXCLUDED before the self-join (the literal ``WHERE n <= cap``),
-    bounding the worst bucket at cap² candidate pairs."""
+    """Candidate pairs from a (id, band_idx, band_val[, payload...])
+    relation — the ONE implementation of LSH banding's cap + self-join,
+    shared by the MinHash path (minhash_lsh_pairs_df) and the embedding
+    sign-LSH path (embedding_ann_candidates) so cap semantics cannot
+    drift between them. When ``band_cap`` is set, band buckets holding
+    > cap ids are EXCLUDED before the self-join (the literal ``WHERE
+    n <= cap``), bounding the worst bucket at cap² candidate pairs.
+
+    ``carry`` (r5): payload columns present in ``bands`` to surface on
+    both sides as ``<col>_a``/``<col>_b``, WITHOUT the trailing
+    ``.distinct()`` (the caller scores first, then distincts the small
+    scored relation). This is the 100 TB verify shape: carrying vectors
+    THROUGH the band join shuffles O(n·bands·payload); the alternative
+    — distinct ids first, then join payloads back per pair — shuffles
+    O(candidates·payload), which at the sf100 tier is ~240 GB of
+    spill (measured to disk exhaustion) vs ~8 GB for the carry plan.
+    """
     if band_cap is not None:
         # The hot-band guard: count bucket occupancy (a tiny aggregate on
-        # the already-compact band relation) and keep only buckets at or
-        # under the cap — the self-join below then has a cap² worst case
-        # per bucket instead of an unbounded quadratic blowup.
-        sizes = bands.groupBy("band_idx", "band_val").agg(F.count(F.lit(1)).alias("n"))
+        # the already-compact id/band projection) and keep only buckets
+        # at or under the cap — the self-join below then has a cap² worst
+        # case per bucket instead of an unbounded quadratic blowup.
+        sizes = (
+            bands.select("band_idx", "band_val")
+            .groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
         bands = bands.join(
             sizes.where(F.col("n") <= band_cap).drop("n"), ["band_idx", "band_val"]
         )
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    joined = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    if carry:
+        return joined.select(
+            F.col(f"a.{id_col}").alias(out_a),
+            F.col(f"b.{id_col}").alias(out_b),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry],
         )
+    return (
+        joined
         .select(F.col(f"a.{id_col}").alias(out_a), F.col(f"b.{id_col}").alias(out_b))
         .distinct()
     )
@@ -529,6 +556,45 @@ ANN_DEDUP_BAND_BITS = 8
 ANN_DEDUP_TAU = 0.4
 
 
+def ann_banding_for(
+    n_vectors: int,
+    *,
+    tau: float = 0.95,
+    recall: float = 0.9,
+    target_bucket: int = 16,
+    max_bands: int = 64,
+) -> tuple[int, int]:
+    """Scale-aware (n_bands, band_bits) for the sign-LSH dedup path.
+
+    Fixed-width banding SATURATES: a b-bit band has only 2^b buckets, so
+    on a near-uniform corpus the expected bucket holds n/2^b vectors and
+    candidate mass is a constant FRACTION of the n² pair space — i.e.
+    quadratic absolute growth (measured: 3.6% at every tier up to sf1,
+    tools/ann_dedup_ab.py — which is 6.5e9 pairs by 600 k vectors). The
+    100 TB policy is therefore:
+
+    - band_bits grows with the corpus: b = max(8, ceil(log2(n /
+      target_bucket))) keeps the expected uniform bucket ≤ target_bucket,
+      so per-band candidate mass is ≤ n·target_bucket/2 — LINEAR in n;
+    - n_bands grows to hold recall at the dedup threshold: P[candidate]
+      = 1-(1-p^b)^k with p = 1-θ/π, so k = ceil(ln(1-R)/ln(1-p^b)),
+      capped at ``max_bands`` (signing cost is k·b row-local dot
+      products — the linear-scan part of the budget).
+
+    Exact duplicates (p = 1) are candidates in EVERY band at any width,
+    so widening never loses the τ→1 regime dedup exists for. The
+    registered fixture query keeps the frozen 8×8 (its DuckDB oracle
+    inlines those 64 planes); this policy is for the scale tiers and is
+    exercised by tools/lsh_band_audit.py at sf30/sf100.
+    """
+    import math
+
+    b = max(8, math.ceil(math.log2(max(n_vectors, 1) / target_bucket)))
+    p = 1.0 - math.acos(tau) / math.pi
+    k = math.ceil(math.log(1.0 - recall) / math.log(1.0 - p**b))
+    return min(k, max_bands), b
+
+
 def _vec_dot(u: F.Column, v: F.Column) -> F.Column:
     return F.aggregate(
         F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
@@ -551,14 +617,21 @@ def _vec_side(e: DataFrame, id_out: str, vec_out: str, norm_out: str) -> DataFra
 
 
 def _pair_cosine() -> F.Column:
-    """Cosine over the (_vec_side a) × (_vec_side b) join — the ONE
-    scoring expression shared by dedup_embedding_cosine (the brute-force
-    baseline) and dedup_embedding_ann (the scale path), so 'same scoring
-    as the baseline' is by construction, not by copy."""
+    """Cosine over the (_vec_side a) × (_vec_side b) join — the scoring
+    expression of dedup_embedding_cosine (the brute-force baseline).
+    The ANN path computes the IDENTICAL expression (_vec_dot over the
+    same arrays / product of the same norms) inline in the band join
+    (embedding_ann_pairs_df, r5) — same floats in the same order, so
+    'same scoring as the baseline' still holds bit-for-bit."""
     return _vec_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
 
 
-def embedding_ann_candidates(e: DataFrame, band_cap: int | None = None) -> DataFrame:
+def embedding_ann_candidates(
+    e: DataFrame,
+    band_cap: int | None = None,
+    n_bands: int = ANN_DEDUP_BANDS,
+    band_bits: int = ANN_DEDUP_BAND_BITS,
+) -> DataFrame:
     """Candidate (vec_a, vec_b) pairs from the banded sign signature —
     the generation stage SHARED by embedding_ann_pairs_df, the A/B tool
     (tools/ann_dedup_ab.py) and the recall/pruning tests, so every
@@ -570,37 +643,76 @@ def embedding_ann_candidates(e: DataFrame, band_cap: int | None = None) -> DataF
     """
     from sql_redshift_etl_spark.llm.similarity import sign_signature_col
 
-    nb, bw = ANN_DEDUP_BANDS, ANN_DEDUP_BAND_BITS
+    nb, bw = n_bands, band_bits
     sig = e.select("vec_id", sign_signature_col(nb * bw).alias("sig"))
     band_vals = F.array(*[F.substring("sig", b * bw + 1, bw) for b in range(nb)])
     bands = sig.select("vec_id", F.posexplode(band_vals).alias("band_idx", "band_val"))
     return banded_candidates(bands, "vec_id", "vec_a", "vec_b", band_cap=band_cap)
 
 
-def embedding_ann_pairs_df(e: DataFrame, band_cap: int | None = None) -> DataFrame:
+def embedding_ann_pairs_df(
+    e: DataFrame,
+    band_cap: int | None = None,
+    n_bands: int = ANN_DEDUP_BANDS,
+    band_bits: int = ANN_DEDUP_BAND_BITS,
+    tau: float = ANN_DEDUP_TAU,
+) -> DataFrame:
     """Banded sign-LSH near-dup pairs over an embeddings frame
     (vec_id, embedding) — dedup_embedding_cosine's 100 TB candidate
-    generator. Candidates from ``embedding_ann_candidates``; the
-    exact-cosine verify then joins the vectors back for CANDIDATES
-    ONLY."""
-    cand = embedding_ann_candidates(e, band_cap=band_cap)
+    generator. Banding defaults to the frozen fixture 8×8 (the
+    registered query's oracle inlines those planes); scale tiers pass
+    ``ann_banding_for(n)`` (see its docstring for the saturation math).
+
+    Verify plan (r5): vectors+norms are CARRIED THROUGH the band
+    self-join and the exact cosine is computed inside it; only the
+    scored (vec_a, vec_b, cosine) relation is distinct'd. The previous
+    shape — distinct candidate ids, then join both vectors back per
+    pair — shuffles O(candidates·dim): ~240 GB of sort spill at the
+    sf100 tier (measured to disk exhaustion), vs O(n·bands·dim) ≈ 8 GB
+    for the carry plan. A pair colliding in several bands is scored
+    once per collision (band overlap measures <1% — compute is the
+    cheap currency, shuffle the expensive one) and collapses in the
+    final distinct because cosine is deterministic per pair.
+    """
+    from sql_redshift_etl_spark.llm.similarity import sign_signature_col
+
+    sig = e.select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        F.sqrt(_vec_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        sign_signature_col(n_bands * band_bits).alias("sig"),
+    )
+    band_vals = F.array(
+        *[F.substring("sig", b * band_bits + 1, band_bits) for b in range(n_bands)]
+    )
+    bands = sig.select(
+        "vec_id", "emb", "norm", F.posexplode(band_vals).alias("band_idx", "band_val")
+    )
+    scored = banded_candidates(
+        bands, "vec_id", "vec_a", "vec_b", band_cap=band_cap, carry=["emb", "norm"]
+    ).select(
+        "vec_a",
+        "vec_b",
+        (_vec_dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))).alias("cos_raw"),
+    )
     return (
-        cand.join(_vec_side(e, "vec_a", "ea", "na"), "vec_a")
-        .join(_vec_side(e, "vec_b", "eb", "nb"), "vec_b")
-        .select("vec_a", "vec_b", _pair_cosine().alias("cos_raw"))
-        .where(F.col("cos_raw") >= ANN_DEDUP_TAU)
+        scored.where(F.col("cos_raw") >= tau)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+        .distinct()
     )
 
 
-def _embedding_ann_oracle() -> str:
+def _embedding_ann_oracle(
+    nb: int = ANN_DEDUP_BANDS, bw: int = ANN_DEDUP_BAND_BITS, tau: float = ANN_DEDUP_TAU
+) -> str:
     """DuckDB twin of the banded sign-LSH pipeline — possible because the
-    64 planes are md5-derived (inlined as literals via the shared
+    planes are md5-derived (inlined as literals via the shared
     duck_plane_bits generator), so candidate membership and the cosine
-    verify are deterministic cross-engine."""
+    verify are deterministic cross-engine. Parameterized over the
+    banding (r5) so the scale-aware-policy query gets the same full
+    value oracle as the frozen 8×8 one."""
     from sql_redshift_etl_spark.llm.similarity import duck_plane_bits
 
-    nb, bw = ANN_DEDUP_BANDS, ANN_DEDUP_BAND_BITS
     sig_expr = duck_plane_bits(nb * bw)
     band_sel = " UNION ALL ".join(
         f"SELECT vec_id, {b} AS band, substr(sig, {b * bw + 1}, {bw}) AS bsig FROM s"
@@ -623,7 +735,7 @@ def _embedding_ann_oracle() -> str:
         FROM cand c
         JOIN embeddings a ON a.vec_id = c.vec_a
         JOIN embeddings b ON b.vec_id = c.vec_b
-        WHERE {cos} >= {ANN_DEDUP_TAU}
+        WHERE {cos} >= {tau}
     """
 
 
@@ -774,3 +886,33 @@ def dedup_survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop = lbl.where(F.col("lbl") < F.col("doc_id")).select("doc_id")
     d = load_table(spark, sf_dir, "documents")
     return d.join(drop, "doc_id", "left_anti").select("doc_id", "lang", "source", "n_chars")
+
+# The scale-aware policy at driver-fixture size: ann_banding_for gives
+# (5 bands, 8 bits) for EVERY n <= 4096 (the 8-bit floor; k depends only
+# on b), so one static oracle covers all driver sf dirs (<= 2000 vecs).
+_ANN_POLICY_SMALL = ann_banding_for(4096)
+
+
+@register(
+    "dedup_embedding_ann_scaled",
+    tags=("L2", "L3"),
+    oracle=_embedding_ann_oracle(*_ANN_POLICY_SMALL),
+)
+def dedup_embedding_ann_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with the SCALE-AWARE banding policy
+    (ann_banding_for) applied to the actual corpus size — the 100 TB
+    configuration of dedup_embedding_ann, driver-checked.
+
+    The policy picks band width from log2(n) (fixed-width bands saturate
+    into constant-fraction-of-n² candidate mass — measured, see
+    docs/SCALE.md "Sign-LSH bands must WIDEN") and band count from the
+    recall target at τ=0.95. At every driver fixture (n ≤ 4096) that is
+    the 8-bit floor with 5 bands, so the md5-derived planes inline into
+    a full DuckDB value oracle exactly like the frozen-8×8 sibling; at
+    sf30/sf100 the same builder runs 12×16 / 13×17 (measured in
+    tools/dedup_scale_trend.py: candidate mass linear in n, 0.035% of
+    pair space at 600 k vectors vs the fixed banding's 3.6%).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    nb, bw = ann_banding_for(e.count())
+    return embedding_ann_pairs_df(e, n_bands=nb, band_bits=bw)

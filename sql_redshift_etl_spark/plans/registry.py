@@ -103,6 +103,7 @@ def register(
 _VERIFY_FIRST: list[str] = [
     "q12_late_shipment_priority",
     "redshift_sql_misc2",
+    "dedup_embedding_ann_scaled",
     "scan_project_expr",
     "filter_predicates",
     "case_when_decode",
@@ -150,8 +151,8 @@ _VERIFY_FIRST: list[str] = [
     "subquery_in_filter",
     "redshift_sql_qualify",
     "redshift_sql_report",
-    "redshift_sql_events",
     # --- 50-query driver boundary ---
+    "redshift_sql_events",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q9_product_type_profit",

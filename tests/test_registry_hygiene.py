@@ -51,6 +51,7 @@ R5_MUST_VERIFY = frozenset(
         "q12_late_shipment_priority",
         # new in r5 (never driver-checked)
         "redshift_sql_misc2",
+        "dedup_embedding_ann_scaled",
         # newest driver row is r1 (CORRECTNESS_r01 only)
         "scan_project_expr", "filter_predicates", "case_when_decode",
         "cast_conversions", "distinct_projection", "union_all_accounts",

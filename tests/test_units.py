@@ -955,3 +955,29 @@ def test_window_listagg_values(spark):
     ).collect()
     assert sorted((r.g, r.l) for r in rows) == [(1, "a,b"), (1, "a,b"), (2, "z")]
     spark.catalog.dropTempView("_wl_t")
+
+
+def test_ann_banding_for_scales_width_and_recall():
+    """Scale-aware sign-LSH banding (r5): band bits grow with log2(n) so
+    expected uniform buckets stay ~target (linear candidate mass where
+    fixed 8-bit bands saturate into constant-fraction-of-n² growth);
+    band count grows to hold recall at the dedup threshold."""
+    import math
+
+    from sql_redshift_etl_spark.llm.dedup import ann_banding_for
+
+    k0, b0 = ann_banding_for(2_000)
+    assert b0 == 8  # floor: never narrower than the fixture banding
+    k30, b30 = ann_banding_for(600_000)
+    k100, b100 = ann_banding_for(2_000_000)
+    assert b30 >= 15 and b100 > b30  # width grows with the corpus
+    # expected uniform bucket stays bounded near the target
+    assert 600_000 / 2**b30 <= 16 and 2_000_000 / 2**b100 <= 16
+    # recall at the policy threshold holds >= the requested 0.9
+    for k, b in ((k0, b0), (k30, b30), (k100, b100)):
+        p = 1 - math.acos(0.95) / math.pi
+        assert 1 - (1 - p**b) ** k >= 0.9
+        assert k <= 64  # bands stay within the signing budget cap
+    # exact duplicates collide in every band at any width (p=1)
+    # — structural, but keep the policy honest about its floor args
+    assert ann_banding_for(1) == (ann_banding_for(1)[0], 8)

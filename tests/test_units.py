@@ -981,3 +981,37 @@ def test_ann_banding_for_scales_width_and_recall():
     # exact duplicates collide in every band at any width (p=1)
     # — structural, but keep the policy honest about its floor args
     assert ann_banding_for(1) == (ann_banding_for(1)[0], 8)
+
+
+def test_scaled_embedding_perturbation_properties(spark):
+    """make_scaled_data's replica perturbation (r5) must be (a) norm-
+    preserving — replicas stay unit-comparable with originals — and
+    (b) non-degenerate — a replica is NOT an exact dup of its original
+    (verbatim copies would make high-factor tiers a pile of cosine-1.0
+    pairs and the ANN output quadratic in the factor)."""
+    import math
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from make_scaled_data import _replicate, _bases
+
+    bases = {("embeddings", "vec_id"): 10_000}
+    src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
+    import unittest.mock as mock
+
+    with mock.patch("make_scaled_data.load_table", return_value=src), \
+         mock.patch("make_scaled_data.SRC_SF", "unused"):
+        rep = _replicate(spark, "embeddings", 3, bases)
+    rows = rep.collect()
+    by_replica: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        rep_idx = (r["vec_id"]) // 10_000
+        by_replica.setdefault(rep_idx, {})[r["vec_id"] % 10_000] = list(r["embedding"])
+    assert set(by_replica) == {0, 1, 2}
+    for base_id, v0 in by_replica[0].items():
+        n0 = math.sqrt(sum(x * x for x in v0))
+        for rep_idx in (1, 2):
+            v = by_replica[rep_idx][base_id]
+            n = math.sqrt(sum(x * x for x in v))
+            assert abs(n - n0) < 1e-3 * max(n0, 1.0)  # norm preserved
+            assert v != v0  # not a verbatim copy

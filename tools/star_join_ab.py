@@ -59,6 +59,27 @@ def _star_from(li: DataFrame, o: DataFrame, spark: SparkSession, sf_dir: str) ->
     )
 
 
+def _q3_from(li: DataFrame, o: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q3_shipping_priority body with injectable fact tables
+    (tpch.py:40) — added r5: q3's lineitem⋈orders join keys on the SAME
+    order key the adopted DISTKEY layout buckets on, so the one-time
+    layout should serve this query too; this measures whether it does."""
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = o.where(F.col("o_orderdate") < cutoff)
+    li = li.where(F.col("l_shipdate") > cutoff)
+    one = one_rate()
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(money("l_extendedprice") * (one - rate("l_discount"))).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
 def _best_of(df: DataFrame, runs: int = 5) -> float:
     df.write.format("noop").mode("overwrite").save()  # cold/warmup
     best = float("inf")
@@ -113,6 +134,13 @@ def measure(spark: SparkSession, sf_dir: str, n_buckets: int) -> dict:
     b = _best_of(bucketed)
     rows_a = sorted(map(tuple, plain.collect()))
     rows_b = sorted(map(tuple, bucketed.collect()))
+
+    q3_plain = all_queries()["q3_shipping_priority"].builder(spark, sf_dir)
+    q3_bucketed = _q3_from(spark.table(li_t), spark.table(o_t), spark, sf_dir)
+    q3_a = _best_of(q3_plain)
+    q3_b = _best_of(q3_bucketed)
+    q3_match = [tuple(r) for r in q3_plain.collect()] == [tuple(r) for r in q3_bucketed.collect()]
+
     return {
         "sf_dir": sf_dir,
         "n_buckets": n_buckets,
@@ -123,6 +151,12 @@ def measure(spark: SparkSession, sf_dir: str, n_buckets: int) -> dict:
         "plain_exchanges": _exchanges(plain),
         "bucketed_exchanges": _exchanges(bucketed),
         "results_match": rows_a == rows_b,
+        "q3_plain_best5_sec": q3_a,
+        "q3_bucketed_best5_sec": q3_b,
+        "q3_speedup": round(q3_a / q3_b, 2) if q3_b else None,
+        "q3_plain_exchanges": _exchanges(q3_plain),
+        "q3_bucketed_exchanges": _exchanges(q3_bucketed),
+        "q3_results_match": q3_match,
     }
 
 

@@ -681,3 +681,71 @@ def redshift_sql_misc2(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_redshift_script(spark, _SCRIPT_MISC2.format(orders="rs_misc2_orders"))
     assert out is not None
     return out
+
+
+# The rebuild-and-swap publish idiom (r5): consumers read fct_daily while
+# the new version builds under a scratch name; two RENAMEs swap it in
+# "atomically" (in Redshift, inside the transaction), and the old
+# version is dropped. CREATE TABLE (LIKE ...) pins the new build to the
+# published schema.
+_SCRIPT_SWAP_PUBLISH = """
+    BEGIN;
+
+    CREATE TABLE fct_daily AS
+    SELECT TO_CHAR(o_orderdate, 'YYYY-MM-DD') AS day_str,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CONVERT(DECIMAL(18,2), o_totalprice)) AS DOUBLE) AS total_price
+    FROM {orders}
+    WHERE o_orderstatus = 'F'
+    GROUP BY 1;
+
+    CREATE TABLE fct_daily_new (LIKE fct_daily);
+
+    INSERT INTO fct_daily_new
+    SELECT TO_CHAR(o_orderdate, 'YYYY-MM-DD') AS day_str,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CONVERT(DECIMAL(18,2), o_totalprice)) AS DOUBLE) AS total_price
+    FROM {orders}
+    GROUP BY 1;
+
+    ALTER TABLE fct_daily RENAME TO fct_daily_old;
+    ALTER TABLE fct_daily_new RENAME TO fct_daily;
+    DROP TABLE fct_daily_old;
+
+    SELECT day_str, n_orders, total_price FROM fct_daily;
+
+    COMMIT;
+"""
+
+
+@register(
+    "redshift_script_swap_publish",
+    tags=("S6", "A1"),
+    oracle="""
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS day_str,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY 1
+    """,
+)
+def redshift_script_swap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Redshift rebuild-and-swap publish pattern as ONE verbatim
+    script (S6): build v1 (F-status only), rebuild v2 under a scratch
+    name pinned to v1's schema via CREATE TABLE (LIKE ...), then two
+    ALTER TABLE RENAMEs swap v2 in and the old version is dropped. The
+    final SELECT reads the published name and must see v2 (all
+    statuses) — which is exactly what the oracle computes directly, so
+    a hash match proves the swap actually moved the new build into
+    place (a broken rename would leave v1's F-only rows and fail).
+
+    Scale: the swap is metadata-only in script scope (and in Redshift a
+    catalog operation inside the transaction) — consumers never observe
+    a half-built table; the builds themselves are one-shuffle rollups.
+    """
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rs_swap_orders")
+    out = run_redshift_script(spark, _SCRIPT_SWAP_PUBLISH.format(orders="rs_swap_orders"))
+    assert out is not None
+    return out

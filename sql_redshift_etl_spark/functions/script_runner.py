@@ -17,6 +17,11 @@ Statement support:
   front-end before classification).
 - ``CREATE [TEMP] TABLE name (col type, ...)`` — empty table with the
   declared schema (Spark parses the DDL column list directly).
+- ``CREATE [TEMP] TABLE name (LIKE other)`` — empty table with the
+  other table's schema (r5; INCLUDING/EXCLUDING DEFAULTS accepted and
+  ignored — script tables have no defaults here).
+- ``ALTER TABLE a RENAME TO b`` — the atomic-swap publish step (r5):
+  the table moves to the new name within script scope.
 - ``CREATE [OR REPLACE] VIEW name AS SELECT ...`` — same as CTAS.
 - ``INSERT INTO name [(cols)] SELECT ... | VALUES ...`` — positional
   append with per-column cast to the target schema; unlisted columns
@@ -151,6 +156,13 @@ def _split_set_where(body: str) -> tuple[str, str | None]:
             ):
                 return body[:i].strip(), body[i + 5 :].strip()
     return body.strip(), None
+_CREATE_LIKE = re.compile(
+    r"^CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\(\s*LIKE\s+([\w.]+)\s*(?:INCLUDING|EXCLUDING)?\s*(?:DEFAULTS)?\s*\)\s*$",
+    re.IGNORECASE,
+)
+_ALTER_RENAME = re.compile(
+    r"^ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*$", re.IGNORECASE
+)
 _TRUNCATE = re.compile(r"^TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*$", re.IGNORECASE)
 _DROP = re.compile(
     r"^DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE
@@ -398,7 +410,26 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
             stmt = translate_redshift_sql(raw).strip()
             if _NOOP.match(stmt):
                 continue
-            if m := _CTAS.match(stmt):
+            if m := _CREATE_LIKE.match(stmt):
+                # CREATE TABLE new (LIKE other): empty table with other's
+                # schema — the first half of Redshift's rebuild-and-swap
+                # publish idiom. (Checked before CTAS/DDL: its "(LIKE x)"
+                # body would otherwise parse as a column list.)
+                state.bind(m.group(1), state.existing(m.group(2)).limit(0))
+            elif m := _ALTER_RENAME.match(stmt):
+                # ALTER TABLE a RENAME TO b: the atomic-swap publish step.
+                # The resolved DataFrame moves to the new name; the old
+                # name is dropped from script scope (a caller-registered
+                # view of the old name is restored by cleanup only if a
+                # script statement had already shadowed it — same scope
+                # rule as DROP TABLE).
+                old, new = m.group(1), m.group(2)
+                df = state.existing(old)
+                spark.catalog.dropTempView(old)
+                state.tables.pop(old, None)
+                state.created_views.discard(old)
+                state.bind(new, df)
+            elif m := _CTAS.match(stmt):
                 state.bind(m.group(1), spark.sql(m.group(2)))
             elif m := _CREATE_VIEW.match(stmt):
                 state.bind(m.group(1), spark.sql(m.group(2)))

@@ -104,6 +104,7 @@ _VERIFY_FIRST: list[str] = [
     "q12_late_shipment_priority",
     "redshift_sql_misc2",
     "dedup_embedding_ann_scaled",
+    "redshift_script_swap_publish",
     "scan_project_expr",
     "filter_predicates",
     "case_when_decode",
@@ -148,10 +149,10 @@ _VERIFY_FIRST: list[str] = [
     "to_char_formats",
     "datediff_boundary_semantics",
     "subquery_correlated_scalar",
-    "subquery_in_filter",
     "redshift_sql_qualify",
     "redshift_sql_report",
     # --- 50-query driver boundary ---
+    "subquery_in_filter",
     "redshift_sql_events",
     "q2_min_cost_supplier",
     "q4_order_priority",

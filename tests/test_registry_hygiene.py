@@ -52,6 +52,7 @@ R5_MUST_VERIFY = frozenset(
         # new in r5 (never driver-checked)
         "redshift_sql_misc2",
         "dedup_embedding_ann_scaled",
+        "redshift_script_swap_publish",
         # newest driver row is r1 (CORRECTNESS_r01 only)
         "scan_project_expr", "filter_predicates", "case_when_decode",
         "cast_conversions", "distinct_projection", "union_all_accounts",

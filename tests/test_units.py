@@ -1015,3 +1015,39 @@ def test_scaled_embedding_perturbation_properties(spark):
             n = math.sqrt(sum(x * x for x in v))
             assert abs(n - n0) < 1e-3 * max(n0, 1.0)  # norm preserved
             assert v != v0  # not a verbatim copy
+
+
+def test_script_create_like_and_rename_swap(spark):
+    """CREATE TABLE (LIKE ...) + ALTER TABLE RENAME (r5): the
+    rebuild-and-swap publish idiom. The final read of the published name
+    must see the NEW build; the old version must be droppable under its
+    renamed name; renaming an unknown table stays loud."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE v1 AS SELECT 1 AS k, 'old' AS tag;
+        CREATE TABLE v2 (LIKE v1);
+        INSERT INTO v2 VALUES (1, 'new'), (2, 'new');
+        ALTER TABLE v1 RENAME TO v_old;
+        ALTER TABLE v2 RENAME TO v1;
+        DROP TABLE v_old;
+        SELECT k, tag FROM v1;
+        """,
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [(1, "new"), (2, "new")]
+    # (LIKE x) pins the schema: the empty clone has v1's columns/types
+    like_only = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE src (a BIGINT, b VARCHAR(8));
+        CREATE TEMP TABLE clone (LIKE src);
+        SELECT * FROM clone;
+        """,
+    )
+    assert like_only.columns == ["a", "b"] and like_only.count() == 0
+    with _pytest.raises(Exception):
+        run_redshift_script(spark, "ALTER TABLE nope_missing RENAME TO x; SELECT 1 AS a;")

@@ -310,3 +310,22 @@ def test_jdbc_roundtrip_reads_partitioned(spark):
     plan = plan_of(spark, "source_jdbc_roundtrip")
     assert "JDBCRelation" in plan, "JDBC scan missing from plan"
     assert "numPartitions=8" in plan, "JDBC read not partitioned 8-way"
+
+
+def test_embedding_ann_carries_vectors_through_band_join(spark):
+    """r5 carry plan: the ANN verify must NOT join vectors back per
+    candidate pair (that shape shuffles O(candidates·dim) — measured
+    ~240 GB of spill at the sf100 tier). Exactly ONE join may appear:
+    the band self-join, with the cosine computed inline from carried
+    columns. A second join = the O(candidates·dim) shape regressed."""
+    import re
+
+    for name in ("dedup_embedding_ann", "dedup_embedding_ann_scaled"):
+        plan = plan_of(spark, name)
+        # "(N) XJoin" detail headers — the formatted plan repeats operator
+        # names in the tree section, so count unique operator instances.
+        joins = re.findall(
+            r"\(\d+\)\s+(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|BroadcastNestedLoopJoin)\b",
+            plan,
+        )
+        assert len(joins) == 1, f"{name}: expected only the band self-join, saw {joins}"

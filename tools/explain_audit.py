@@ -96,9 +96,10 @@ TARGETS: dict[str, str] = {
         "reach the q_id shuffle, not the Q×n score matrix."
     ),
     "dedup_embedding_ann": (
-        "row-local 64-bit sign signature (no Python, no shuffle); band "
-        "self-join is an equi join on the compact (band, sig) relation; "
-        "exact cosine joins vectors back for candidates only; no cartesian."
+        "row-local 64-bit sign signature (no Python, no shuffle); ONE join "
+        "total (r5 carry plan): vectors ride through the band self-join and "
+        "the cosine verify is inline — never a second join shuffling "
+        "O(candidates·dim) (measured ~240 GB spill at sf100); no cartesian."
     ),
 }
 

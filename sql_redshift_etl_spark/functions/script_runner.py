@@ -22,6 +22,14 @@ Statement support:
   ignored — script tables have no defaults here).
 - ``ALTER TABLE a RENAME TO b`` — the atomic-swap publish step (r5):
   the table moves to the new name within script scope.
+- ``ALTER TABLE tgt APPEND FROM src`` — Redshift's move-rows publish
+  (r5): src's rows append to tgt (positional cast) and src empties;
+  IGNOREEXTRA/FILLTARGET accepted (width mismatches already raise).
+- ``IDENTITY(seed, step)`` column attribute (r5): recorded and stripped
+  from the DDL; INSERTs with a column list that OMITS the identity
+  column auto-generate unique ascending values (not consecutive —
+  Redshift's own IDENTITY contract). Inherited by CREATE TABLE (LIKE)
+  and RENAME, as in Redshift.
 - ``CREATE [OR REPLACE] VIEW name AS SELECT ...`` — same as CTAS.
 - ``INSERT INTO name [(cols)] SELECT ... | VALUES ...`` — positional
   append with per-column cast to the target schema; unlisted columns
@@ -163,6 +171,18 @@ _CREATE_LIKE = re.compile(
 _ALTER_RENAME = re.compile(
     r"^ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*$", re.IGNORECASE
 )
+_ALTER_APPEND = re.compile(
+    r"^ALTER\s+TABLE\s+([\w.]+)\s+APPEND\s+FROM\s+([\w.]+)"
+    r"(?:\s+(?:IGNOREEXTRA|FILLTARGET))?\s*$",
+    re.IGNORECASE,
+)
+# IDENTITY(seed, step) column attribute inside a CREATE TABLE column
+# list: values are engine-generated. Captured (and stripped) before
+# StructType.fromDDL, which cannot parse it.
+_IDENTITY_ATTR = re.compile(
+    r"(\w+)\s+(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s+IDENTITY\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)",
+    re.IGNORECASE,
+)
 _TRUNCATE = re.compile(r"^TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*$", re.IGNORECASE)
 _DROP = re.compile(
     r"^DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE
@@ -261,6 +281,9 @@ class _ScriptState:
         self.spark = spark
         self.tables: dict[str, DataFrame] = {}
         self.created_views: set[str] = set()
+        # table -> {identity column: seed} (IDENTITY(seed, step) DDL
+        # attribute; values auto-generate on INSERTs that omit the column)
+        self.identity_cols: dict[str, dict[str, int]] = {}
         # Caller-registered TEMP views a script statement re-binds
         # (DELETE/UPDATE/INSERT/COPY on a base view): captured as
         # resolved DataFrames so cleanup restores them — "shadowed for
@@ -414,7 +437,10 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 # CREATE TABLE new (LIKE other): empty table with other's
                 # schema — the first half of Redshift's rebuild-and-swap
                 # publish idiom. (Checked before CTAS/DDL: its "(LIKE x)"
-                # body would otherwise parse as a column list.)
+                # body would otherwise parse as a column list.) Identity
+                # attributes inherit, as in Redshift's LIKE.
+                if m.group(2) in state.identity_cols:
+                    state.identity_cols[m.group(1)] = dict(state.identity_cols[m.group(2)])
                 state.bind(m.group(1), state.existing(m.group(2)).limit(0))
             elif m := _ALTER_RENAME.match(stmt):
                 # ALTER TABLE a RENAME TO b: the atomic-swap publish step.
@@ -428,7 +454,21 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 spark.catalog.dropTempView(old)
                 state.tables.pop(old, None)
                 state.created_views.discard(old)
+                if old in state.identity_cols:
+                    state.identity_cols[new] = state.identity_cols.pop(old)
                 state.bind(new, df)
+            elif m := _ALTER_APPEND.match(stmt):
+                # ALTER TABLE tgt APPEND FROM src: Redshift's move-rows
+                # publish (faster than INSERT+DELETE because it moves
+                # blocks). Here: append src's rows positionally-cast to
+                # the target schema, then empty src — same observable
+                # state. IGNOREEXTRA/FILLTARGET accepted; the positional
+                # cast already errors loudly on a width mismatch.
+                tgt, src_name = m.group(1), m.group(2)
+                base = state.existing(tgt)
+                src_df = state.existing(src_name)
+                state.bind(tgt, base.unionAll(_cast_positional(src_df, base, tgt)))
+                state.bind(src_name, src_df.limit(0))
             elif m := _CTAS.match(stmt):
                 state.bind(m.group(1), spark.sql(m.group(2)))
             elif m := _CREATE_VIEW.match(stmt):
@@ -441,7 +481,21 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 # LogicalRDD may not carry char/varchar types).
                 from pyspark.sql import types as T
 
-                schema = T.StructType.fromDDL(m.group(2))
+                ddl_body = m.group(2)
+                ids = {
+                    c: int(seed)
+                    for c, _typ, seed, _step in _IDENTITY_ATTR.findall(ddl_body)
+                }
+                if ids:
+                    # IDENTITY(seed, step): record the columns, strip the
+                    # attribute (fromDDL cannot parse it). Values
+                    # auto-generate on INSERTs that omit the column —
+                    # unique and ascending, NOT consecutive, which is
+                    # Redshift's own IDENTITY contract (its docs: values
+                    # "might not be consecutive").
+                    ddl_body = _IDENTITY_ATTR.sub(r"\1 \2", ddl_body)
+                    state.identity_cols[m.group(1)] = ids
+                schema = T.StructType.fromDDL(ddl_body)
                 fields = [
                     T.StructField(
                         f.name,
@@ -479,13 +533,24 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     # Alias every projection to the target column name —
                     # multiple unlisted columns would otherwise all be
                     # named `NULL` and break the positional re-select.
+                    id_cols = state.identity_cols.get(name, {})
+
+                    def _fill(f):  # unlisted → identity value or NULL
+                        if f.name in by_name:
+                            return F.col(by_name[f.name])
+                        if f.name in id_cols:
+                            # unique ascending ids above everything already
+                            # in the table (1-row max lookup — metadata
+                            # scale, the same legitimate driver-side class
+                            # as JDBC partition bounds); within the batch
+                            # monotonically_increasing_id is unique.
+                            prior = base.agg(F.max(f.name)).first()[0]
+                            start = id_cols[f.name] if prior is None else int(prior) + 1
+                            return F.monotonically_increasing_id() + F.lit(start)
+                        return F.lit(None)
+
                     sel = sel.select(
-                        *[
-                            (
-                                F.col(by_name[f.name]) if f.name in by_name else F.lit(None)
-                            ).alias(f.name)
-                            for f in base.schema.fields
-                        ]
+                        *[_fill(f).alias(f.name) for f in base.schema.fields]
                     )
                 state.bind(name, base.unionAll(_cast_positional(sel, base, name)))
             elif m := _DELETE.match(stmt):

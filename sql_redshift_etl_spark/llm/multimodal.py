@@ -338,3 +338,196 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         _decode_wav_batches,
         "doc_id long, n_channels int, sample_rate int, n_frames int, peak int, mean_amp double",
     )
+
+
+# --- Real image codec path (r5): PNG via stdlib zlib, from the spec -------
+#
+# PNG needs no external library either: the container is chunked
+# (length/type/data/CRC32), IDAT is zlib-compressed scanlines with a
+# per-row filter byte. The encoder below emits spec-valid 8-bit RGB
+# non-interlaced PNGs (any viewer opens them); the decoder parses chunks,
+# verifies CRCs, inflates, and reverses ALL five scanline filters
+# (None/Sub/Up/Average/Paeth) per the public PNG specification — so it
+# decodes real third-party PNGs of this class, not just our own output.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_rgb(width: int, height: int, rgb: bytes) -> bytes:
+    """Real PNG encoder: 8-bit/channel RGB, non-interlaced, filter 0."""
+    import struct
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} bytes, got {len(rgb)}")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stride = width * 3
+    raw = b"".join(
+        b"\x00" + rgb[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_rgb(payload: bytes) -> tuple[int, int, bytes]:
+    """Real PNG parser: returns (width, height, rgb_bytes). Verifies the
+    magic and every chunk CRC, requires 8-bit RGB non-interlaced, and
+    reverses scanline filters 0-4. Malformed input raises — loud."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG (bad magic)")
+    pos, width, height, idat = 8, None, None, b""
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {typ!r} chunk")
+        if typ == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG variant (depth={depth} color={color} "
+                    f"interlace={interlace}); this decoder does 8-bit RGB only"
+                )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(idat)
+    stride, bpp = width * 3, 3
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        ftype = raw[y * (stride + 1)]
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0  # left (already unfiltered)
+            b = prev[x]  # up
+            c = prev[x - bpp] if x >= bpp else 0  # upper-left
+            if ftype == 0:
+                add = 0
+            elif ftype == 1:
+                add = a
+            elif ftype == 2:
+                add = b
+            elif ftype == 3:
+                add = (a + b) // 2
+            elif ftype == 4:  # Paeth predictor, straight from the spec
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                add = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            else:
+                raise ValueError(f"invalid PNG filter type {ftype}")
+            row[x] = (row[x] + add) & 0xFF
+        out += row
+        prev = row
+    return width, height, bytes(out)
+
+
+def _encode_png_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        payloads = []
+        for w, h, seed in zip(pdf.width, pdf.height, pdf.seed):
+            n = w * h * 3
+            rgb = bytes(seed[i % 16] for i in range(n))  # cyclic fill
+            payloads.append(encode_png_rgb(int(w), int(h), rgb))
+        yield pd.DataFrame({"doc_id": pdf.doc_id, "width": pdf.width, "height": pdf.height, "payload": payloads})
+
+
+def _decode_png_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = []
+        for doc_id, payload in zip(pdf.doc_id, pdf.payload):
+            w, h, rgb = decode_png_rgb(payload)
+            n_px = w * h
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "width": w,
+                    "height": h,
+                    "mean_r": round(sum(rgb[0::3]) / n_px, 6),
+                    "mean_g": round(sum(rgb[1::3]) / n_px, 6),
+                    "mean_b": round(sum(rgb[2::3]) / n_px, 6),
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "multimodal_png_roundtrip",
+    tags=("L6", "L8"),
+    oracle="""
+        WITH b AS (
+            SELECT doc_id,
+                   n_chars % 8 + 2 AS w,
+                   n_chars % 6 + 2 AS h,
+                   list_transform(generate_series(0, 15),
+                       i -> CAST('0x' || substr(md5(text), i*2+1, 2) AS INTEGER)) AS s
+            FROM documents
+            WHERE doc_id < 200
+        )
+        SELECT doc_id, w AS width, h AS height,
+               ROUND(list_sum(list_transform(generate_series(0, w*h - 1),
+                     p -> s[(p*3 + 0) % 16 + 1])) / (w*h * 1.0), 6) AS mean_r,
+               ROUND(list_sum(list_transform(generate_series(0, w*h - 1),
+                     p -> s[(p*3 + 1) % 16 + 1])) / (w*h * 1.0), 6) AS mean_g,
+               ROUND(list_sum(list_transform(generate_series(0, w*h - 1),
+                     p -> s[(p*3 + 2) % 16 + 1])) / (w*h * 1.0), 6) AS mean_b
+        FROM b
+    """,
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec round trip (L8): deterministic RGB pixels (the
+    doc's md5 bytes, cycled) encoded into a spec-valid PNG — real
+    chunked container, real zlib compression, CRC32 per chunk — shipped
+    as a binary column through Arrow, then parsed back by a real PNG
+    decoder (chunk walk + CRC verify + inflate + scanline unfiltering,
+    all five filter types). The oracle replays the cyclic-pixel
+    arithmetic per channel, so a hash match proves both codec directions
+    and the transport; a single corrupted bit would flip a CRC and
+    raise. Image dims derive from n_chars (2-9 × 2-7), so sizes vary
+    per row — the decoder's output dims must match the oracle's
+    computed ones, proving the header round-trips too.
+
+    Scale: same two-stage Arrow mapInPandas shape as the WAV path; at
+    100 TB swap the synthesis stage for real payload bytes.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    with_seed = d.select(
+        "doc_id",
+        (F.col("n_chars") % 8 + 2).cast("int").alias("width"),
+        (F.col("n_chars") % 6 + 2).cast("int").alias("height"),
+        F.unhex(F.md5(F.col("text").cast("binary"))).alias("seed"),
+    )
+    png = with_seed.mapInPandas(
+        _encode_png_batches, "doc_id long, width int, height int, payload binary"
+    )
+    return png.mapInPandas(
+        _decode_png_batches,
+        "doc_id long, width int, height int, mean_r double, mean_g double, mean_b double",
+    )

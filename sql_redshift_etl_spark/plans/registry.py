@@ -106,6 +106,7 @@ _VERIFY_FIRST: list[str] = [
     "dedup_embedding_ann_scaled",
     "redshift_script_swap_publish",
     "multimodal_wav_roundtrip",
+    "multimodal_png_roundtrip",
     "scan_project_expr",
     "filter_predicates",
     "case_when_decode",
@@ -139,7 +140,6 @@ _VERIFY_FIRST: list[str] = [
     "text_lang_id_heuristic",
     "text_quality_filter_kept",
     "text_quality_scores",
-    "text_token_counts",
     "string_functions",
     "regex_functions",
     "datetime_functions",
@@ -152,6 +152,7 @@ _VERIFY_FIRST: list[str] = [
     "subquery_correlated_scalar",
     "redshift_sql_report",
     # --- 50-query driver boundary ---
+    "text_token_counts",
     "redshift_sql_qualify",
     "subquery_in_filter",
     "redshift_sql_events",

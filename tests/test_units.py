@@ -1147,3 +1147,66 @@ def test_wav_codec_is_a_real_container():
     assert mean == sum(samples) / 16
     with _pytest.raises(Exception):
         decode_wav(b"not a wav at all")
+
+
+def test_png_codec_roundtrip_and_filters():
+    """The r5 PNG path is a REAL codec: spec magic + CRC-verified chunks
+    + zlib; the decoder reverses ALL five scanline filters (so it reads
+    third-party 8-bit RGB PNGs, not just our filter-0 output); corrupted
+    bytes and unsupported variants are loud."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.llm.multimodal import (
+        _png_chunk,
+        _PNG_MAGIC,
+        decode_png_rgb,
+        encode_png_rgb,
+    )
+
+    rgb = bytes((x * 37 + 11) % 256 for x in range(5 * 4 * 3))
+    payload = encode_png_rgb(5, 4, rgb)
+    assert payload[:8] == _PNG_MAGIC
+    assert decode_png_rgb(payload) == (5, 4, rgb)
+    # corrupt one IDAT byte -> CRC catches it
+    broken = bytearray(payload)
+    broken[50] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC mismatch|bad magic|invalid"):
+        decode_png_rgb(bytes(broken))
+    with _pytest.raises(ValueError, match="bad magic"):
+        decode_png_rgb(b"JFIF" + payload)
+
+    # hand-build a PNG using every filter type (1=Sub, 2=Up, 3=Average,
+    # 4=Paeth) and check the decoder reconstructs the intended pixels —
+    # filter rows are computed per the spec's forward definitions.
+    w, h, bpp = 4, 5, 3
+    stride = w * bpp
+    pixels = bytes((7 * x + 3) % 256 for x in range(stride * h))
+    rows = [pixels[y * stride : (y + 1) * stride] for y in range(h)]
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+    raw = b""
+    prev = bytes(stride)
+    for y, ft in zip(range(h), (0, 1, 2, 3, 4)):
+        row = rows[y]
+        enc = bytearray()
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[ft]
+            enc.append((row[x] - pred) & 0xFF)
+        raw += bytes([ft]) + bytes(enc)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    multi = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png_rgb(multi) == (w, h, pixels)

@@ -531,3 +531,105 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         _decode_png_batches,
         "doc_id long, width int, height int, mean_r double, mean_g double, mean_b double",
     )
+
+
+def resize_rgb_nn(
+    w: int, h: int, rgb: bytes, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor RGB resize (pure arithmetic, no libs): output
+    pixel (x, y) samples input pixel (x*w//out_w, y*h//out_h) — the
+    standard NN mapping, deterministic and oracle-replayable."""
+    out = bytearray()
+    for y in range(out_h):
+        sy = y * h // out_h
+        for x in range(out_w):
+            sx = x * w // out_w
+            p = (sy * w + sx) * 3
+            out += rgb[p : p + 3]
+    return bytes(out)
+
+
+_THUMB_W, _THUMB_H = 4, 3
+
+
+def _resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = []
+        for doc_id, payload in zip(pdf.doc_id, pdf.payload):
+            w, h, rgb = decode_png_rgb(payload)
+            thumb = resize_rgb_nn(w, h, rgb, _THUMB_W, _THUMB_H)
+            n_px = _THUMB_W * _THUMB_H
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "thumb_w": _THUMB_W,
+                    "thumb_h": _THUMB_H,
+                    "thumb_sum": sum(thumb),
+                    "thumb_mean_r": round(sum(thumb[0::3]) / n_px, 6),
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "multimodal_image_resize",
+    tags=("L6", "L8"),
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id,
+                   n_chars % 8 + 2 AS w,
+                   n_chars % 6 + 2 AS h,
+                   list_transform(generate_series(0, 15),
+                       i -> CAST('0x' || substr(md5(text), i*2+1, 2) AS INTEGER)) AS s
+            FROM documents
+            WHERE doc_id < 200
+        ), t AS (
+            -- replay the NN mapping: thumb pixel (x,y) samples source
+            -- pixel (x*w//4, y*h//3); source channel bytes are the
+            -- cyclic md5 fill the encoder used
+            SELECT doc_id, w, h, s,
+                   flatten(list_transform(generate_series(0, {_THUMB_H - 1}), y ->
+                       flatten(list_transform(generate_series(0, {_THUMB_W - 1}), x ->
+                           list_transform(generate_series(0, 2), c ->
+                               s[(((y*h//{_THUMB_H})*w + (x*w//{_THUMB_W}))*3 + c) % 16 + 1]
+                           ))))) AS thumb
+            FROM b
+        )
+        SELECT doc_id,
+               {_THUMB_W} AS thumb_w,
+               {_THUMB_H} AS thumb_h,
+               CAST(list_sum(thumb) AS BIGINT) AS thumb_sum,
+               ROUND(list_sum(list_transform(generate_series(0, {_THUMB_W * _THUMB_H - 1}),
+                     p -> thumb[p*3 + 1])) / {_THUMB_W * _THUMB_H}.0, 6) AS thumb_mean_r
+        FROM t
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE on the real decode path (L8, completing the brief's
+    decode / feature-extract / resize / frame-sample quartet): encode
+    per-doc PNGs (real codec, dims 2-9 × 2-7), decode, nearest-neighbor
+    resample to a fixed 4×3 thumbnail, and emit thumbnail statistics.
+    The oracle replays the NN index mapping over the cyclic source
+    pixels, so a hash match proves the geometry of the resample — a
+    one-pixel sampling offset changes thumb_sum.
+
+    Scale: decode+resize fuse into ONE Arrow-batched mapInPandas stage
+    (bytes in, 5 small columns out — the payload never crosses a second
+    stage boundary); the fixed thumbnail makes downstream row width
+    constant regardless of source dims, the property batch-inference
+    pipelines need.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    with_seed = d.select(
+        "doc_id",
+        (F.col("n_chars") % 8 + 2).cast("int").alias("width"),
+        (F.col("n_chars") % 6 + 2).cast("int").alias("height"),
+        F.unhex(F.md5(F.col("text").cast("binary"))).alias("seed"),
+    )
+    png = with_seed.mapInPandas(
+        _encode_png_batches, "doc_id long, width int, height int, payload binary"
+    )
+    return png.mapInPandas(
+        _resize_batches,
+        "doc_id long, thumb_w int, thumb_h int, thumb_sum long, thumb_mean_r double",
+    )

@@ -107,6 +107,7 @@ _VERIFY_FIRST: list[str] = [
     "redshift_script_swap_publish",
     "multimodal_wav_roundtrip",
     "multimodal_png_roundtrip",
+    "multimodal_image_resize",
     "scan_project_expr",
     "filter_predicates",
     "case_when_decode",
@@ -144,7 +145,6 @@ _VERIFY_FIRST: list[str] = [
     "regex_functions",
     "datetime_functions",
     "datetime_tz_functions",
-    "math_functions",
     "json_super_access",
     "array_functions",
     "to_char_formats",
@@ -152,6 +152,7 @@ _VERIFY_FIRST: list[str] = [
     "subquery_correlated_scalar",
     "redshift_sql_report",
     # --- 50-query driver boundary ---
+    "math_functions",
     "text_token_counts",
     "redshift_sql_qualify",
     "subquery_in_filter",

@@ -55,6 +55,7 @@ R5_MUST_VERIFY = frozenset(
         "redshift_script_swap_publish",
         "multimodal_wav_roundtrip",
         "multimodal_png_roundtrip",
+        "multimodal_image_resize",
         # newest driver row is r1 (CORRECTNESS_r01 only)
         "scan_project_expr", "filter_predicates", "case_when_decode",
         "cast_conversions", "distinct_projection", "union_all_accounts",

@@ -1210,3 +1210,17 @@ def test_png_codec_roundtrip_and_filters():
         + _png_chunk(b"IEND", b"")
     )
     assert decode_png_rgb(multi) == (w, h, pixels)
+
+
+def test_resize_rgb_nn_geometry():
+    """NN resize samples source pixel (x*w//W, y*h//H) — checked on a
+    hand-built 4x2 image downsized to 2x1 and an upscale case."""
+    from sql_redshift_etl_spark.llm.multimodal import resize_rgb_nn
+
+    # 4x2 image: pixel value = 10*x + y per channel
+    src = bytes(b for y in range(2) for x in range(4) for b in (10 * x + y,) * 3)
+    out = resize_rgb_nn(4, 2, src, 2, 1)
+    # (0,0) samples src (0*4//2, 0*2//1) = (0,0) -> 0; (1,0) samples (2,0) -> 20
+    assert out == bytes((0, 0, 0, 20, 20, 20))
+    up = resize_rgb_nn(1, 1, bytes((5, 6, 7)), 3, 2)
+    assert up == bytes((5, 6, 7)) * 6  # upscale repeats the single pixel

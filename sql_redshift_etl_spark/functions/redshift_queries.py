@@ -757,3 +757,63 @@ def redshift_script_swap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_redshift_script(spark, _SCRIPT_SWAP_PUBLISH.format(orders="rs_swap_orders"))
     assert out is not None
     return out
+
+
+# UPDATE ... FROM — the join-based price-adjustment every warehouse ETL
+# runs. Factors are binary-exact (0.5 / 2.0 / 1.0) so the updated
+# doubles are bit-identical across engines; sums use DECIMAL(18,4)
+# because halving a 2-dp price yields 3 decimal places.
+_SCRIPT_UPDATE_FROM = """
+    BEGIN;
+
+    CREATE TEMP TABLE #adj (status VARCHAR(1), factor DOUBLE PRECISION);
+    INSERT INTO #adj VALUES ('F', 0.5), ('O', 2.0);
+
+    CREATE TEMP TABLE ords AS
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM {orders};
+
+    UPDATE ords SET o_totalprice = ords.o_totalprice * a.factor
+    FROM #adj a
+    WHERE ords.o_orderstatus = a.status;
+
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CONVERT(DECIMAL(18,4), o_totalprice)) AS DOUBLE) AS total_price
+    FROM ords
+    GROUP BY 1;
+
+    COMMIT;
+"""
+
+
+@register(
+    "redshift_script_update_from",
+    tags=("S6", "A1", "J1"),
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice *
+                   CASE o_orderstatus WHEN 'F' THEN 0.5 WHEN 'O' THEN 2.0 ELSE 1.0 END
+                   AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def redshift_script_update_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-based UPDATE ... FROM as a verbatim script (the warehouse
+    price-adjustment idiom): a #temp factor table drives a keyed update
+    of the staged orders, and the rollup hash-matches an oracle that
+    applies the same factors directly — proving each row updated exactly
+    once with its matching factor (P-status rows untouched).
+
+    Scale: the update is one equi-join on the factor key (the factor
+    side broadcasts) plus a rowid-keyed left join back — no row
+    explosion on multi-match sources by construction (script_runner
+    picks one match per target row, Redshift's own contract).
+    """
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rs_updf_orders")
+    out = run_redshift_script(spark, _SCRIPT_UPDATE_FROM.format(orders="rs_updf_orders"))
+    assert out is not None
+    return out

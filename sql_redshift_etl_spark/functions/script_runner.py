@@ -39,6 +39,9 @@ Statement support:
   ``cond`` work because the filter runs through ``spark.sql``.
 - ``UPDATE name SET c = e, ... [WHERE cond]`` — CASE-projection per
   assigned column, cast back to the column's declared type.
+- ``UPDATE name SET ... FROM src [, ...] WHERE cond`` — join-based
+  update (r5): each target row updates AT MOST once even on multi-match
+  joins (deterministic pick); WHERE is required (loud).
 - ``TRUNCATE [TABLE] name`` / ``DROP TABLE|VIEW [IF EXISTS] name``.
 - ``COPY name FROM 'path' [FORMAT AS CSV|JSON|PARQUET] [IGNOREHEADER n]
   [DELIMITER 'c'] [IAM_ROLE ...]`` — bulk load appended to an existing
@@ -164,6 +167,32 @@ def _split_set_where(body: str) -> tuple[str, str | None]:
             ):
                 return body[:i].strip(), body[i + 5 :].strip()
     return body.strip(), None
+
+
+def _split_top_kw(body: str, kw: str) -> tuple[str, str | None]:
+    """Split ``body`` at the first TOP-LEVEL occurrence of keyword ``kw``
+    (paren- and quote-aware) — same contract as _split_set_where, for the
+    UPDATE ... FROM clause (a FROM inside a subquery assignment or a
+    SUBSTRING(x FROM 2) sits at depth > 0 and is content)."""
+    depth, in_quote = 0, False
+    n, k = len(body), len(kw)
+    for i, ch in enumerate(body):
+        if ch == "'":
+            in_quote = not in_quote
+        elif not in_quote:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and body[i : i + k].upper() == kw
+                and i > 0
+                and body[i - 1].isspace()
+                and (i + k == n or not (body[i + k].isalnum() or body[i + k] == "_"))
+            ):
+                return body[:i].strip(), body[i + k :].strip()
+    return body.strip(), None
 _CREATE_LIKE = re.compile(
     r"^CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\(\s*LIKE\s+([\w.]+)\s*(?:INCLUDING|EXCLUDING)?\s*(?:DEFAULTS)?\s*\)\s*$",
     re.IGNORECASE,
@@ -176,6 +205,27 @@ _ALTER_APPEND = re.compile(
     r"(?:\s+(?:IGNOREEXTRA|FILLTARGET))?\s*$",
     re.IGNORECASE,
 )
+# Redshift type spellings Spark's DDL parser does not know. Applied to
+# CREATE TABLE column lists only (never to data or expressions).
+_TYPE_SPELLINGS = [
+    (re.compile(r"\bDOUBLE\s+PRECISION\b", re.IGNORECASE), "DOUBLE"),
+    (re.compile(r"\bCHARACTER\s+VARYING\b", re.IGNORECASE), "VARCHAR"),
+    (re.compile(r"\bBPCHAR\b", re.IGNORECASE), "CHAR"),
+    (re.compile(r"\bNUMERIC\b", re.IGNORECASE), "DECIMAL"),
+    (re.compile(r"\bINT8\b", re.IGNORECASE), "BIGINT"),
+    (re.compile(r"\bINT4\b", re.IGNORECASE), "INT"),
+    (re.compile(r"\bINT2\b", re.IGNORECASE), "SMALLINT"),
+    (re.compile(r"\bFLOAT8\b", re.IGNORECASE), "DOUBLE"),
+    (re.compile(r"\bFLOAT4\b", re.IGNORECASE), "FLOAT"),
+]
+
+
+def _normalize_ddl_types(body: str) -> str:
+    for pat, repl in _TYPE_SPELLINGS:
+        body = pat.sub(repl, body)
+    return body
+
+
 # IDENTITY(seed, step) column attribute inside a CREATE TABLE column
 # list: values are engine-generated. Captured (and stripped) before
 # StructType.fromDDL, which cannot parse it.
@@ -481,7 +531,7 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 # LogicalRDD may not carry char/varchar types).
                 from pyspark.sql import types as T
 
-                ddl_body = m.group(2)
+                ddl_body = _normalize_ddl_types(m.group(2))
                 ids = {
                     c: int(seed)
                     for c, _typ, seed, _step in _IDENTITY_ATTR.findall(ddl_body)
@@ -570,13 +620,73 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     )
             elif m := _UPDATE.match(stmt):
                 name, rest = m.group(1), m.group(2)
-                sets, cond = _split_set_where(rest)
-                cond = cond or "true"
+                sets_from, cond = _split_set_where(rest)
+                sets, from_text = _split_top_kw(sets_from, "FROM")
                 base = state.existing(name)
                 assigned = dict(_split_assignments(sets))
                 unknown = set(assigned) - set(base.columns)
                 if unknown:
                     raise ValueError(f"UPDATE {name}: unknown columns {sorted(unknown)}")
+                if from_text:
+                    # UPDATE t SET ... FROM s [, s2] WHERE cond — the
+                    # join-based update every Redshift ETL uses. Semantics
+                    # matched exactly: each TARGET row updates AT MOST
+                    # ONCE even when the join matches several source rows
+                    # (Redshift leaves which match wins unspecified; we
+                    # pick deterministically by ordering on the new
+                    # values). Implemented with a synthetic rowid:
+                    # localCheckpoint pins the ids so the match join and
+                    # the final left join see the SAME rows — without it
+                    # a nondeterministic base (e.g. IDENTITY inserts)
+                    # could re-evaluate differently per use.
+                    if cond is None:
+                        raise ValueError(
+                            f"UPDATE {name} ... FROM requires a WHERE join condition "
+                            "(an unconditioned cross-table update is almost never meant)"
+                        )
+                    rid = base.withColumn(
+                        "__rid", F.monotonically_increasing_id()
+                    ).localCheckpoint(eager=True)
+                    state.bind(name, rid)
+                    new_cols = ", ".join(
+                        f"({e}) AS __new_{c}" for c, e in assigned.items()
+                    )
+                    matched = spark.sql(
+                        f"SELECT {name}.__rid AS __rid, {new_cols} "
+                        f"FROM {name}, {from_text} WHERE {cond}"
+                    )
+                    from pyspark.sql import Window as _W
+
+                    one = (
+                        matched.withColumn(
+                            "__rn",
+                            F.row_number().over(
+                                _W.partitionBy("__rid").orderBy(
+                                    *[f"__new_{c}" for c in assigned]
+                                )
+                            ),
+                        )
+                        .where(F.col("__rn") == 1)
+                        .drop("__rn")
+                        .withColumn("__m", F.lit(True))
+                    )
+                    joined = rid.join(one, "__rid", "left")
+                    proj = [
+                        (
+                            F.when(
+                                F.col("__m"),
+                                F.col(f"__new_{f.name}").cast(f.dataType),
+                            )
+                            .otherwise(F.col(f.name))
+                            .alias(f.name)
+                            if f.name in assigned
+                            else F.col(f.name)
+                        )
+                        for f in base.schema.fields
+                    ]
+                    state.bind(name, joined.select(*proj))
+                    continue
+                cond = cond or "true"
                 proj = []
                 for f in base.schema.fields:
                     if f.name in assigned:

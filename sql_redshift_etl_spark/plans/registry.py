@@ -108,6 +108,7 @@ _VERIFY_FIRST: list[str] = [
     "multimodal_wav_roundtrip",
     "multimodal_png_roundtrip",
     "multimodal_image_resize",
+    "redshift_script_update_from",
     "scan_project_expr",
     "filter_predicates",
     "case_when_decode",
@@ -146,12 +147,12 @@ _VERIFY_FIRST: list[str] = [
     "datetime_functions",
     "datetime_tz_functions",
     "json_super_access",
-    "array_functions",
     "to_char_formats",
     "datediff_boundary_semantics",
     "subquery_correlated_scalar",
     "redshift_sql_report",
     # --- 50-query driver boundary ---
+    "array_functions",
     "math_functions",
     "text_token_counts",
     "redshift_sql_qualify",

@@ -1224,3 +1224,37 @@ def test_resize_rgb_nn_geometry():
     assert out == bytes((0, 0, 0, 20, 20, 20))
     up = resize_rgb_nn(1, 1, bytes((5, 6, 7)), 3, 2)
     assert up == bytes((5, 6, 7)) * 6  # upscale repeats the single pixel
+
+
+def test_update_from_join_semantics(spark):
+    """UPDATE ... FROM (r5): join-based update; each target row updates
+    at most once even when the join matches several source rows; rows
+    with no match are untouched; missing WHERE is loud."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE t (k BIGINT, v BIGINT);
+        INSERT INTO t VALUES (1, 10), (2, 20), (3, 30);
+        CREATE TEMP TABLE s (k BIGINT, add_v BIGINT);
+        INSERT INTO s VALUES (1, 100), (2, 200), (2, 900);
+        UPDATE t SET v = t.v + s.add_v FROM s WHERE t.k = s.k;
+        SELECT k, v FROM t;
+        """,
+    )
+    rows = dict((r.k, r.v) for r in out.collect())
+    # k=1 single match; k=2 multi-match → updated ONCE with the
+    # deterministic (smallest new value) pick; k=3 untouched
+    assert rows == {1: 110, 2: 220, 3: 30}
+    with _pytest.raises(ValueError, match="requires a WHERE"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE TEMP TABLE a (x BIGINT); CREATE TEMP TABLE b (x BIGINT);
+            UPDATE a SET x = b.x FROM b;
+            SELECT 1 AS one;
+            """,
+        )

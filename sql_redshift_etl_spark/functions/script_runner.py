@@ -37,6 +37,9 @@ Statement support:
 - ``DELETE FROM name [WHERE cond]`` — keeps rows where ``cond`` is not
   TRUE (NULL-cond rows survive, matching SQL DELETE); subqueries in
   ``cond`` work because the filter runs through ``spark.sql``.
+- ``DELETE FROM name USING src [, ...] WHERE cond`` — join-based delete
+  (r5): rows matching ANY source row go (NOT EXISTS → left-anti join);
+  WHERE is required.
 - ``UPDATE name SET c = e, ... [WHERE cond]`` — CASE-projection per
   assigned column, cast back to the column's declared type.
 - ``UPDATE name SET ... FROM src [, ...] WHERE cond`` — join-based
@@ -138,7 +141,7 @@ _INSERT = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE = re.compile(
-    r"^DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+))?$", re.IGNORECASE | re.DOTALL
+    r"^DELETE\s+FROM\s+([\w.]+)(?:\s+(.+))?$", re.IGNORECASE | re.DOTALL
 )
 _UPDATE = re.compile(r"^UPDATE\s+([\w.]+)\s+SET\s+(.+)$", re.IGNORECASE | re.DOTALL)
 
@@ -604,19 +607,43 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     )
                 state.bind(name, base.unionAll(_cast_positional(sel, base, name)))
             elif m := _DELETE.match(stmt):
-                name, cond = m.group(1), m.group(2)
+                name, rest = m.group(1), m.group(2)
                 state.existing(name)  # must exist (loud failure)
-                if cond is None:
+                if rest is None:
                     state.bind(name, state.existing(name).limit(0))
-                else:
+                elif um := re.match(r"(?is)^USING\s+(.+)$", rest):
+                    # DELETE FROM t USING s [, s2] WHERE cond (r5): the
+                    # join-based delete (retention/dedup jobs). A row is
+                    # deleted when ANY source row satisfies cond —
+                    # exactly NOT EXISTS for the survivors, which Spark
+                    # plans as a left-anti join.
+                    using, where = _split_top_kw(um.group(1), "WHERE")
+                    if where is None:
+                        raise ValueError(
+                            f"DELETE FROM {name} USING requires a WHERE join "
+                            "condition (an unconditioned delete-all is spelled "
+                            "without USING)"
+                        )
+                    state.bind(
+                        name,
+                        spark.sql(
+                            f"SELECT {name}.* FROM {name} WHERE NOT EXISTS "
+                            f"(SELECT 1 FROM {using} WHERE {where})"
+                        ),
+                    )
+                elif wm := re.match(r"(?is)^WHERE\s+(.+)$", rest):
                     # DELETE removes rows where cond IS TRUE; NULL-cond
                     # rows are kept. Through spark.sql so IN/EXISTS
                     # subqueries in the predicate resolve.
                     state.bind(
                         name,
                         spark.sql(
-                            f"SELECT * FROM {name} WHERE NOT coalesce(({cond}), false)"
+                            f"SELECT * FROM {name} WHERE NOT coalesce(({wm.group(1)}), false)"
                         ),
+                    )
+                else:
+                    raise ValueError(
+                        f"DELETE FROM {name}: expected WHERE or USING, got {rest[:40]!r}"
                     )
             elif m := _UPDATE.match(stmt):
                 name, rest = m.group(1), m.group(2)

@@ -1258,3 +1258,34 @@ def test_update_from_join_semantics(spark):
             SELECT 1 AS one;
             """,
         )
+
+
+def test_delete_using_join_semantics(spark):
+    """DELETE ... USING (r5): rows matching ANY source row are deleted
+    (left-anti survivors); non-matching rows survive; USING without
+    WHERE is loud; plain WHERE-DELETE still works."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE t (k BIGINT, v VARCHAR(4));
+        INSERT INTO t VALUES (1, 'a'), (2, 'b'), (3, 'c');
+        CREATE TEMP TABLE kill (k BIGINT);
+        INSERT INTO kill VALUES (1), (3), (3);
+        DELETE FROM t USING kill WHERE t.k = kill.k;
+        SELECT k, v FROM t;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(2, "b")]
+    with _pytest.raises(ValueError, match="USING requires a WHERE"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE TEMP TABLE a (x BIGINT); CREATE TEMP TABLE b (x BIGINT);
+            DELETE FROM a USING b;
+            SELECT 1 AS one;
+            """,
+        )

@@ -59,7 +59,9 @@ Statement support:
   PARALLEL OFF coalesces to one file, ALLOWOVERWRITE maps to
   mode=overwrite (without it an existing prefix errors, as in
   Redshift), MANIFEST writes a Redshift-format file manifest after the
-  data (sources.writers.write_manifest).
+  data (sources.writers.write_manifest); GZIP/BZIP2 (r5) map to the
+  writer codec (parquet takes gzip only — loud), and NULL AS 'str'
+  writes/reads the null sentinel.
 - ``COPY name FROM 'path/manifest' ... MANIFEST`` — the path is a
   manifest file; exactly its listed files load (a missing mandatory
   file raises before any read).
@@ -262,6 +264,8 @@ _OPT_TOKEN = re.compile(
     | (?P<overwrite>ALLOWOVERWRITE)\b
     | PARALLEL\s+(?P<parallel>ON|OFF|TRUE|FALSE)
     | (?P<manifest>MANIFEST)\b
+    | (?P<codec>GZIP|BZIP2)\b
+    | NULL\s+(?:AS\s+)?'(?P<nullas>[^']*)'
     | (?:IAM_ROLE|CREDENTIALS|REGION|ACCESS_KEY_ID|SECRET_ACCESS_KEY|SESSION_TOKEN)\s+'[^']*'
     | 'auto'
     | \s+
@@ -273,7 +277,7 @@ _OPT_TOKEN = re.compile(
 def _parse_io_options(clause: str, stmt_kind: str) -> dict:
     opts: dict = {"format": None, "header": False, "skip": 0, "delimiter": None,
                   "partition_by": [], "overwrite": False, "parallel": True,
-                  "manifest": False}
+                  "manifest": False, "codec": None, "null_as": None}
     pos = 0
     while pos < len(clause):
         m = _OPT_TOKEN.match(clause, pos)
@@ -297,6 +301,10 @@ def _parse_io_options(clause: str, stmt_kind: str) -> dict:
             opts["parallel"] = m.group("parallel").upper() in ("ON", "TRUE")
         if m.group("manifest"):
             opts["manifest"] = True
+        if m.group("codec"):
+            opts["codec"] = m.group("codec").lower()
+        if m.group("nullas") is not None:
+            opts["null_as"] = m.group("nullas")
         pos = m.end()
     return opts
 
@@ -454,6 +462,7 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         base.schema,
                         header=opts["skip"] > 0,
                         delimiter=opts["delimiter"] or ("," if fmt == "CSV" else "|"),
+                        null_value=opts["null_as"],
                     )
                 state.bind(name, base.unionAll(_cast_positional(loaded, base, name)))
                 continue
@@ -467,6 +476,15 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 if opts["partition_by"]:
                     writer = writer.partitionBy(*opts["partition_by"])
                 fmt = opts["format"] or "TEXT"
+                if opts["codec"]:
+                    # UNLOAD GZIP/BZIP2 (r5): Spark writes per-file
+                    # codecs natively; parquet takes gzip only (its
+                    # codec set has no bzip2 — loud, not silent).
+                    if fmt == "PARQUET" and opts["codec"] != "gzip":
+                        raise ValueError("UNLOAD PARQUET supports GZIP only")
+                    writer = writer.option("compression", opts["codec"])
+                if opts["null_as"] is not None:
+                    writer = writer.option("nullValue", opts["null_as"])
                 if fmt == "PARQUET":
                     writer.parquet(path)
                 elif fmt == "JSON":
@@ -478,10 +496,11 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 if opts["manifest"]:
                     from sql_redshift_etl_spark.sources.writers import write_manifest
 
-                    write_manifest(
-                        path,
-                        suffix={"PARQUET": ".parquet", "JSON": ".json"}.get(fmt, ".csv"),
-                    )
+                    suffix = {"PARQUET": ".parquet", "JSON": ".json"}.get(fmt, ".csv")
+                    if opts["codec"] and fmt != "PARQUET":
+                        # codec'd text files end .csv.gz / .json.bz2 ...
+                        suffix += {"gzip": ".gz", "bzip2": ".bz2"}[opts["codec"]]
+                    write_manifest(path, suffix=suffix)
                 continue
             stmt = translate_redshift_sql(raw).strip()
             if _NOOP.match(stmt):

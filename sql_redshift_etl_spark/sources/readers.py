@@ -23,6 +23,7 @@ def read_csv(
     header: bool = True,
     delimiter: str = ",",
     multi_line: bool = True,
+    null_value: str | None = None,
 ) -> DataFrame:
     """COPY ... FORMAT CSV analog: schema-on-read bulk CSV load.
 
@@ -37,14 +38,19 @@ def read_csv(
     moderate files, or escaped/newline-free text with multi_line=False
     for splittable scans.
     """
-    return (
+    reader = (
         spark.read.schema(schema)
         .option("header", header)
         .option("delimiter", delimiter)
         .option("multiLine", multi_line)
         .option("mode", "PERMISSIVE")
-        .csv(path)
     )
+    if null_value is not None:
+        # COPY ... NULL AS 'str' (r5): the writer-side sentinel reads
+        # back as SQL NULL. Compressed inputs (.gz/.bz2) need no option —
+        # Spark's text sources decompress by extension.
+        reader = reader.option("nullValue", null_value)
+    return reader.csv(path)
 
 
 def read_json_lines(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:

@@ -1289,3 +1289,33 @@ def test_delete_using_join_semantics(spark):
             SELECT 1 AS one;
             """,
         )
+
+
+def test_unload_gzip_and_null_as_roundtrip(spark, tmp_path):
+    """UNLOAD ... GZIP writes .csv.gz files (MANIFEST lists them with
+    the codec suffix) and COPY reads them back transparently; NULL AS
+    'sentinel' round-trips SQL NULLs through CSV (r5)."""
+    import glob
+    import json
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out_dir = tmp_path / "gz_unload"
+    result = run_redshift_script(
+        spark,
+        f"""
+        CREATE TEMP TABLE src (k BIGINT, v VARCHAR(8));
+        INSERT INTO src VALUES (1, 'a'), (2, NULL), (3, 'c');
+        UNLOAD ('SELECT k, v FROM src') TO '{out_dir}'
+            FORMAT AS CSV HEADER NULL AS '__NULL__' GZIP ALLOWOVERWRITE MANIFEST;
+        CREATE TEMP TABLE back (k BIGINT, v VARCHAR(8));
+        COPY back FROM '{out_dir}' FORMAT AS CSV IGNOREHEADER 1 NULL AS '__NULL__';
+        SELECT k, v FROM back;
+        """,
+    )
+    rows = sorted((r.k, r.v) for r in result.collect())
+    assert rows == [(1, "a"), (2, None), (3, "c")]
+    gz = glob.glob(str(out_dir / "*.csv.gz"))
+    assert gz, "UNLOAD GZIP produced no .csv.gz files"
+    mf = json.loads((out_dir / "_manifest.json").read_text())
+    assert mf["entries"] and all(e["url"].endswith(".csv.gz") for e in mf["entries"])

@@ -64,7 +64,14 @@ Statement support:
   writes/reads the null sentinel.
 - ``COPY name FROM 'path/manifest' ... MANIFEST`` — the path is a
   manifest file; exactly its listed files load (a missing mandatory
-  file raises before any read).
+  file raises before any read). ``EXPLICIT_IDS`` is accepted (our COPY
+  loads provided values positionally, which is exactly its meaning).
+- ``CREATE EXTERNAL TABLE name (cols) [PARTITIONED BY (...)] [ROW
+  FORMAT DELIMITED FIELDS TERMINATED BY 'c'] STORED AS PARQUET|TEXTFILE
+  LOCATION 'path'`` — the Spectrum analog (r5): a schema-on-read
+  binding over the prefix; PARQUET validates declared columns against
+  the files and discovers hive partitions; TEXTFILE reads the declared
+  schema at the given delimiter.
 - ``SELECT ... / WITH ...`` — executed; the LAST one is the script's
   result DataFrame.
 
@@ -238,6 +245,39 @@ _IDENTITY_ATTR = re.compile(
     r"(\w+)\s+(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s+IDENTITY\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)",
     re.IGNORECASE,
 )
+# Redshift Spectrum analog (r5): an external table is a schema-on-read
+# binding over a storage prefix — exactly a Spark read. Bounded subset:
+# PARQUET (self-describing; optional hive PARTITIONED BY discovered from
+# the directory layout) and TEXTFILE with a declared schema + delimiter.
+_CREATE_EXTERNAL_HEAD = re.compile(
+    r"^CREATE\s+EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\(",
+    re.IGNORECASE,
+)
+_CREATE_EXTERNAL_TAIL = re.compile(
+    r"^\s*(?:PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\)\s*)?"
+    r"(?:ROW\s+FORMAT\s+DELIMITED\s+FIELDS\s+TERMINATED\s+BY\s+'([^']*)'\s*)?"
+    r"STORED\s+AS\s+(PARQUET|TEXTFILE)\s+"
+    r"LOCATION\s+'([^']+)'\s*(?:TABLE\s+PROPERTIES\s*\([^)]*\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _scan_balanced_fwd(text: str, i: int) -> int:
+    """Index just past the paren that closes the one opened before ``i``
+    (quote-aware) — the column list of CREATE EXTERNAL TABLE contains
+    nested parens (VARCHAR(8), DECIMAL(18,2)) a non-greedy regex chops."""
+    depth, in_quote = 1, False
+    while depth:
+        ch = text[i]
+        if ch == "'":
+            in_quote = not in_quote
+        elif not in_quote:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        i += 1
+    return i
 _TRUNCATE = re.compile(r"^TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*$", re.IGNORECASE)
 _DROP = re.compile(
     r"^DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE
@@ -265,6 +305,7 @@ _OPT_TOKEN = re.compile(
     | PARALLEL\s+(?P<parallel>ON|OFF|TRUE|FALSE)
     | (?P<manifest>MANIFEST)\b
     | (?P<codec>GZIP|BZIP2)\b
+    | EXPLICIT_IDS\b
     | NULL\s+(?:AS\s+)?'(?P<nullas>[^']*)'
     | (?:IAM_ROLE|CREDENTIALS|REGION|ACCESS_KEY_ID|SECRET_ACCESS_KEY|SESSION_TOKEN)\s+'[^']*'
     | 'auto'
@@ -505,7 +546,74 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
             stmt = translate_redshift_sql(raw).strip()
             if _NOOP.match(stmt):
                 continue
-            if m := _CREATE_LIKE.match(stmt):
+            if (hm := _CREATE_EXTERNAL_HEAD.match(stmt)) and (
+                (cols_end := _scan_balanced_fwd(stmt, hm.end()))
+                and (tm := _CREATE_EXTERNAL_TAIL.match(stmt[cols_end:]))
+            ):
+                name = hm.group(1)
+                cols = stmt[hm.end() : cols_end - 1]
+                part_cols, delim, stored, loc = tm.groups()
+                from pyspark.sql import types as T
+
+                if stored.upper() == "PARQUET":
+                    reader = spark.read.option("basePath", loc)
+                    # parquet is self-describing; the declared column
+                    # list is validated against the files below, and
+                    # hive PARTITIONED BY columns come from the
+                    # directory layout (Spark partition discovery).
+                    ext = reader.parquet(loc)
+                    declared = [
+                        f.name.lower()
+                        for f in T.StructType.fromDDL(_normalize_ddl_types(cols)).fields
+                    ] + (
+                        [
+                            c.strip().split()[0].lower()
+                            for c in part_cols.split(",")
+                            if c.strip()
+                        ]
+                        if part_cols
+                        else []
+                    )
+                    actual = [c.lower() for c in ext.columns]
+                    missing = [c for c in declared if c not in actual]
+                    if missing:
+                        raise ValueError(
+                            f"CREATE EXTERNAL TABLE {name}: declared columns "
+                            f"{missing} not present at {loc} (files have {actual})"
+                        )
+                else:
+                    if part_cols:
+                        raise ValueError(
+                            "CREATE EXTERNAL TABLE ... TEXTFILE with PARTITIONED "
+                            "BY is not supported; use PARQUET for partitioned "
+                            "externals"
+                        )
+                    from sql_redshift_etl_spark.sources.readers import read_csv
+
+                    # read schemas reject char/varchar — lower to string,
+                    # the same rule the CREATE TABLE DDL branch applies
+                    parsed = T.StructType.fromDDL(_normalize_ddl_types(cols))
+                    lowered = T.StructType(
+                        [
+                            T.StructField(
+                                f.name,
+                                T.StringType()
+                                if isinstance(f.dataType, (T.VarcharType, T.CharType))
+                                else f.dataType,
+                                f.nullable,
+                            )
+                            for f in parsed.fields
+                        ]
+                    )
+                    ext = read_csv(
+                        spark,
+                        loc,
+                        lowered,
+                        header=False,
+                        delimiter=delim or "|",
+                    )
+                state.bind(name, ext)
+            elif m := _CREATE_LIKE.match(stmt):
                 # CREATE TABLE new (LIKE other): empty table with other's
                 # schema — the first half of Redshift's rebuild-and-swap
                 # publish idiom. (Checked before CTAS/DDL: its "(LIKE x)"

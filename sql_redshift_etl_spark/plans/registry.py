@@ -109,6 +109,7 @@ _VERIFY_FIRST: list[str] = [
     "multimodal_png_roundtrip",
     "multimodal_image_resize",
     "redshift_script_update_from",
+    "source_external_table",
     "scan_project_expr",
     "filter_predicates",
     "case_when_decode",
@@ -142,7 +143,6 @@ _VERIFY_FIRST: list[str] = [
     "text_lang_id_heuristic",
     "text_quality_filter_kept",
     "text_quality_scores",
-    "string_functions",
     "regex_functions",
     "datetime_functions",
     "datetime_tz_functions",
@@ -152,6 +152,7 @@ _VERIFY_FIRST: list[str] = [
     "subquery_correlated_scalar",
     "redshift_sql_report",
     # --- 50-query driver boundary ---
+    "string_functions",
     "array_functions",
     "math_functions",
     "text_token_counts",

@@ -215,3 +215,50 @@ def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_suppliers"), dsum("s_acctbal", 2, 8).alias("total_bal"))
     )
+
+
+_SCRIPT_EXTERNAL = """
+    UNLOAD ('SELECT doc_id, n_chars, lang FROM {docs}')
+    TO '{out}' FORMAT AS PARQUET PARTITION BY (lang) ALLOWOVERWRITE;
+
+    CREATE EXTERNAL TABLE ext_docs (doc_id BIGINT, n_chars BIGINT)
+    PARTITIONED BY (lang VARCHAR(8))
+    STORED AS PARQUET
+    LOCATION '{out}';
+
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM ext_docs
+    GROUP BY 1;
+"""
+
+
+@register(
+    "source_external_table",
+    tags=("S7", "S1", "A1"),
+    oracle="""
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def source_external_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redshift Spectrum analog (r5): UNLOAD writes a lang-partitioned
+    parquet prefix, CREATE EXTERNAL TABLE binds it schema-on-read with
+    the partition column declared via PARTITIONED BY, and the rollup
+    over the external hash-matches the direct-on-documents oracle —
+    proving the external's column validation, hive partition discovery,
+    and the partition column's values all round-trip.
+
+    Scale: the external is exactly a Spark scan — filters on the
+    PARTITIONED BY column become static partition pruning over the
+    prefix layout, the same mechanism sim_ann_lsh_pruned CI-asserts.
+    """
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("rs_ext_docs")
+    out = run_redshift_script(
+        spark,
+        _SCRIPT_EXTERNAL.format(docs="rs_ext_docs", out=_io_dir(sf_dir, "external_docs")),
+    )
+    assert out is not None
+    return out

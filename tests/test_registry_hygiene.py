@@ -57,6 +57,7 @@ R5_MUST_VERIFY = frozenset(
         "multimodal_png_roundtrip",
         "multimodal_image_resize",
         "redshift_script_update_from",
+        "source_external_table",
         # newest driver row is r1 (CORRECTNESS_r01 only)
         "scan_project_expr", "filter_predicates", "case_when_decode",
         "cast_conversions", "distinct_projection", "union_all_accounts",

@@ -1319,3 +1319,51 @@ def test_unload_gzip_and_null_as_roundtrip(spark, tmp_path):
     assert gz, "UNLOAD GZIP produced no .csv.gz files"
     mf = json.loads((out_dir / "_manifest.json").read_text())
     assert mf["entries"] and all(e["url"].endswith(".csv.gz") for e in mf["entries"])
+
+
+def test_create_external_table(spark, tmp_path):
+    """CREATE EXTERNAL TABLE (r5, the Spectrum analog): PARQUET externals
+    validate declared columns and discover hive partitions; TEXTFILE
+    externals read the declared schema at the given delimiter; a
+    declared column missing from the files is loud."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    pq = tmp_path / "ext_pq"
+    spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")], "k long, v string, part string"
+    ).write.partitionBy("part").parquet(str(pq))
+    out = run_redshift_script(
+        spark,
+        f"""
+        CREATE EXTERNAL TABLE ext_t (k BIGINT, v VARCHAR(8))
+        PARTITIONED BY (part VARCHAR(8))
+        STORED AS PARQUET
+        LOCATION '{pq}';
+        SELECT part, COUNT(*) AS n FROM ext_t GROUP BY part;
+        """,
+    )
+    assert sorted((r.part, r.n) for r in out.collect()) == [("x", 2), ("y", 1)]
+    with _pytest.raises(ValueError, match="declared columns"):
+        run_redshift_script(
+            spark,
+            f"""
+            CREATE EXTERNAL TABLE ext_bad (k BIGINT, nope VARCHAR(4))
+            STORED AS PARQUET LOCATION '{pq}';
+            SELECT 1 AS one;
+            """,
+        )
+    txt = tmp_path / "ext_txt"
+    txt.mkdir()
+    (txt / "part-0.txt").write_text("1|foo\n2|bar\n")
+    out2 = run_redshift_script(
+        spark,
+        f"""
+        CREATE EXTERNAL TABLE ext_raw (k BIGINT, v VARCHAR(8))
+        ROW FORMAT DELIMITED FIELDS TERMINATED BY '|'
+        STORED AS TEXTFILE LOCATION '{txt}';
+        SELECT k, v FROM ext_raw;
+        """,
+    )
+    assert sorted(tuple(r) for r in out2.collect()) == [(1, "foo"), (2, "bar")]

@@ -555,13 +555,39 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 part_cols, delim, stored, loc = tm.groups()
                 from pyspark.sql import types as T
 
+                def _lowered(ddl: str):
+                    parsed = T.StructType.fromDDL(_normalize_ddl_types(ddl))
+                    return T.StructType(
+                        [
+                            T.StructField(
+                                f.name,
+                                T.StringType()
+                                if isinstance(f.dataType, (T.VarcharType, T.CharType))
+                                else f.dataType,
+                                f.nullable,
+                            )
+                            for f in parsed.fields
+                        ]
+                    )
+
                 if stored.upper() == "PARQUET":
                     reader = spark.read.option("basePath", loc)
                     # parquet is self-describing; the declared column
                     # list is validated against the files below, and
                     # hive PARTITIONED BY columns come from the
                     # directory layout (Spark partition discovery).
-                    ext = reader.parquet(loc)
+                    try:
+                        ext = reader.parquet(loc)
+                    except Exception as e:
+                        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+                            raise
+                        # empty prefix (e.g. a zero-row UNLOAD): the
+                        # external is an EMPTY table with the DECLARED
+                        # schema — Redshift's behavior; crashing would
+                        # make empty upstream slices fatal.
+                        full = cols + ("," + part_cols if part_cols else "")
+                        state.bind(name, spark.createDataFrame([], _lowered(full)))
+                        continue
                     declared = [
                         f.name.lower()
                         for f in T.StructType.fromDDL(_normalize_ddl_types(cols)).fields
@@ -592,23 +618,10 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
 
                     # read schemas reject char/varchar — lower to string,
                     # the same rule the CREATE TABLE DDL branch applies
-                    parsed = T.StructType.fromDDL(_normalize_ddl_types(cols))
-                    lowered = T.StructType(
-                        [
-                            T.StructField(
-                                f.name,
-                                T.StringType()
-                                if isinstance(f.dataType, (T.VarcharType, T.CharType))
-                                else f.dataType,
-                                f.nullable,
-                            )
-                            for f in parsed.fields
-                        ]
-                    )
                     ext = read_csv(
                         spark,
                         loc,
-                        lowered,
+                        _lowered(cols),
                         header=False,
                         delimiter=delim or "|",
                     )

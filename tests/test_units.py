@@ -1367,3 +1367,23 @@ def test_create_external_table(spark, tmp_path):
         """,
     )
     assert sorted(tuple(r) for r in out2.collect()) == [(1, "foo"), (2, "bar")]
+
+
+def test_create_external_table_empty_prefix(spark, tmp_path):
+    """An external over an EMPTY prefix binds as an empty table with the
+    DECLARED schema (incl. partition columns) — Redshift's behavior; a
+    zero-row upstream UNLOAD must not be fatal (r5 empty-input fix)."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    empty = tmp_path / "nothing"
+    empty.mkdir()
+    out = run_redshift_script(
+        spark,
+        f"""
+        CREATE EXTERNAL TABLE ext_none (k BIGINT, v VARCHAR(8))
+        PARTITIONED BY (part VARCHAR(8))
+        STORED AS PARQUET LOCATION '{empty}';
+        SELECT k, v, part FROM ext_none;
+        """,
+    )
+    assert out.columns == ["k", "v", "part"] and out.count() == 0

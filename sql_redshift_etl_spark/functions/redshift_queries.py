@@ -70,8 +70,10 @@ _REDSHIFT_EVENTS = """
     oracle="""
         SELECT o_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS order_day,
-               date_diff('year', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS years_to_y2k,
-               date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+               CAST(date_diff('year', o_orderdate, TIMESTAMP '2000-01-01 00:00:00')
+                    AS INTEGER) AS years_to_y2k,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')
+                    AS INTEGER) AS days_to_y2k,
                COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_label,
                CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 ELSE 9 END AS priority_rank
         FROM orders
@@ -91,7 +93,7 @@ def redshift_sql_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "redshift_sql_qualify",
     tags=("W6", "F1"),
     oracle="""
-        SELECT o_custkey, o_orderkey, o_totalprice, rn
+        SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
         FROM (
             SELECT o_custkey, o_orderkey, o_totalprice,
                    ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -225,13 +227,15 @@ _REDSHIFT_MISC_FNS = """
     tags=("F1", "§2.7"),
     oracle="""
         SELECT o_orderkey,
-               date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS order_day_no,
+               CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                    AS INTEGER) AS order_day_no,
                strftime(o_orderdate, '%Y-%m-%d') AS day_str,
-               date_diff('day', CAST(TIMESTAMP '2000-06-15 12:30:45' AS DATE),
-                         CAST(o_orderdate AS DATE)) AS days_since_anchor,
-               CASE WHEN contains(o_orderpriority, 'URGENT')
-                    THEN position('URGENT' IN o_orderpriority) ELSE 0 END AS urgent_pos,
-               position('-' IN o_orderpriority) AS dash_pos,
+               CAST(date_diff('day', CAST(TIMESTAMP '2000-06-15 12:30:45' AS DATE),
+                              CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_anchor,
+               CAST(CASE WHEN contains(o_orderpriority, 'URGENT')
+                    THEN position('URGENT' IN o_orderpriority) ELSE 0 END
+                    AS INTEGER) AS urgent_pos,
+               CAST(position('-' IN o_orderpriority) AS INTEGER) AS dash_pos,
                CAST(LEN(o_orderpriority) AS INTEGER) AS prio_len,
                string_split(o_orderpriority, '-')[1] AS prio_rank,
                ROUND(LOG10(o_totalprice), 6) AS log_price,
@@ -815,5 +819,96 @@ def redshift_script_update_from(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("rs_updf_orders")
     out = run_redshift_script(spark, _SCRIPT_UPDATE_FROM.format(orders="rs_updf_orders"))
+    assert out is not None
+    return out
+
+
+_SCRIPT_MERGE_INTO = """
+    BEGIN;
+
+    CREATE TEMP TABLE dim_cust AS
+    SELECT c_custkey, c_name, c_acctbal FROM {customer} WHERE c_custkey <= 800;
+
+    CREATE TEMP TABLE delta AS
+    SELECT c_custkey, c_custkey % 997 AS adj, UPPER(c_name) AS new_name
+    FROM {customer} WHERE c_custkey BETWEEN 401 AND 1200;
+
+    MERGE INTO dim_cust USING delta d ON dim_cust.c_custkey = d.c_custkey
+    WHEN MATCHED THEN UPDATE
+        SET c_acctbal = dim_cust.c_acctbal + d.adj, c_name = d.new_name
+    WHEN NOT MATCHED THEN
+        INSERT (c_custkey, c_name, c_acctbal) VALUES (d.c_custkey, d.new_name, d.adj);
+
+    CREATE TEMP TABLE churn AS
+    SELECT c_custkey FROM {customer}
+    WHERE c_custkey <= 150 OR c_custkey BETWEEN 1300 AND 1350;
+
+    MERGE INTO dim_cust USING churn ON dim_cust.c_custkey = churn.c_custkey
+    WHEN MATCHED THEN DELETE
+    WHEN NOT MATCHED THEN
+        INSERT (c_custkey, c_name, c_acctbal) VALUES (churn.c_custkey, 'GHOST', 0);
+
+    SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
+    FROM dim_cust;
+
+    COMMIT;
+"""
+
+
+@register(
+    "redshift_script_merge_into",
+    tags=("E6", "S6"),
+    oracle="""
+        WITH dim AS (
+            SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey <= 800
+        ), delta AS (
+            SELECT c_custkey, c_custkey % 997 AS adj, UPPER(c_name) AS new_name
+            FROM customer WHERE c_custkey BETWEEN 401 AND 1200
+        ), merged1 AS (
+            SELECT COALESCE(t.c_custkey, d.c_custkey) AS c_custkey,
+                   CASE WHEN t.c_custkey IS NOT NULL AND d.c_custkey IS NOT NULL
+                            THEN d.new_name
+                        WHEN t.c_custkey IS NOT NULL THEN t.c_name
+                        ELSE d.new_name END AS c_name,
+                   CASE WHEN t.c_custkey IS NOT NULL AND d.c_custkey IS NOT NULL
+                            THEN t.c_acctbal + d.adj
+                        WHEN t.c_custkey IS NOT NULL THEN t.c_acctbal
+                        ELSE CAST(d.adj AS DOUBLE) END AS c_acctbal
+            FROM dim t FULL OUTER JOIN delta d ON t.c_custkey = d.c_custkey
+        ), churn AS (
+            SELECT c_custkey FROM customer
+            WHERE c_custkey <= 150 OR c_custkey BETWEEN 1300 AND 1350
+        ), merged2 AS (
+            SELECT COALESCE(t.c_custkey, c.c_custkey) AS c_custkey,
+                   CASE WHEN t.c_custkey IS NOT NULL THEN t.c_name
+                        ELSE 'GHOST' END AS c_name,
+                   CASE WHEN t.c_custkey IS NOT NULL THEN t.c_acctbal
+                        ELSE CAST(0 AS DOUBLE) END AS c_acctbal
+            FROM merged1 t FULL OUTER JOIN churn c ON t.c_custkey = c.c_custkey
+            WHERE NOT (t.c_custkey IS NOT NULL AND c.c_custkey IS NOT NULL)
+        )
+        SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
+        FROM merged2
+    """,
+)
+def redshift_script_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO as a verbatim script statement (the last SQL-DML
+    spelling): an upsert MERGE (matched rows re-priced and renamed,
+    unmatched delta rows inserted) followed by a churn MERGE exercising
+    WHEN MATCHED THEN DELETE + literal-valued inserts, with the full
+    merged table hash-checked against a composed full-outer-join oracle
+    — every row's provenance (updated / kept / inserted / deleted)
+    proven by value.
+
+    Scale: each MERGE is ONE key-partitioned full-outer join
+    (operators/merge.py) plus a window count on the delta side for the
+    multiple-match guard — no row explosion, no driver collection; the
+    broadcast two-branch variant remains available on the operator for
+    delta ≪ target (see merge_upsert).
+    """
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("rs_mrg_customer")
+    out = run_redshift_script(spark, _SCRIPT_MERGE_INTO.format(customer="rs_mrg_customer"))
     assert out is not None
     return out

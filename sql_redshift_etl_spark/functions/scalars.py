@@ -397,7 +397,7 @@ def datetime_tz_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                GREATEST(p_brand, p_type) AS max_label,
                GREATEST(p_size, NULL, 10) AS null_skipped,
                (p_name ILIKE '%WIDGET%') AS has_widget_ci,
-               ASCII(p_brand) AS brand_ascii,
+               CAST(ASCII(p_brand) AS BIGINT) AS brand_ascii,
                CHR(CAST(65 + (p_partkey % 26) AS INTEGER)) AS key_letter,
                MD5(p_name) AS name_md5,
                SHA256(p_brand) AS brand_sha256,
@@ -419,10 +419,15 @@ def misc_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") <= 200)
     return p.select(
         "p_partkey",
-        F.greatest(F.col("p_size"), F.lit(25)).alias("size_floor25"),
-        F.least(F.col("p_size"), F.lit(25)).alias("size_cap25"),
+        # .cast("long"): DuckDB's GREATEST/LEAST over INT promotes to
+        # BIGINT — int32 vs int64 is representation-only (same str()),
+        # but aligning it is free here (r6 dtype burn-down)
+        F.greatest(F.col("p_size"), F.lit(25)).cast("long").alias("size_floor25"),
+        F.least(F.col("p_size"), F.lit(25)).cast("long").alias("size_cap25"),
         F.greatest(F.col("p_brand"), F.col("p_type")).alias("max_label"),
-        F.greatest(F.col("p_size"), F.lit(None).cast("int"), F.lit(10)).alias("null_skipped"),
+        F.greatest(F.col("p_size"), F.lit(None).cast("int"), F.lit(10))
+        .cast("long")
+        .alias("null_skipped"),
         F.col("p_name").ilike("%WIDGET%").alias("has_widget_ci"),
         F.ascii("p_brand").cast("long").alias("brand_ascii"),
         F.char(F.lit(65) + (F.col("p_partkey") % 26)).alias("key_letter"),

@@ -278,6 +278,18 @@ def _scan_balanced_fwd(text: str, i: int) -> int:
                 depth -= 1
         i += 1
     return i
+# Redshift MERGE (the last SQL-DML spelling): MERGE INTO tgt [AS a]
+# USING src [AS b] ON cond WHEN MATCHED THEN {UPDATE SET ...|DELETE}
+# WHEN NOT MATCHED THEN INSERT [(cols)] VALUES (...). Spark's own MERGE
+# INTO parser needs a v2 table (Delta/Iceberg — absent), so the
+# statement executes through the proven relational plan in
+# operators/merge.py (full-outer join + conditional projection). The
+# negative lookahead keeps a bare `MERGE INTO t USING ...` from parsing
+# "USING" as the target alias.
+_MERGE = re.compile(
+    r"^MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+USING\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _TRUNCATE = re.compile(r"^TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*$", re.IGNORECASE)
 _DROP = re.compile(
     r"^DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE
@@ -350,8 +362,8 @@ def _parse_io_options(clause: str, stmt_kind: str) -> dict:
     return opts
 
 
-def _split_assignments(body: str) -> list[tuple[str, str]]:
-    """Split ``a = e1, b = e2`` on top-level commas (paren/quote-aware)."""
+def _split_top_commas(body: str) -> list[str]:
+    """Split on top-level commas (paren/quote-aware)."""
     parts: list[str] = []
     depth, in_quote, start = 0, False, 0
     for i, ch in enumerate(body):
@@ -367,13 +379,28 @@ def _split_assignments(body: str) -> list[tuple[str, str]]:
             parts.append(body[start:i])
             start = i + 1
     parts.append(body[start:])
+    return parts
+
+
+def _split_assignments(body: str) -> list[tuple[str, str]]:
+    """Split ``a = e1, b = e2`` on top-level commas (paren/quote-aware)."""
     out = []
-    for p in parts:
+    for p in _split_top_commas(body):
         col, _, expr = p.partition("=")
         if not expr:
             raise ValueError(f"malformed SET assignment: {p.strip()!r}")
         out.append((col.strip(), expr.strip()))
     return out
+
+
+def _split_top_and(body: str) -> list[str]:
+    """Split a condition on top-level ``AND`` keywords (paren/quote-aware)."""
+    parts: list[str] = []
+    rest: str | None = body
+    while rest is not None:
+        head, rest = _split_top_kw(rest, "AND")
+        parts.append(head)
+    return parts
 
 
 class _ScriptState:
@@ -436,6 +463,212 @@ def _cast_positional(sel: DataFrame, target: DataFrame, table: str) -> DataFrame
     )
 
 
+def _sub_outside_quotes(text: str, pattern: str, repl) -> str:
+    """``re.sub`` applied only OUTSIDE single-quoted string literals, so
+    an alias-looking token inside a literal ('t.x is a label') survives."""
+    segs = text.split("'")
+    segs[0::2] = [re.sub(pattern, repl, s) for s in segs[0::2]]
+    return "'".join(segs)
+
+
+def _run_merge_into(
+    spark: SparkSession, state: "_ScriptState", tgt_name: str, tgt_alias: str, rest: str
+) -> None:
+    """Execute a parsed ``MERGE INTO`` through the relational merge plan
+    (operators/merge.py merge_upsert: ONE full-outer join on the merge
+    key + conditional projection — the physical plan every engine's
+    MERGE lowers to, one key-partitioned shuffle at any scale).
+
+    Redshift semantics honored loudly:
+    - exactly the documented clause forms (WHEN MATCHED THEN UPDATE SET
+      / THEN DELETE, WHEN NOT MATCHED THEN INSERT); extra AND
+      predicates on WHEN clauses are not Redshift MERGE and raise;
+    - the ON condition must be AND-ed equality pairs between the two
+      tables (Redshift requires the merge key; range conditions raise);
+    - a source row matching multiple times raises "found multiple
+      matches" AT RUNTIME via a distributed raise_error guard (a window
+      count over the source keys — the delta side, which the join
+      shuffles by key anyway), exactly Redshift's contract;
+    - INSERT must supply each merge-key column as the source's key
+      reference (anything else would create a row that contradicts its
+      own match condition — Redshift rejects this shape too);
+      non-listed insert columns become NULL.
+    """
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as F
+
+    from sql_redshift_etl_spark.operators.merge import merge_upsert
+
+    src_spec, after_on = _split_top_kw(rest, "ON")
+    if after_on is None:
+        raise ValueError(f"MERGE INTO {tgt_name}: missing ON condition")
+    sm = re.match(r"(?is)^([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s*$", src_spec)
+    if not sm:
+        raise ValueError(
+            f"MERGE INTO {tgt_name}: USING must name a table (optionally "
+            f"aliased), got {src_spec[:60]!r} — stage subqueries as a temp "
+            "table first (Redshift's own MERGE takes a table reference)"
+        )
+    src_name, src_alias = sm.group(1), sm.group(2) or sm.group(1)
+    cond, when_text = _split_top_kw(after_on, "WHEN")
+    if when_text is None:
+        raise ValueError(f"MERGE INTO {tgt_name}: no WHEN clauses")
+
+    target = state.existing(tgt_name)
+    source = state.existing(src_name)
+    tgt_by_lower = {c.lower(): c for c in target.columns}
+    src_by_lower = {c.lower(): c for c in source.columns}
+
+    # --- ON: AND-ed equality pairs → (target col, source col) keys ----
+    keys: list[tuple[str, str]] = []
+    for part in _split_top_and(cond):
+        pm = re.match(r"(?is)^\(?\s*([\w.]+)\s*=\s*([\w.]+)\s*\)?\s*$", part)
+        sides: dict[str, str] = {}
+        for side in (pm.group(1), pm.group(2)) if pm else ():
+            alias, _, col = side.rpartition(".")
+            sides[alias.lower()] = col
+        if not pm or set(sides) != {tgt_alias.lower(), src_alias.lower()}:
+            raise ValueError(
+                f"MERGE INTO {tgt_name}: ON must be AND-ed equalities between "
+                f"{tgt_alias}.<col> and {src_alias}.<col>, got {part.strip()!r}"
+            )
+        tcol = tgt_by_lower.get(sides[tgt_alias.lower()].lower())
+        scol = src_by_lower.get(sides[src_alias.lower()].lower())
+        if tcol is None or scol is None:
+            raise ValueError(f"MERGE INTO {tgt_name}: unknown key column in {part.strip()!r}")
+        keys.append((tcol, scol))
+
+    # Source key columns renamed to the target's names (merge_upsert
+    # joins same-named keys); expression text is rewritten to match.
+    key_rename = {s.lower(): t for t, s in keys if s.lower() != t.lower()}
+    src = source
+    for t_, s_ in keys:
+        if s_.lower() != t_.lower():
+            src = src.withColumnRenamed(src_by_lower[s_.lower()], t_)
+    key_cols = [t for t, _ in keys]
+
+    def rewrite(expr_text: str) -> str:
+        def sub(mm: "re.Match[str]") -> str:
+            alias, col = mm.group(1).lower(), mm.group(2)
+            if alias == tgt_alias.lower():
+                return f"t.{col}"
+            return f"s.{key_rename.get(col.lower(), col)}"
+
+        pat = rf"(?i)\b({re.escape(tgt_alias)}|{re.escape(src_alias)})\.(\w+)"
+        return _sub_outside_quotes(expr_text, pat, sub)
+
+    # --- WHEN clauses --------------------------------------------------
+    clauses: list[str] = []
+    cur: str | None = when_text
+    while cur is not None:
+        head, cur = _split_top_kw(cur, "WHEN")
+        clauses.append(head)
+    update_set: dict = {}
+    insert_cols: list[str] | None = None
+    insert_exprs: list[str] | None = None
+    delete_matched = False
+    saw_matched = saw_not_matched = False
+    for cl in clauses:
+        if re.match(r"(?is)^(?:NOT\s+)?MATCHED\s+AND\b", cl):
+            raise ValueError(
+                f"MERGE INTO {tgt_name}: WHEN ... AND predicates are not part "
+                "of Redshift MERGE (its WHEN clauses are unconditional)"
+            )
+        if um := re.match(r"(?is)^MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+)$", cl):
+            saw_matched = True
+            for c, e in _split_assignments(um.group(1)):
+                c = c.rpartition(".")[2]  # tolerate tgt-qualified SET t.c = ...
+                f = next((f for f in target.schema.fields if f.name.lower() == c.lower()), None)
+                if f is None:
+                    raise ValueError(f"MERGE INTO {tgt_name}: unknown SET column {c!r}")
+                if f.name in key_cols:
+                    raise ValueError(
+                        f"MERGE INTO {tgt_name}: cannot UPDATE merge key {f.name!r}"
+                    )
+                update_set[f.name] = F.expr(rewrite(e)).cast(f.dataType)
+        elif re.match(r"(?is)^MATCHED\s+THEN\s+DELETE\s*$", cl):
+            saw_matched = delete_matched = True
+        elif im := re.match(
+            r"(?is)^NOT\s+MATCHED\s+THEN\s+INSERT\s*(?:\(([^)]*)\)\s*)?VALUES\s*\((.+)\)\s*$",
+            cl,
+        ):
+            saw_not_matched = True
+            insert_exprs = [e.strip() for e in _split_top_commas(im.group(2))]
+            insert_cols = (
+                [c.strip() for c in im.group(1).split(",")]
+                if im.group(1)
+                else list(target.columns)
+            )
+            if len(insert_cols) != len(insert_exprs):
+                raise ValueError(
+                    f"MERGE INTO {tgt_name}: INSERT lists {len(insert_cols)} "
+                    f"columns but {len(insert_exprs)} values"
+                )
+        else:
+            raise ValueError(f"MERGE INTO {tgt_name}: unsupported WHEN clause {cl[:60]!r}")
+    if delete_matched and update_set:
+        raise ValueError(
+            f"MERGE INTO {tgt_name}: WHEN MATCHED is either UPDATE or DELETE, not both"
+        )
+    if not (saw_matched and saw_not_matched):
+        raise ValueError(
+            f"MERGE INTO {tgt_name}: Redshift MERGE requires both a WHEN MATCHED "
+            "and a WHEN NOT MATCHED clause"
+        )
+
+    insert_values: dict = {}
+    listed_by_lower = {}
+    if insert_cols is not None and insert_exprs is not None:
+        for c, e in zip(insert_cols, insert_exprs):
+            cc = tgt_by_lower.get(c.lower())
+            if cc is None:
+                raise ValueError(f"MERGE INTO {tgt_name}: unknown INSERT column {c!r}")
+            listed_by_lower[cc.lower()] = e
+        for f in target.schema.fields:
+            e = listed_by_lower.get(f.name.lower())
+            if f.name in key_cols:
+                # the key's insert value MUST be the source key reference
+                want = f"s.{f.name}"
+                got = rewrite(e).strip() if e is not None else None
+                if got is None or got.lower() != want.lower():
+                    raise ValueError(
+                        f"MERGE INTO {tgt_name}: INSERT must set merge key "
+                        f"{f.name!r} to the source key (got {e!r})"
+                    )
+                continue
+            if e is None:
+                insert_values[f.name] = F.lit(None).cast(f.dataType)
+            else:
+                insert_values[f.name] = F.expr(rewrite(e)).cast(f.dataType)
+
+    # --- "found multiple matches" runtime guard ------------------------
+    # Distributed, lazy, and on the delta side only: count per key via a
+    # window, raise inside the plan when any key repeats. The cast gives
+    # raise_error's NULL type the key's type so the CASE branches agree.
+    k0 = key_cols[0]
+    k0_type = next(f.dataType for f in src.schema.fields if f.name == k0)
+    cnt = F.count(F.lit(1)).over(_W.partitionBy(*key_cols))
+    src = src.withColumn(
+        k0,
+        F.when(
+            cnt > 1,
+            F.raise_error(
+                F.lit(f"MERGE INTO {tgt_name}: found multiple source matches for a key")
+            ).cast(k0_type),
+        ).otherwise(F.col(k0)),
+    )
+
+    merged = merge_upsert(
+        target,
+        src,
+        key_cols,
+        update_set=update_set,
+        insert_values=insert_values,
+        delete_when=F.lit(True) if delete_matched else None,
+    )
+    state.bind(tgt_name, merged)
+
+
 def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
     """Execute a multi-statement Redshift-dialect script; returns the
     last SELECT's DataFrame (None if the script has no query statement).
@@ -470,6 +703,14 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         "(only 0 or 1); preprocess multi-line preambles upstream"
                     )
                 fmt = opts["format"] or "TEXT"  # bare COPY = pipe-delimited text
+                if opts["null_as"] is not None and fmt in ("JSON", "PARQUET"):
+                    # NULL AS only means something for delimited text;
+                    # silently ignoring it on JSON/PARQUET would change
+                    # semantics without a trace (module policy: loud).
+                    raise ValueError(
+                        f"COPY {name}: NULL AS applies to delimited text "
+                        f"formats only, not {fmt}"
+                    )
                 src: str | list[str] = path
                 if opts["manifest"]:
                     # COPY ... MANIFEST: the path IS a manifest file; load
@@ -588,25 +829,33 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         full = cols + ("," + part_cols if part_cols else "")
                         state.bind(name, spark.createDataFrame([], _lowered(full)))
                         continue
-                    declared = [
-                        f.name.lower()
-                        for f in T.StructType.fromDDL(_normalize_ddl_types(cols)).fields
-                    ] + (
-                        [
-                            c.strip().split()[0].lower()
-                            for c in part_cols.split(",")
-                            if c.strip()
-                        ]
-                        if part_cols
-                        else []
+                    declared_fields = list(_lowered(cols).fields) + (
+                        list(_lowered(part_cols).fields) if part_cols else []
                     )
                     actual = [c.lower() for c in ext.columns]
-                    missing = [c for c in declared if c not in actual]
+                    missing = [
+                        f.name.lower()
+                        for f in declared_fields
+                        if f.name.lower() not in actual
+                    ]
                     if missing:
                         raise ValueError(
                             f"CREATE EXTERNAL TABLE {name}: declared columns "
                             f"{missing} not present at {loc} (files have {actual})"
                         )
+                    # Bind the DECLARED schema, not the file schema:
+                    # exactly the declared (+ partition) columns, each
+                    # cast to its declared type — Spectrum's contract.
+                    # Undeclared file columns are invisible to SELECT *.
+                    by_lower = {c.lower(): c for c in ext.columns}
+                    ext = ext.select(
+                        *[
+                            F.col(by_lower[f.name.lower()])
+                            .cast(f.dataType)
+                            .alias(f.name)
+                            for f in declared_fields
+                        ]
+                    )
                 else:
                     if part_cols:
                         raise ValueError(
@@ -632,6 +881,7 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 # publish idiom. (Checked before CTAS/DDL: its "(LIKE x)"
                 # body would otherwise parse as a column list.) Identity
                 # attributes inherit, as in Redshift's LIKE.
+                state.identity_cols.pop(m.group(1), None)  # rebind clears
                 if m.group(2) in state.identity_cols:
                     state.identity_cols[m.group(1)] = dict(state.identity_cols[m.group(2)])
                 state.bind(m.group(1), state.existing(m.group(2)).limit(0))
@@ -647,6 +897,7 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 spark.catalog.dropTempView(old)
                 state.tables.pop(old, None)
                 state.created_views.discard(old)
+                state.identity_cols.pop(new, None)  # overwritten target's dies
                 if old in state.identity_cols:
                     state.identity_cols[new] = state.identity_cols.pop(old)
                 state.bind(new, df)
@@ -663,8 +914,10 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 state.bind(tgt, base.unionAll(_cast_positional(src_df, base, tgt)))
                 state.bind(src_name, src_df.limit(0))
             elif m := _CTAS.match(stmt):
+                state.identity_cols.pop(m.group(1), None)  # rebind clears
                 state.bind(m.group(1), spark.sql(m.group(2)))
             elif m := _CREATE_VIEW.match(stmt):
+                state.identity_cols.pop(m.group(1), None)
                 state.bind(m.group(1), spark.sql(m.group(2)))
             elif m := _CREATE_DDL.match(stmt):
                 # Spark parses DDL-format schemas ("a BIGINT, b
@@ -675,6 +928,7 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 from pyspark.sql import types as T
 
                 ddl_body = _normalize_ddl_types(m.group(2))
+                state.identity_cols.pop(m.group(1), None)  # rebind clears
                 ids = {
                     c: int(seed)
                     for c, _typ, seed, _step in _IDENTITY_ATTR.findall(ddl_body)
@@ -727,8 +981,10 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     # multiple unlisted columns would otherwise all be
                     # named `NULL` and break the positional re-select.
                     id_cols = state.identity_cols.get(name, {})
+                    filled_identity = False
 
                     def _fill(f):  # unlisted → identity value or NULL
+                        nonlocal filled_identity
                         if f.name in by_name:
                             return F.col(by_name[f.name])
                         if f.name in id_cols:
@@ -737,15 +993,46 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                             # scale, the same legitimate driver-side class
                             # as JDBC partition bounds); within the batch
                             # monotonically_increasing_id is unique.
+                            filled_identity = True
                             prior = base.agg(F.max(f.name)).first()[0]
                             start = id_cols[f.name] if prior is None else int(prior) + 1
+                            from pyspark.sql import types as T
+
+                            if isinstance(
+                                f.dataType, (T.IntegerType, T.ShortType, T.ByteType)
+                            ):
+                                # mid() values (partitionId*2^33 + n) wrap
+                                # a narrow column under non-ANSI casts.
+                                # A narrow identity type caps the TABLE at
+                                # the type's own range anyway, so a dense
+                                # scheme (row_number over mono-id — one
+                                # single-partition window, bounded by that
+                                # same range) is both safe and honest.
+                                from pyspark.sql import Window as _W
+
+                                return (
+                                    F.row_number().over(
+                                        _W.orderBy(F.monotonically_increasing_id())
+                                    )
+                                    + F.lit(start - 1)
+                                )
                             return F.monotonically_increasing_id() + F.lit(start)
                         return F.lit(None)
 
                     sel = sel.select(
                         *[_fill(f).alias(f.name) for f in base.schema.fields]
                     )
-                state.bind(name, base.unionAll(_cast_positional(sel, base, name)))
+                bound = base.unionAll(_cast_positional(sel, base, name))
+                if cols and filled_identity:
+                    # pin generated ids: monotonically_increasing_id is
+                    # nondeterministic across re-evaluations, and a bound
+                    # table is read by every later statement — two
+                    # downstream actions must see the SAME ids (the same
+                    # reason UPDATE...FROM pins its rowids).
+                    bound = bound.localCheckpoint(eager=True)
+                state.bind(name, bound)
+            elif m := _MERGE.match(stmt):
+                _run_merge_into(spark, state, m.group(1), m.group(2) or m.group(1), m.group(3))
             elif m := _DELETE.match(stmt):
                 name, rest = m.group(1), m.group(2)
                 state.existing(name)  # must exist (loud failure)
@@ -872,6 +1159,10 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 spark.catalog.dropTempView(name)
                 state.tables.pop(name, None)
                 state.created_views.discard(name)
+                # the identity attribute dies with the table — a later
+                # CREATE of the same name without IDENTITY must insert
+                # NULLs, not resurrect the old generator
+                state.identity_cols.pop(name, None)
             elif _QUERY.match(stmt):
                 result = spark.sql(stmt)
             else:

@@ -491,7 +491,8 @@ def _decode_png_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             FROM documents
             WHERE doc_id < 200
         )
-        SELECT doc_id, w AS width, h AS height,
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
                ROUND(list_sum(list_transform(generate_series(0, w*h - 1),
                      p -> s[(p*3 + 0) % 16 + 1])) / (w*h * 1.0), 6) AS mean_r,
                ROUND(list_sum(list_transform(generate_series(0, w*h - 1),

@@ -217,7 +217,10 @@ def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity", 2, 4).alias("sum_qty"))
+        # precision 8 (not 4): the CUBE's global row sums EVERY lineitem
+        # quantity — a (14,2) accumulator overflows to silent NULL around
+        # sf~6000; (18,2) carries ~10^16 and stays on the long fast path.
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity", 2, 8).alias("sum_qty"))
         .select(
             nvl(F.col("l_returnflag"), F.lit("*")).alias("returnflag"),
             nvl(F.col("l_linestatus"), F.lit("*")).alias("linestatus"),

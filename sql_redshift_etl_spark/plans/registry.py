@@ -80,16 +80,17 @@ def register(
 # ~50 names in registration order, so ordering is evidence strategy, not
 # style. History: r1 checked the original first 50, r2 the next window,
 # r3 the 38 then-never-checked, r4 the 19 post-r3 registrations + bench
-# set + an r1 sample — r1∪r2∪r3∪r4 covered all 157 then-registered
-# queries (VERDICT r4). The ROUND-5 window rotates to FRESHNESS (verdict
-# r4 item 3): (1) q12_late_shipment_priority leads — its r4 row was red
-# on an oracle dtype artifact, now fixed (CAST AS BIGINT), and must turn
-# green; (2) redshift_sql_misc2, new this round (SIMILAR TO, #temp,
-# DATE_PART_YEAR, window LISTAGG, NVL2/GREATEST/LEAST/CONVERT); (3) all
-# 22 SQL-oracled entries whose newest driver row is r1 (three rounds
-# stale); (4) 26 r2-era entries, prioritizing the modules most
-# refactored since (dedup/similarity/text/scalars + front-end). After a
-# green r5, no SQL-oracled query's newest driver row is older than r2.
+# set + an r1 sample, r5 rotated to freshness (q12 + 8 new + all r1-era
+# + 26 r2-era) and came back 50/50 green — r1∪…∪r5 covered all 165
+# then-registered queries, every SQL-oracled row ever-green. The ROUND-6
+# window finishes the freshness rotation (verdict r5 item 2): (1) the
+# new redshift_script_merge_into (the 63rd and last component) leads;
+# (2) the 25 remaining r2-era entries — after a green r6 no SQL-oracled
+# query's newest driver row is older than r3; (3) every query whose code
+# path changed this round (identity lifecycle + MERGE in script_runner,
+# external-table declared schema, COPY NULL AS guard, cube dsum
+# widening); (4) the r5-new entries with a single driver row; (5) the
+# bench headline set.
 # Maintenance rules (CI-enforced in tests/test_registry_hygiene.py):
 #  - every SQL-oracled query must appear in this list OR carry a
 #    "sibling-coverage:" note in its docstring naming the in-list query
@@ -101,15 +102,57 @@ def register(
 #    columns throw; serialize with array_join/to_json).
 # Names not listed keep their module registration order after these.
 _VERIFY_FIRST: list[str] = [
-    "q12_late_shipment_priority",
-    "redshift_sql_misc2",
-    "dedup_embedding_ann_scaled",
+    "redshift_script_merge_into",
+    "string_functions",
+    "math_functions",
+    "array_functions",
+    "text_token_counts",
+    "redshift_sql_qualify",
+    "subquery_in_filter",
+    "redshift_sql_events",
+    "redshift_sql_recursive",
+    "udf_pandas_scalar_score",
+    "udtf_chunk_documents",
+    "source_csv_copy_roundtrip",
+    "source_json_copy_roundtrip",
+    "source_unload_partitioned",
+    "source_bucketed_distkey_join",
+    "stream_foreachbatch_upsert",
+    "stream_dedup_exactly_once",
+    "sample_train_val_test",
+    "sample_stratified_per_label",
+    "curation_repetition_scores",
+    "curation_contamination_check",
+    "curation_pack_sequences",
+    "curation_domain_cap",
+    "curation_pii_redaction",
+    "multimodal_join",
+    "multimodal_binary_metadata",
+    "cube_flag_status",
+    "source_external_table",
     "redshift_script_swap_publish",
+    "redshift_script_update_from",
+    "redshift_script_etl_mart",
+    "redshift_script_upsert_snapshot",
+    "redshift_script_copy_unload",
+    "events_merge_upsert",
+    "redshift_sql_misc2",
     "multimodal_wav_roundtrip",
     "multimodal_png_roundtrip",
     "multimodal_image_resize",
-    "redshift_script_update_from",
-    "source_external_table",
+    "dedup_embedding_ann_scaled",
+    "q12_late_shipment_priority",
+    "flagship_pricing_summary",
+    "q6_forecast_revenue",
+    "q3_shipping_priority",
+    "join_star_revenue",
+    "dedup_minhash_lsh",
+    "sim_knn_bruteforce",
+    "text_doc_stats_by_lang",
+    "window_topk_per_group",
+    "events_tumbling_daily",
+    "events_sessionize",
+    # --- 50-query driver boundary ---
     "scan_project_expr",
     "filter_predicates",
     "case_when_decode",
@@ -151,14 +194,6 @@ _VERIFY_FIRST: list[str] = [
     "datediff_boundary_semantics",
     "subquery_correlated_scalar",
     "redshift_sql_report",
-    # --- 50-query driver boundary ---
-    "string_functions",
-    "array_functions",
-    "math_functions",
-    "text_token_counts",
-    "redshift_sql_qualify",
-    "subquery_in_filter",
-    "redshift_sql_events",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q9_product_type_profit",
@@ -168,25 +203,12 @@ _VERIFY_FIRST: list[str] = [
     "q21_sole_late_supplier",
     "etl_training_corpus_pipeline",
     "redshift_sql_misc_functions",
-    "redshift_script_etl_mart",
-    "redshift_script_upsert_snapshot",
     "sim_ann_lsh_pruned",
     "sim_knn_batch",
     "sim_knn_batch_ann",
     "dedup_embedding_ann",
-    "redshift_script_copy_unload",
     "redshift_script_manifest_roundtrip",
     "source_jdbc_roundtrip",
-    "flagship_pricing_summary",
-    "q6_forecast_revenue",
-    "q3_shipping_priority",
-    "join_star_revenue",
-    "dedup_minhash_lsh",
-    "sim_knn_bruteforce",
-    "text_doc_stats_by_lang",
-    "window_topk_per_group",
-    "events_tumbling_daily",
-    "events_sessionize",
     "agg_basic_supplier",
     "count_distinct_multi",
     "stats_moments",
@@ -194,7 +216,6 @@ _VERIFY_FIRST: list[str] = [
     "percentiles_price",
     "grouping_sets_mixed",
     "rollup_region_nation",
-    "cube_flag_status",
     "bool_aggregates",
     "conditional_agg_filter",
     "pivot_status",
@@ -247,25 +268,6 @@ _VERIFY_FIRST: list[str] = [
     "dedup_minhash_ml",
     "multimodal_decode_features",
     "dedup_exact_groups",
-    "events_merge_upsert",
-    "multimodal_join",
-    "multimodal_binary_metadata",
-    "udf_pandas_scalar_score",
-    "udtf_chunk_documents",
-    "source_csv_copy_roundtrip",
-    "source_json_copy_roundtrip",
-    "source_unload_partitioned",
-    "redshift_sql_recursive",
-    "source_bucketed_distkey_join",
-    "stream_foreachbatch_upsert",
-    "sample_train_val_test",
-    "sample_stratified_per_label",
-    "stream_dedup_exactly_once",
-    "curation_repetition_scores",
-    "curation_contamination_check",
-    "curation_pack_sequences",
-    "curation_domain_cap",
-    "curation_pii_redaction",
 ]
 
 

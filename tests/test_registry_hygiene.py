@@ -39,42 +39,45 @@ def test_verify_first_has_no_duplicates():
     assert len(vf) == len(set(vf)), "duplicate names in _VERIFY_FIRST"
 
 
-# Round-5 window strategy (VERDICT r4 item 3): rotate to FRESHNESS.
-# Must-haves in the first-50 window this round:
-#  - q12_late_shipment_priority: its r4 row was red on an oracle dtype
-#    artifact (now fixed) — the green row is the round's top deliverable;
-#  - every query REGISTERED in round 5 (no driver row yet);
-#  - every SQL-oracled query whose newest driver row is r1 (three
-#    rounds stale, while the code under it kept being refactored).
-R5_MUST_VERIFY = frozenset(
+# Round-6 window strategy (VERDICT r5 item 2): finish the freshness
+# rotation. Must-haves in the first-50 window this round:
+#  - redshift_script_merge_into: new this round (never driver-checked),
+#    the last not-done component — its green row is the round's top
+#    deliverable;
+#  - the 25 remaining r2-era entries (newest driver row still r2) — a
+#    green r6 leaves no SQL-oracled query's newest row older than r3;
+#  - every query whose code path changed in r6 (script-runner identity
+#    lifecycle + MERGE, external-table declared schema, COPY NULL AS
+#    guard, cube dsum widening).
+R6_MUST_VERIFY = frozenset(
     {
-        "q12_late_shipment_priority",
-        # new in r5 (never driver-checked)
-        "redshift_sql_misc2",
-        "dedup_embedding_ann_scaled",
-        "redshift_script_swap_publish",
-        "multimodal_wav_roundtrip",
-        "multimodal_png_roundtrip",
-        "multimodal_image_resize",
-        "redshift_script_update_from",
-        "source_external_table",
-        # newest driver row is r1 (CORRECTNESS_r01 only)
-        "scan_project_expr", "filter_predicates", "case_when_decode",
-        "cast_conversions", "distinct_projection", "union_all_accounts",
-        "union_distinct_nations", "intersect_nations", "except_nations",
-        "orderby_limit_offset", "join_left_outer", "join_right_outer",
-        "join_cross", "topk_global_revenue", "window_moving_agg",
-        "window_running_total", "events_funnel", "events_sliding_window",
-        "events_tumbling_hourly_window", "events_session_window_native",
-        "events_incremental_load", "ctas_staging_chain",
+        "redshift_script_merge_into",
+        # the 25 r2-era entries
+        "string_functions", "math_functions", "array_functions",
+        "text_token_counts", "redshift_sql_qualify", "subquery_in_filter",
+        "redshift_sql_events", "redshift_sql_recursive",
+        "udf_pandas_scalar_score", "udtf_chunk_documents",
+        "source_csv_copy_roundtrip", "source_json_copy_roundtrip",
+        "source_unload_partitioned", "source_bucketed_distkey_join",
+        "stream_foreachbatch_upsert", "stream_dedup_exactly_once",
+        "sample_train_val_test", "sample_stratified_per_label",
+        "curation_repetition_scores", "curation_contamination_check",
+        "curation_pack_sequences", "curation_domain_cap",
+        "curation_pii_redaction", "multimodal_join",
+        "multimodal_binary_metadata",
+        # r6-touched code paths
+        "cube_flag_status", "source_external_table",
+        "redshift_script_swap_publish", "redshift_script_update_from",
+        "redshift_script_etl_mart", "redshift_script_upsert_snapshot",
+        "redshift_script_copy_unload", "events_merge_upsert",
     }
 )
 
 
-def test_driver_window_contains_round5_must_verify():
+def test_driver_window_contains_round6_must_verify():
     window = set(list(all_queries())[:50])
-    missing = sorted(R5_MUST_VERIFY - window)
-    assert not missing, f"planned round-5 window members displaced: {missing}"
+    missing = sorted(R6_MUST_VERIFY - window)
+    assert not missing, f"planned round-6 window members displaced: {missing}"
     # and the window never wastes a slot on a name with no oracle (those
     # get only the weak rows-only check)
     qs = all_queries()

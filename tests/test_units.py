@@ -1387,3 +1387,224 @@ def test_create_external_table_empty_prefix(spark, tmp_path):
         """,
     )
     assert out.columns == ["k", "v", "part"] and out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO script statement (r6) + identity lifecycle fixes
+# ---------------------------------------------------------------------------
+
+
+def test_script_merge_into_cross_named_keys(spark):
+    """MERGE INTO with a cross-named merge key (t.id = s.src_id): matched
+    rows update, unmatched source rows insert, unmatched target rows
+    pass through — the full-outer merge plan, via the script spelling."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE tgt (id BIGINT, v VARCHAR(8), n BIGINT);
+        INSERT INTO tgt VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30);
+        CREATE TEMP TABLE src (src_id BIGINT, nv VARCHAR(8));
+        INSERT INTO src VALUES (2, 'B'), (3, 'C'), (4, 'D');
+        MERGE INTO tgt USING src s ON tgt.id = s.src_id
+        WHEN MATCHED THEN UPDATE SET v = s.nv, n = tgt.n + 1
+        WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.src_id, s.nv);
+        SELECT id, v, n FROM tgt ORDER BY id;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        (1, "a", 10),
+        (2, "B", 21),
+        (3, "C", 31),
+        (4, "D", None),  # unlisted insert column -> NULL
+    ]
+
+
+def test_script_merge_into_delete_branch(spark):
+    """WHEN MATCHED THEN DELETE drops matched target rows; NOT MATCHED
+    still inserts."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE tgt (id BIGINT, v VARCHAR(8));
+        INSERT INTO tgt VALUES (1, 'a'), (2, 'b');
+        CREATE TEMP TABLE dead (id BIGINT);
+        INSERT INTO dead VALUES (2), (9);
+        MERGE INTO tgt USING dead ON tgt.id = dead.id
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (id, v) VALUES (dead.id, 'ghost');
+        SELECT id, v FROM tgt ORDER BY id;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, "a"), (9, "ghost")]
+
+
+def test_script_merge_multiple_matches_raises(spark):
+    """A source key matching more than once raises at runtime (Redshift's
+    'found multiple matches'), via the distributed raise_error guard."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    with _pytest.raises(Exception, match="multiple source matches"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE TEMP TABLE tgt (id BIGINT, v VARCHAR(8));
+            INSERT INTO tgt VALUES (1, 'a');
+            CREATE TEMP TABLE src (id BIGINT, v VARCHAR(8));
+            INSERT INTO src VALUES (1, 'x'), (1, 'y'), (2, 'z');
+            MERGE INTO tgt USING src ON tgt.id = src.id
+            WHEN MATCHED THEN UPDATE SET v = src.v
+            WHEN NOT MATCHED THEN INSERT (id, v) VALUES (src.id, src.v);
+            SELECT COUNT(*) AS n FROM tgt;
+            """,
+        ).collect()
+
+
+def test_script_merge_loud_rejections(spark):
+    """Unsupported MERGE shapes raise named errors instead of silently
+    deviating: WHEN ... AND predicates (not Redshift MERGE), a missing
+    clause, non-equi ON, and an INSERT that sets the merge key to
+    anything but the source key."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    prelude = """
+        CREATE TEMP TABLE tgt (id BIGINT, v VARCHAR(8));
+        CREATE TEMP TABLE src (id BIGINT, v VARCHAR(8));
+    """
+    cases = [
+        ("WHEN ... AND", "AND predicates",
+         "MERGE INTO tgt USING src ON tgt.id = src.id "
+         "WHEN MATCHED AND src.v = 'x' THEN DELETE "
+         "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (src.id, src.v)"),
+        ("missing clause", "requires both",
+         "MERGE INTO tgt USING src ON tgt.id = src.id "
+         "WHEN MATCHED THEN UPDATE SET v = src.v"),
+        ("non-equi ON", "AND-ed equalities",
+         "MERGE INTO tgt USING src ON tgt.id < src.id "
+         "WHEN MATCHED THEN DELETE "
+         "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (src.id, src.v)"),
+        ("key not from source", "merge key",
+         "MERGE INTO tgt USING src ON tgt.id = src.id "
+         "WHEN MATCHED THEN DELETE "
+         "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (src.id + 1, src.v)"),
+    ]
+    for _label, msg, stmt in cases:
+        with _pytest.raises(ValueError, match=msg):
+            run_redshift_script(spark, prelude + stmt + "; SELECT 1 AS one;")
+
+
+def test_script_identity_cleared_on_drop_and_rebind(spark):
+    """DROP TABLE (and re-CREATE without IDENTITY) must kill the identity
+    generator: the recreated table's INSERT omitting the column inserts
+    NULL, not stale auto-generated values (ADVICE r5)."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE d (id BIGINT IDENTITY(1,1), v VARCHAR(8));
+        INSERT INTO d (v) SELECT 'x';
+        DROP TABLE d;
+        CREATE TEMP TABLE d (id BIGINT, v VARCHAR(8));
+        INSERT INTO d (v) SELECT 'y';
+        SELECT id, v FROM d;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(None, "y")]
+
+
+def test_script_identity_ids_stable_across_actions(spark):
+    """Generated identity values are PINNED at insert (localCheckpoint):
+    two separate actions over the bound table see identical ids (ADVICE
+    r5 — monotonically_increasing_id alone re-evaluates per action)."""
+    from tests.conftest import SF_DIR
+
+    from sql_redshift_etl_spark.catalog import load_table
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    load_table(spark, SF_DIR, "lineitem").createOrReplaceTempView("idp_lineitem")
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE t (id BIGINT IDENTITY(100,1), v VARCHAR(8));
+        INSERT INTO t (v) SELECT l_linestatus FROM idp_lineitem LIMIT 50;
+        SELECT id, v FROM t;
+        """,
+    )
+    first = sorted(tuple(r) for r in out.collect())
+    second = sorted(tuple(r) for r in out.collect())
+    assert first == second
+    ids = [r[0] for r in first]
+    assert len(set(ids)) == 50 and min(ids) >= 100
+
+
+def test_script_identity_narrow_int_dense(spark):
+    """An INT-typed identity column uses the dense row_number scheme —
+    mid()-scale values (partitionId*2^33) would silently wrap a 32-bit
+    column under non-ANSI casts (ADVICE r5). Ids are exactly seed..seed+n-1."""
+    from tests.conftest import SF_DIR
+
+    from sql_redshift_etl_spark.catalog import load_table
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    load_table(spark, SF_DIR, "lineitem").createOrReplaceTempView("idn_lineitem")
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE t (id INT IDENTITY(7,1), v VARCHAR(8));
+        INSERT INTO t (v) SELECT l_linestatus FROM idn_lineitem LIMIT 20;
+        SELECT id FROM t;
+        """,
+    )
+    ids = sorted(r.id for r in out.collect())
+    assert ids == list(range(7, 27))
+
+
+def test_external_parquet_binds_declared_schema(spark, tmp_path):
+    """A PARQUET external binds the DECLARED schema (ADVICE r5): columns
+    not in the declared list are invisible to SELECT *, and declared
+    types are applied (cast), mirroring Redshift Spectrum."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    pq = tmp_path / "ext_decl"
+    spark.createDataFrame(
+        [(1, "a", 99.5), (2, "b", 1.25)], "k long, v string, hidden double"
+    ).write.parquet(str(pq))
+    out = run_redshift_script(
+        spark,
+        f"""
+        CREATE EXTERNAL TABLE ext_d (k INT, v VARCHAR(4))
+        STORED AS PARQUET LOCATION '{pq}';
+        SELECT * FROM ext_d ORDER BY k;
+        """,
+    )
+    assert out.columns == ["k", "v"]  # 'hidden' not exposed
+    assert [f.dataType.simpleString() for f in out.schema.fields] == ["int", "string"]
+    assert [tuple(r) for r in out.collect()] == [(1, "a"), (2, "b")]
+
+
+def test_copy_null_as_non_csv_raises(spark, tmp_path):
+    """COPY ... NULL AS with a non-text format raises loudly instead of
+    silently ignoring the option (ADVICE r5)."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    pq = tmp_path / "nullas_pq"
+    spark.createDataFrame([(1,)], "k long").write.parquet(str(pq))
+    with _pytest.raises(ValueError, match="NULL AS"):
+        run_redshift_script(
+            spark,
+            f"""
+            CREATE TEMP TABLE t (k BIGINT);
+            COPY t FROM '{pq}' PARQUET NULL AS 'NUL';
+            SELECT * FROM t;
+            """,
+        )

@@ -68,13 +68,17 @@ def main() -> None:
         if not os.path.isdir(d):
             print(f"skip {d}", file=sys.stderr)
             continue
-        docs = load_table(spark, d, "documents")
-        n_docs = docs.count()
-        row: dict = {"sf_dir": d, "n_docs": n_docs}
-        mh = minhash_lsh_pairs_df(docs)
-        row["minhash_spark_s"] = t_spark(mh, runs)
-        row["minhash_pairs"] = mh.count()
-        if n_docs <= DUCK_TIMEOUT_HINT_DOCS:
+        row: dict = {"sf_dir": d}
+        has_docs = os.path.exists(os.path.join(d, "documents.parquet"))
+        n_docs = 0
+        if has_docs:  # embeddings-only tiers (sf300) skip the minhash leg
+            docs = load_table(spark, d, "documents")
+            n_docs = docs.count()
+            row["n_docs"] = n_docs
+            mh = minhash_lsh_pairs_df(docs)
+            row["minhash_spark_s"] = t_spark(mh, runs)
+            row["minhash_pairs"] = mh.count()
+        if has_docs and n_docs <= DUCK_TIMEOUT_HINT_DOCS:
             con = duckdb.connect()
             path = os.path.join(d, "documents.parquet")
             if os.path.isdir(path):

@@ -64,18 +64,31 @@ def main() -> int:
                 (representation if _kind(st) == _kind(dt) else rendering).append(row)
         except Exception as e:  # noqa: BLE001 — per-query isolation like the driver
             errors.append((name, "<error>", str(e)[:120], ""))
+    # r6 pin: the ONLY tolerated representation class is the
+    # datetime64 unit (Spark toPandas renders [ns], DuckDB [us] — an
+    # engine-level pandas-conversion fact no SQL cast can change; 26
+    # green driver rows across r1-r5 prove driver tolerance, e.g.
+    # events_sessionize/q3/window_lag_lead). Every OTHER representation
+    # diff (int32 vs int64, ...) is alignable with a free cast — r6
+    # aligned all 13 standing ones — so new ones fail the gate at
+    # authoring time instead of accumulating.
+    unpinned = [
+        b for b in representation if not (_DT.match(b[2]) and _DT.match(b[3]))
+    ]
     for b in representation:
-        print("REPR-ONLY", *b)
+        print("REPR-ONLY" if b in unpinned else "REPR-PINNED", *b)
     for b in rendering:
         print("RENDERING", *b)
     for b in errors:
         print("ERROR    ", *b)
     print(
-        f"representation-only: {len(representation)}  "
+        f"representation-only: {len(representation)} "
+        f"(pinned datetime-unit: {len(representation) - len(unpinned)}, "
+        f"unpinned: {len(unpinned)})  "
         f"rendering (driver-red): {len(rendering)}  errors: {len(errors)}"
     )
     spark.stop()
-    return 1 if rendering or errors else 0
+    return 1 if rendering or errors or unpinned else 0
 
 
 if __name__ == "__main__":

@@ -912,3 +912,70 @@ def redshift_script_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_redshift_script(spark, _SCRIPT_MERGE_INTO.format(customer="rs_mrg_customer"))
     assert out is not None
     return out
+
+
+_SCRIPT_MERGE_DEDUP = """
+    BEGIN;
+
+    CREATE TEMP TABLE snap AS
+    SELECT c_custkey, c_name, c_acctbal FROM {customer} WHERE c_custkey <= 600;
+
+    -- duplicate a slice of the snapshot to prove matched-dup collapse
+    INSERT INTO snap
+    SELECT c_custkey, c_name, c_acctbal FROM {customer}
+    WHERE c_custkey BETWEEN 100 AND 260;
+
+    CREATE TEMP TABLE fresh AS
+    SELECT c_custkey, UPPER(c_name) AS c_name, c_acctbal + 1000 AS c_acctbal
+    FROM {customer} WHERE c_custkey BETWEEN 200 AND 900;
+
+    MERGE INTO snap USING fresh ON snap.c_custkey = fresh.c_custkey
+    REMOVE DUPLICATES;
+
+    SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
+    FROM snap;
+
+    COMMIT;
+"""
+
+
+@register(
+    "redshift_script_merge_remove_dups",
+    tags=("E6", "S6"),
+    oracle="""
+        WITH snap AS (
+            SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey <= 600
+            UNION ALL
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_custkey BETWEEN 100 AND 260
+        ), fresh AS (
+            SELECT c_custkey, UPPER(c_name) AS c_name, c_acctbal + 1000 AS c_acctbal
+            FROM customer WHERE c_custkey BETWEEN 200 AND 900
+        )
+        SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
+        FROM snap WHERE c_custkey NOT IN (SELECT c_custkey FROM fresh)
+        UNION ALL
+        SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
+        FROM fresh
+    """,
+)
+def redshift_script_merge_remove_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redshift's SIMPLIFIED MERGE (`ON cond REMOVE DUPLICATES`, no WHEN
+    clauses) as a verbatim script: a snapshot with a deliberately
+    duplicated key slice is merged with a fresh extract — matched keys
+    (dups included) collapse to the single fresh row, unmatched snapshot
+    rows (including their duplicates outside the fresh range) survive
+    as-is, and new fresh keys insert. The full table hash-checks against
+    an anti-join ∪ source oracle; the source here is key-unique so the
+    deterministic-winner rule is not load-bearing in the hash.
+
+    Scale: one left-anti join + one window dedup on the merge key — two
+    key-partitioned shuffles, no row explosion (llm/dedup's exact-dedup
+    posture applied to DML).
+    """
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("rs_mrd_customer")
+    out = run_redshift_script(spark, _SCRIPT_MERGE_DEDUP.format(customer="rs_mrd_customer"))
+    assert out is not None
+    return out

@@ -511,8 +511,18 @@ def _run_merge_into(
         )
     src_name, src_alias = sm.group(1), sm.group(2) or sm.group(1)
     cond, when_text = _split_top_kw(after_on, "WHEN")
+    remove_duplicates = False
     if when_text is None:
-        raise ValueError(f"MERGE INTO {tgt_name}: no WHEN clauses")
+        # Redshift's SIMPLIFIED MERGE: `MERGE INTO t USING s ON cond
+        # REMOVE DUPLICATES` — no WHEN clauses; matched target rows are
+        # REPLACED by the source row (all columns), unmatched source
+        # rows insert, and duplicate target/source rows on the merge key
+        # collapse to one (Redshift's documented semantics for this
+        # form; it requires the column lists to be identical).
+        cond, tail = _split_top_kw(cond, "REMOVE")
+        if tail is None or not re.match(r"(?is)^DUPLICATES\s*$", tail):
+            raise ValueError(f"MERGE INTO {tgt_name}: no WHEN clauses")
+        remove_duplicates = True
 
     target = state.existing(tgt_name)
     source = state.existing(src_name)
@@ -546,6 +556,38 @@ def _run_merge_into(
         if s_.lower() != t_.lower():
             src = src.withColumnRenamed(src_by_lower[s_.lower()], t_)
     key_cols = [t for t, _ in keys]
+
+    if remove_duplicates:
+        tgt_set = {c.lower() for c in target.columns}
+        src_set = {c.lower() for c in src.columns}
+        if tgt_set != src_set:
+            raise ValueError(
+                f"MERGE INTO {tgt_name} ... REMOVE DUPLICATES requires identical "
+                f"column lists (target {sorted(tgt_set)}, source {sorted(src_set)})"
+            )
+        # one replacement row per matched/new key (deterministic pick by
+        # full-row order — Redshift leaves the winner unspecified);
+        # matched target rows, duplicates included, are all replaced
+        one = (
+            src.withColumn(
+                "__rn",
+                F.row_number().over(
+                    _W.partitionBy(*key_cols).orderBy(*sorted(src.columns))
+                ),
+            )
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        by_lower = {c.lower(): c for c in one.columns}
+        repl = one.select(
+            *[
+                F.col(by_lower[f.name.lower()]).cast(f.dataType).alias(f.name)
+                for f in target.schema.fields
+            ]
+        )
+        survivors = target.join(one.select(*key_cols), on=key_cols, how="left_anti")
+        state.bind(tgt_name, survivors.unionByName(repl))
+        return
 
     def rewrite(expr_text: str) -> str:
         def sub(mm: "re.Match[str]") -> str:

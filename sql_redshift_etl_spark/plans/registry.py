@@ -103,6 +103,7 @@ def register(
 # Names not listed keep their module registration order after these.
 _VERIFY_FIRST: list[str] = [
     "redshift_script_merge_into",
+    "redshift_script_merge_remove_dups",
     "string_functions",
     "math_functions",
     "array_functions",
@@ -151,8 +152,8 @@ _VERIFY_FIRST: list[str] = [
     "text_doc_stats_by_lang",
     "window_topk_per_group",
     "events_tumbling_daily",
-    "events_sessionize",
     # --- 50-query driver boundary ---
+    "events_sessionize",
     "scan_project_expr",
     "filter_predicates",
     "case_when_decode",

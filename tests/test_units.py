@@ -1608,3 +1608,44 @@ def test_copy_null_as_non_csv_raises(spark, tmp_path):
             SELECT * FROM t;
             """,
         )
+
+
+def test_script_merge_remove_duplicates(spark):
+    """Redshift's SIMPLIFIED MERGE (`ON cond REMOVE DUPLICATES`, no WHEN
+    clauses): matched target rows — duplicates included — are replaced by
+    one source row per key, unmatched source rows insert, unmatched
+    target rows (even duplicated) pass through; source duplicates
+    collapse deterministically."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE tgt (id BIGINT, v VARCHAR(8));
+        INSERT INTO tgt VALUES (1, 'a'), (1, 'a2'), (2, 'b'), (3, 'c'), (3, 'c');
+        CREATE TEMP TABLE src (id BIGINT, v VARCHAR(8));
+        INSERT INTO src VALUES (1, 'A'), (1, 'A9'), (2, 'B'), (4, 'D');
+        MERGE INTO tgt USING src ON tgt.id = src.id REMOVE DUPLICATES;
+        SELECT id, v FROM tgt ORDER BY id, v;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        (1, "A"),  # both target dups replaced; source dup ('A' < 'A9') wins
+        (2, "B"),
+        (3, "c"),
+        (3, "c"),  # unmatched target dups untouched (key 3 not in source)
+        (4, "D"),  # unmatched source inserts
+    ]
+    # column lists must be identical for the simplified form
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="identical"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE TEMP TABLE t2 (id BIGINT, v VARCHAR(8), extra BIGINT);
+            CREATE TEMP TABLE s2 (id BIGINT, v VARCHAR(8));
+            MERGE INTO t2 USING s2 ON t2.id = s2.id REMOVE DUPLICATES;
+            SELECT 1 AS one;
+            """,
+        )

@@ -44,9 +44,14 @@ def main() -> None:
             print(f"skip {d}", file=sys.stderr)
             continue
         df = etl_training_corpus_pipeline(spark, d)
-        exchanges = (
-            df._jdf.queryExecution().executedPlan().toString().count("Exchange ")
+        # formatted explain lists each physical operator exactly once —
+        # a raw toString() reprints reused subtrees and overcounts
+        import re as _re
+
+        fmt = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
+        exchanges = len(_re.findall(r"\(\d+\) Exchange", fmt))
         df.write.format("noop").mode("overwrite").save()  # warm
         best = float("inf")
         for _ in range(runs):

@@ -329,3 +329,30 @@ def test_embedding_ann_carries_vectors_through_band_join(spark):
             plan,
         )
         assert len(joins) == 1, f"{name}: expected only the band self-join, saw {joins}"
+
+
+def test_script_merge_into_plans_single_full_outer(spark):
+    """The MERGE INTO script path (r6) must lower to the documented
+    relational plan: key-partitioned SortMergeJoin FullOuter, no
+    cartesian, no Python in the plan; the multiple-match guard is a
+    window count on the (small) source side only."""
+    plan = plan_of(spark, "redshift_script_merge_into")
+    assert "FullOuter" in plan, "MERGE plan lost its full-outer join"
+    assert "Cartesian" not in plan, "MERGE plan degenerated to a cartesian product"
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+    # the guard's window count appears per MERGE statement (2 in the
+    # registered script), partitioned by the merge key
+    assert plan.count("windowspecdefinition(c_custkey") >= 2, (
+        "multiple-match guard window missing from the source side"
+    )
+
+
+def test_script_merge_remove_dups_plans_anti_plus_window(spark):
+    """The simplified MERGE (REMOVE DUPLICATES) is one LeftAnti join for
+    survivors plus one row_number window for the replacement pick — two
+    key shuffles, no row explosion, no cartesian."""
+    plan = plan_of(spark, "redshift_script_merge_remove_dups")
+    assert "LeftAnti" in plan, "survivor anti-join missing"
+    assert "row_number" in plan, "replacement-pick window missing"
+    assert "Cartesian" not in plan
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan

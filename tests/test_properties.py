@@ -217,3 +217,44 @@ def test_embedding_ann_band_cap_guards_hot_buckets(spark):
     assert not [p for p in capped if p[0] < 60 and p[1] < 60]
     # ...while the near-dup pair in a small bucket survives
     assert (300, 301) in uncapped and (300, 301) in capped
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(-100, 100)), min_size=0, max_size=12
+    ),
+    st.dictionaries(st.integers(0, 12), st.integers(-100, 100), max_size=8),
+)
+@settings(max_examples=8, deadline=None)
+def test_script_merge_into_semantics_random(spark, tgt_rows, src_map):
+    """MERGE INTO semantics over random inputs (r6): every target row
+    with a source match takes the source value (duplicate target keys
+    each update — full-outer semantics), unmatched target rows pass
+    through, unmatched source keys insert. Expected multiset computed
+    independently in Python."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    spark.createDataFrame(
+        [(k, v) for k, v in tgt_rows] or [(None, None)], "k int, v int"
+    ).where("k IS NOT NULL").createOrReplaceTempView("rs_prop_tgt")
+    spark.createDataFrame(
+        list(src_map.items()) or [(None, None)], "k int, v int"
+    ).where("k IS NOT NULL").createOrReplaceTempView("rs_prop_src")
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE t AS SELECT * FROM rs_prop_tgt;
+        CREATE TEMP TABLE s AS SELECT * FROM rs_prop_src;
+        MERGE INTO t USING s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v);
+        SELECT k, v FROM t;
+        """,
+    )
+    got = sorted((r.k, r.v) for r in out.collect())
+    tgt_keys = {k for k, _ in tgt_rows}
+    expected = sorted(
+        [(k, src_map.get(k, v) if k in src_map else v) for k, v in tgt_rows]
+        + [(k, v) for k, v in src_map.items() if k not in tgt_keys]
+    )
+    assert got == expected

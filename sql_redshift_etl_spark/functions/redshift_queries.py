@@ -979,3 +979,62 @@ def redshift_script_merge_remove_dups(spark: SparkSession, sf_dir: str) -> DataF
     out = run_redshift_script(spark, _SCRIPT_MERGE_DEDUP.format(customer="rs_mrd_customer"))
     assert out is not None
     return out
+
+
+_SCRIPT_SCHEMA_EVOLUTION = """
+    BEGIN;
+
+    CREATE TEMP TABLE mart AS
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM {orders}
+    WHERE o_orderkey <= 2000;
+
+    -- the additive-migration idiom: add with default, backfill, rename
+    ALTER TABLE mart ADD COLUMN tier VARCHAR(8) DEFAULT 'STD';
+    UPDATE mart SET tier = 'BIG' WHERE o_totalprice > 200000;
+    ALTER TABLE mart ADD COLUMN price_k DOUBLE;
+    UPDATE mart SET price_k = o_totalprice / 1000.0;
+    ALTER TABLE mart RENAME COLUMN o_orderstatus TO status;
+    ALTER TABLE mart DROP COLUMN o_totalprice;
+
+    SELECT status, tier,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CONVERT(DECIMAL(18,6), price_k)) AS DOUBLE) AS sum_price_k
+    FROM mart
+    GROUP BY 1, 2;
+
+    COMMIT;
+"""
+
+
+@register(
+    "redshift_script_schema_evolution",
+    tags=("S6",),
+    oracle="""
+        SELECT o_orderstatus AS status,
+               CASE WHEN o_totalprice > 200000 THEN 'BIG' ELSE 'STD' END AS tier,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice / 1000.0 AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_price_k
+        FROM orders
+        WHERE o_orderkey <= 2000
+        GROUP BY 1, 2
+    """,
+)
+def redshift_script_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The additive schema-migration idiom as a verbatim script (r6):
+    ALTER TABLE ADD COLUMN with DEFAULT backfill, expression backfill
+    via UPDATE, RENAME COLUMN, DROP COLUMN — then a rollup over the
+    evolved schema hash-checked against an oracle computing the same
+    result directly from the base table, proving every step (default
+    fill, conditional backfill, rename, drop) preserved row values.
+
+    Scale: ADD/RENAME/DROP are projection-only (zero shuffle, zero
+    data movement — exactly why warehouses make them metadata ops);
+    the backfills are row-local CASE projections.
+    """
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rs_sev_orders")
+    out = run_redshift_script(spark, _SCRIPT_SCHEMA_EVOLUTION.format(orders="rs_sev_orders"))
+    assert out is not None
+    return out

@@ -217,6 +217,23 @@ _ALTER_APPEND = re.compile(
     r"(?:\s+(?:IGNOREEXTRA|FILLTARGET))?\s*$",
     re.IGNORECASE,
 )
+# Column DDL (Redshift ALTER TABLE subset a real ETL script uses):
+# ADD [COLUMN] name type [DEFAULT literal], DROP [COLUMN] name,
+# RENAME COLUMN a TO b. Existing rows take the DEFAULT (or NULL) —
+# Redshift's own backfill semantics for an added column.
+_ALTER_ADD_COL = re.compile(
+    r"^ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+"
+    r"([\w]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+    r"(?:\s+DEFAULT\s+('[^']*'|[-\w.]+))?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_COL = re.compile(
+    r"^ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*$", re.IGNORECASE
+)
+_ALTER_RENAME_COL = re.compile(
+    r"^ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
 # Redshift type spellings Spark's DDL parser does not know. Applied to
 # CREATE TABLE column lists only (never to data or expressions).
 _TYPE_SPELLINGS = [
@@ -955,6 +972,44 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 src_df = state.existing(src_name)
                 state.bind(tgt, base.unionAll(_cast_positional(src_df, base, tgt)))
                 state.bind(src_name, src_df.limit(0))
+            elif m := _ALTER_ADD_COL.match(stmt):
+                # ALTER TABLE t ADD COLUMN c type [DEFAULT lit]: existing
+                # rows take the default (NULL absent one) — Redshift's
+                # backfill. char/varchar lower to string as in CREATE.
+                name, col, typ, default = m.groups()
+                base = state.existing(name)
+                if col.lower() in {c.lower() for c in base.columns}:
+                    raise ValueError(f"ALTER TABLE {name}: column {col!r} already exists")
+                from pyspark.sql import types as T
+
+                f = T.StructType.fromDDL(f"x {_normalize_ddl_types(typ)}").fields[0]
+                dt = (
+                    T.StringType()
+                    if isinstance(f.dataType, (T.VarcharType, T.CharType))
+                    else f.dataType
+                )
+                val = F.expr(default).cast(dt) if default else F.lit(None).cast(dt)
+                state.bind(name, base.withColumn(col, val))
+            elif m := _ALTER_DROP_COL.match(stmt):
+                name, col = m.groups()
+                base = state.existing(name)
+                actual = {c.lower(): c for c in base.columns}
+                if col.lower() not in actual:
+                    raise ValueError(f"ALTER TABLE {name}: no column {col!r} to drop")
+                state.bind(name, base.drop(actual[col.lower()]))
+                ids = state.identity_cols.get(name)
+                if ids:  # dropping the identity column kills its generator
+                    ids.pop(actual[col.lower()], None)
+            elif m := _ALTER_RENAME_COL.match(stmt):
+                name, old_c, new_c = m.groups()
+                base = state.existing(name)
+                actual = {c.lower(): c for c in base.columns}
+                if old_c.lower() not in actual:
+                    raise ValueError(f"ALTER TABLE {name}: no column {old_c!r} to rename")
+                state.bind(name, base.withColumnRenamed(actual[old_c.lower()], new_c))
+                ids = state.identity_cols.get(name)
+                if ids and actual[old_c.lower()] in ids:
+                    ids[new_c] = ids.pop(actual[old_c.lower()])
             elif m := _CTAS.match(stmt):
                 state.identity_cols.pop(m.group(1), None)  # rebind clears
                 state.bind(m.group(1), spark.sql(m.group(2)))

@@ -104,6 +104,7 @@ def register(
 _VERIFY_FIRST: list[str] = [
     "redshift_script_merge_into",
     "redshift_script_merge_remove_dups",
+    "redshift_script_schema_evolution",
     "string_functions",
     "math_functions",
     "array_functions",
@@ -151,8 +152,8 @@ _VERIFY_FIRST: list[str] = [
     "sim_knn_bruteforce",
     "text_doc_stats_by_lang",
     "window_topk_per_group",
-    "events_tumbling_daily",
     # --- 50-query driver boundary ---
+    "events_tumbling_daily",
     "events_sessionize",
     "scan_project_expr",
     "filter_predicates",

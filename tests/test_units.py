@@ -1649,3 +1649,53 @@ def test_script_merge_remove_duplicates(spark):
             SELECT 1 AS one;
             """,
         )
+
+
+def test_script_alter_column_ddl(spark):
+    """ALTER TABLE ADD/DROP/RENAME COLUMN (r6): added columns backfill
+    with the DEFAULT (or NULL), drops and renames resolve
+    case-insensitively and loudly, and renaming an identity column
+    carries its generator."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE t (k BIGINT, v VARCHAR(8));
+        INSERT INTO t VALUES (1, 'a'), (2, 'b');
+        ALTER TABLE t ADD COLUMN score DOUBLE DEFAULT 1.5;
+        ALTER TABLE t ADD COLUMN note VARCHAR(16);
+        ALTER TABLE t RENAME COLUMN v TO label;
+        ALTER TABLE t DROP COLUMN note;
+        INSERT INTO t VALUES (3, 'c', 9.0);
+        SELECT k, label, score FROM t ORDER BY k;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        (1, "a", 1.5),
+        (2, "b", 1.5),
+        (3, "c", 9.0),
+    ]
+    with _pytest.raises(ValueError, match="already exists"):
+        run_redshift_script(
+            spark,
+            "CREATE TEMP TABLE t2 (k BIGINT); ALTER TABLE t2 ADD COLUMN K INT; SELECT 1 AS one;",
+        )
+    with _pytest.raises(ValueError, match="to drop"):
+        run_redshift_script(
+            spark,
+            "CREATE TEMP TABLE t3 (k BIGINT); ALTER TABLE t3 DROP COLUMN nope; SELECT 1 AS one;",
+        )
+    # identity generator follows a renamed identity column
+    out2 = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE t4 (id BIGINT IDENTITY(5,1), v VARCHAR(4));
+        ALTER TABLE t4 RENAME COLUMN id TO rid;
+        INSERT INTO t4 (v) SELECT 'x';
+        SELECT rid, v FROM t4;
+        """,
+    )
+    assert [tuple(r) for r in out2.collect()] == [(5, "x")]

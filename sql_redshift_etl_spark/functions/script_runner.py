@@ -146,7 +146,10 @@ _CREATE_VIEW = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT = re.compile(
-    r"^INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?((?:SELECT|WITH|VALUES)\b.*)$",
+    # query may be parenthesized (`INSERT INTO t (SELECT ...)`, a common
+    # Redshift spelling — Spark parses the parenthesized query natively)
+    r"^INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?"
+    r"((?:SELECT|WITH|VALUES)\b.*|\(\s*(?:SELECT|WITH)\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE = re.compile(
@@ -308,8 +311,26 @@ _MERGE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _TRUNCATE = re.compile(r"^TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*$", re.IGNORECASE)
+# DROP takes a comma list ("DROP TABLE IF EXISTS stage1, stage2") and
+# CASCADE/RESTRICT tails; MATERIALIZED VIEW drops route here too.
 _DROP = re.compile(
-    r"^DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE
+    r"^DROP\s+(?:TABLE|(?:MATERIALIZED\s+)?VIEW)\s+(?:IF\s+EXISTS\s+)?"
+    r"([\w.]+(?:\s*,\s*[\w.]+)*)\s*(?:CASCADE|RESTRICT)?\s*$",
+    re.IGNORECASE,
+)
+# Redshift materialized views: CREATE binds the defining query as a
+# snapshot (spark.sql analyzes eagerly, so the plan pins the base
+# tables as of bind time — Redshift's stale-until-refreshed contract);
+# REFRESH re-runs the stored definition against current bindings.
+# AUTO REFRESH / BACKUP clauses are accepted and ignored.
+_CREATE_MV = re.compile(
+    r"^CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*"
+    r"(?:BACKUP\s+(?:YES|NO)\s*)?(?:AUTO\s+REFRESH\s+(?:YES|NO)\s*)?"
+    r"AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REFRESH_MV = re.compile(
+    r"^REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*$", re.IGNORECASE
 )
 _QUERY = re.compile(r"^(SELECT|WITH|VALUES)\b", re.IGNORECASE)
 _COPY = re.compile(r"^COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(.*)$", re.IGNORECASE | re.DOTALL)
@@ -430,6 +451,11 @@ class _ScriptState:
         # table -> {identity column: seed} (IDENTITY(seed, step) DDL
         # attribute; values auto-generate on INSERTs that omit the column)
         self.identity_cols: dict[str, dict[str, int]] = {}
+        # materialized view -> defining SQL text; a REFRESH re-runs it
+        # against the CURRENT bindings (Redshift MVs are stale until
+        # REFRESH — spark.sql's eager analysis gives exactly that: the
+        # bound plan snapshots the base tables as of bind time)
+        self.mv_defs: dict[str, str] = {}
         # Caller-registered TEMP views a script statement re-binds
         # (DELETE/UPDATE/INSERT/COPY on a base view): captured as
         # resolved DataFrames so cleanup restores them — "shadowed for
@@ -1016,6 +1042,19 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
             elif m := _CREATE_VIEW.match(stmt):
                 state.identity_cols.pop(m.group(1), None)
                 state.bind(m.group(1), spark.sql(m.group(2)))
+            elif m := _CREATE_MV.match(stmt):
+                state.identity_cols.pop(m.group(1), None)
+                state.mv_defs[m.group(1)] = m.group(2)
+                state.bind(m.group(1), spark.sql(m.group(2)))
+            elif m := _REFRESH_MV.match(stmt):
+                if m.group(1) not in state.mv_defs:
+                    raise ValueError(
+                        f"REFRESH MATERIALIZED VIEW: {m.group(1)!r} is not a "
+                        "materialized view created by this script"
+                    )
+                # re-run the defining query against current bindings —
+                # Redshift's stale-until-REFRESH contract
+                state.bind(m.group(1), spark.sql(state.mv_defs[m.group(1)]))
             elif m := _CREATE_DDL.match(stmt):
                 # Spark parses DDL-format schemas ("a BIGINT, b
                 # VARCHAR(32)") directly — Redshift storage clauses were
@@ -1252,15 +1291,31 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
             elif m := _TRUNCATE.match(stmt):
                 state.bind(m.group(1), state.existing(m.group(1)).limit(0))
             elif m := _DROP.match(stmt):
-                name = m.group(1)
-                spark.catalog.dropTempView(name)
-                state.tables.pop(name, None)
-                state.created_views.discard(name)
-                # the identity attribute dies with the table — a later
-                # CREATE of the same name without IDENTITY must insert
-                # NULLs, not resurrect the old generator
-                state.identity_cols.pop(name, None)
+                for name in (n.strip() for n in m.group(1).split(",")):
+                    spark.catalog.dropTempView(name)
+                    state.tables.pop(name, None)
+                    state.created_views.discard(name)
+                    # the identity attribute dies with the table — a later
+                    # CREATE of the same name without IDENTITY must insert
+                    # NULLs, not resurrect the old generator
+                    state.identity_cols.pop(name, None)
+                    state.mv_defs.pop(name, None)
             elif _QUERY.match(stmt):
+                # SELECT ... INTO name FROM ... (Redshift's SELECT INTO,
+                # the one-line CTAS): bind the projection to the name.
+                # Top-level split only — an INTO inside a subquery or
+                # string stays content.
+                if stmt[:6].upper() == "SELECT":
+                    head, tail = _split_top_kw(stmt, "INTO")
+                    if tail is not None:
+                        tm = re.match(r"(?is)^(?:TEMP(?:ORARY)?\s+)?([\w.]+)\s+(FROM\b.*)$", tail)
+                        if tm is None:
+                            raise ValueError(
+                                f"SELECT INTO: expected 'INTO [TEMP] name FROM ...', "
+                                f"got INTO {tail[:40]!r}"
+                            )
+                        state.bind(tm.group(1), spark.sql(f"{head} {tm.group(2)}"))
+                        continue
                 result = spark.sql(stmt)
             else:
                 raise ValueError(f"unsupported statement in script: {stmt[:80]!r}...")

@@ -512,7 +512,7 @@ def test_script_runner_unsupported_statement_is_loud(spark):
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="unsupported statement"):
-        run_redshift_script(spark, "ALTER TABLE t ADD COLUMN x INT; SELECT 1;")
+        run_redshift_script(spark, "DECLARE cur CURSOR FOR SELECT 1; SELECT 1;")
 
 
 def test_script_io_option_parser():
@@ -1699,3 +1699,77 @@ def test_script_alter_column_ddl(spark):
         """,
     )
     assert [tuple(r) for r in out2.collect()] == [(5, "x")]
+
+
+def test_script_parenthesized_query_forms(spark):
+    """Common Redshift spellings with parenthesized queries: `CREATE
+    TABLE t AS (SELECT ...)` and `INSERT INTO t (SELECT ...)` both run
+    (Spark parses the parenthesized query natively; the INSERT regex
+    accepts it as the query, not a column list)."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE pq AS (SELECT 1 AS k);
+        INSERT INTO pq (SELECT 2);
+        INSERT INTO pq (k) SELECT 3;
+        SELECT k FROM pq ORDER BY k;
+        """,
+    )
+    assert [r.k for r in out.collect()] == [1, 2, 3]
+
+
+def test_script_select_into(spark):
+    """SELECT ... INTO name FROM ... (Redshift's one-line CTAS) binds
+    the result to the name; an INTO inside a subquery is untouched."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE src (k BIGINT, v VARCHAR(4));
+        INSERT INTO src VALUES (1, 'a'), (2, 'b'), (3, 'c');
+        SELECT k, UPPER(v) AS v INTO #picked FROM src WHERE k >= 2;
+        SELECT k, v FROM #picked ORDER BY k;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(2, "B"), (3, "C")]
+
+
+def test_script_materialized_view_and_multi_drop(spark):
+    """CREATE MATERIALIZED VIEW snapshots the defining query (Redshift's
+    stale-until-REFRESH contract: a later INSERT into the base is NOT
+    visible), REFRESH re-runs the stored definition, and DROP takes a
+    comma list with CASCADE."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE base (k BIGINT, v BIGINT);
+        INSERT INTO base VALUES (1, 10), (2, 20);
+        CREATE MATERIALIZED VIEW mv AUTO REFRESH YES AS
+        SELECT k, v * 2 AS v2 FROM base;
+        INSERT INTO base VALUES (3, 30);
+        CREATE TEMP TABLE stale AS SELECT COUNT(*) AS n, SUM(v2) AS s FROM mv;
+        REFRESH MATERIALIZED VIEW mv;
+        CREATE TEMP TABLE fresh AS SELECT COUNT(*) AS n, SUM(v2) AS s FROM mv;
+        DROP TABLE IF EXISTS base, mv CASCADE;
+        SELECT s.n AS stale_n, s.s AS stale_s, f.n AS fresh_n, f.s AS fresh_s
+        FROM stale s CROSS JOIN fresh f;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(2, 60, 3, 120)]
+
+    # REFRESH of a non-MV name raises loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a materialized view"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE TEMP TABLE t1 (k BIGINT);
+            REFRESH MATERIALIZED VIEW t1;
+            """,
+        )

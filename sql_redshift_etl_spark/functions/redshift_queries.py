@@ -1038,3 +1038,221 @@ def redshift_script_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFr
     out = run_redshift_script(spark, _SCRIPT_SCHEMA_EVOLUTION.format(orders="rs_sev_orders"))
     assert out is not None
     return out
+
+
+_SCRIPT_MATERIALIZED_VIEW = """
+    BEGIN;
+
+    CREATE TEMP TABLE base AS
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM {orders}
+    WHERE o_orderkey <= 4000;
+
+    CREATE MATERIALIZED VIEW status_mv AUTO REFRESH NO AS
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CONVERT(DECIMAL(18,6), o_totalprice)) AS DOUBLE) AS total
+    FROM base
+    GROUP BY 1;
+
+    -- base moves on; the MV must NOT see this until REFRESH
+    INSERT INTO base
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM {orders}
+    WHERE o_orderkey BETWEEN 4001 AND 12000;
+
+    SELECT status, n_orders, total INTO #stale FROM status_mv;
+
+    REFRESH MATERIALIZED VIEW status_mv;
+
+    SELECT f.status,
+           s.n_orders AS stale_n, s.total AS stale_total,
+           f.n_orders AS fresh_n, f.total AS fresh_total
+    FROM status_mv f
+    LEFT JOIN #stale s ON s.status = f.status;
+
+    DROP TABLE IF EXISTS base, status_mv CASCADE;
+
+    COMMIT;
+"""
+
+
+@register(
+    "redshift_script_materialized_view",
+    tags=("S6",),
+    oracle="""
+        WITH stale AS (
+            SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+            FROM orders WHERE o_orderkey <= 4000 GROUP BY 1
+        ), fresh AS (
+            SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+            FROM orders WHERE o_orderkey <= 12000 GROUP BY 1
+        )
+        SELECT f.status,
+               s.n_orders AS stale_n, s.total AS stale_total,
+               f.n_orders AS fresh_n, f.total AS fresh_total
+        FROM fresh f LEFT JOIN stale s ON s.status = f.status
+    """,
+)
+def redshift_script_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view lifecycle as a verbatim script (r6): CREATE
+    MATERIALIZED VIEW snapshots its defining rollup, a later INSERT into
+    the base is provably invisible (the stale snapshot is captured with
+    Redshift's SELECT ... INTO one-line CTAS), REFRESH re-runs the
+    stored definition, and the final join hash-checks BOTH generations
+    against an oracle computing each slice directly — so staleness,
+    refresh, SELECT INTO, and the comma-list DROP are all load-bearing.
+
+    Scale: the MV is one grouped rollup (partial-agg shuffle on the
+    5-value status key); REFRESH re-runs exactly that plan — no
+    incremental-maintenance machinery to go quadratic at 100 TB.
+    """
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rs_mv_orders")
+    out = run_redshift_script(spark, _SCRIPT_MATERIALIZED_VIEW.format(orders="rs_mv_orders"))
+    assert out is not None
+    return out
+
+
+_SCRIPT_STORED_PROC = """
+    BEGIN;
+
+    CREATE TEMP TABLE summary (
+        batch VARCHAR(8), priority VARCHAR(16), n BIGINT, total DOUBLE PRECISION
+    );
+
+    CREATE OR REPLACE PROCEDURE load_batch(p_batch VARCHAR(8), p_lo BIGINT, p_hi BIGINT)
+    AS $$
+    BEGIN
+        INSERT INTO summary
+        SELECT p_batch, o_orderpriority, COUNT(*),
+               CAST(SUM(CONVERT(DECIMAL(18,6), o_totalprice)) AS DOUBLE PRECISION)
+        FROM {orders}
+        WHERE o_orderkey BETWEEN p_lo AND p_hi
+        GROUP BY o_orderpriority;
+        COMMIT;
+    END;
+    $$ LANGUAGE plpgsql;
+
+    CALL load_batch('b1', 1, 6000);
+    CALL load_batch('b2', 6001, 15000);
+    DROP PROCEDURE load_batch;
+
+    SELECT batch, priority, n, total FROM summary;
+
+    COMMIT;
+"""
+
+
+@register(
+    "redshift_script_stored_procedure",
+    tags=("S6",),
+    oracle="""
+        WITH b1 AS (
+            SELECT 'b1' AS batch, o_orderpriority AS priority, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+            FROM orders WHERE o_orderkey BETWEEN 1 AND 6000 GROUP BY 2
+        ), b2 AS (
+            SELECT 'b2' AS batch, o_orderpriority AS priority, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+            FROM orders WHERE o_orderkey BETWEEN 6001 AND 15000 GROUP BY 2
+        )
+        SELECT batch, priority, n, total FROM b1
+        UNION ALL
+        SELECT batch, priority, n, total FROM b2
+    """,
+)
+def redshift_script_stored_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored procedures as the orchestration unit (r6): a verbatim
+    `CREATE PROCEDURE ... $$ BEGIN ... END $$ LANGUAGE plpgsql` whose
+    straight-line body loads a parameterized batch rollup, CALLed twice
+    with different IN arguments, then dropped — the parameter
+    substitution is load-bearing in the hash (each batch's key range
+    and label come only from CALL args). Oracle computes both batch
+    slices directly.
+
+    Scale: each CALL is one grouped rollup over a key-range filter that
+    pushes to the scan; the procedure machinery itself is pure
+    statement expansion — zero extra jobs, shuffles, or materialization
+    beyond the statements it contains.
+    """
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rs_sp_orders")
+    out = run_redshift_script(spark, _SCRIPT_STORED_PROC.format(orders="rs_sp_orders"))
+    assert out is not None
+    return out
+
+
+_REDSHIFT_MISC3 = """
+    SELECT c_custkey,
+           REPLICATE(c_mktsegment, 2) AS seg_twice,
+           ROUND(LOG(CAST(c_acctbal AS DECIMAL(12,2)) + 1001.0), 6) AS log10_bal,
+           STRTOL(SUBSTRING(c_name, 16, 3), 16) AS name_hex,
+           DATE_CMP(DATE '1995-06-16', DATE '1995-06-17') AS cmp_lt,
+           DATE_CMP(DATE '1995-06-17', DATE '1995-06-17') AS cmp_eq,
+           TIMESTAMP_CMP(TIMESTAMP '1995-06-17 00:00:01',
+                         TIMESTAMP '1995-06-17 00:00:00') AS cmp_gt,
+           QUOTE_IDENT(c_mktsegment) AS seg_ident,
+           QUOTE_LITERAL(c_name) AS name_lit,
+           CAST(TO_NUMBER('$' || CAST(c_custkey AS VARCHAR) || '.50', '$999999.99')
+               AS DOUBLE PRECISION) AS key_num,
+           BTRIM(c_name, 'Cutsomer#') AS name_trimmed,
+           CAST(POSITION('#' IN c_name) AS BIGINT) AS hash_pos,
+           CAST(OCTET_LENGTH(c_name) AS BIGINT) AS name_bytes,
+           INITCAP(LOWER(c_mktsegment)) AS seg_cap,
+           ROUND(CBRT(CAST(c_custkey AS DOUBLE)), 6) AS key_cbrt
+    FROM {customer}
+    WHERE c_custkey <= 600
+"""
+
+
+@register(
+    "redshift_sql_misc3",
+    tags=("§2.7",),
+    oracle="""
+        SELECT c_custkey,
+               repeat(c_mktsegment, 2) AS seg_twice,
+               ROUND(LOG(CAST(c_acctbal AS DECIMAL(12,2)) + 1001.0), 6) AS log10_bal,
+               CAST(concat('0x', substring(c_name, 16, 3)) AS BIGINT) AS name_hex,
+               CASE WHEN DATE '1995-06-16' < DATE '1995-06-17' THEN -1
+                    WHEN DATE '1995-06-16' > DATE '1995-06-17' THEN 1
+                    ELSE 0 END AS cmp_lt,
+               CASE WHEN DATE '1995-06-17' < DATE '1995-06-17' THEN -1
+                    WHEN DATE '1995-06-17' > DATE '1995-06-17' THEN 1
+                    ELSE 0 END AS cmp_eq,
+               CASE WHEN TIMESTAMP '1995-06-17 00:00:01' < TIMESTAMP '1995-06-17 00:00:00'
+                    THEN -1
+                    WHEN TIMESTAMP '1995-06-17 00:00:01' > TIMESTAMP '1995-06-17 00:00:00'
+                    THEN 1 ELSE 0 END AS cmp_gt,
+               concat('"', replace(c_mktsegment, '"', '""'), '"') AS seg_ident,
+               concat('''', replace(c_name, '''', ''''''), '''') AS name_lit,
+               CAST(CAST(replace(replace('$' || CAST(c_custkey AS VARCHAR) || '.50',
+                                    ',', ''), '$', '') AS DECIMAL(8,2)) AS DOUBLE) AS key_num,
+               trim(c_name, 'Cutsomer#') AS name_trimmed,
+               CAST(position('#' IN c_name) AS BIGINT) AS hash_pos,
+               CAST(octet_length(encode(c_name)) AS BIGINT) AS name_bytes,
+               -- DuckDB has no initcap; the segment is one word
+               upper(substring(lower(c_mktsegment), 1, 1))
+                   || substring(lower(c_mktsegment), 2) AS seg_cap,
+               ROUND(cbrt(CAST(c_custkey AS DOUBLE)), 6) AS key_cbrt
+        FROM customer
+        WHERE c_custkey <= 600
+    """,
+)
+def redshift_sql_misc3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 scalar battery: REPLICATE→repeat, the 1-arg LOG base-10
+    trap (Redshift LOG(x)=log10; Spark's log(x)=ln — the rewrite is
+    what makes this hash-match), STRTOL→conv, DATE_CMP/TIMESTAMP_CMP→
+    sign CASE, QUOTE_IDENT/QUOTE_LITERAL quoting helpers,
+    TO_NUMBER('$…','$999999.99') format-stripped cast, plus
+    natively-parity functions (BTRIM with a trim set, POSITION(x IN y),
+    OCTET_LENGTH on multi-byte text, INITCAP, CBRT) against DuckDB
+    equivalents.
+
+    Scale: row-local projection over one scan; the WHERE pushes to
+    parquet. Nothing shuffles.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("rs_misc3_customer")
+    return run_redshift_sql(spark, _REDSHIFT_MISC3.format(customer="rs_misc3_customer"))

@@ -854,6 +854,160 @@ def rewrite_temp_names(sql: str) -> str:
     return _unmask_literals(masked, lits)
 
 
+def _rewrite_replicate(sql: str) -> str:
+    """REPLICATE (Redshift's REPEAT alias) → repeat."""
+    masked, lits = _mask_literals(sql)
+    masked = re.sub(r"\bREPLICATE\s*\(", "repeat(", masked, flags=re.IGNORECASE)
+    return _unmask_literals(masked, lits)
+
+
+def _rewrite_log_base10(sql: str) -> str:
+    """Redshift's 1-arg LOG is base-10; Spark's 1-arg log is NATURAL —
+    a silent-wrong-answer trap, so the rewrite is mandatory. Only the
+    one-argument form rewrites (a 2-arg log(base, x) means the same in
+    both engines' extended dialects)."""
+    pat = re.compile(r"\bLOG\s*\(", re.IGNORECASE)
+    while True:
+        hits = [
+            m
+            for m in pat.finditer(sql)
+            if not _in_literal(sql, m.start())
+            and len(_split_args(sql[m.end() : _scan_balanced(sql, m.end()) - 1])) == 1
+        ]
+        if not hits:
+            return sql
+        m = hits[-1]
+        sql = f"{sql[: m.start()]}log10({sql[m.end():]}"
+
+
+def _rewrite_strtol(sql: str) -> str:
+    """STRTOL(str, base) → CAST(conv(str, base, 10) AS BIGINT)."""
+    pat = re.compile(r"\bSTRTOL\s*\(", re.IGNORECASE)
+    while True:
+        hits = [m for m in pat.finditer(sql) if not _in_literal(sql, m.start())]
+        if not hits:
+            return sql
+        m = hits[-1]
+        end = _scan_balanced(sql, m.end())
+        s, base = _split_two_args(sql[m.end() : end - 1])
+        sql = f"{sql[: m.start()]}CAST(conv({s}, {base}, 10) AS BIGINT){sql[end:]}"
+
+
+def _rewrite_cmp_fns(sql: str) -> str:
+    """DATE_CMP / TIMESTAMP_CMP / DATE_CMP_TIMESTAMP /
+    TIMESTAMP_CMP_DATE (a, b) → the -1/0/+1 CASE comparison (Spark
+    compares date↔timestamp operands directly)."""
+    pat = re.compile(
+        r"\b(?:DATE_CMP(?:_TIMESTAMP)?|TIMESTAMP_CMP(?:_DATE)?)\s*\(", re.IGNORECASE
+    )
+    while True:
+        hits = [m for m in pat.finditer(sql) if not _in_literal(sql, m.start())]
+        if not hits:
+            return sql
+        m = hits[-1]
+        end = _scan_balanced(sql, m.end())
+        a, b = _split_two_args(sql[m.end() : end - 1])
+        sql = (
+            f"{sql[: m.start()]}CASE WHEN ({a}) < ({b}) THEN -1 "
+            f"WHEN ({a}) > ({b}) THEN 1 ELSE 0 END{sql[end:]}"
+        )
+
+
+def _rewrite_quote_fns(sql: str) -> str:
+    """QUOTE_IDENT(s) → '"'-wrapped with internal quotes doubled;
+    QUOTE_LITERAL(s) → '-wrapped likewise (Redshift/Postgres quoting
+    helpers; pure string expressions in both engines)."""
+    for kw, q, esc in (("QUOTE_IDENT", '"', '""'), ("QUOTE_LITERAL", "''", "''''")):
+        pat = re.compile(rf"\b{kw}\s*\(", re.IGNORECASE)
+        while True:
+            hits = [m for m in pat.finditer(sql) if not _in_literal(sql, m.start())]
+            if not hits:
+                break
+            m = hits[-1]
+            end = _scan_balanced(sql, m.end())
+            arg = sql[m.end() : end - 1]
+            sql = (
+                f"{sql[: m.start()]}concat('{q}', "
+                f"replace({arg}, '{q}', '{esc}'), '{q}'){sql[end:]}"
+            )
+    return sql
+
+
+def _rewrite_to_number(sql: str) -> str:
+    """TO_NUMBER(s, 'fmt') → CAST of s with grouping/currency chars
+    stripped, typed DECIMAL(p, s) from the format's digit layout.
+    Supported format alphabet: 9 0 , . $ S — anything else raises
+    (loud-on-unsupported, the module policy)."""
+    pat = re.compile(r"\bTO_NUMBER\s*\(", re.IGNORECASE)
+    while True:
+        hits = [m for m in pat.finditer(sql) if not _in_literal(sql, m.start())]
+        if not hits:
+            return sql
+        m = hits[-1]
+        end = _scan_balanced(sql, m.end())
+        expr, fmt = _split_two_args(sql[m.end() : end - 1])
+        fm = re.match(r"^\s*'([^']*)'\s*$", fmt)
+        if fm is None:
+            raise ValueError(f"TO_NUMBER: format must be a string literal, got {fmt!r}")
+        f = fm.group(1)
+        if not re.fullmatch(r"[90,.$S]+", f):
+            raise ValueError(
+                f"TO_NUMBER: unsupported format {f!r} (supported alphabet: 9 0 , . $ S)"
+            )
+        digits = [len(p.replace(",", "").replace("$", "").replace("S", "")) for p in f.split(".")]
+        prec, scale = digits[0] + (digits[1] if len(digits) > 1 else 0), (
+            digits[1] if len(digits) > 1 else 0
+        )
+        sql = (
+            f"{sql[: m.start()]}CAST(replace(replace({expr}, ',', ''), '$', '') "
+            f"AS DECIMAL({prec},{scale})){sql[end:]}"
+        )
+
+
+_CAST_SPELLINGS = {
+    "INT8": "BIGINT",
+    "INT4": "INT",
+    "INT2": "SMALLINT",
+    "FLOAT8": "DOUBLE",
+    "FLOAT4": "FLOAT",
+    "NUMERIC": "DECIMAL",
+    "BPCHAR": "CHAR",
+}
+
+
+def _rewrite_type_spellings(sql: str) -> str:
+    """Redshift type spellings in EXPRESSIONS → Spark spellings: the
+    two-word forms (DOUBLE PRECISION, CHARACTER VARYING) anywhere (no
+    identifier can collide with a two-word sequence), the single-word
+    aliases only in unambiguous cast positions — after ``::`` or as a
+    ``CAST/CONVERT`` tail (``AS <type>[(p[,s])])``, never as a bare
+    word, so a column actually named ``int8`` survives. DDL column
+    lists have their own normalizer (script_runner._normalize_ddl_types)."""
+    masked, lits = _mask_literals(sql)
+    masked = re.sub(r"\bDOUBLE\s+PRECISION\b", "DOUBLE", masked, flags=re.IGNORECASE)
+    masked = re.sub(r"\bCHARACTER\s+VARYING\b", "VARCHAR", masked, flags=re.IGNORECASE)
+    names = "|".join(_CAST_SPELLINGS)
+    masked = re.sub(
+        rf"(::\s*)({names})\b",
+        lambda m: m.group(1) + _CAST_SPELLINGS[m.group(2).upper()],
+        masked,
+        flags=re.IGNORECASE,
+    )
+    masked = re.sub(
+        rf"(\bAS\s+)({names})(\s*(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?\s*\))",
+        lambda m: m.group(1) + _CAST_SPELLINGS[m.group(2).upper()] + m.group(3),
+        masked,
+        flags=re.IGNORECASE,
+    )
+    # length-less VARCHAR casts are valid Redshift (unbounded); Spark's
+    # parser demands a length — STRING is the unbounded spelling
+    masked = re.sub(r"(::\s*)VARCHAR(?!\s*\()", r"\1STRING", masked, flags=re.IGNORECASE)
+    masked = re.sub(
+        r"(\bAS\s+)VARCHAR(\s*\))", r"\1STRING\2", masked, flags=re.IGNORECASE
+    )
+    return _unmask_literals(masked, lits)
+
+
 def _rewrite_now(sql: str) -> str:
     masked, lits = _mask_literals(sql)
     masked = re.sub(r"\bGETDATE\s*\(\s*\)", "current_timestamp()", masked, flags=re.IGNORECASE)
@@ -877,7 +1031,7 @@ def translate_redshift_sql(sql: str) -> str:
     _rewrite_top runs before _rewrite_qualify so TOP + QUALIFY composes
     (qualify keeps the appended LIMIT in its tail)."""
     sql = strip_sql_comments(sql)
-    for fn in (rewrite_temp_names, _rewrite_top, _rewrite_qualify, _rewrite_convert, _rewrite_datediff, _rewrite_to_char, _rewrite_to_datetime, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_approx_count, _rewrite_similar_to, _rewrite_date_part_year, _rewrite_extract_epoch, _rewrite_at_time_zone, _rewrite_string_fns, _rewrite_trunc, _rewrite_math_aliases, _rewrite_now, _strip_storage_clauses):
+    for fn in (rewrite_temp_names, _rewrite_top, _rewrite_qualify, _rewrite_convert, _rewrite_type_spellings, _rewrite_datediff, _rewrite_to_char, _rewrite_to_datetime, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_approx_count, _rewrite_similar_to, _rewrite_date_part_year, _rewrite_extract_epoch, _rewrite_at_time_zone, _rewrite_string_fns, _rewrite_trunc, _rewrite_math_aliases, _rewrite_replicate, _rewrite_log_base10, _rewrite_strtol, _rewrite_cmp_fns, _rewrite_quote_fns, _rewrite_to_number, _rewrite_now, _strip_storage_clauses):
         sql = fn(sql)
     return sql
 

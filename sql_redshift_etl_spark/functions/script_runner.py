@@ -62,6 +62,14 @@ Statement support:
   data (sources.writers.write_manifest); GZIP/BZIP2 (r5) map to the
   writer codec (parquet takes gzip only — loud), and NULL AS 'str'
   writes/reads the null sentinel.
+- ``COPY ... MAXERROR n`` (r6) — the error-budgeted load: malformed
+  CSV/TEXT/JSON rows are counted (corrupt-record column), the load
+  fails loudly past the budget and skips the bad rows within it;
+  MAXERROR on PARQUET/FIXEDWIDTH raises.
+- ``COPY name FROM 'path' FIXEDWIDTH 'label:width,...'`` (r6) — fixed
+  -width text load: lines cut by the spec (which must cover exactly
+  the target's columns), fields right-trimmed, NULL AS honored, cast
+  to the declared schema. FIXEDWIDTH with FORMAT raises.
 - ``COPY name FROM 'path/manifest' ... MANIFEST`` — the path is a
   manifest file; exactly its listed files load (a missing mandatory
   file raises before any read). ``EXPLICIT_IDS`` is accepted (our COPY
@@ -72,6 +80,22 @@ Statement support:
   binding over the prefix; PARQUET validates declared columns against
   the files and discovers hive partitions; TEXTFILE reads the declared
   schema at the given delimiter.
+- ``MERGE INTO tgt USING src ON cond WHEN MATCHED THEN UPDATE SET ...|
+  DELETE WHEN NOT MATCHED THEN INSERT ...`` and the simplified
+  ``ON cond REMOVE DUPLICATES`` form (r6) — executed through the
+  relational merge plan (operators/merge.py); a source key matching
+  multiple target rows raises at runtime, as in Redshift.
+- ``CREATE MATERIALIZED VIEW name [BACKUP ...] [AUTO REFRESH ...] AS
+  SELECT ...`` / ``REFRESH MATERIALIZED VIEW name`` (r6) — CREATE
+  snapshots the defining query (eager analysis = Redshift's
+  stale-until-REFRESH contract); REFRESH re-runs the stored definition.
+- ``SELECT ... INTO [TEMP] name FROM ...`` (r6) — the one-line CTAS.
+- ``CREATE [OR REPLACE] PROCEDURE name(params) AS $$ BEGIN ... END $$
+  LANGUAGE plpgsql`` / ``CALL name(args)`` / ``DROP PROCEDURE`` (r6) —
+  the straight-line subset: the body is a sequence of plain SQL
+  statements executed in place at CALL, with IN parameters substituted
+  on identifier boundaries (plpgsql's own lexical substitution).
+  Procedural control flow (IF/LOOP/cursors/RAISE/...) raises loudly.
 - ``SELECT ... / WITH ...`` — executed; the LAST one is the script's
   result DataFrame.
 
@@ -112,19 +136,30 @@ strip_comments = strip_sql_comments
 
 
 def split_statements(script: str) -> list[str]:
-    """Split a script on ``;`` outside string literals; drops empties."""
+    """Split a script on ``;`` outside string literals and outside
+    ``$$``-dollar-quoted bodies (CREATE PROCEDURE ... AS $$ ... $$)."""
     stmts: list[str] = []
     buf: list[str] = []
     in_quote = False
-    for ch in strip_comments(script):
-        if ch == "'":
+    in_dollar = False
+    s = strip_comments(script)
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if not in_quote and ch == "$" and s.startswith("$$", i):
+            in_dollar = not in_dollar
+            buf.append("$$")
+            i += 2
+            continue
+        if ch == "'" and not in_dollar:
             in_quote = not in_quote
             buf.append(ch)
-        elif ch == ";" and not in_quote:
+        elif ch == ";" and not in_quote and not in_dollar:
             stmts.append("".join(buf))
             buf = []
         else:
             buf.append(ch)
+        i += 1
     stmts.append("".join(buf))
     return [s.strip() for s in stmts if s.strip()]
 
@@ -310,6 +345,54 @@ _MERGE = re.compile(
     r"^MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+USING\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+# Redshift stored procedures (plpgsql), minimal straight-line subset:
+# the $$ body is one BEGIN...END block of plain SQL statements (the
+# common ETL-orchestration shape). Procedural control flow (IF/LOOP/
+# cursors/...) raises loudly; IN params substitute textually at CALL
+# time on identifier boundaries. Matched on the RAW statement (before
+# the dialect front-end) so the body reaches CALL-time untouched.
+_CREATE_PROC_HEAD = re.compile(
+    r"^CREATE\s+(?:OR\s+REPLACE\s+)?PROCEDURE\s+([\w.]+)\s*\(", re.IGNORECASE
+)
+_CREATE_PROC_TAIL = re.compile(
+    r"^\s*AS\s+\$\$(.*)\$\$\s*LANGUAGE\s+plpgsql\s*$", re.IGNORECASE | re.DOTALL
+)
+_CALL = re.compile(r"^CALL\s+([\w.]+)\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL)
+_DROP_PROC = re.compile(
+    r"^DROP\s+PROCEDURE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*(?:\([^)]*\))?\s*$",
+    re.IGNORECASE,
+)
+# plpgsql constructs outside the supported straight-line subset; any hit
+# in a procedure body is a loud error, not a silent misparse
+_PLPGSQL_CONTROL = re.compile(
+    r"(?i)(?:^|[^\w$])(IF(?!\s+(?:NOT\s+)?EXISTS\b)|ELSIF|LOOP|WHILE|"
+    r"RETURN|RAISE|EXECUTE|DECLARE|CURSOR|FETCH|EXCEPTION|PERFORM|"
+    r"GET\s+DIAGNOSTICS)(?:[^\w$]|$)"
+)
+
+
+def _parse_proc_params(params: str) -> list[str]:
+    """IN-parameter names from a procedure signature; OUT/INOUT and
+    defaults are outside the supported subset (loud)."""
+    names: list[str] = []
+    for p in _split_top_commas(params):
+        p = p.strip()
+        if not p:
+            continue
+        if re.match(r"(?i)^(OUT|INOUT)\b", p):
+            raise ValueError(
+                f"CREATE PROCEDURE: OUT/INOUT parameters unsupported ({p!r}); "
+                "return results via tables the caller reads"
+            )
+        if "=" in p or re.search(r"(?i)\bDEFAULT\b", p):
+            raise ValueError(f"CREATE PROCEDURE: parameter defaults unsupported ({p!r})")
+        pm = re.match(r"(?i)^(?:IN\s+)?([\w$]+)\s+\w", p)
+        if pm is None:
+            raise ValueError(f"CREATE PROCEDURE: cannot parse parameter {p!r}")
+        names.append(pm.group(1))
+    return names
+
+
 _TRUNCATE = re.compile(r"^TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*$", re.IGNORECASE)
 # DROP takes a comma list ("DROP TABLE IF EXISTS stage1, stage2") and
 # CASCADE/RESTRICT tails; MATERIALIZED VIEW drops route here too.
@@ -356,6 +439,8 @@ _OPT_TOKEN = re.compile(
     | (?P<manifest>MANIFEST)\b
     | (?P<codec>GZIP|BZIP2)\b
     | EXPLICIT_IDS\b
+    | FIXEDWIDTH\s+(?:AS\s+)?'(?P<fixedwidth>[^']*)'
+    | MAXERROR\s+(?:AS\s+)?(?P<maxerror>\d+)
     | NULL\s+(?:AS\s+)?'(?P<nullas>[^']*)'
     | (?:IAM_ROLE|CREDENTIALS|REGION|ACCESS_KEY_ID|SECRET_ACCESS_KEY|SESSION_TOKEN)\s+'[^']*'
     | 'auto'
@@ -368,7 +453,8 @@ _OPT_TOKEN = re.compile(
 def _parse_io_options(clause: str, stmt_kind: str) -> dict:
     opts: dict = {"format": None, "header": False, "skip": 0, "delimiter": None,
                   "partition_by": [], "overwrite": False, "parallel": True,
-                  "manifest": False, "codec": None, "null_as": None}
+                  "manifest": False, "codec": None, "null_as": None,
+                  "fixedwidth": None, "maxerror": None}
     pos = 0
     while pos < len(clause):
         m = _OPT_TOKEN.match(clause, pos)
@@ -396,6 +482,10 @@ def _parse_io_options(clause: str, stmt_kind: str) -> dict:
             opts["codec"] = m.group("codec").lower()
         if m.group("nullas") is not None:
             opts["null_as"] = m.group("nullas")
+        if m.group("fixedwidth") is not None:
+            opts["fixedwidth"] = m.group("fixedwidth")
+        if m.group("maxerror") is not None:
+            opts["maxerror"] = int(m.group("maxerror"))
         pos = m.end()
     return opts
 
@@ -456,6 +546,8 @@ class _ScriptState:
         # REFRESH — spark.sql's eager analysis gives exactly that: the
         # bound plan snapshots the base tables as of bind time)
         self.mv_defs: dict[str, str] = {}
+        # procedure -> (IN-param names, straight-line body text)
+        self.procs: dict[str, tuple[list[str], str]] = {}
         # Caller-registered TEMP views a script statement re-binds
         # (DELETE/UPDATE/INSERT/COPY on a base view): captured as
         # resolved DataFrames so cleanup restores them — "shadowed for
@@ -762,16 +854,74 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
     for the script's duration and are dropped afterward."""
     from pyspark.sql import functions as F
 
+    from collections import deque
+
     state = _ScriptState(spark)
     result: DataFrame | None = None
     try:
-        for raw in split_statements(script):
+        # worklist, not a plain loop: CALL expands a procedure body into
+        # statements executed in place (front of the queue)
+        pending = deque(split_statements(script))
+        while pending:
+            raw = pending.popleft()
             # Redshift #temp names → plain identifiers BEFORE statement
             # classification (the CREATE/COPY/INSERT regexes match \w
             # identifiers; '#stg' would silently fall through to
             # spark.sql and fail to parse). The front-end repeats the
             # rewrite for standalone statements — it is idempotent.
             raw = rewrite_temp_names(raw).strip()
+            # Stored procedures are matched on the RAW statement — the
+            # dialect front-end must not rewrite a $$ body at define
+            # time (each body statement is rewritten when it RUNS).
+            if hm := _CREATE_PROC_HEAD.match(raw):
+                sig_end = _scan_balanced_fwd(raw, hm.end())
+                tm = _CREATE_PROC_TAIL.match(raw[sig_end:])
+                if tm is None:
+                    raise ValueError(
+                        f"CREATE PROCEDURE {hm.group(1)}: expected "
+                        "AS $$ ... $$ LANGUAGE plpgsql"
+                    )
+                params = _parse_proc_params(raw[hm.end() : sig_end - 1])
+                body = tm.group(1).strip()
+                bm = re.match(r"(?is)^BEGIN\b(.*?)\bEND\s*;?\s*$", body)
+                if bm is None:
+                    raise ValueError(
+                        f"CREATE PROCEDURE {hm.group(1)}: body must be one "
+                        "BEGIN ... END block"
+                    )
+                body = bm.group(1)
+                if cm := _PLPGSQL_CONTROL.search(body):
+                    raise ValueError(
+                        f"CREATE PROCEDURE {hm.group(1)}: procedural "
+                        f"{cm.group(1).upper()} is outside the supported "
+                        "straight-line subset (plain SQL statements only)"
+                    )
+                state.procs[hm.group(1)] = (params, body)
+                continue
+            if m := _DROP_PROC.match(raw):
+                if m.group(1) not in state.procs and "IF EXISTS" not in raw.upper():
+                    raise ValueError(f"DROP PROCEDURE: no procedure {m.group(1)!r}")
+                state.procs.pop(m.group(1), None)
+                continue
+            if m := _CALL.match(raw):
+                name = m.group(1)
+                if name not in state.procs:
+                    raise ValueError(f"CALL: no procedure {name!r} defined in this script")
+                params, body = state.procs[name]
+                args = [a.strip() for a in _split_top_commas(m.group(2)) if a.strip()]
+                if len(args) != len(params):
+                    raise ValueError(
+                        f"CALL {name}: expected {len(params)} argument(s) "
+                        f"({', '.join(params)}), got {len(args)}"
+                    )
+                for p, a in zip(params, args):
+                    # identifier-boundary textual substitution (plpgsql
+                    # itself substitutes params lexically)
+                    body = re.sub(
+                        rf"(?i)(?<![\w$]){re.escape(p)}(?![\w$])", a, body
+                    )
+                pending.extendleft(reversed(split_statements(body)))
+                continue
             # COPY/UNLOAD carry path literals and option clauses the SQL
             # rewriter must not touch — matched on the RAW statement;
             # only UNLOAD's inner query goes through the front-end.
@@ -810,7 +960,45 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         # an empty path list, so bind the target unchanged.
                         state.bind(name, base)
                         continue
-                if fmt == "JSON":
+                if opts["maxerror"] is not None and (
+                    fmt == "PARQUET" or opts["fixedwidth"] is not None
+                ):
+                    # Parquet loads are schema-checked at file level and
+                    # fixed-width cuts cannot flag a malformed row —
+                    # an ignored MAXERROR would be a silent contract
+                    # change (module policy: loud).
+                    raise ValueError(
+                        f"COPY {name}: MAXERROR applies to CSV/TEXT/JSON "
+                        "loads only"
+                    )
+                if opts["fixedwidth"] is not None:
+                    if opts["format"] is not None:
+                        raise ValueError(
+                            f"COPY {name}: FIXEDWIDTH excludes FORMAT "
+                            f"{opts['format']} (fixed-width IS the format)"
+                        )
+                    from sql_redshift_etl_spark.sources.readers import read_fixed_width
+
+                    loaded = read_fixed_width(
+                        spark, src, base.schema, opts["fixedwidth"],
+                        null_value=opts["null_as"],
+                    )
+                elif opts["maxerror"] is not None:
+                    from sql_redshift_etl_spark.sources.readers import (
+                        read_with_error_budget,
+                    )
+
+                    loaded = read_with_error_budget(
+                        spark,
+                        src,
+                        base.schema,
+                        fmt,
+                        max_error=opts["maxerror"],
+                        header=opts["skip"] > 0,
+                        delimiter=opts["delimiter"] or ("," if fmt == "CSV" else "|"),
+                        null_value=opts["null_as"],
+                    )
+                elif fmt == "JSON":
                     from sql_redshift_etl_spark.sources.readers import read_json_lines
 
                     loaded = read_json_lines(spark, src, base.schema)

@@ -1,0 +1,172 @@
+"""PCA over an embedding column — the dimensionality-reduction step of
+large-scale embedding pipelines (index compression, whitening before
+IVF/KMeans clustering, 2-D corpus maps).
+
+Spark-first decomposition of a driver-side-impossible computation:
+
+1. The d×d covariance needs n·d² multiply-adds but only d²+d+1 numbers
+   of state — so each PARTITION contributes one Arrow-batched partial
+   (``mapInPandas``: count, Σx, and the flattened XᵀX from one numpy
+   einsum per batch), and a single-partition reduce folds the P partials
+   into one row. One pass over the vectors, zero shuffles of vector
+   data, driver receives ONE row (the ``.first()`` is O(1)-result
+   metadata, same contract as the JDBC-bounds lookup).
+2. The d×d eigendecomposition is O(d³) driver-side numpy — d=64 is
+   microseconds and independent of n, so it would be architecture
+   theater to distribute it.
+3. The k×d projection matrix broadcasts back as a closure constant into
+   a vectorized ``pandas_udf`` (one numpy matmul per Arrow batch).
+
+At 100 TB: step 1 is scan-bound (the partials are 33 KB per partition);
+step 3 is the same scan shape. Nothing grows with n but the two passes.
+
+No DuckDB oracle: eigendecomposition is not SQL-expressible — the
+driver records the weaker rows-only check, and the pytest suite pins
+full-value parity against numpy's reference PCA at fixture scale plus
+the orthonormality/variance invariants (tests/test_rows_only.py).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_redshift_etl_spark.catalog import load_table
+from sql_redshift_etl_spark.plans.registry import register
+
+_PARTIAL_SCHEMA = "n long, s array<double>, xtx array<double>"
+
+
+def _partial_covariance(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One (count, Σx, XᵀX) partial per Arrow batch — numpy does the
+    n·d² work C-side; only d²+d+1 doubles leave the partition."""
+    import numpy as np
+
+    for pdf in frames:
+        if not len(pdf):
+            continue
+        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        yield pd.DataFrame(
+            {
+                "n": [len(x)],
+                "s": [x.sum(axis=0).tolist()],
+                "xtx": [(x.T @ x).ravel().tolist()],
+            }
+        )
+
+
+def _reduce_partials(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    n, s, xtx = 0, None, None
+    for pdf in frames:
+        for _, row in pdf.iterrows():
+            n += int(row["n"])
+            rs = np.asarray(row["s"], dtype=np.float64)
+            rx = np.asarray(row["xtx"], dtype=np.float64)
+            s = rs if s is None else s + rs
+            xtx = rx if xtx is None else xtx + rx
+    if n:
+        yield pd.DataFrame({"n": [n], "s": [s.tolist()], "xtx": [xtx.tolist()]})
+
+
+def fit_pca(vectors: DataFrame, *, k: int) -> tuple[list[list[float]], list[float], list[float]]:
+    """Fit PCA on ``vectors.embedding``; returns (components k×d, mean d,
+    explained-variance-ratio k). Distributed covariance, driver eigh."""
+    import numpy as np
+
+    partials = vectors.select("embedding").mapInPandas(
+        _partial_covariance, schema=_PARTIAL_SCHEMA
+    )
+    row = partials.coalesce(1).mapInPandas(_reduce_partials, schema=_PARTIAL_SCHEMA).first()
+    if row is None:
+        raise ValueError("fit_pca: no vectors")
+    n = row["n"]
+    mean = [v / n for v in row["s"]]
+    d = len(mean)
+    mu = np.asarray(mean)
+    cov = (np.asarray(row["xtx"]).reshape(d, d) - n * np.outer(mu, mu)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T.copy()
+    for i in range(comps.shape[0]):  # deterministic sign: peak loading positive
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total = float(evals.sum())
+    evr = [float(evals[j]) / total for j in order]
+    return comps.tolist(), mean, evr
+
+
+def project_pca(
+    vectors: DataFrame, components: list[list[float]], mean: list[float], *, col: str = "embedding"
+) -> DataFrame:
+    """Append pc_1..pc_k: (x − μ) @ componentsᵀ as one vectorized matmul
+    per Arrow batch (the components ship as a closure constant — k·d
+    doubles, broadcast-sized by construction)."""
+    import numpy as np
+
+    k = len(components)
+
+    @F.pandas_udf("array<double>")
+    def _proj(batch: pd.Series) -> pd.Series:
+        c = np.asarray(components, dtype=np.float64)
+        mu = np.asarray(mean, dtype=np.float64)
+        x = np.stack(batch.to_numpy()).astype(np.float64)
+        return pd.Series(list((x - mu) @ c.T))
+
+    out = vectors.withColumn("_pc", _proj(F.col(col)))
+    for i in range(k):
+        out = out.withColumn(f"pc_{i + 1}", F.col("_pc")[i])
+    return out.drop("_pc")
+
+
+@register("embedding_pca_project", tags=("L3",))
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-project the embeddings table to its top-4 principal
+    components and roll up per label: mean pc_1/pc_2 and the explained
+    -variance ratios (dataset constants, repeated per row for a stable
+    rows-only schema). Rounding to 6 d.p. absorbs float reduce-order
+    jitter so repeated runs hash identically.
+    """
+    from pyspark.sql import types as T
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    try:
+        comps, mean, evr = fit_pca(emb, k=4)
+    except ValueError:
+        # empty corpus: no spectrum to fit — empty result, stable schema
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("label", emb.schema["label"].dataType),
+                    T.StructField("n_vecs", T.LongType()),
+                    T.StructField("mean_pc1", T.DoubleType()),
+                    T.StructField("mean_pc2", T.DoubleType()),
+                    T.StructField("evr_1", T.DoubleType()),
+                    T.StructField("evr_2", T.DoubleType()),
+                    T.StructField("evr_top4", T.DoubleType()),
+                ]
+            ),
+        )
+    proj = project_pca(emb, comps, mean)
+    return (
+        proj.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("pc_1"), 6).alias("mean_pc1"),
+            F.round(F.avg("pc_2"), 6).alias("mean_pc2"),
+        )
+        .withColumn("evr_1", F.lit(round(evr[0], 6)))
+        .withColumn("evr_2", F.lit(round(evr[1], 6)))
+        .withColumn(
+            "evr_top4", F.lit(round(math.fsum(evr), 6))
+        )
+        .orderBy("label")
+    )

@@ -437,3 +437,41 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("term_rank") <= 3)
         .orderBy("doc_id", "term_rank")
     )
+
+
+@register(
+    "text_approx_topk_words",
+    tags=("L4", "A3"),
+    oracle="""
+        SELECT word, cnt
+        FROM (
+            SELECT word, COUNT(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            GROUP BY word
+            ORDER BY cnt DESC, word ASC
+            LIMIT 20
+        )
+        ORDER BY cnt DESC, word ASC
+    """,
+)
+def text_approx_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate frequent items (heavy hitters) via Spark 4's
+    ``approx_top_k`` sketch: one pass, fixed memory (maxItemsTracked
+    entries per partial), mergeable partials — the frequent-items
+    posture that survives a 100 TB corpus where an exact global
+    count-all-then-sort pays a |vocabulary|-row shuffle per partition.
+    Fixture vocabulary (31 words) < maxItemsTracked, so the sketch is
+    provably in its exact regime and the DuckDB oracle checks FULL
+    values, not just shape; at web-corpus vocabularies it degrades to
+    the documented ε-approximate counts. The rank-20/21 boundary counts
+    differ in the fixture, so the top-20 set is unique (no tie
+    ambiguity in the hash).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_words()).alias("word"))
+        .agg(F.expr("approx_top_k(word, 20, 10000)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("word"), F.col("e.count").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+    )

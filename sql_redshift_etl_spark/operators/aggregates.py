@@ -354,3 +354,35 @@ def unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+@register("hll_sketch_partition_merge", tags=("A3",))  # rows-only: sketch estimates are engine-specific
+def hll_sketch_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redshift's HLLSKETCH lifecycle (HLL_CREATE_SKETCH →
+    HLL_COMBINE → HLL_CARDINALITY) on Spark 4's Apache DataSketches
+    functions: build one user_id sketch PER DAY (hll_sketch_agg),
+    union the daily sketches per event_type (hll_union_agg), estimate
+    (hll_sketch_estimate) — next to the direct single-pass sketch over
+    the same rows.
+
+    Mergeability is the whole point at 100 TB: daily sketches are a
+    few KB each, so incremental loads keep yesterday's sketches and
+    union tonight's — no re-scan of history, no shuffle of raw ids.
+    No SQL oracle (estimates are engine-specific); pytest asserts (a)
+    ±5% of exact and (b) union-of-daily ≡ direct sketch exactly — the
+    merge loses nothing.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id, 14)").alias("day_sketch"))
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(day_sketch))").alias("approx_users_merged"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias("approx_users_direct")
+    )
+    return merged.join(direct, "event_type").select(
+        "event_type", "n_days", "approx_users_merged", "approx_users_direct"
+    )

@@ -273,3 +273,79 @@ def events_incremental_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_new"),
         dsum("value", 2, 8).alias("new_value"),
     )
+
+
+@register(
+    "events_gap_fill_locf",
+    tags=("E1", "W3"),
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('day', MIN(ts)) AS d0,
+                   date_trunc('day', MAX(ts)) AS d1
+            FROM events
+        ), days AS (
+            SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM bounds
+        ), types AS (
+            SELECT DISTINCT event_type FROM events
+        ), daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   COUNT(*) AS n_big,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS big_total
+            FROM events WHERE value > 300 GROUP BY 1, 2
+        )
+        SELECT t.event_type, s.day,
+               COALESCE(d.n_big, 0) AS n_big,
+               d.big_total,
+               last_value(d.big_total IGNORE NULLS) OVER (
+                   PARTITION BY t.event_type ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_total,
+               CASE WHEN d.big_total IS NULL THEN 1 ELSE 0 END AS is_gap
+        FROM types t
+        CROSS JOIN days s
+        LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day
+    """,
+)
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap filling with LOCF (last observation carried
+    forward) — the canonical time-series densification idiom: build the
+    complete (event_type × day) spine from the table's own bounds
+    (F.sequence + explode, Spark's generate_series), left-join the
+    sparse daily rollup (value > 300 keeps ~15% of cells occupied, so
+    the fill is load-bearing), and carry the last non-null total
+    forward with last(ignorenulls) over an unbounded-preceding frame.
+
+    Scale: the spine is |types| × |days| — tiny relative to the fact
+    table at any sf, built from a 1-row bounds aggregate and broadcast
+    into the join; the rollup is one partial-agg shuffle; LOCF
+    partitions by type over the spine (bounded frame, single window
+    pass). Nothing here grows faster than the spine itself.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(days))
+    daily = (
+        ev.filter(F.col("value") > 300)
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_big"), dsum("value", 2, 8).alias("big_total"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n_big", F.lit(0)).alias("n_big"),
+        "big_total",
+        F.last("big_total", ignorenulls=True).over(w).alias("locf_total"),
+        F.when(F.col("big_total").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
+    )

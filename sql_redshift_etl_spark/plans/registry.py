@@ -51,6 +51,7 @@ _QUERY_MODULES = [
     "sql_redshift_etl_spark.llm.text",
     "sql_redshift_etl_spark.llm.dedup",
     "sql_redshift_etl_spark.llm.similarity",
+    "sql_redshift_etl_spark.llm.pca",
     "sql_redshift_etl_spark.llm.multimodal",
     "sql_redshift_etl_spark.llm.sampling",
     "sql_redshift_etl_spark.llm.curation",
@@ -103,6 +104,12 @@ def register(
 # Names not listed keep their module registration order after these.
 _VERIFY_FIRST: list[str] = [
     "redshift_script_merge_into",
+    "redshift_script_materialized_view",
+    "redshift_script_stored_procedure",
+    "redshift_sql_misc3",
+    "events_gap_fill_locf",
+    "source_fixedwidth_copy_roundtrip",
+    "text_approx_topk_words",
     "redshift_script_merge_remove_dups",
     "redshift_script_schema_evolution",
     "string_functions",
@@ -145,14 +152,14 @@ _VERIFY_FIRST: list[str] = [
     "dedup_embedding_ann_scaled",
     "q12_late_shipment_priority",
     "flagship_pricing_summary",
-    "q6_forecast_revenue",
+    "dedup_minhash_lsh",
+    # --- 50-query driver boundary ---
     "q3_shipping_priority",
     "join_star_revenue",
-    "dedup_minhash_lsh",
+    "q6_forecast_revenue",
     "sim_knn_bruteforce",
     "text_doc_stats_by_lang",
     "window_topk_per_group",
-    # --- 50-query driver boundary ---
     "events_tumbling_daily",
     "events_sessionize",
     "scan_project_expr",

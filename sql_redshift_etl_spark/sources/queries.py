@@ -262,3 +262,49 @@ def source_external_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert out is not None
     return out
+
+
+@register(
+    "source_fixedwidth_copy_roundtrip",
+    tags=("S2",),
+    oracle="""
+        SELECT n_regionkey, COUNT(*) AS n_nations,
+               MIN(n_name) AS first_name, MAX(n_name) AS last_name,
+               CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+        FROM nation GROUP BY n_regionkey
+    """,
+)
+def source_fixedwidth_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY FIXEDWIDTH (S2, r6): nation rendered to space-padded
+    fixed-width lines (format_string), loaded back through the verbatim
+    ``COPY ... FIXEDWIDTH 'label:width,...'`` script statement, and
+    aggregated — the oracle on the original table proves the column
+    cuts, right-trim, and casts are lossless.
+
+    Scale: line-oriented text input is splittable; the cuts are
+    codegen'd row-local substrings — identical posture to the CSV path.
+    """
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    path = _io_dir(sf_dir, "nation_fixedwidth")
+    nat = load_table(spark, sf_dir, "nation")
+    nat.select(
+        F.format_string("%-6d%-12s%-4d", "n_nationkey", "n_name", "n_regionkey").alias(
+            "value"
+        )
+    ).coalesce(1).write.mode("overwrite").text(path)
+    out = run_redshift_script(
+        spark,
+        f"""
+        CREATE TEMP TABLE nat_fw (
+            n_nationkey BIGINT, n_name VARCHAR(12), n_regionkey BIGINT);
+        COPY nat_fw FROM '{path}'
+            FIXEDWIDTH 'n_nationkey:6,n_name:12,n_regionkey:4';
+        SELECT n_regionkey, COUNT(*) AS n_nations,
+               MIN(n_name) AS first_name, MAX(n_name) AS last_name,
+               CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+        FROM nat_fw GROUP BY n_regionkey;
+        """,
+    )
+    assert out is not None
+    return out

@@ -11,6 +11,8 @@ SURVEY.md §7 "What we will NOT build"); option assembly is unit-tested.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -55,8 +57,9 @@ def read_csv(
 
 def read_json_lines(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
     """COPY ... FORMAT JSON analog: newline-delimited JSON with explicit
-    schema (PERMISSIVE: malformed rows → nulls, not job failure — the
-    COPY MAXERROR analog is a post-load null-rate check)."""
+    schema (PERMISSIVE: malformed rows → nulls, not job failure; for a
+    counted error budget use ``read_with_error_budget`` — the COPY
+    MAXERROR analog)."""
     return spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
 
 
@@ -122,3 +125,115 @@ def jdbc_reader_options(
 def read_jdbc(spark: SparkSession, **kwargs) -> DataFrame:
     """JDBC source read (S3) — thin wrapper over jdbc_reader_options."""
     return spark.read.format("jdbc").options(**jdbc_reader_options(**kwargs)).load()
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: StructType | str,
+    spec: str,
+    *,
+    null_value: str | None = None,
+) -> DataFrame:
+    """COPY ... FIXEDWIDTH 'label:width,...' analog: each line is cut
+    into fixed-length fields by the spec, right-trimmed (fixed-width
+    data is space-padded by definition), optionally null-matched, and
+    cast to the declared schema. The spec must cover exactly the
+    declared columns (Redshift's own contract — a partial spec would
+    silently misalign every following field).
+
+    Scale: spark.read.text is splittable line-oriented input; the cuts
+    are row-local substring projections — codegen'd, zero shuffles.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType as _ST
+
+    tgt = _ST.fromDDL(schema) if isinstance(schema, str) else schema
+    fields: list[tuple[str, int]] = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        pm = re.match(r"^([\w#$]+)\s*:\s*(\d+)$", part)
+        if pm is None or int(pm.group(2)) <= 0:
+            raise ValueError(f"FIXEDWIDTH: bad field spec {part!r} (want label:width)")
+        fields.append((pm.group(1), int(pm.group(2))))
+    declared = {f.name.lower() for f in tgt.fields}
+    labels = [n.lower() for n, _ in fields]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"FIXEDWIDTH: duplicate labels in {spec!r}")
+    if set(labels) != declared:
+        raise ValueError(
+            f"FIXEDWIDTH: spec labels {sorted(labels)} must cover exactly the "
+            f"target columns {sorted(declared)}"
+        )
+    lines = spark.read.text(path) if not isinstance(path, list) else spark.read.text(*path)
+    cols, start = {}, 1
+    for label, width in fields:
+        c = F.rtrim(F.substring(F.col("value"), start, width))
+        if null_value is not None:
+            c = F.when(c == F.lit(null_value), F.lit(None)).otherwise(c)
+        cols[label] = c
+        start += width
+    by_lower = {f.name.lower(): f for f in tgt.fields}
+    return lines.select(
+        *[
+            cols[f.name.lower()].cast(by_lower[f.name.lower()].dataType).alias(f.name)
+            for f in tgt.fields
+        ]
+    )
+
+
+def read_with_error_budget(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: StructType | str,
+    fmt: str,
+    *,
+    max_error: int,
+    header: bool = False,
+    delimiter: str = ",",
+    null_value: str | None = None,
+) -> DataFrame:
+    """COPY ... MAXERROR n analog: load CSV/JSON permissively with a
+    corrupt-record column, count malformed rows, raise if the count
+    exceeds the budget, otherwise drop them (Redshift skips up to
+    MAXERROR bad rows and fails the load beyond it — silent-null
+    loading is exactly what MAXERROR exists to prevent).
+
+    The parsed frame is cached before the acceptance count: Spark
+    disallows queries that reference ONLY the internal corrupt-record
+    column on a raw scan (SPARK-21610), and the cache also makes the
+    gate + consume a single parse at any scale.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField
+    from pyspark.sql.types import StructType as _ST
+
+    tgt = _ST.fromDDL(schema) if isinstance(schema, str) else schema
+    corrupt = "_rs_corrupt_record"
+    aug = _ST(list(tgt.fields) + [StructField(corrupt, StringType())])
+    reader = (
+        spark.read.schema(aug)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+    )
+    paths = path if isinstance(path, list) else [path]
+    if fmt == "JSON":
+        df = reader.json(*paths)
+    else:
+        df = (
+            reader.option("header", header)
+            .option("delimiter", delimiter)
+            .option("nullValue", null_value)
+            .option("multiLine", True)
+            .option("escape", '"')
+            .csv(*paths)
+        )
+    df = df.cache()
+    n_bad = df.filter(F.col(corrupt).isNotNull()).count()
+    if n_bad > max_error:
+        raise ValueError(
+            f"COPY: {n_bad} malformed row(s) exceed MAXERROR {max_error}"
+        )
+    return df.filter(F.col(corrupt).isNull()).drop(corrupt)

@@ -134,3 +134,67 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark):
     assert recall >= 0.3, f"KMeans-IVF top-10 recall {recall}"
     # pruning: results only come from nprobe distinct cells
     assert len({r["cell"] for r in rows}) <= 2
+
+
+def test_pca_matches_numpy_reference(spark):
+    """embedding_pca_project's distributed covariance + driver eigh
+    must agree with numpy's reference PCA computed on the collected
+    matrix: same eigenvalue spectrum, same projections (after the same
+    deterministic sign fix), orthonormal components, and explained
+    variance that actually sums the top-k spectrum."""
+    import numpy as np
+
+    from sql_redshift_etl_spark.catalog import load_table
+    from sql_redshift_etl_spark.llm.pca import fit_pca, project_pca
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    comps, mean, evr = fit_pca(emb, k=4)
+    c = np.asarray(comps)
+    assert c.shape == (4, 64)
+    # orthonormal rows
+    assert np.allclose(c @ c.T, np.eye(4), atol=1e-9)
+
+    x = np.stack([r["embedding"] for r in emb.select("embedding").collect()]).astype(
+        np.float64
+    )
+    mu = x.mean(axis=0)
+    assert np.allclose(mu, np.asarray(mean), atol=1e-9)
+    cov = np.cov(x, rowvar=False)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    # the k reported ratios match the reference spectrum
+    assert np.allclose(np.asarray(evr), evals[:4] / evals.sum(), atol=1e-9)
+
+    # reference projection with the same sign convention
+    ref_evals, ref_vecs = np.linalg.eigh(cov)
+    order = np.argsort(ref_evals)[::-1][:4]
+    ref_c = ref_vecs[:, order].T.copy()
+    for i in range(4):
+        j = int(np.argmax(np.abs(ref_c[i])))
+        if ref_c[i, j] < 0:
+            ref_c[i] = -ref_c[i]
+    assert np.allclose(c, ref_c, atol=1e-8)
+
+    proj = project_pca(emb, comps, mean).select("vec_id", "pc_1").collect()
+    got = {r["vec_id"]: r["pc_1"] for r in proj}
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    ref_p = (x - mu) @ ref_c.T
+    for vid, rp in zip(ids, ref_p[:, 0]):
+        assert abs(got[vid] - rp) < 1e-8
+
+
+def test_hll_sketch_merge_lossless_and_accurate(spark, duck):
+    """The daily-sketch union must estimate EXACTLY what the direct
+    one-pass sketch estimates (mergeability is lossless by
+    construction), and both within 5% of the exact distinct count."""
+    rows = QUERIES["hll_sketch_partition_merge"].builder(spark, SF_DIR).collect()
+    exact = {
+        t: n
+        for t, n in duck.execute(
+            "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY 1"
+        ).fetchall()
+    }
+    assert {r["event_type"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["approx_users_merged"] == r["approx_users_direct"], r
+        e = exact[r["event_type"]]
+        assert abs(r["approx_users_merged"] - e) / e < 0.05, (r, e)

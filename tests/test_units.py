@@ -1773,3 +1773,185 @@ def test_script_materialized_view_and_multi_drop(spark):
             REFRESH MATERIALIZED VIEW t1;
             """,
         )
+
+
+def test_script_stored_procedure_call(spark):
+    """CREATE PROCEDURE stores a straight-line plpgsql body; CALL
+    substitutes IN params on identifier boundaries and executes the
+    body statements in place; DROP PROCEDURE removes it."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE sales (region VARCHAR(8), amount BIGINT);
+        INSERT INTO sales VALUES ('NA', 100), ('EU', 250), ('NA', 40);
+
+        CREATE OR REPLACE PROCEDURE load_region(p_region VARCHAR(8), p_min BIGINT)
+        AS $$
+        BEGIN
+            CREATE TEMP TABLE picked AS
+            SELECT region, amount FROM sales
+            WHERE region = p_region AND amount >= p_min;
+            INSERT INTO summary SELECT region, COUNT(*), SUM(amount) FROM picked GROUP BY region;
+            DROP TABLE IF EXISTS picked;
+            COMMIT;
+        END;
+        $$ LANGUAGE plpgsql;
+
+        CREATE TEMP TABLE summary (region VARCHAR(8), n BIGINT, total BIGINT);
+        CALL load_region('NA', 50);
+        CALL load_region('EU', 0);
+        SELECT region, n, total FROM summary ORDER BY region;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [("EU", 1, 250), ("NA", 1, 100)]
+
+
+def test_script_stored_procedure_loud_rejections(spark):
+    """Control flow, OUT params, arity mismatches, and CALL of an
+    undefined procedure each raise named errors."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    with _pytest.raises(ValueError, match="LOOP"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE PROCEDURE p1() AS $$
+            BEGIN
+                LOOP SELECT 1; END LOOP;
+            END;
+            $$ LANGUAGE plpgsql;
+            """,
+        )
+    with _pytest.raises(ValueError, match="OUT/INOUT"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE PROCEDURE p2(OUT r BIGINT) AS $$
+            BEGIN SELECT 1; END;
+            $$ LANGUAGE plpgsql;
+            """,
+        )
+    with _pytest.raises(ValueError, match="expected 1 argument"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE PROCEDURE p3(p_k BIGINT) AS $$
+            BEGIN SELECT p_k; END;
+            $$ LANGUAGE plpgsql;
+            CALL p3(1, 2);
+            """,
+        )
+    with _pytest.raises(ValueError, match="no procedure"):
+        run_redshift_script(spark, "CALL ghost(1);")
+
+
+def test_script_procedure_if_exists_in_body_ok(spark):
+    """DROP TABLE IF EXISTS / CREATE TABLE IF-free DDL inside a body do
+    not trip the control-flow guard (IF EXISTS is DDL, not plpgsql IF)."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE PROCEDURE rebuild() AS $$
+        BEGIN
+            DROP TABLE IF EXISTS scratch;
+            CREATE TEMP TABLE scratch AS SELECT 42 AS v;
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL rebuild();
+        SELECT v FROM scratch;
+        """,
+    )
+    assert [r.v for r in out.collect()] == [42]
+
+
+def test_copy_fixedwidth_loud_rejections(spark, tmp_path):
+    """FIXEDWIDTH: spec must cover exactly the target columns; FORMAT
+    alongside FIXEDWIDTH raises; bad field specs raise."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    p = tmp_path / "fw.txt"
+    p.write_text("1     ab  \n")
+    ddl = "CREATE TEMP TABLE t (a BIGINT, b VARCHAR(4));"
+    with _pytest.raises(ValueError, match="cover exactly"):
+        run_redshift_script(spark, f"{ddl} COPY t FROM '{p}' FIXEDWIDTH 'a:6';")
+    with _pytest.raises(ValueError, match="FIXEDWIDTH excludes FORMAT"):
+        run_redshift_script(
+            spark, f"{ddl} COPY t FROM '{p}' FORMAT AS CSV FIXEDWIDTH 'a:6,b:4';"
+        )
+    with _pytest.raises(ValueError, match="bad field spec"):
+        run_redshift_script(spark, f"{ddl} COPY t FROM '{p}' FIXEDWIDTH 'a:6,b';")
+
+
+def test_copy_fixedwidth_null_as_and_trim(spark, tmp_path):
+    """Fixed-width fields right-trim their padding; NULL AS sentinel
+    (after trim) yields NULL; numeric casts absorb leading spaces."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    p = tmp_path / "fw.txt"
+    p.write_text("     1ab  \n     2@    \n    10zz  \n")
+    out = run_redshift_script(
+        spark,
+        f"""
+        CREATE TEMP TABLE t (a BIGINT, b VARCHAR(4));
+        COPY t FROM '{p}' FIXEDWIDTH 'a:6,b:4' NULL AS '@';
+        SELECT a, b FROM t ORDER BY a;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, "ab"), (2, None), (10, "zz")]
+
+
+def test_copy_maxerror_budget(spark, tmp_path):
+    """COPY ... MAXERROR n: malformed rows within budget are skipped
+    (not silently nulled), beyond it the load fails with the count;
+    MAXERROR on PARQUET/FIXEDWIDTH raises."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    p = tmp_path / "m.csv"
+    p.write_text("1,a\nnotanint,b\n3,c\n4,d,EXTRA,COLS,HERE\n5,e\n")
+    ddl = "CREATE TEMP TABLE t (k BIGINT, v VARCHAR(4));"
+    out = run_redshift_script(
+        spark,
+        f"""
+        {ddl}
+        COPY t FROM '{p}' FORMAT AS CSV MAXERROR 5;
+        SELECT k, v FROM t ORDER BY k;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, "a"), (3, "c"), (5, "e")]
+
+    with _pytest.raises(ValueError, match="exceed MAXERROR 1"):
+        run_redshift_script(
+            spark, f"{ddl} COPY t FROM '{p}' FORMAT AS CSV MAXERROR 1;"
+        )
+    with _pytest.raises(ValueError, match="CSV/TEXT/JSON"):
+        run_redshift_script(
+            spark, f"{ddl} COPY t FROM '{p}' FORMAT AS PARQUET MAXERROR 2;"
+        )
+
+
+def test_copy_maxerror_json(spark, tmp_path):
+    """MAXERROR over newline-delimited JSON: unparseable lines count
+    against the budget."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    p = tmp_path / "m.json"
+    p.write_text('{"k": 1, "v": "a"}\nTHIS IS NOT JSON\n{"k": 3, "v": "c"}\n')
+    out = run_redshift_script(
+        spark,
+        f"""
+        CREATE TEMP TABLE t (k BIGINT, v VARCHAR(4));
+        COPY t FROM '{p}' FORMAT AS JSON MAXERROR 2;
+        SELECT k, v FROM t ORDER BY k;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, "a"), (3, "c")]

@@ -1256,3 +1256,79 @@ def redshift_sql_misc3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("rs_misc3_customer")
     return run_redshift_sql(spark, _REDSHIFT_MISC3.format(customer="rs_misc3_customer"))
+
+
+_REDSHIFT_NAMED_WINDOW = """
+    SELECT l_orderkey, l_linenumber,
+           ROW_NUMBER() OVER w AS rn,
+           CAST(SUM(CONVERT(DECIMAL(18,2), l_quantity)) OVER w AS DOUBLE)
+               AS run_qty,
+           LAG(l_linenumber) OVER w AS prev_line,
+           COUNT(*) OVER (PARTITION BY l_orderkey) AS n_lines
+    FROM {lineitem}
+    WHERE l_orderkey <= 2000
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+"""
+
+
+@register(
+    "window_named_clause",
+    tags=("W1", "W2", "W5"),
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               ROW_NUMBER() OVER w AS rn,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                   AS run_qty,
+               LAG(l_linenumber) OVER w AS prev_line,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS n_lines
+        FROM lineitem
+        WHERE l_orderkey <= 2000
+        WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+    """,
+)
+def window_named_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause (Redshift reusable window definitions):
+    three functions share one ``WINDOW w AS (...)`` next to an inline
+    OVER — run verbatim through the front-end (Spark parses the clause
+    natively; the rewrite layer's job is to NOT touch it). The default
+    ordered frame (RANGE UNBOUNDED PRECEDING..CURRENT ROW) drives the
+    running sum in both engines, so frame semantics are load-bearing
+    in the hash.
+
+    Scale: a shared window name is one Sort+Window pass, not three —
+    exactly why the clause exists.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("rs_nw_lineitem")
+    return run_redshift_sql(spark, _REDSHIFT_NAMED_WINDOW.format(lineitem="rs_nw_lineitem"))
+
+
+_REDSHIFT_PARTIQL = """
+    SELECT e.vec_id, e.label, i AS pos, CAST(v AS DOUBLE) AS component
+    FROM {embeddings} e, e.embedding v AT i
+    WHERE e.vec_id < 20 AND i < 4
+"""
+
+
+@register(
+    "partiql_unnest_embeddings",
+    tags=("§2.7",),
+    oracle="""
+        SELECT vec_id, label, i - 1 AS pos,
+               CAST(embedding[i] AS DOUBLE) AS component
+        FROM embeddings, generate_series(1, 4) AS g(i)
+        WHERE vec_id < 20
+    """,
+)
+def partiql_unnest_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PartiQL array navigation (Redshift SUPER): the verbatim
+    ``FROM t e, e.embedding v AT i`` unnest-with-ordinality form,
+    rewritten to LATERAL VIEW posexplode by the front-end (the \\2
+    backreference pins the qualifier to the preceding table alias, so
+    schema-qualified comma joins pass through untouched). The oracle
+    indexes the array directly per ordinal.
+
+    Scale: explode is a row-local Generate — no shuffle; the ordinal
+    filter prunes inside the generate, not after a full explode.
+    """
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("rs_pq_embeddings")
+    return run_redshift_sql(spark, _REDSHIFT_PARTIQL.format(embeddings="rs_pq_embeddings"))

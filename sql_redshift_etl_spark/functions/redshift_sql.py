@@ -854,6 +854,43 @@ def rewrite_temp_names(sql: str) -> str:
     return _unmask_literals(masked, lits)
 
 
+# PartiQL unnest (Redshift SUPER navigation in FROM): `FROM t a,
+# a.items v [AT i]` iterates the array column a.items. The \2
+# backreference pins the unnest qualifier to the PRECEDING table's
+# alias — a comma join of a schema-qualified table (`FROM x, s.t u`)
+# does not match unless `s` is that alias, mirroring PartiQL's own
+# alias-first resolution. Chained unnests match iteratively (the head
+# group admits already-rewritten LATERAL VIEW clauses).
+_PARTIQL_UNNEST = re.compile(
+    r"(FROM\s+[\w.]+\s+(?:AS\s+)?(\w+)"
+    r"((?:\s+LATERAL\s+VIEW\s+(?:pos)?explode\([^)]*\)\s+\w+\s+AS\s+\w+(?:\s*,\s*\w+)?)*))"
+    r"\s*,\s*\2\.(\w+)\s+(?:AS\s+)?(\w+)(?:\s+AT\s+(\w+))?"
+    r"(?=\s*(?:,|WHERE\b|GROUP\b|ORDER\b|HAVING\b|QUALIFY\b|LIMIT\b|WINDOW\b|\)|$))",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_partiql_unnest(sql: str) -> str:
+    """`FROM t a, a.col [AS] v [AT i]` → LATERAL VIEW (pos)explode —
+    Redshift's PartiQL array iteration over the engine's array-typed
+    columns (the SUPER-array analog; object navigation stays on
+    get_json_object/from_json)."""
+    masked, lits = _mask_literals(sql)
+    while True:
+        m = _PARTIQL_UNNEST.search(masked)
+        if m is None:
+            return _unmask_literals(masked, lits)
+        head, alias, _lv, col, elem, idx = m.groups()
+        if idx:
+            repl = (
+                f"{head} LATERAL VIEW posexplode({alias}.{col}) "
+                f"rs_pq_{elem} AS {idx}, {elem}"
+            )
+        else:
+            repl = f"{head} LATERAL VIEW explode({alias}.{col}) rs_pq_{elem} AS {elem}"
+        masked = masked[: m.start()] + repl + masked[m.end() :]
+
+
 def _rewrite_replicate(sql: str) -> str:
     """REPLICATE (Redshift's REPEAT alias) → repeat."""
     masked, lits = _mask_literals(sql)
@@ -1031,7 +1068,7 @@ def translate_redshift_sql(sql: str) -> str:
     _rewrite_top runs before _rewrite_qualify so TOP + QUALIFY composes
     (qualify keeps the appended LIMIT in its tail)."""
     sql = strip_sql_comments(sql)
-    for fn in (rewrite_temp_names, _rewrite_top, _rewrite_qualify, _rewrite_convert, _rewrite_type_spellings, _rewrite_datediff, _rewrite_to_char, _rewrite_to_datetime, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_approx_count, _rewrite_similar_to, _rewrite_date_part_year, _rewrite_extract_epoch, _rewrite_at_time_zone, _rewrite_string_fns, _rewrite_trunc, _rewrite_math_aliases, _rewrite_replicate, _rewrite_log_base10, _rewrite_strtol, _rewrite_cmp_fns, _rewrite_quote_fns, _rewrite_to_number, _rewrite_now, _strip_storage_clauses):
+    for fn in (rewrite_temp_names, _rewrite_partiql_unnest, _rewrite_top, _rewrite_qualify, _rewrite_convert, _rewrite_type_spellings, _rewrite_datediff, _rewrite_to_char, _rewrite_to_datetime, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_approx_count, _rewrite_similar_to, _rewrite_date_part_year, _rewrite_extract_epoch, _rewrite_at_time_zone, _rewrite_string_fns, _rewrite_trunc, _rewrite_math_aliases, _rewrite_replicate, _rewrite_log_base10, _rewrite_strtol, _rewrite_cmp_fns, _rewrite_quote_fns, _rewrite_to_number, _rewrite_now, _strip_storage_clauses):
         sql = fn(sql)
     return sql
 

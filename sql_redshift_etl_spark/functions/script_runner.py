@@ -18,8 +18,9 @@ Statement support:
 - ``CREATE [TEMP] TABLE name (col type, ...)`` — empty table with the
   declared schema (Spark parses the DDL column list directly).
 - ``CREATE [TEMP] TABLE name (LIKE other)`` — empty table with the
-  other table's schema (r5; INCLUDING/EXCLUDING DEFAULTS accepted and
-  ignored — script tables have no defaults here).
+  other table's schema (r5); ``INCLUDING DEFAULTS`` copies the other
+  table's DEFAULT attributes, ``EXCLUDING``/bare does not (r6 —
+  Redshift's own LIKE contract).
 - ``ALTER TABLE a RENAME TO b`` — the atomic-swap publish step (r5):
   the table moves to the new name within script scope.
 - ``ALTER TABLE tgt APPEND FROM src`` — Redshift's move-rows publish
@@ -33,7 +34,9 @@ Statement support:
 - ``CREATE [OR REPLACE] VIEW name AS SELECT ...`` — same as CTAS.
 - ``INSERT INTO name [(cols)] SELECT ... | VALUES ...`` — positional
   append with per-column cast to the target schema; unlisted columns
-  of an explicit column list become NULL.
+  of an explicit column list take their declared ``DEFAULT`` literal
+  (r6; recorded from CREATE/ALTER DDL, inherited by CREATE (LIKE ...
+  INCLUDING DEFAULTS), following renames, dying with drops), else NULL.
 - ``DELETE FROM name [WHERE cond]`` — keeps rows where ``cond`` is not
   TRUE (NULL-cond rows survive, matching SQL DELETE); subqueries in
   ``cond`` work because the filter runs through ``spark.sql``.
@@ -244,7 +247,7 @@ def _split_top_kw(body: str, kw: str) -> tuple[str, str | None]:
                 return body[:i].strip(), body[i + k :].strip()
     return body.strip(), None
 _CREATE_LIKE = re.compile(
-    r"^CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\(\s*LIKE\s+([\w.]+)\s*(?:INCLUDING|EXCLUDING)?\s*(?:DEFAULTS)?\s*\)\s*$",
+    r"^CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\(\s*LIKE\s+([\w.]+)\s*(INCLUDING|EXCLUDING)?\s*(?:DEFAULTS)?\s*\)\s*$",
     re.IGNORECASE,
 )
 _ALTER_RENAME = re.compile(
@@ -298,6 +301,16 @@ def _normalize_ddl_types(body: str) -> str:
 # StructType.fromDDL, which cannot parse it.
 _IDENTITY_ATTR = re.compile(
     r"(\w+)\s+(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s+IDENTITY\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)",
+    re.IGNORECASE,
+)
+# DEFAULT <literal> column attribute: recorded (INSERTs omitting the
+# column fill the default — Redshift's contract) and stripped before
+# StructType.fromDDL. Literal forms only; expression defaults
+# (GETDATE() etc.) are nondeterministic and raise at INSERT-time cast
+# if someone smuggles one in.
+_DEFAULT_ATTR = re.compile(
+    r"(\w+)\s+(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?(?:\s+NOT\s+NULL)?)\s+"
+    r"DEFAULT\s+('(?:[^']|'')*'|[-+]?\d+(?:\.\d+)?|TRUE|FALSE|NULL)",
     re.IGNORECASE,
 )
 # Redshift Spectrum analog (r5): an external table is a schema-on-read
@@ -548,11 +561,20 @@ class _ScriptState:
         self.mv_defs: dict[str, str] = {}
         # procedure -> (IN-param names, straight-line body text)
         self.procs: dict[str, tuple[list[str], str]] = {}
+        # table -> {column: DEFAULT literal SQL text} (CREATE/ALTER DDL
+        # attribute; INSERTs that omit the column fill the default, not
+        # NULL — Redshift's contract). Lifecycle mirrors identity_cols.
+        self.default_cols: dict[str, dict[str, str]] = {}
         # Caller-registered TEMP views a script statement re-binds
         # (DELETE/UPDATE/INSERT/COPY on a base view): captured as
         # resolved DataFrames so cleanup restores them — "shadowed for
         # the script's duration", not destroyed.
         self.shadowed: dict[str, DataFrame] = {}
+
+    def drop_meta(self, name: str) -> None:
+        """A rebind or drop kills per-table DDL attributes."""
+        self.identity_cols.pop(name, None)
+        self.default_cols.pop(name, None)
 
     def bind(self, name: str, df: DataFrame) -> None:
         if name not in self.created_views and name not in self.shadowed:
@@ -1154,9 +1176,13 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 # publish idiom. (Checked before CTAS/DDL: its "(LIKE x)"
                 # body would otherwise parse as a column list.) Identity
                 # attributes inherit, as in Redshift's LIKE.
-                state.identity_cols.pop(m.group(1), None)  # rebind clears
+                state.drop_meta(m.group(1))  # rebind clears
                 if m.group(2) in state.identity_cols:
                     state.identity_cols[m.group(1)] = dict(state.identity_cols[m.group(2)])
+                if m.group(2) in state.default_cols and (m.group(3) or "").upper() == "INCLUDING":
+                    # Redshift LIKE copies defaults only under
+                    # INCLUDING DEFAULTS (EXCLUDING is the default)
+                    state.default_cols[m.group(1)] = dict(state.default_cols[m.group(2)])
                 state.bind(m.group(1), state.existing(m.group(2)).limit(0))
             elif m := _ALTER_RENAME.match(stmt):
                 # ALTER TABLE a RENAME TO b: the atomic-swap publish step.
@@ -1170,9 +1196,11 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 spark.catalog.dropTempView(old)
                 state.tables.pop(old, None)
                 state.created_views.discard(old)
-                state.identity_cols.pop(new, None)  # overwritten target's dies
+                state.drop_meta(new)  # overwritten target's dies
                 if old in state.identity_cols:
                     state.identity_cols[new] = state.identity_cols.pop(old)
+                if old in state.default_cols:
+                    state.default_cols[new] = state.default_cols.pop(old)
                 state.bind(new, df)
             elif m := _ALTER_APPEND.match(stmt):
                 # ALTER TABLE tgt APPEND FROM src: Redshift's move-rows
@@ -1203,6 +1231,10 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     else f.dataType
                 )
                 val = F.expr(default).cast(dt) if default else F.lit(None).cast(dt)
+                if default:
+                    # future INSERTs omitting the column also take the
+                    # default, not just the backfill of existing rows
+                    state.default_cols.setdefault(name, {})[col] = default
                 state.bind(name, base.withColumn(col, val))
             elif m := _ALTER_DROP_COL.match(stmt):
                 name, col = m.groups()
@@ -1214,6 +1246,9 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 ids = state.identity_cols.get(name)
                 if ids:  # dropping the identity column kills its generator
                     ids.pop(actual[col.lower()], None)
+                dfs = state.default_cols.get(name)
+                if dfs:  # ... and its default
+                    dfs.pop(actual[col.lower()], None)
             elif m := _ALTER_RENAME_COL.match(stmt):
                 name, old_c, new_c = m.groups()
                 base = state.existing(name)
@@ -1224,14 +1259,17 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 ids = state.identity_cols.get(name)
                 if ids and actual[old_c.lower()] in ids:
                     ids[new_c] = ids.pop(actual[old_c.lower()])
+                dfs = state.default_cols.get(name)
+                if dfs and actual[old_c.lower()] in dfs:
+                    dfs[new_c] = dfs.pop(actual[old_c.lower()])
             elif m := _CTAS.match(stmt):
-                state.identity_cols.pop(m.group(1), None)  # rebind clears
+                state.drop_meta(m.group(1))  # rebind clears
                 state.bind(m.group(1), spark.sql(m.group(2)))
             elif m := _CREATE_VIEW.match(stmt):
-                state.identity_cols.pop(m.group(1), None)
+                state.drop_meta(m.group(1))
                 state.bind(m.group(1), spark.sql(m.group(2)))
             elif m := _CREATE_MV.match(stmt):
-                state.identity_cols.pop(m.group(1), None)
+                state.drop_meta(m.group(1))
                 state.mv_defs[m.group(1)] = m.group(2)
                 state.bind(m.group(1), spark.sql(m.group(2)))
             elif m := _REFRESH_MV.match(stmt):
@@ -1252,7 +1290,13 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 from pyspark.sql import types as T
 
                 ddl_body = _normalize_ddl_types(m.group(2))
-                state.identity_cols.pop(m.group(1), None)  # rebind clears
+                state.drop_meta(m.group(1))  # rebind clears
+                defaults = {
+                    c: lit for c, _typ, lit in _DEFAULT_ATTR.findall(ddl_body)
+                }
+                if defaults:
+                    ddl_body = _DEFAULT_ATTR.sub(r"\1 \2", ddl_body)
+                    state.default_cols[m.group(1)] = defaults
                 ids = {
                     c: int(seed)
                     for c, _typ, seed, _step in _IDENTITY_ATTR.findall(ddl_body)
@@ -1341,6 +1385,10 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                                     + F.lit(start - 1)
                                 )
                             return F.monotonically_increasing_id() + F.lit(start)
+                        if f.name in state.default_cols.get(name, {}):
+                            # unlisted + declared DEFAULT → the default
+                            # literal, not NULL (Redshift's contract)
+                            return F.expr(state.default_cols[name][f.name])
                         return F.lit(None)
 
                     sel = sel.select(
@@ -1483,10 +1531,10 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     spark.catalog.dropTempView(name)
                     state.tables.pop(name, None)
                     state.created_views.discard(name)
-                    # the identity attribute dies with the table — a later
-                    # CREATE of the same name without IDENTITY must insert
-                    # NULLs, not resurrect the old generator
-                    state.identity_cols.pop(name, None)
+                    # DDL attributes (IDENTITY/DEFAULT) die with the table
+                    # — a later CREATE of the same name without them must
+                    # insert NULLs, not resurrect the old behavior
+                    state.drop_meta(name)
                     state.mv_defs.pop(name, None)
             elif _QUERY.match(stmt):
                 # SELECT ... INTO name FROM ... (Redshift's SELECT INTO,

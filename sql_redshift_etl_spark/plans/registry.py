@@ -110,6 +110,9 @@ _VERIFY_FIRST: list[str] = [
     "events_gap_fill_locf",
     "source_fixedwidth_copy_roundtrip",
     "text_approx_topk_words",
+    "stream_hll_incremental",
+    "window_named_clause",
+    "partiql_unnest_embeddings",
     "redshift_script_merge_remove_dups",
     "redshift_script_schema_evolution",
     "string_functions",
@@ -149,11 +152,11 @@ _VERIFY_FIRST: list[str] = [
     "multimodal_wav_roundtrip",
     "multimodal_png_roundtrip",
     "multimodal_image_resize",
+    "flagship_pricing_summary",
+    # --- 50-query driver boundary ---
+    "dedup_minhash_lsh",
     "dedup_embedding_ann_scaled",
     "q12_late_shipment_priority",
-    "flagship_pricing_summary",
-    "dedup_minhash_lsh",
-    # --- 50-query driver boundary ---
     "q3_shipping_priority",
     "join_star_revenue",
     "q6_forecast_revenue",

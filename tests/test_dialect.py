@@ -50,3 +50,20 @@ def test_misc3_scalar_rewrites():
         tr("SELECT TO_NUMBER(s, fmt_col) FROM t")
     with _pytest.raises(ValueError, match="unsupported format"):
         tr("SELECT TO_NUMBER(s, 'MI9999') FROM t")
+
+
+def test_partiql_unnest_rewrite():
+    """PartiQL `FROM t a, a.col v [AT i]` → LATERAL VIEW; qualifier
+    must equal the preceding alias, so schema-qualified comma joins
+    pass through."""
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql as tr
+
+    out = tr("SELECT e.k, v FROM t e, e.a AS v WHERE v > 5")
+    assert "LATERAL VIEW explode(e.a) rs_pq_v AS v" in out and ", e.a" not in out
+    out = tr("SELECT e.k, i, v FROM t e, e.a v AT i")
+    assert "LATERAL VIEW posexplode(e.a) rs_pq_v AS i, v" in out
+    out = tr("SELECT 1 FROM t e, e.a AS v, e.b AS w")
+    assert out.count("LATERAL VIEW") == 2
+    # comma join of a schema-qualified TABLE is untouched
+    out = tr("SELECT * FROM t e, s.other o WHERE e.k = o.k")
+    assert "LATERAL VIEW" not in out and "s.other o" in out

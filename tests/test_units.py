@@ -527,11 +527,11 @@ def test_script_io_option_parser():
     )
     assert o["format"] == "PARQUET" and o["partition_by"] == ["lang", "source"]
     assert o["overwrite"] and not o["parallel"]
-    # unknown options are loud, not dropped (MAXERROR would change semantics)
+    # unknown options are loud, not dropped (ACCEPTINVCHARS would change semantics)
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="unsupported COPY option"):
-        _parse_io_options("MAXERROR 10", "COPY")
+        _parse_io_options("ACCEPTINVCHARS '?'", "COPY")
 
 
 def test_script_runner_copy_unload_roundtrip(spark, tmp_path):
@@ -1955,3 +1955,54 @@ def test_copy_maxerror_json(spark, tmp_path):
         """,
     )
     assert [tuple(r) for r in out.collect()] == [(1, "a"), (3, "c")]
+
+
+def test_script_column_defaults(spark):
+    """DEFAULT column attribute: INSERTs omitting the column fill the
+    declared literal (not NULL); LIKE copies defaults only under
+    INCLUDING DEFAULTS; renames carry the default, drops+recreates
+    clear it."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE t (k BIGINT, tier VARCHAR(8) DEFAULT 'STD',
+                             qty BIGINT NOT NULL DEFAULT 1);
+        INSERT INTO t (k) VALUES (1);
+        INSERT INTO t (k, tier) VALUES (2, 'BIG');
+        INSERT INTO t (k, tier, qty) VALUES (3, NULL, 7);
+        ALTER TABLE t RENAME COLUMN tier TO grade;
+        INSERT INTO t (k) VALUES (4);
+        SELECT k, grade, qty FROM t ORDER BY k;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        (1, "STD", 1), (2, "BIG", 1), (3, None, 7), (4, "STD", 1),
+    ]
+
+    like = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE src (k BIGINT, tier VARCHAR(8) DEFAULT 'STD');
+        CREATE TEMP TABLE with_d (LIKE src INCLUDING DEFAULTS);
+        CREATE TEMP TABLE without_d (LIKE src);
+        INSERT INTO with_d (k) VALUES (1);
+        INSERT INTO without_d (k) VALUES (1);
+        SELECT w.tier AS with_tier, o.tier AS without_tier
+        FROM with_d w CROSS JOIN without_d o;
+        """,
+    )
+    assert [tuple(r) for r in like.collect()] == [("STD", None)]
+
+    cleared = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE d (k BIGINT, tier VARCHAR(8) DEFAULT 'STD');
+        DROP TABLE d;
+        CREATE TEMP TABLE d (k BIGINT, tier VARCHAR(8));
+        INSERT INTO d (k) VALUES (1);
+        SELECT tier FROM d;
+        """,
+    )
+    assert [r.tier for r in cleared.collect()] == [None]

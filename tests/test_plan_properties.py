@@ -356,3 +356,64 @@ def test_script_merge_remove_dups_plans_anti_plus_window(spark):
     assert "row_number" in plan, "replacement-pick window missing"
     assert "Cartesian" not in plan
     assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_gap_fill_broadcasts_spine_and_single_window(spark):
+    """events_gap_fill_locf (r6): the spine is built from tiny frames
+    and broadcast into the left join; LOCF is exactly one Window node;
+    the value>300 rollup filter reaches the scan."""
+    plan = plan_of(spark, "events_gap_fill_locf")
+    assert plan.count("BroadcastExchange") >= 2, "spine/daily not broadcast"
+    import re as _re
+
+    assert len(_re.findall(r"(?m)^\(\d+\) Window", plan)) == 1, (
+        "LOCF should be one window pass"
+    )
+    assert "PushedFilters" in plan
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_partiql_unnest_is_row_local_generate(spark):
+    """PartiQL unnest lowers to Generate (posexplode) with the vec_id
+    predicate pushed to the scan — no shuffle, no cartesian."""
+    plan = plan_of(spark, "partiql_unnest_embeddings")
+    assert "Generate" in plan, "unnest did not lower to Generate"
+    assert "Cartesian" not in plan
+    assert "Exchange" not in plan.replace("ReusedExchange", ""), (
+        "row-local unnest acquired a shuffle"
+    )
+
+
+def test_named_window_single_sort_window_pass(spark):
+    """window_named_clause: the three shared-window functions must run
+    in ONE Sort for the named window (plus the independent COUNT
+    partition) — the clause's entire point."""
+    plan = plan_of(spark, "window_named_clause")
+    import re as _re
+
+    assert len(_re.findall(r"(?m)^\(\d+\) Window", plan)) <= 2, (
+        "named window split into extra passes"
+    )
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pca_partials_have_no_vector_shuffle(spark):
+    """fit_pca's covariance stage: the only movement after the scan is
+    the single-partition coalesce of (d²+d+1)-double partials — no
+    Exchange of vector data."""
+    from sql_redshift_etl_spark.catalog import load_table
+    from sql_redshift_etl_spark.llm.pca import _PARTIAL_SCHEMA, _partial_covariance
+
+    import contextlib
+    import io
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    partials = emb.select("embedding").mapInPandas(
+        _partial_covariance, schema=_PARTIAL_SCHEMA
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        partials.coalesce(1).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, "covariance partials acquired a shuffle"
+    assert "Coalesce" in plan

@@ -101,6 +101,23 @@ TARGETS: dict[str, str] = {
         "the cosine verify is inline — never a second join shuffling "
         "O(candidates·dim) (measured ~240 GB spill at sf100); no cartesian."
     ),
+    "events_gap_fill_locf": (
+        "spine from a 1-row bounds agg, broadcast both into the cross and "
+        "the left join; value>300 pushed to the rollup scan; LOCF is ONE "
+        "Window pass (r6)."
+    ),
+    "partiql_unnest_embeddings": (
+        "unnest lowers to a row-local Generate (posexplode); vec_id pushed "
+        "to the scan; zero exchanges (r6)."
+    ),
+    "window_named_clause": (
+        "three shared-window functions in at most two Sort+Window passes "
+        "(named window reuse; the COUNT partition is the second) (r6)."
+    ),
+    "text_approx_topk_words": (
+        "approx_top_k partials merge through one single-row exchange — the "
+        "explode never shuffles tokens (r6)."
+    ),
 }
 
 

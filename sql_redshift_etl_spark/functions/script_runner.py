@@ -14,7 +14,8 @@ Statement support:
   (transactional/maintenance syntax with no Spark analog).
 - ``CREATE [TEMP] TABLE name AS SELECT ...`` — registers the SELECT as
   a temp view (storage clauses like DISTKEY/SORTKEY are stripped by the
-  front-end before classification).
+  front-end before classification); ``name (a, b) AS SELECT`` renames
+  the query's columns positionally (r6).
 - ``CREATE [TEMP] TABLE name (col type, ...)`` — empty table with the
   declared schema (Spark parses the DDL column list directly).
 - ``CREATE [TEMP] TABLE name (LIKE other)`` — empty table with the
@@ -68,7 +69,15 @@ Statement support:
 - ``COPY ... MAXERROR n`` (r6) — the error-budgeted load: malformed
   CSV/TEXT/JSON rows are counted (corrupt-record column), the load
   fails loudly past the budget and skips the bad rows within it;
+  skipped raw records accumulate in a script-scoped
+  ``stl_load_errors`` table (tbl, raw_line — the system-table analog);
   MAXERROR on PARQUET/FIXEDWIDTH raises.
+- ``INSERT INTO name DEFAULT VALUES`` (r6) — one row of declared
+  defaults (identity generates; unattributed columns NULL).
+- ``COPY ... DATEFORMAT/TIMEFORMAT 'fmt'`` (r6) — Redshift-dialect
+  read formats for delimited text, translated to Spark patterns
+  ('auto' = engine default); epoch spellings and non-text formats
+  raise.
 - ``COPY name FROM 'path' FIXEDWIDTH 'label:width,...'`` (r6) — fixed
   -width text load: lines cut by the spec (which must cover exactly
   the target's columns), fields right-trimmed, NULL AS honored, cast
@@ -175,6 +184,14 @@ _CTAS = re.compile(
     r"^CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+# CTAS with a column list (`CREATE TABLE t (a, b) AS SELECT ...`):
+# bare identifiers only — anything typed is DDL. Checked before
+# _CREATE_DDL, whose greedy paren body would swallow the AS query.
+_CTAS_COLS = re.compile(
+    r"^CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
+    r"\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s+AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _CREATE_DDL = re.compile(
     r"^CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+)\)\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -189,6 +206,9 @@ _INSERT = re.compile(
     r"^INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?"
     r"((?:SELECT|WITH|VALUES)\b.*|\(\s*(?:SELECT|WITH)\b.*)$",
     re.IGNORECASE | re.DOTALL,
+)
+_INSERT_DEFAULTS = re.compile(
+    r"^INSERT\s+INTO\s+([\w.]+)\s+DEFAULT\s+VALUES\s*$", re.IGNORECASE
 )
 _DELETE = re.compile(
     r"^DELETE\s+FROM\s+([\w.]+)(?:\s+(.+))?$", re.IGNORECASE | re.DOTALL
@@ -454,6 +474,8 @@ _OPT_TOKEN = re.compile(
     | EXPLICIT_IDS\b
     | FIXEDWIDTH\s+(?:AS\s+)?'(?P<fixedwidth>[^']*)'
     | MAXERROR\s+(?:AS\s+)?(?P<maxerror>\d+)
+    | DATEFORMAT\s+(?:AS\s+)?'(?P<datefmt>[^']*)'
+    | TIMEFORMAT\s+(?:AS\s+)?'(?P<timefmt>[^']*)'
     | NULL\s+(?:AS\s+)?'(?P<nullas>[^']*)'
     | (?:IAM_ROLE|CREDENTIALS|REGION|ACCESS_KEY_ID|SECRET_ACCESS_KEY|SESSION_TOKEN)\s+'[^']*'
     | 'auto'
@@ -467,7 +489,8 @@ def _parse_io_options(clause: str, stmt_kind: str) -> dict:
     opts: dict = {"format": None, "header": False, "skip": 0, "delimiter": None,
                   "partition_by": [], "overwrite": False, "parallel": True,
                   "manifest": False, "codec": None, "null_as": None,
-                  "fixedwidth": None, "maxerror": None}
+                  "fixedwidth": None, "maxerror": None,
+                  "datefmt": None, "timefmt": None}
     pos = 0
     while pos < len(clause):
         m = _OPT_TOKEN.match(clause, pos)
@@ -499,6 +522,10 @@ def _parse_io_options(clause: str, stmt_kind: str) -> dict:
             opts["fixedwidth"] = m.group("fixedwidth")
         if m.group("maxerror") is not None:
             opts["maxerror"] = int(m.group("maxerror"))
+        if m.group("datefmt") is not None:
+            opts["datefmt"] = m.group("datefmt")
+        if m.group("timefmt") is not None:
+            opts["timefmt"] = m.group("timefmt")
         pos = m.end()
     return opts
 
@@ -982,6 +1009,31 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         # an empty path list, so bind the target unchanged.
                         state.bind(name, base)
                         continue
+                # DATEFORMAT/TIMEFORMAT: Redshift-dialect read formats
+                # for delimited text; 'auto' = engine default. Epoch
+                # spellings and non-text formats are out of the
+                # supported subset (loud, not silently ignored).
+                fmt_opts: dict[str, str] = {}
+                for key, opt_name in (("datefmt", "DATEFORMAT"), ("timefmt", "TIMEFORMAT")):
+                    v = opts[key]
+                    if v is None or v.lower() == "auto":
+                        continue
+                    if v.lower() in ("epochsecs", "epochmillisecs"):
+                        raise ValueError(
+                            f"COPY {name}: TIMEFORMAT {v!r} unsupported — load "
+                            "as BIGINT and convert with TIMESTAMP 'epoch' + "
+                            "arithmetic"
+                        )
+                    if fmt in ("JSON", "PARQUET") or opts["fixedwidth"] is not None:
+                        raise ValueError(
+                            f"COPY {name}: {opt_name} applies to delimited "
+                            "text loads only"
+                        )
+                    from sql_redshift_etl_spark.functions.dialect import (
+                        translate_datetime_format,
+                    )
+
+                    fmt_opts[key] = translate_datetime_format(v)
                 if opts["maxerror"] is not None and (
                     fmt == "PARQUET" or opts["fixedwidth"] is not None
                 ):
@@ -1010,7 +1062,7 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         read_with_error_budget,
                     )
 
-                    loaded = read_with_error_budget(
+                    loaded, bad = read_with_error_budget(
                         spark,
                         src,
                         base.schema,
@@ -1019,7 +1071,15 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         header=opts["skip"] > 0,
                         delimiter=opts["delimiter"] or ("," if fmt == "CSV" else "|"),
                         null_value=opts["null_as"],
+                        date_format=fmt_opts.get("datefmt"),
+                        timestamp_format=fmt_opts.get("timefmt"),
                     )
+                    # the STL_LOAD_ERRORS analog: skipped raw records
+                    # accumulate in a queryable script-scoped table
+                    errs = bad.select(F.lit(name).alias("tbl"), "raw_line")
+                    if "stl_load_errors" in state.tables:
+                        errs = state.tables["stl_load_errors"].unionAll(errs)
+                    state.bind("stl_load_errors", errs)
                 elif fmt == "JSON":
                     from sql_redshift_etl_spark.sources.readers import read_json_lines
 
@@ -1040,6 +1100,8 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         header=opts["skip"] > 0,
                         delimiter=opts["delimiter"] or ("," if fmt == "CSV" else "|"),
                         null_value=opts["null_as"],
+                        date_format=fmt_opts.get("datefmt"),
+                        timestamp_format=fmt_opts.get("timefmt"),
                     )
                 state.bind(name, base.unionAll(_cast_positional(loaded, base, name)))
                 continue
@@ -1262,6 +1324,18 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 dfs = state.default_cols.get(name)
                 if dfs and actual[old_c.lower()] in dfs:
                     dfs[new_c] = dfs.pop(actual[old_c.lower()])
+            elif m := _CTAS_COLS.match(stmt):
+                # CREATE TABLE t (a, b) AS SELECT: positional rename
+                name, cols, query = m.groups()
+                names = [c.strip() for c in cols.split(",")]
+                df = spark.sql(query)
+                if len(names) != len(df.columns):
+                    raise ValueError(
+                        f"CREATE TABLE {name}: column list has {len(names)} "
+                        f"names, query returns {len(df.columns)} columns"
+                    )
+                state.drop_meta(name)
+                state.bind(name, df.toDF(*names))
             elif m := _CTAS.match(stmt):
                 state.drop_meta(m.group(1))  # rebind clears
                 state.bind(m.group(1), spark.sql(m.group(2)))
@@ -1322,6 +1396,24 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     for f in schema.fields
                 ]
                 state.bind(m.group(1), spark.createDataFrame([], schema=T.StructType(fields)))
+            elif m := _INSERT_DEFAULTS.match(stmt):
+                # INSERT INTO t DEFAULT VALUES: one row of declared
+                # defaults (identity generates, unattributed → NULL)
+                name = m.group(1)
+                base = state.existing(name)
+                dflts = state.default_cols.get(name, {})
+                ids = state.identity_cols.get(name, {})
+                exprs = []
+                for f in base.schema.fields:
+                    if f.name in ids:
+                        prior = base.agg(F.max(f.name)).first()[0]
+                        start = ids[f.name] if prior is None else int(prior) + 1
+                        exprs.append(F.lit(start).cast(f.dataType).alias(f.name))
+                    elif f.name in dflts:
+                        exprs.append(F.expr(dflts[f.name]).cast(f.dataType).alias(f.name))
+                    else:
+                        exprs.append(F.lit(None).cast(f.dataType).alias(f.name))
+                state.bind(name, base.unionAll(spark.range(1).select(*exprs)))
             elif m := _INSERT.match(stmt):
                 name, cols, query = m.group(1), m.group(2), m.group(3)
                 base = state.existing(name)

@@ -26,8 +26,13 @@ def read_csv(
     delimiter: str = ",",
     multi_line: bool = True,
     null_value: str | None = None,
+    date_format: str | None = None,
+    timestamp_format: str | None = None,
 ) -> DataFrame:
     """COPY ... FORMAT CSV analog: schema-on-read bulk CSV load.
+    ``date_format``/``timestamp_format`` are Spark (Java) patterns —
+    COPY's Redshift-dialect DATEFORMAT/TIMEFORMAT strings are
+    translated by the caller (functions.dialect.translate_datetime_format).
 
     Explicit schema is mandatory — inferSchema would scan the data twice
     and guess types per-file (drifting schemas across a 100 TB prefix).
@@ -52,6 +57,10 @@ def read_csv(
         # back as SQL NULL. Compressed inputs (.gz/.bz2) need no option —
         # Spark's text sources decompress by extension.
         reader = reader.option("nullValue", null_value)
+    if date_format is not None:
+        reader = reader.option("dateFormat", date_format)
+    if timestamp_format is not None:
+        reader = reader.option("timestampFormat", timestamp_format)
     return reader.csv(path)
 
 
@@ -194,12 +203,16 @@ def read_with_error_budget(
     header: bool = False,
     delimiter: str = ",",
     null_value: str | None = None,
-) -> DataFrame:
+    date_format: str | None = None,
+    timestamp_format: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
     """COPY ... MAXERROR n analog: load CSV/JSON permissively with a
     corrupt-record column, count malformed rows, raise if the count
-    exceeds the budget, otherwise drop them (Redshift skips up to
+    exceeds the budget, otherwise skip them (Redshift skips up to
     MAXERROR bad rows and fails the load beyond it — silent-null
-    loading is exactly what MAXERROR exists to prevent).
+    loading is exactly what MAXERROR exists to prevent). Returns
+    ``(good_rows, bad_raw_lines)`` — the caller surfaces the skipped
+    raw records (the script runner's ``stl_load_errors`` analog).
 
     The parsed frame is cached before the acceptance count: Spark
     disallows queries that reference ONLY the internal corrupt-record
@@ -222,18 +235,20 @@ def read_with_error_budget(
     if fmt == "JSON":
         df = reader.json(*paths)
     else:
-        df = (
-            reader.option("header", header)
-            .option("delimiter", delimiter)
-            .option("nullValue", null_value)
-            .option("multiLine", True)
-            .option("escape", '"')
-            .csv(*paths)
-        )
+        reader = reader.option("header", header).option("delimiter", delimiter)
+        reader = reader.option("nullValue", null_value)
+        if date_format is not None:
+            reader = reader.option("dateFormat", date_format)
+        if timestamp_format is not None:
+            reader = reader.option("timestampFormat", timestamp_format)
+        df = reader.option("multiLine", True).option("escape", '"').csv(*paths)
     df = df.cache()
     n_bad = df.filter(F.col(corrupt).isNotNull()).count()
     if n_bad > max_error:
         raise ValueError(
             f"COPY: {n_bad} malformed row(s) exceed MAXERROR {max_error}"
         )
-    return df.filter(F.col(corrupt).isNull()).drop(corrupt)
+    bad = df.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw_line")
+    )
+    return df.filter(F.col(corrupt).isNull()).drop(corrupt), bad

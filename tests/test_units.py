@@ -2006,3 +2006,102 @@ def test_script_column_defaults(spark):
         """,
     )
     assert [r.tier for r in cleared.collect()] == [None]
+
+
+def test_insert_default_values(spark):
+    """INSERT INTO t DEFAULT VALUES: one row of declared defaults,
+    identity generates, bare columns NULL."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE t (id BIGINT IDENTITY(10,1), tier VARCHAR(8) DEFAULT 'STD',
+                             note VARCHAR(16));
+        INSERT INTO t DEFAULT VALUES;
+        INSERT INTO t DEFAULT VALUES;
+        SELECT id, tier, note FROM t ORDER BY id;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(10, "STD", None), (11, "STD", None)]
+
+
+def test_copy_maxerror_stl_load_errors(spark, tmp_path):
+    """Skipped MAXERROR rows land in the queryable stl_load_errors
+    analog, accumulating across loads with the target table name."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    p1 = tmp_path / "a.csv"
+    p1.write_text("1,a\nBAD,b\n3,c\n")
+    p2 = tmp_path / "b.csv"
+    p2.write_text("4,d\nALSOBAD,e\n")
+    out = run_redshift_script(
+        spark,
+        f"""
+        CREATE TEMP TABLE t (k BIGINT, v VARCHAR(4));
+        COPY t FROM '{p1}' FORMAT AS CSV MAXERROR 2;
+        COPY t FROM '{p2}' FORMAT AS CSV MAXERROR 2;
+        SELECT tbl, raw_line FROM stl_load_errors ORDER BY raw_line;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [("t", "ALSOBAD,e"), ("t", "BAD,b")]
+
+
+def test_copy_dateformat_timeformat(spark, tmp_path):
+    """DATEFORMAT/TIMEFORMAT translate Redshift patterns to the CSV
+    reader; 'auto' is the engine default; epoch spellings and non-text
+    formats raise."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    p = tmp_path / "d.csv"
+    p.write_text("1,17/06/1995,31/12/1999 23:59:58\n")
+    out = run_redshift_script(
+        spark,
+        f"""
+        CREATE TEMP TABLE t (k BIGINT, d DATE, ts TIMESTAMP);
+        COPY t FROM '{p}' FORMAT AS CSV
+            DATEFORMAT 'DD/MM/YYYY' TIMEFORMAT 'DD/MM/YYYY HH24:MI:SS';
+        SELECT k, TO_CHAR(d, 'YYYY-MM-DD') AS d, TO_CHAR(ts, 'YYYY-MM-DD HH24:MI:SS') AS ts
+        FROM t;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, "1995-06-17", "1999-12-31 23:59:58")]
+
+    with _pytest.raises(ValueError, match="epoch"):
+        run_redshift_script(
+            spark,
+            f"""
+            CREATE TEMP TABLE t2 (k BIGINT);
+            COPY t2 FROM '{p}' FORMAT AS CSV TIMEFORMAT 'epochsecs';
+            """,
+        )
+    with _pytest.raises(ValueError, match="delimited text"):
+        run_redshift_script(
+            spark,
+            f"""
+            CREATE TEMP TABLE t3 (k BIGINT);
+            COPY t3 FROM '{p}' FORMAT AS JSON DATEFORMAT 'DD/MM/YYYY';
+            """,
+        )
+
+
+def test_ctas_with_column_list(spark):
+    """CREATE TABLE t (a, b) AS SELECT renames positionally; arity
+    mismatch raises; typed lists still parse as DDL."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE named (kk, vv) AS SELECT 1, 'a';
+        SELECT kk, vv FROM named;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, "a")]
+
+    with _pytest.raises(ValueError, match="column list has 2"):
+        run_redshift_script(spark, "CREATE TEMP TABLE bad (a, b) AS SELECT 1;")

@@ -63,9 +63,11 @@ Statement support:
   PARALLEL OFF coalesces to one file, ALLOWOVERWRITE maps to
   mode=overwrite (without it an existing prefix errors, as in
   Redshift), MANIFEST writes a Redshift-format file manifest after the
-  data (sources.writers.write_manifest); GZIP/BZIP2 (r5) map to the
-  writer codec (parquet takes gzip only — loud), and NULL AS 'str'
-  writes/reads the null sentinel.
+  data (sources.writers.write_manifest); GZIP/BZIP2/ZSTD map to the
+  writer codec (parquet: gzip/zstd; text: gzip/bzip2 — loud otherwise),
+  NULL AS 'str' writes/reads the null sentinel, and MAXFILESIZE n
+  [MB|GB] (r6) sizes output files by repartitioning to the estimated
+  byte total / cap (sampled row size; approximate, as in Redshift).
 - ``COPY ... MAXERROR n`` (r6) — the error-budgeted load: malformed
   CSV/TEXT/JSON rows are counted (corrupt-record column), the load
   fails loudly past the budget and skips the bad rows within it;
@@ -78,6 +80,11 @@ Statement support:
   read formats for delimited text, translated to Spark patterns
   ('auto' = engine default); epoch spellings and non-text formats
   raise.
+- ``COPY`` data-conversion parameters (r6): BLANKSASNULL, TRIMBLANKS,
+  EMPTYASNULL, IGNOREBLANKLINES applied to parsed string columns /
+  all-null rows (text loads only — PARQUET raises); TRUNCATECOLUMNS,
+  COMPUPDATE/STATUPDATE, ENCRYPTED accepted as no-ops (strings are
+  unbounded here; maintenance/storage flags have no Spark analog).
 - ``COPY name FROM 'path' FIXEDWIDTH 'label:width,...'`` (r6) — fixed
   -width text load: lines cut by the spec (which must cover exactly
   the target's columns), fields right-trimmed, NULL AS honored, cast
@@ -470,13 +477,21 @@ _OPT_TOKEN = re.compile(
     | (?P<overwrite>ALLOWOVERWRITE)\b
     | PARALLEL\s+(?P<parallel>ON|OFF|TRUE|FALSE)
     | (?P<manifest>MANIFEST)\b
-    | (?P<codec>GZIP|BZIP2)\b
+    | (?P<codec>GZIP|BZIP2|ZSTD)\b
+    | MAXFILESIZE\s+(?:AS\s+)?(?P<maxfs>\d+(?:\.\d+)?)\s*(?P<maxfsunit>MB|GB)?
     | EXPLICIT_IDS\b
     | FIXEDWIDTH\s+(?:AS\s+)?'(?P<fixedwidth>[^']*)'
     | MAXERROR\s+(?:AS\s+)?(?P<maxerror>\d+)
     | DATEFORMAT\s+(?:AS\s+)?'(?P<datefmt>[^']*)'
     | TIMEFORMAT\s+(?:AS\s+)?'(?P<timefmt>[^']*)'
     | NULL\s+(?:AS\s+)?'(?P<nullas>[^']*)'
+    | (?P<blanksasnull>BLANKSASNULL)\b
+    | (?P<trimblanks>TRIMBLANKS)\b
+    | (?P<emptyasnull>EMPTYASNULL)\b
+    | (?P<ignoreblank>IGNOREBLANKLINES)\b
+    | TRUNCATECOLUMNS\b            # strings are unbounded here: nothing to truncate
+    | (?:COMPUPDATE|STATUPDATE)(?:\s+(?:ON|OFF|TRUE|FALSE))?\b  # warehouse maintenance flags
+    | ENCRYPTED\b                  # storage-layer concern (S3 SSE analog)
     | (?:IAM_ROLE|CREDENTIALS|REGION|ACCESS_KEY_ID|SECRET_ACCESS_KEY|SESSION_TOKEN)\s+'[^']*'
     | 'auto'
     | \s+
@@ -490,7 +505,9 @@ def _parse_io_options(clause: str, stmt_kind: str) -> dict:
                   "partition_by": [], "overwrite": False, "parallel": True,
                   "manifest": False, "codec": None, "null_as": None,
                   "fixedwidth": None, "maxerror": None,
-                  "datefmt": None, "timefmt": None}
+                  "datefmt": None, "timefmt": None, "maxfilesize": None,
+                  "blanksasnull": False, "trimblanks": False,
+                  "emptyasnull": False, "ignoreblank": False}
     pos = 0
     while pos < len(clause):
         m = _OPT_TOKEN.match(clause, pos)
@@ -526,6 +543,14 @@ def _parse_io_options(clause: str, stmt_kind: str) -> dict:
             opts["datefmt"] = m.group("datefmt")
         if m.group("timefmt") is not None:
             opts["timefmt"] = m.group("timefmt")
+        for flag in ("blanksasnull", "trimblanks", "emptyasnull", "ignoreblank"):
+            if m.group(flag):
+                opts[flag] = True
+        if m.group("maxfs") is not None:
+            unit = (m.group("maxfsunit") or "MB").upper()
+            opts["maxfilesize"] = int(
+                float(m.group("maxfs")) * (1 << (30 if unit == "GB" else 20))
+            )
         pos = m.end()
     return opts
 
@@ -1103,12 +1128,83 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         date_format=fmt_opts.get("datefmt"),
                         timestamp_format=fmt_opts.get("timefmt"),
                     )
+                conv = [
+                    k
+                    for k in ("blanksasnull", "trimblanks", "emptyasnull", "ignoreblank")
+                    if opts[k]
+                ]
+                if conv and fmt == "PARQUET":
+                    raise ValueError(
+                        f"COPY {name}: {'/'.join(k.upper() for k in conv)} "
+                        "applies to text loads only"
+                    )
+                if conv:
+                    # Redshift data-conversion parameters, applied to the
+                    # parsed string columns before the positional cast
+                    from pyspark.sql import types as T
+
+                    for f in loaded.schema.fields:
+                        if not isinstance(f.dataType, T.StringType):
+                            continue
+                        col = F.col(f.name)
+                        if opts["trimblanks"]:
+                            col = F.rtrim(col)
+                        if opts["blanksasnull"]:
+                            col = F.when(F.trim(col) == "", F.lit(None)).otherwise(col)
+                        elif opts["emptyasnull"]:
+                            col = F.when(col == "", F.lit(None)).otherwise(col)
+                        loaded = loaded.withColumn(f.name, col)
+                    if opts["ignoreblank"]:
+                        # a blank input line parses as an all-null row
+                        import functools as _ft
+                        import operator as _op
+
+                        loaded = loaded.filter(
+                            ~_ft.reduce(
+                                _op.and_,
+                                [F.col(c).isNull() for c in loaded.columns],
+                            )
+                        )
                 state.bind(name, base.unionAll(_cast_positional(loaded, base, name)))
                 continue
             if m := _UNLOAD.match(raw):
                 inner, path, clause = m.group(1), m.group(2), m.group(3)
                 opts = _parse_io_options(clause, "UNLOAD")
                 df = spark.sql(translate_redshift_sql(inner.replace("''", "'")).strip())
+                if opts["maxfilesize"] is not None:
+                    # MAXFILESIZE n [MB|GB]: size the output files by
+                    # repartitioning to ceil(estimated_bytes / max) —
+                    # the estimate is a JSON-rendered row-size average
+                    # over a 10k sample × the row count (approximate,
+                    # like Redshift's own "approximately"; compression
+                    # shrinks below the cap, never splits above it by
+                    # more than one task's skew).
+                    if not opts["parallel"]:
+                        raise ValueError(
+                            "UNLOAD: MAXFILESIZE with PARALLEL OFF unsupported "
+                            "(a single-file write cannot split by size)"
+                        )
+                    avg_row = (
+                        df.limit(10_000)
+                        .select(
+                            F.avg(
+                                F.length(F.to_json(F.struct(*df.columns)))
+                            ).alias("b")
+                        )
+                        .first()["b"]
+                    )
+                    if avg_row:  # empty result → leave partitioning alone
+                        import math as _math
+
+                        n_files = max(
+                            1,
+                            _math.ceil(df.count() * avg_row / opts["maxfilesize"]),
+                        )
+                        df = (
+                            df.repartition(n_files, *opts["partition_by"])
+                            if opts["partition_by"]
+                            else df.repartition(n_files)
+                        )
                 if not opts["parallel"]:
                     df = df.coalesce(1)  # PARALLEL OFF = single output file
                 writer = df.write.mode("overwrite" if opts["overwrite"] else "errorifexists")
@@ -1116,11 +1212,16 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     writer = writer.partitionBy(*opts["partition_by"])
                 fmt = opts["format"] or "TEXT"
                 if opts["codec"]:
-                    # UNLOAD GZIP/BZIP2 (r5): Spark writes per-file
-                    # codecs natively; parquet takes gzip only (its
-                    # codec set has no bzip2 — loud, not silent).
-                    if fmt == "PARQUET" and opts["codec"] != "gzip":
-                        raise ValueError("UNLOAD PARQUET supports GZIP only")
+                    # UNLOAD GZIP/BZIP2/ZSTD: Spark writes per-file
+                    # codecs natively; codec×format support differs —
+                    # parquet: gzip/zstd, text: gzip/bzip2 (no zstd
+                    # codec in Spark's text sources) — loud, not silent.
+                    if fmt == "PARQUET" and opts["codec"] == "bzip2":
+                        raise ValueError("UNLOAD PARQUET supports GZIP or ZSTD")
+                    if fmt != "PARQUET" and opts["codec"] == "zstd":
+                        raise ValueError(
+                            f"UNLOAD {fmt}: ZSTD is parquet-only in this engine"
+                        )
                     writer = writer.option("compression", opts["codec"])
                 if opts["null_as"] is not None:
                     writer = writer.option("nullValue", opts["null_as"])

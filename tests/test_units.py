@@ -2105,3 +2105,88 @@ def test_ctas_with_column_list(spark):
 
     with _pytest.raises(ValueError, match="column list has 2"):
         run_redshift_script(spark, "CREATE TEMP TABLE bad (a, b) AS SELECT 1;")
+
+
+def test_unload_maxfilesize_and_zstd(spark, tmp_path):
+    """MAXFILESIZE splits output into ~size-capped files (read-back
+    lossless); PARALLEL OFF + MAXFILESIZE raises; ZSTD is parquet-only."""
+    import glob
+
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    spark.range(30000).selectExpr(
+        "id AS k", "repeat('x', 64) AS pad"
+    ).createOrReplaceTempView("fs_src")
+
+    p = tmp_path / "sized"
+    run_redshift_script(
+        spark,
+        f"UNLOAD ('SELECT k, pad FROM fs_src') TO '{p}' "
+        "FORMAT AS CSV ALLOWOVERWRITE MAXFILESIZE 1 MB;",
+    )
+    files = glob.glob(str(p / "*.csv"))
+    assert len(files) >= 2, "1MB cap over ~2MB of rows should split files"
+    back = spark.read.schema("k long, pad string").csv(str(p))
+    assert back.count() == 30000
+
+    with _pytest.raises(ValueError, match="PARALLEL OFF"):
+        run_redshift_script(
+            spark,
+            f"UNLOAD ('SELECT 1') TO '{tmp_path}/x' ALLOWOVERWRITE "
+            "MAXFILESIZE 5 MB PARALLEL OFF;",
+        )
+
+    pz = tmp_path / "zs"
+    run_redshift_script(
+        spark,
+        f"""
+        UNLOAD ('SELECT k FROM fs_src WHERE k < 100') TO '{pz}'
+        FORMAT AS PARQUET ZSTD ALLOWOVERWRITE;
+        CREATE TEMP TABLE zback (k BIGINT);
+        COPY zback FROM '{pz}' FORMAT AS PARQUET;
+        SELECT COUNT(*) AS n FROM zback;
+        """,
+    ).collect()
+    assert glob.glob(str(pz / "*.zstd.parquet")), "zstd parquet files expected"
+
+    with _pytest.raises(ValueError, match="parquet-only"):
+        run_redshift_script(
+            spark,
+            f"UNLOAD ('SELECT 1') TO '{tmp_path}/zc' FORMAT AS CSV ZSTD ALLOWOVERWRITE;",
+        )
+
+
+def test_copy_data_conversion_parameters(spark, tmp_path):
+    """BLANKSASNULL / TRIMBLANKS / EMPTYASNULL / IGNOREBLANKLINES apply
+    to parsed string columns; PARQUET + conversion flags raises;
+    TRUNCATECOLUMNS/COMPUPDATE/ENCRYPTED are accepted no-ops."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    p = tmp_path / "c.csv"
+    p.write_text('1,"ab  "\n2,"   "\n3,""\n\n4,ok\n')
+    out = run_redshift_script(
+        spark,
+        f"""
+        CREATE TEMP TABLE t (k BIGINT, v VARCHAR(8));
+        COPY t FROM '{p}' FORMAT AS CSV NULL AS '@'
+            BLANKSASNULL TRIMBLANKS EMPTYASNULL IGNOREBLANKLINES
+            TRUNCATECOLUMNS COMPUPDATE OFF ENCRYPTED;
+        SELECT k, v FROM t ORDER BY k;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        (1, "ab"), (2, None), (3, None), (4, "ok"),
+    ]
+
+    with _pytest.raises(ValueError, match="text loads only"):
+        run_redshift_script(
+            spark,
+            f"""
+            CREATE TEMP TABLE t2 (k BIGINT);
+            COPY t2 FROM '{p}' FORMAT AS PARQUET BLANKSASNULL;
+            """,
+        )

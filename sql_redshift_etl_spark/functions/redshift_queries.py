@@ -1260,7 +1260,7 @@ def redshift_sql_misc3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REDSHIFT_NAMED_WINDOW = """
     SELECT l_orderkey, l_linenumber,
-           ROW_NUMBER() OVER w AS rn,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
            CAST(SUM(CONVERT(DECIMAL(18,2), l_quantity)) OVER w AS DOUBLE)
                AS run_qty,
            LAG(l_linenumber) OVER w AS prev_line,
@@ -1303,7 +1303,8 @@ def window_named_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REDSHIFT_PARTIQL = """
-    SELECT e.vec_id, e.label, i AS pos, CAST(v AS DOUBLE) AS component
+    SELECT e.vec_id, e.label, CAST(i AS BIGINT) AS pos,
+           CAST(v AS DOUBLE) AS component
     FROM {embeddings} e, e.embedding v AT i
     WHERE e.vec_id < 20 AND i < 4
 """
@@ -1313,7 +1314,7 @@ _REDSHIFT_PARTIQL = """
     "partiql_unnest_embeddings",
     tags=("§2.7",),
     oracle="""
-        SELECT vec_id, label, i - 1 AS pos,
+        SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS pos,
                CAST(embedding[i] AS DOUBLE) AS component
         FROM embeddings, generate_series(1, 4) AS g(i)
         WHERE vec_id < 20

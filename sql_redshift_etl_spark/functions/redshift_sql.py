@@ -339,6 +339,9 @@ def _rewrite_listagg(sql: str) -> str:
                 f"LISTAGG WITHIN GROUP needs (expr, 'literal-sep'): {args!r}"
             )
         col, sep = args[0], args[1][1:-1]
+        distinct = False
+        if dm := re.match(r"(?is)^DISTINCT\s+(.+)$", col):
+            distinct, col = True, dm.group(1).strip()
         wg_end = _scan_balanced(sql, wg.end())
         inner = sql[wg.end() : wg_end - 1]
         om = re.fullmatch(r"(?is)\s*ORDER\s+BY\s+(.+?)(\s+ASC|\s+DESC)?\s*", inner)
@@ -358,8 +361,16 @@ def _rewrite_listagg(sql: str) -> str:
                     "belongs in WITHIN GROUP)"
                 )
             over_sfx = f" OVER ({win})"
+        if distinct and order_expr.lower() != col.lower():
+            # deduping collapses rows, so a foreign order key is
+            # ambiguous — Redshift itself requires ordering by the
+            # aggregated expression with DISTINCT
+            raise ValueError(
+                "LISTAGG(DISTINCT x) must ORDER BY the same expression"
+            )
         if order_expr.lower() == col.lower():
-            sorted_arr = f"array_sort(collect_list({col}){over_sfx})"
+            agg = "collect_set" if distinct else "collect_list"
+            sorted_arr = f"array_sort({agg}({col}){over_sfx})"
         else:
             sorted_arr = (
                 f"transform(array_sort(collect_list("
@@ -917,6 +928,20 @@ def _rewrite_log_base10(sql: str) -> str:
         sql = f"{sql[: m.start()]}log10({sql[m.end():]}"
 
 
+def _rewrite_to_hex(sql: str) -> str:
+    """TO_HEX(n) → lower(hex(n)) (Redshift emits lowercase hex; Spark's
+    hex() is uppercase)."""
+    pat = re.compile(r"\bTO_HEX\s*\(", re.IGNORECASE)
+    while True:
+        hits = [m for m in pat.finditer(sql) if not _in_literal(sql, m.start())]
+        if not hits:
+            return sql
+        m = hits[-1]
+        end = _scan_balanced(sql, m.end())
+        arg = sql[m.end() : end - 1]
+        sql = f"{sql[: m.start()]}lower(hex({arg})){sql[end:]}"
+
+
 def _rewrite_strtol(sql: str) -> str:
     """STRTOL(str, base) → CAST(conv(str, base, 10) AS BIGINT)."""
     pat = re.compile(r"\bSTRTOL\s*\(", re.IGNORECASE)
@@ -1068,7 +1093,7 @@ def translate_redshift_sql(sql: str) -> str:
     _rewrite_top runs before _rewrite_qualify so TOP + QUALIFY composes
     (qualify keeps the appended LIMIT in its tail)."""
     sql = strip_sql_comments(sql)
-    for fn in (rewrite_temp_names, _rewrite_partiql_unnest, _rewrite_top, _rewrite_qualify, _rewrite_convert, _rewrite_type_spellings, _rewrite_datediff, _rewrite_to_char, _rewrite_to_datetime, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_approx_count, _rewrite_similar_to, _rewrite_date_part_year, _rewrite_extract_epoch, _rewrite_at_time_zone, _rewrite_string_fns, _rewrite_trunc, _rewrite_math_aliases, _rewrite_replicate, _rewrite_log_base10, _rewrite_strtol, _rewrite_cmp_fns, _rewrite_quote_fns, _rewrite_to_number, _rewrite_now, _strip_storage_clauses):
+    for fn in (rewrite_temp_names, _rewrite_partiql_unnest, _rewrite_top, _rewrite_qualify, _rewrite_convert, _rewrite_type_spellings, _rewrite_datediff, _rewrite_to_char, _rewrite_to_datetime, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_approx_count, _rewrite_similar_to, _rewrite_date_part_year, _rewrite_extract_epoch, _rewrite_at_time_zone, _rewrite_string_fns, _rewrite_trunc, _rewrite_math_aliases, _rewrite_replicate, _rewrite_log_base10, _rewrite_to_hex, _rewrite_strtol, _rewrite_cmp_fns, _rewrite_quote_fns, _rewrite_to_number, _rewrite_now, _strip_storage_clauses):
         sql = fn(sql)
     return sql
 

@@ -113,6 +113,7 @@ _VERIFY_FIRST: list[str] = [
     "stream_hll_incremental",
     "window_named_clause",
     "partiql_unnest_embeddings",
+    "source_copy_conversion_params",
     "redshift_script_merge_remove_dups",
     "redshift_script_schema_evolution",
     "string_functions",
@@ -149,11 +150,11 @@ _VERIFY_FIRST: list[str] = [
     "redshift_script_copy_unload",
     "events_merge_upsert",
     "redshift_sql_misc2",
-    "multimodal_wav_roundtrip",
     "multimodal_png_roundtrip",
     "multimodal_image_resize",
     "flagship_pricing_summary",
     # --- 50-query driver boundary ---
+    "multimodal_wav_roundtrip",
     "dedup_minhash_lsh",
     "dedup_embedding_ann_scaled",
     "q12_late_shipment_priority",

@@ -268,10 +268,10 @@ def source_external_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_fixedwidth_copy_roundtrip",
     tags=("S2",),
     oracle="""
-        SELECT n_regionkey, COUNT(*) AS n_nations,
+        SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, COUNT(*) AS n_nations,
                MIN(n_name) AS first_name, MAX(n_name) AS last_name,
                CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
-        FROM nation GROUP BY n_regionkey
+        FROM nation GROUP BY 1
     """,
 )
 def source_fixedwidth_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,6 +304,66 @@ def source_fixedwidth_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
                MIN(n_name) AS first_name, MAX(n_name) AS last_name,
                CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
         FROM nat_fw GROUP BY n_regionkey;
+        """,
+    )
+    assert out is not None
+    return out
+
+
+@register(
+    "source_copy_conversion_params",
+    tags=("S2",),
+    oracle="""
+        SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+               COUNT(*) AS n_rows,
+               COUNT(comment_trimmed) AS n_comments,
+               MIN(comment_trimmed) AS first_comment
+        FROM (
+            SELECT n_regionkey,
+                   CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                        ELSE 'c-' || CAST(n_nationkey AS VARCHAR) END
+                       AS comment_trimmed
+            FROM nation
+        )
+        GROUP BY 1
+    """,
+)
+def source_copy_conversion_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY data-conversion parameters as a driver-checked round trip
+    (r6): nation rendered to CSV with every 5th comment a
+    whitespace-only field and the rest right-padded, loaded back with
+    BLANKSASNULL + TRIMBLANKS, aggregated. The oracle recomputes from
+    the base table: matching hashes prove blank→NULL and the rtrim
+    both applied (an untrimmed comment would change MIN, an unnulled
+    blank would change COUNT(comment)).
+
+    Scale: the conversions are row-local projections inserted before
+    the positional cast — same single-pass load as plain COPY.
+    """
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    path = _io_dir(sf_dir, "nation_conversion")
+    nat = load_table(spark, sf_dir, "nation")
+    nat.select(
+        F.concat_ws(
+            ",",
+            F.col("n_nationkey"),
+            F.col("n_regionkey"),
+            F.when(F.col("n_nationkey") % 5 == 0, F.lit("   ")).otherwise(
+                F.rpad(F.concat(F.lit("c-"), F.col("n_nationkey")), 12, " ")
+            ),
+        ).alias("value")
+    ).coalesce(1).write.mode("overwrite").text(path)
+    out = run_redshift_script(
+        spark,
+        f"""
+        CREATE TEMP TABLE nat_cv (
+            n_nationkey BIGINT, n_regionkey BIGINT, comment_trimmed VARCHAR(12));
+        COPY nat_cv FROM '{path}' FORMAT AS CSV BLANKSASNULL TRIMBLANKS;
+        SELECT n_regionkey, COUNT(*) AS n_rows,
+               COUNT(comment_trimmed) AS n_comments,
+               MIN(comment_trimmed) AS first_comment
+        FROM nat_cv GROUP BY n_regionkey;
         """,
     )
     assert out is not None

@@ -67,3 +67,23 @@ def test_partiql_unnest_rewrite():
     # comma join of a schema-qualified TABLE is untouched
     out = tr("SELECT * FROM t e, s.other o WHERE e.k = o.k")
     assert "LATERAL VIEW" not in out and "s.other o" in out
+
+
+def test_listagg_distinct():
+    """LISTAGG(DISTINCT x, sep) WITHIN GROUP (ORDER BY x) dedups before
+    joining; a foreign order key with DISTINCT raises (Redshift's own
+    restriction)."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql as tr
+
+    out = tr("SELECT LISTAGG(DISTINCT v, ',') WITHIN GROUP (ORDER BY v) FROM t")
+    assert "collect_set(v)" in out and "array_join" in out
+    with _pytest.raises(ValueError, match="same expression"):
+        tr("SELECT LISTAGG(DISTINCT v, ',') WITHIN GROUP (ORDER BY o) FROM t")
+
+
+def test_to_hex_rewrite():
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql as tr
+
+    assert "lower(hex(x + 1))" in tr("SELECT TO_HEX(x + 1) FROM t")

@@ -258,3 +258,49 @@ def test_script_merge_into_semantics_random(spark, tgt_rows, src_map):
         + [(k, v) for k, v in src_map.items() if k not in tgt_keys]
     )
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_characters=";'$", blacklist_categories=("Cs",)
+            ),
+            min_size=1,
+            max_size=30,
+        ).map(str.strip).filter(bool),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_split_statements_dollar_quote_roundtrip(stmts):
+    """Statements joined with ';' split back losslessly, and a $$ body
+    containing semicolons/quotes survives as ONE statement."""
+    from sql_redshift_etl_spark.functions.script_runner import split_statements
+
+    joined = ";".join(stmts) + ";"
+    assert split_statements(joined) == [s.strip() for s in stmts if s.strip()]
+
+    body = "BEGIN " + "; ".join(stmts) + "; END;"
+    script = f"CREATE PROCEDURE p() AS $${body}$$ LANGUAGE plpgsql; SELECT 1;"
+    parts = split_statements(script)
+    assert len(parts) == 2 and parts[0].endswith("LANGUAGE plpgsql")
+
+
+@given(
+    st.integers(min_value=0, max_value=10**6),
+    st.integers(min_value=0, max_value=99),
+)
+@settings(max_examples=60, deadline=None)
+def test_to_number_parses_any_grouped_amount(spark, whole, cents):
+    """TO_NUMBER with a grouped currency format parses any rendered
+    amount back to the exact decimal (property over random amounts)."""
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql
+
+    rendered = f"${whole:,}.{cents:02d}"
+    sql = translate_redshift_sql(
+        f"SELECT TO_NUMBER('{rendered}', '$9,999,999.99') AS n"
+    )
+    got = spark.sql(sql).collect()[0]["n"]
+    assert float(got) == whole + cents / 100

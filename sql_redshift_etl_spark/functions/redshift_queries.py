@@ -1333,3 +1333,63 @@ def partiql_unnest_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("rs_pq_embeddings")
     return run_redshift_sql(spark, _REDSHIFT_PARTIQL.format(embeddings="rs_pq_embeddings"))
+
+
+_SCRIPT_SCHEMAS = """
+    BEGIN;
+    CREATE SCHEMA IF NOT EXISTS staging;
+    CREATE SCHEMA IF NOT EXISTS mart;
+
+    CREATE TEMP TABLE staging.orders AS
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM {orders}
+    WHERE o_orderkey <= 8000;
+
+    CREATE TABLE mart.status_rollup AS
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CONVERT(DECIMAL(18,2), o_totalprice)) AS DOUBLE) AS total
+    FROM staging.orders
+    GROUP BY 1;
+
+    DROP SCHEMA staging CASCADE;
+
+    SELECT status, n_orders, total,
+           CAST(RATIO_TO_REPORT(n_orders) OVER () AS DOUBLE) AS order_share
+    FROM mart.status_rollup;
+
+    COMMIT;
+"""
+
+
+@register(
+    "redshift_script_schemas",
+    tags=("S6",),
+    oracle="""
+        WITH r AS (
+            SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders WHERE o_orderkey <= 8000 GROUP BY 1
+        )
+        SELECT status, n_orders, total,
+               CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER () AS order_share
+        FROM r
+    """,
+)
+def redshift_script_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The schema-qualified staging→mart layout as a verbatim script
+    (r6): CREATE SCHEMA + `staging.orders` / `mart.status_rollup`
+    qualified names throughout (flattened to script-scoped single-part
+    views), a cross-schema CTAS, DROP SCHEMA CASCADE retiring the
+    staging layer mid-script, and a RATIO_TO_REPORT consume over the
+    surviving mart — the dropped schema's invisibility and the
+    qualified-name plumbing are both load-bearing in the hash.
+
+    Scale: name management only — the plan is the same single rollup +
+    tiny window any mart build runs; flattening adds zero operators.
+    """
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rs_sch_orders")
+    out = run_redshift_script(spark, _SCRIPT_SCHEMAS.format(orders="rs_sch_orders"))
+    assert out is not None
+    return out

@@ -12,6 +12,12 @@ SELECT's DataFrame is returned.
 Statement support:
 - ``BEGIN/COMMIT/END/ROLLBACK/VACUUM/ANALYZE/GRANT/REVOKE`` — no-ops
   (transactional/maintenance syntax with no Spark analog).
+- ``CREATE SCHEMA name`` / ``DROP SCHEMA name [CASCADE]`` (r6) — Spark
+  temp views are single-part names, so declared schemas flatten every
+  later ``name.<tbl>`` reference to ``name__<tbl>`` (outside string
+  literals; a table alias colliding with a declared schema name would
+  shadow — the same hazard Redshift has). DROP SCHEMA of a non-empty
+  schema requires CASCADE, which drops its tables.
 - ``CREATE [TEMP] TABLE name AS SELECT ...`` — registers the SELECT as
   a temp view (storage clauses like DISTKEY/SORTKEY are stripped by the
   front-end before classification); ``name (a, b) AS SELECT`` renames
@@ -213,6 +219,21 @@ _INSERT = re.compile(
     r"^INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?"
     r"((?:SELECT|WITH|VALUES)\b.*|\(\s*(?:SELECT|WITH)\b.*)$",
     re.IGNORECASE | re.DOTALL,
+)
+# Script-scoped schemas: Spark temp views are single-part names, so
+# `CREATE SCHEMA staging` records the name and every later
+# `staging.<tbl>` reference flattens to `staging__<tbl>` (applied
+# outside string literals, only for schemas the script DECLARED — a
+# bare alias.column reference never matches unless the alias collides
+# with a declared schema name, the same shadowing hazard Redshift has).
+_CREATE_SCHEMA = re.compile(
+    r"^CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+    r"(?:AUTHORIZATION\s+\w+)?\s*(?:QUOTA\s+[\w.]+(?:\s+\w+)?)?\s*$",
+    re.IGNORECASE,
+)
+_DROP_SCHEMA = re.compile(
+    r"^DROP\s+SCHEMA\s+(?:IF\s+EXISTS\s+)?(\w+)\s*(CASCADE|RESTRICT)?\s*$",
+    re.IGNORECASE,
 )
 _INSERT_DEFAULTS = re.compile(
     r"^INSERT\s+INTO\s+([\w.]+)\s+DEFAULT\s+VALUES\s*$", re.IGNORECASE
@@ -613,6 +634,9 @@ class _ScriptState:
         self.mv_defs: dict[str, str] = {}
         # procedure -> (IN-param names, straight-line body text)
         self.procs: dict[str, tuple[list[str], str]] = {}
+        # schemas declared by CREATE SCHEMA; qualified references
+        # flatten to `<schema>__<table>` single-part view names
+        self.schemas: set[str] = set()
         # table -> {column: DEFAULT literal SQL text} (CREATE/ALTER DDL
         # attribute; INSERTs that omit the column fill the default, not
         # NULL — Redshift's contract). Lifecycle mirrors identity_cols.
@@ -944,6 +968,35 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
             # spark.sql and fail to parse). The front-end repeats the
             # rewrite for standalone statements — it is idempotent.
             raw = rewrite_temp_names(raw).strip()
+            if m := _CREATE_SCHEMA.match(raw):
+                state.schemas.add(m.group(1).lower())
+                continue
+            if m := _DROP_SCHEMA.match(raw):
+                s, mode = m.group(1).lower(), (m.group(2) or "RESTRICT").upper()
+                if s in state.schemas:
+                    members = [
+                        n for n in state.tables if n.lower().startswith(f"{s}__")
+                    ]
+                    if members and mode != "CASCADE":
+                        raise ValueError(
+                            f"DROP SCHEMA {s}: schema is not empty "
+                            f"({', '.join(sorted(members))}) — use CASCADE"
+                        )
+                    for n in members:
+                        spark.catalog.dropTempView(n)
+                        state.tables.pop(n, None)
+                        state.created_views.discard(n)
+                        state.drop_meta(n)
+                        state.mv_defs.pop(n, None)
+                    state.schemas.discard(s)
+                elif "IF EXISTS" not in raw.upper():
+                    raise ValueError(f"DROP SCHEMA: no schema {s!r}")
+                continue
+            for s in state.schemas:
+                # flatten declared-schema-qualified names to one part
+                raw = _sub_outside_quotes(
+                    raw, rf"(?i)\b{re.escape(s)}\s*\.\s*(\w+)", rf"{s}__\1"
+                )
             # Stored procedures are matched on the RAW statement — the
             # dialect front-end must not rewrite a $$ body at define
             # time (each body statement is rewritten when it RUNS).

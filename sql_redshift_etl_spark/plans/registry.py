@@ -114,6 +114,7 @@ _VERIFY_FIRST: list[str] = [
     "window_named_clause",
     "partiql_unnest_embeddings",
     "source_copy_conversion_params",
+    "redshift_script_schemas",
     "redshift_script_merge_remove_dups",
     "redshift_script_schema_evolution",
     "string_functions",
@@ -150,10 +151,10 @@ _VERIFY_FIRST: list[str] = [
     "redshift_script_copy_unload",
     "events_merge_upsert",
     "redshift_sql_misc2",
-    "multimodal_png_roundtrip",
     "multimodal_image_resize",
     "flagship_pricing_summary",
     # --- 50-query driver boundary ---
+    "multimodal_png_roundtrip",
     "multimodal_wav_roundtrip",
     "dedup_minhash_lsh",
     "dedup_embedding_ann_scaled",

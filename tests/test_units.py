@@ -2190,3 +2190,49 @@ def test_copy_data_conversion_parameters(spark, tmp_path):
             COPY t2 FROM '{p}' FORMAT AS PARQUET BLANKSASNULL;
             """,
         )
+
+
+def test_script_schemas(spark):
+    """CREATE SCHEMA + schema-qualified names: references flatten to
+    script-scoped tables; cross-schema joins work; DROP SCHEMA needs
+    CASCADE when non-empty and then drops members."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE SCHEMA IF NOT EXISTS staging;
+        CREATE SCHEMA mart;
+        CREATE TEMP TABLE staging.orders (k BIGINT, amt BIGINT);
+        INSERT INTO staging.orders VALUES (1, 10), (2, 20), (3, 30);
+        CREATE TABLE mart.big AS
+        SELECT k, amt FROM staging.orders WHERE amt >= 20;
+        SELECT s.k, s.amt, CASE WHEN m.k IS NULL THEN 0 ELSE 1 END AS is_big
+        FROM staging.orders s LEFT JOIN mart.big m ON s.k = m.k
+        ORDER BY s.k;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, 10, 0), (2, 20, 1), (3, 30, 1)]
+
+    with _pytest.raises(ValueError, match="use CASCADE"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE SCHEMA s1;
+            CREATE TEMP TABLE s1.t AS SELECT 1 AS k;
+            DROP SCHEMA s1;
+            """,
+        )
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE SCHEMA s2;
+        CREATE TEMP TABLE s2.t AS SELECT 1 AS k;
+        DROP SCHEMA s2 CASCADE;
+        SELECT 42 AS v;
+        """,
+    )
+    assert [r.v for r in out.collect()] == [42]

@@ -38,7 +38,10 @@ Statement support:
   column auto-generate unique ascending values (not consecutive —
   Redshift's own IDENTITY contract). Inherited by CREATE TABLE (LIKE)
   and RENAME, as in Redshift.
-- ``CREATE [OR REPLACE] VIEW name AS SELECT ...`` — same as CTAS.
+- ``CREATE [OR REPLACE] VIEW name AS SELECT ... [WITH NO SCHEMA
+  BINDING]`` — same as CTAS (script views are late-bound by nature).
+- ``ALTER TABLE t ALTER [COLUMN] c [SET DATA] TYPE type`` (r6) — cast
+  in place (Redshift's varchar-resize/type-migration op).
 - ``INSERT INTO name [(cols)] SELECT ... | VALUES ...`` — positional
   append with per-column cast to the target schema; unlisted columns
   of an explicit column list take their declared ``DEFAULT`` literal
@@ -210,7 +213,10 @@ _CREATE_DDL = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _CREATE_VIEW = re.compile(
-    r"^CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.+)$",
+    # WITH NO SCHEMA BINDING (Redshift late-binding views) is accepted:
+    # script-scoped views are late-bound by nature (temp-view rebinds)
+    r"^CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.+?)"
+    r"(?:\s+WITH\s+NO\s+SCHEMA\s+BINDING)?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT = re.compile(
@@ -310,6 +316,11 @@ _ALTER_APPEND = re.compile(
 # ADD [COLUMN] name type [DEFAULT literal], DROP [COLUMN] name,
 # RENAME COLUMN a TO b. Existing rows take the DEFAULT (or NULL) —
 # Redshift's own backfill semantics for an added column.
+_ALTER_COL_TYPE = re.compile(
+    r"^ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+"
+    r"(?:SET\s+DATA\s+)?TYPE\s+([\w]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*$",
+    re.IGNORECASE,
+)
 _ALTER_ADD_COL = re.compile(
     r"^ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+"
     r"([\w]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
@@ -1430,6 +1441,32 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 src_df = state.existing(src_name)
                 state.bind(tgt, base.unionAll(_cast_positional(src_df, base, tgt)))
                 state.bind(src_name, src_df.limit(0))
+            elif m := _ALTER_COL_TYPE.match(stmt):
+                # ALTER COLUMN c TYPE t (Redshift's varchar-resize /
+                # type-migration op): cast in place, keeping position
+                name, col, typ = m.groups()
+                base = state.existing(name)
+                actual = {c.lower(): c for c in base.columns}
+                if col.lower() not in actual:
+                    raise ValueError(f"ALTER TABLE {name}: no column {col!r} to alter")
+                from pyspark.sql import types as T
+
+                f = T.StructType.fromDDL(f"x {_normalize_ddl_types(typ)}").fields[0]
+                dt = (
+                    T.StringType()
+                    if isinstance(f.dataType, (T.VarcharType, T.CharType))
+                    else f.dataType
+                )
+                c0 = actual[col.lower()]
+                state.bind(
+                    name,
+                    base.select(
+                        *[
+                            F.col(c).cast(dt).alias(c) if c == c0 else F.col(c)
+                            for c in base.columns
+                        ]
+                    ),
+                )
             elif m := _ALTER_ADD_COL.match(stmt):
                 # ALTER TABLE t ADD COLUMN c type [DEFAULT lit]: existing
                 # rows take the default (NULL absent one) — Redshift's

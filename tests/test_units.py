@@ -2236,3 +2236,34 @@ def test_script_schemas(spark):
         """,
     )
     assert [r.v for r in out.collect()] == [42]
+
+
+def test_alter_column_type_and_no_schema_binding_view(spark):
+    """ALTER COLUMN TYPE casts in place keeping position; CREATE VIEW
+    ... WITH NO SCHEMA BINDING parses (late-binding is the temp-view
+    default here)."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE t (k BIGINT, v VARCHAR(4), amt DOUBLE);
+        INSERT INTO t VALUES (1, '12', 1.5), (2, '34', 2.25);
+        ALTER TABLE t ALTER COLUMN v TYPE BIGINT;
+        ALTER TABLE t ALTER amt SET DATA TYPE DECIMAL(10,2);
+        CREATE VIEW v_t AS SELECT k, v + 1 AS v1, amt FROM t WITH NO SCHEMA BINDING;
+        SELECT k, v1, CAST(amt AS DOUBLE) AS amt FROM v_t ORDER BY k;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, 13, 1.5), (2, 35, 2.25)]
+
+    with _pytest.raises(ValueError, match="no column"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE TEMP TABLE t2 (k BIGINT);
+            ALTER TABLE t2 ALTER COLUMN ghost TYPE BIGINT;
+            """,
+        )

@@ -1393,3 +1393,60 @@ def redshift_script_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_redshift_script(spark, _SCRIPT_SCHEMAS.format(orders="rs_sch_orders"))
     assert out is not None
     return out
+
+
+_SCRIPT_SQL_UDF = """
+    BEGIN;
+    SET enable_result_cache_for_session TO off;
+
+    CREATE OR REPLACE FUNCTION f_discounted(price FLOAT8, disc FLOAT8)
+    RETURNS FLOAT8 IMMUTABLE AS $$
+        SELECT price * (1.0 - disc)
+    $$ LANGUAGE sql;
+
+    CREATE FUNCTION f_bucket(FLOAT8) RETURNS INT AS $$
+        SELECT CAST(FLOOR($1 / 10000.0) AS INT)
+    $$ LANGUAGE sql;
+
+    SELECT f_bucket(f_discounted(CONVERT(DECIMAL(18,2), o_totalprice), 0.1))
+               AS price_bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CONVERT(DECIMAL(18,2), o_totalprice)) AS DOUBLE) AS total
+    FROM {orders}
+    WHERE o_orderkey <= 6000
+    GROUP BY 1;
+
+    COMMIT;
+"""
+
+
+@register(
+    "redshift_script_sql_udf",
+    tags=("§2.10", "S6"),
+    oracle="""
+        SELECT CAST(FLOOR((CAST(o_totalprice AS DECIMAL(18,2)) * (1.0 - 0.1))
+                    / 10000.0) AS INT) AS price_bucket,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_orderkey <= 6000
+        GROUP BY 1
+    """,
+)
+def redshift_script_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redshift scalar SQL UDFs as a verbatim script (r6): two CREATE
+    FUNCTION ... LANGUAGE sql definitions (named and $1-positional
+    params), composed at the call site inside a grouped rollup — the
+    inlining is load-bearing in the hash (the oracle spells the same
+    expressions written out by hand). SET session knobs no-op.
+
+    Scale: inlined UDFs are plain Catalyst expressions — whole-stage
+    codegen, zero Python, zero per-row function-call overhead; the
+    plan is identical to the hand-written query's.
+    """
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rs_udf_orders")
+    out = run_redshift_script(spark, _SCRIPT_SQL_UDF.format(orders="rs_udf_orders"))
+    assert out is not None
+    return out

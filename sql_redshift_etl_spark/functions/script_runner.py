@@ -124,6 +124,18 @@ Statement support:
   statements executed in place at CALL, with IN parameters substituted
   on identifier boundaries (plpgsql's own lexical substitution).
   Procedural control flow (IF/LOOP/cursors/RAISE/...) raises loudly.
+- ``CREATE [OR REPLACE] FUNCTION f(a type, ...) RETURNS type AS
+  $$ SELECT expr $$ LANGUAGE sql`` / ``DROP FUNCTION`` (r6) — scalar
+  SQL UDFs inlined textually at every call site ($N positional or
+  named params; UDFs may call UDFs, depth-capped), so Catalyst sees
+  plain expressions — zero UDF overhead, exactly how Redshift inlines
+  them. ``LANGUAGE plpythonu`` raises (Python logic belongs in the
+  vectorized pandas-UDF path).
+- ``SET knob = value`` (r6) — warehouse session knobs are accepted
+  no-ops; ``SET search_path`` raises (it would silently change name
+  resolution).
+- ``EXPLAIN ... / SHOW ...`` (r6) — passed to Spark; output is
+  engine-specific by nature.
 - ``SELECT ... / WITH ...`` — executed; the LAST one is the script's
   result DataFrame.
 
@@ -226,6 +238,81 @@ _INSERT = re.compile(
     r"((?:SELECT|WITH|VALUES)\b.*|\(\s*(?:SELECT|WITH)\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+# Redshift SQL UDFs: `CREATE [OR REPLACE] FUNCTION f(a type, ...)
+# RETURNS type [STABLE|IMMUTABLE|VOLATILE] AS $$ SELECT expr $$
+# LANGUAGE sql` — the body is a scalar expression over the parameters
+# ($1/$2 positional or named), inlined textually at every call site
+# (Redshift itself inlines scalar SQL UDFs into the plan; here that
+# means Catalyst sees plain expressions — zero UDF overhead).
+# plpythonu bodies raise (arbitrary Python needs the pandas-UDF path,
+# functions/udfs.py).
+_CREATE_FUNC_HEAD = re.compile(
+    r"^CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+([\w.]+)\s*\(", re.IGNORECASE
+)
+_CREATE_FUNC_TAIL = re.compile(
+    r"^\s*RETURNS\s+\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?\s*"
+    r"(?:STABLE|IMMUTABLE|VOLATILE)?\s*AS\s+\$\$(.*)\$\$\s*"
+    r"LANGUAGE\s+(\w+)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_FUNC = re.compile(
+    r"^DROP\s+FUNCTION\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*(?:\([^)]*\))?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _parse_func_params(params: str) -> list[str]:
+    """Parameter NAMES from a SQL-UDF signature; unnamed (type-only)
+    parameters are referenced as $N and get positional placeholders."""
+    names: list[str] = []
+    for i, p in enumerate(_split_top_commas(params)):
+        p = p.strip()
+        if not p:
+            continue
+        pm = re.match(r"(?i)^([\w$]+)\s+\w", p)
+        # a bare type (e.g. "float, float") means positional-only refs
+        names.append(pm.group(1) if pm else f"${i + 1}")
+    return names
+
+
+def _inline_sql_udfs(sql: str, funcs: dict[str, tuple[list[str], str]]) -> str:
+    """Inline every call to a script-defined SQL UDF: balanced-scan the
+    argument list, substitute named params on identifier boundaries and
+    $N positionally, wrap in parens. Repeats until no calls remain, so
+    UDFs may call other UDFs (depth-capped loudly)."""
+    for _ in range(16):
+        changed = False
+        for fname, (params, expr) in funcs.items():
+            pat = re.compile(rf"(?<![\w$]){re.escape(fname)}\s*\(", re.IGNORECASE)
+            while True:
+                hits = [m for m in pat.finditer(sql) if not _in_lit(sql, m.start())]
+                if not hits:
+                    break
+                m = hits[-1]
+                end = _scan_balanced_fwd(sql, m.end())
+                args = [a.strip() for a in _split_top_commas(sql[m.end() : end - 1]) if a.strip()]
+                if len(args) != len(params):
+                    raise ValueError(
+                        f"{fname}(): expected {len(params)} argument(s), got {len(args)}"
+                    )
+                body = expr
+                for i, (p, a) in enumerate(zip(params, args)):
+                    body = re.sub(rf"\${i + 1}\b", f"({a})", body)
+                    if not p.startswith("$"):
+                        body = re.sub(
+                            rf"(?i)(?<![\w$]){re.escape(p)}(?![\w$])", f"({a})", body
+                        )
+                sql = f"{sql[: m.start()]}({body}){sql[end:]}"
+                changed = True
+        if not changed:
+            return sql
+    raise ValueError("SQL UDF inlining exceeded depth 16 (recursive definition?)")
+
+
+def _in_lit(sql: str, pos: int) -> bool:
+    return sql.count("'", 0, pos) % 2 == 1
+
+
 # Script-scoped schemas: Spark temp views are single-part names, so
 # `CREATE SCHEMA staging` records the name and every later
 # `staging.<tbl>` reference flattens to `staging__<tbl>` (applied
@@ -648,6 +735,8 @@ class _ScriptState:
         # schemas declared by CREATE SCHEMA; qualified references
         # flatten to `<schema>__<table>` single-part view names
         self.schemas: set[str] = set()
+        # SQL UDFs: function -> (param names, scalar expression text)
+        self.funcs: dict[str, tuple[list[str], str]] = {}
         # table -> {column: DEFAULT literal SQL text} (CREATE/ALTER DDL
         # attribute; INSERTs that omit the column fill the default, not
         # NULL — Redshift's contract). Lifecycle mirrors identity_cols.
@@ -1008,6 +1097,30 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 raw = _sub_outside_quotes(
                     raw, rf"(?i)\b{re.escape(s)}\s*\.\s*(\w+)", rf"{s}__\1"
                 )
+            if hm := _CREATE_FUNC_HEAD.match(raw):
+                sig_end = _scan_balanced_fwd(raw, hm.end())
+                if tm := _CREATE_FUNC_TAIL.match(raw[sig_end:]):
+                    fname = hm.group(1)
+                    if tm.group(2).lower() != "sql":
+                        raise ValueError(
+                            f"CREATE FUNCTION {fname}: LANGUAGE {tm.group(2)} "
+                            "unsupported — scalar SQL UDFs inline; Python "
+                            "logic belongs in the vectorized pandas-UDF path"
+                        )
+                    body = tm.group(1).strip().rstrip(";").strip()
+                    body = re.sub(r"(?is)^SELECT\s+", "", body)
+                    state.funcs[fname] = (
+                        _parse_func_params(raw[hm.end() : sig_end - 1]),
+                        body,
+                    )
+                    continue
+            if m := _DROP_FUNC.match(raw):
+                if m.group(1) in state.funcs or "IF EXISTS" in raw.upper():
+                    state.funcs.pop(m.group(1), None)
+                    continue
+                raise ValueError(f"DROP FUNCTION: no SQL UDF {m.group(1)!r}")
+            if state.funcs:
+                raw = _inline_sql_udfs(raw, state.funcs)
             # Stored procedures are matched on the RAW statement — the
             # dialect front-end must not rewrite a $$ body at define
             # time (each body statement is rewritten when it RUNS).
@@ -1819,6 +1932,21 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     # insert NULLs, not resurrect the old behavior
                     state.drop_meta(name)
                     state.mv_defs.pop(name, None)
+            elif sm := re.match(r"(?is)^SET\s+(\w+)\s*(?:=|TO)\s+\S", stmt):
+                # warehouse session knobs (enable_result_cache_for_
+                # session, wlm_query_slot_count, statement_timeout, ...)
+                # have no Spark analog — accepted no-ops, EXCEPT
+                # search_path, which changes name resolution and would
+                # silently alter which tables a script reads.
+                if sm.group(1).lower() == "search_path":
+                    raise ValueError(
+                        "SET search_path unsupported — use schema-qualified "
+                        "names (CREATE SCHEMA is supported)"
+                    )
+            elif re.match(r"(?is)^(?:EXPLAIN|SHOW)\b", stmt):
+                # EXPLAIN/SHOW pass straight to Spark; the plan/setting
+                # text is engine-specific by nature
+                result = spark.sql(stmt)
             elif _QUERY.match(stmt):
                 # SELECT ... INTO name FROM ... (Redshift's SELECT INTO,
                 # the one-line CTAS): bind the projection to the name.

@@ -115,6 +115,7 @@ _VERIFY_FIRST: list[str] = [
     "partiql_unnest_embeddings",
     "source_copy_conversion_params",
     "redshift_script_schemas",
+    "redshift_script_sql_udf",
     "redshift_script_merge_remove_dups",
     "redshift_script_schema_evolution",
     "string_functions",
@@ -151,9 +152,9 @@ _VERIFY_FIRST: list[str] = [
     "redshift_script_copy_unload",
     "events_merge_upsert",
     "redshift_sql_misc2",
-    "multimodal_image_resize",
     "flagship_pricing_summary",
     # --- 50-query driver boundary ---
+    "multimodal_image_resize",
     "multimodal_png_roundtrip",
     "multimodal_wav_roundtrip",
     "dedup_minhash_lsh",

@@ -2267,3 +2267,55 @@ def test_alter_column_type_and_no_schema_binding_view(spark):
             ALTER TABLE t2 ALTER COLUMN ghost TYPE BIGINT;
             """,
         )
+
+
+def test_script_sql_udfs(spark):
+    """CREATE FUNCTION ... LANGUAGE sql inlines at call sites (named
+    and $N positional params, UDF-calls-UDF); plpythonu raises; DROP
+    FUNCTION removes; SET knobs no-op but search_path raises; EXPLAIN
+    returns plan text."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        SET enable_result_cache_for_session TO off;
+        CREATE OR REPLACE FUNCTION f_margin(price FLOAT8, cost FLOAT8)
+        RETURNS FLOAT8 IMMUTABLE AS $$
+            SELECT (price - cost) / NULLIF(price, 0)
+        $$ LANGUAGE sql;
+        CREATE FUNCTION f_pct(FLOAT8) RETURNS FLOAT8 AS $$
+            SELECT ROUND($1 * 100, 2)
+        $$ LANGUAGE sql;
+        CREATE TEMP TABLE t (price DOUBLE, cost DOUBLE);
+        INSERT INTO t VALUES (10.0, 4.0), (8.0, 6.0);
+        SELECT CAST(f_pct(f_margin(price, cost)) AS DOUBLE) AS pct
+        FROM t ORDER BY pct;
+        """,
+    )
+    assert [r.pct for r in out.collect()] == [25.0, 60.0]
+
+    with _pytest.raises(ValueError, match="plpythonu"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE FUNCTION py(x INT) RETURNS INT AS $$
+            return x + 1
+            $$ LANGUAGE plpythonu;
+            """,
+        )
+    with _pytest.raises(ValueError, match="search_path"):
+        run_redshift_script(spark, "SET search_path TO myschema;")
+    with _pytest.raises(ValueError, match="expected 2 argument"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE FUNCTION g(a INT, b INT) RETURNS INT AS $$ SELECT a + b $$ LANGUAGE sql;
+            SELECT g(1);
+            """,
+        )
+
+    plan = run_redshift_script(spark, "EXPLAIN SELECT 1;")
+    assert plan is not None and "Project" in plan.collect()[0][0]

@@ -90,10 +90,14 @@ Statement support:
   ('auto' = engine default); epoch spellings and non-text formats
   raise.
 - ``COPY`` data-conversion parameters (r6): BLANKSASNULL, TRIMBLANKS,
-  EMPTYASNULL, IGNOREBLANKLINES applied to parsed string columns /
-  all-null rows (text loads only — PARQUET raises); TRUNCATECOLUMNS,
-  COMPUPDATE/STATUPDATE, ENCRYPTED accepted as no-ops (strings are
-  unbounded here; maintenance/storage flags have no Spark analog).
+  EMPTYASNULL, IGNOREBLANKLINES, ACCEPTINVCHARS ['c'] (decoder
+  replacement chars U+FFFD → the requested char, default '?') applied
+  to parsed string columns / all-null rows (text loads only — PARQUET
+  raises); ACCEPTANYDATE, ESCAPE, TRUNCATECOLUMNS,
+  COMPUPDATE/STATUPDATE, ENCRYPTED accepted as no-ops (PERMISSIVE
+  parsing already nulls unparseable dates, Spark's CSV reader already
+  honors backslash escapes, strings are unbounded, maintenance/storage
+  flags have no Spark analog).
 - ``COPY name FROM 'path' FIXEDWIDTH 'label:width,...'`` (r6) — fixed
   -width text load: lines cut by the spec (which must cover exactly
   the target's columns), fields right-trimmed, NULL AS honored, cast
@@ -604,6 +608,9 @@ _OPT_TOKEN = re.compile(
     | DATEFORMAT\s+(?:AS\s+)?'(?P<datefmt>[^']*)'
     | TIMEFORMAT\s+(?:AS\s+)?'(?P<timefmt>[^']*)'
     | NULL\s+(?:AS\s+)?'(?P<nullas>[^']*)'
+    | ACCEPTINVCHARS(?:\s+(?:AS\s+)?'(?P<invchar>[^']*)')?
+    | ACCEPTANYDATE\b              # PERMISSIVE parsing already nulls unparseable dates
+    | ESCAPE\b                     # Spark's CSV reader already honors backslash escapes
     | (?P<blanksasnull>BLANKSASNULL)\b
     | (?P<trimblanks>TRIMBLANKS)\b
     | (?P<emptyasnull>EMPTYASNULL)\b
@@ -626,7 +633,8 @@ def _parse_io_options(clause: str, stmt_kind: str) -> dict:
                   "fixedwidth": None, "maxerror": None,
                   "datefmt": None, "timefmt": None, "maxfilesize": None,
                   "blanksasnull": False, "trimblanks": False,
-                  "emptyasnull": False, "ignoreblank": False}
+                  "emptyasnull": False, "ignoreblank": False,
+                  "invchar": None}
     pos = 0
     while pos < len(clause):
         m = _OPT_TOKEN.match(clause, pos)
@@ -665,6 +673,9 @@ def _parse_io_options(clause: str, stmt_kind: str) -> dict:
         for flag in ("blanksasnull", "trimblanks", "emptyasnull", "ignoreblank"):
             if m.group(flag):
                 opts[flag] = True
+        if m.group(0).upper().startswith("ACCEPTINVCHARS"):
+            # default replacement is '?' (Redshift's own default)
+            opts["invchar"] = m.group("invchar") or "?"
         if m.group("maxfs") is not None:
             unit = (m.group("maxfsunit") or "MB").upper()
             opts["maxfilesize"] = int(
@@ -1307,7 +1318,13 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     )
                 conv = [
                     k
-                    for k in ("blanksasnull", "trimblanks", "emptyasnull", "ignoreblank")
+                    for k in (
+                        "blanksasnull",
+                        "trimblanks",
+                        "emptyasnull",
+                        "ignoreblank",
+                        "invchar",
+                    )
                     if opts[k]
                 ]
                 if conv and fmt == "PARQUET":
@@ -1324,6 +1341,14 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         if not isinstance(f.dataType, T.StringType):
                             continue
                         col = F.col(f.name)
+                        if opts["invchar"] is not None:
+                            # ACCEPTINVCHARS: the JVM text decoder has
+                            # already replaced invalid UTF-8 sequences
+                            # with U+FFFD; map those to the requested
+                            # replacement char (Redshift default '?')
+                            col = F.regexp_replace(
+                                col, "�", opts["invchar"]
+                            )
                         if opts["trimblanks"]:
                             col = F.rtrim(col)
                         if opts["blanksasnull"]:

@@ -527,11 +527,11 @@ def test_script_io_option_parser():
     )
     assert o["format"] == "PARQUET" and o["partition_by"] == ["lang", "source"]
     assert o["overwrite"] and not o["parallel"]
-    # unknown options are loud, not dropped (ACCEPTINVCHARS would change semantics)
+    # unknown options are loud, not dropped (READRATIO would change semantics)
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="unsupported COPY option"):
-        _parse_io_options("ACCEPTINVCHARS '?'", "COPY")
+        _parse_io_options("READRATIO 100", "COPY")
 
 
 def test_script_runner_copy_unload_roundtrip(spark, tmp_path):
@@ -2319,3 +2319,25 @@ def test_script_sql_udfs(spark):
 
     plan = run_redshift_script(spark, "EXPLAIN SELECT 1;")
     assert plan is not None and "Project" in plan.collect()[0][0]
+
+
+def test_copy_acceptinvchars_and_noop_params(spark, tmp_path):
+    """ACCEPTINVCHARS maps decoder replacement chars to the requested
+    char; ACCEPTANYDATE/ESCAPE are accepted no-ops (invalid dates null
+    under PERMISSIVE parsing)."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    p = tmp_path / "inv.csv"
+    # \xff is not valid UTF-8 — the decoder replaces it with U+FFFD
+    p.write_bytes(b"1,ab\xffcd,2024-01-15\n2,ok,NOTADATE\n")
+    out = run_redshift_script(
+        spark,
+        f"""
+        CREATE TEMP TABLE t (k BIGINT, v VARCHAR(8), d DATE);
+        COPY t FROM '{p}' FORMAT AS CSV ACCEPTINVCHARS '?' ACCEPTANYDATE ESCAPE;
+        SELECT k, v, CAST(d AS VARCHAR(12)) AS d FROM t ORDER BY k;
+        """,
+    )
+    rows = [tuple(r) for r in out.collect()]
+    assert rows[0] == (1, "ab?cd", "2024-01-15")
+    assert rows[1][:2] == (2, "ok") and rows[1][2] is None

@@ -304,3 +304,29 @@ def test_to_number_parses_any_grouped_amount(spark, whole, cents):
     )
     got = spark.sql(sql).collect()[0]["n"]
     assert float(got) == whole + cents / 100
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=99999),
+            st.text(alphabet="abcdefgh", min_size=0, max_size=6),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_fixed_width_roundtrip_property(spark, tmp_path_factory, rows):
+    """Any (int, word) table rendered at fixed widths reads back
+    exactly through read_fixed_width (cuts, rtrim, casts)."""
+    from sql_redshift_etl_spark.sources.readers import read_fixed_width
+
+    d = tmp_path_factory.mktemp("fw")
+    p = d / "data.txt"
+    p.write_text("".join(f"{k:<6d}{w:<8s}\n" for k, w in rows))
+    out = read_fixed_width(
+        spark, str(p), "k BIGINT, w STRING", "k:6,w:8"
+    ).collect()
+    got = sorted((r["k"], r["w"]) for r in out)
+    assert got == sorted((k, w) for k, w in rows)

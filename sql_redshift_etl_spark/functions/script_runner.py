@@ -1071,6 +1071,7 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
         # worklist, not a plain loop: CALL expands a procedure body into
         # statements executed in place (front of the queue)
         pending = deque(split_statements(script))
+        n_calls = 0
         while pending:
             raw = pending.popleft()
             # Redshift #temp names → plain identifiers BEFORE statement
@@ -1169,6 +1170,15 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 name = m.group(1)
                 if name not in state.procs:
                     raise ValueError(f"CALL: no procedure {name!r} defined in this script")
+                n_calls += 1
+                if n_calls > 256:
+                    # a self-CALLing procedure has no terminating
+                    # condition in the straight-line subset — without a
+                    # cap the worklist loops forever
+                    raise ValueError(
+                        "CALL: more than 256 procedure expansions in one "
+                        "script (recursive CALL?)"
+                    )
                 params, body = state.procs[name]
                 args = [a.strip() for a in _split_top_commas(m.group(2)) if a.strip()]
                 if len(args) != len(params):
@@ -1372,7 +1382,18 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
             if m := _UNLOAD.match(raw):
                 inner, path, clause = m.group(1), m.group(2), m.group(3)
                 opts = _parse_io_options(clause, "UNLOAD")
-                df = spark.sql(translate_redshift_sql(inner.replace("''", "'")).strip())
+                # the inner query sat inside UNLOAD's single quotes, so
+                # the statement-level schema flattening and SQL-UDF
+                # inlining skipped it (they are literal-masked) — apply
+                # both to the unescaped text before translation
+                inner_sql = inner.replace("''", "'")
+                for s in state.schemas:
+                    inner_sql = _sub_outside_quotes(
+                        inner_sql, rf"(?i)\b{re.escape(s)}\s*\.\s*(\w+)", rf"{s}__\1"
+                    )
+                if state.funcs:
+                    inner_sql = _inline_sql_udfs(inner_sql, state.funcs)
+                df = spark.sql(translate_redshift_sql(inner_sql).strip())
                 if opts["maxfilesize"] is not None:
                     # MAXFILESIZE n [MB|GB]: size the output files by
                     # repartitioning to ceil(estimated_bytes / max) —

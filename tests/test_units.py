@@ -2341,3 +2341,52 @@ def test_copy_acceptinvchars_and_noop_params(spark, tmp_path):
     rows = [tuple(r) for r in out.collect()]
     assert rows[0] == (1, "ab?cd", "2024-01-15")
     assert rows[1][:2] == (2, "ok") and rows[1][2] is None
+
+
+def test_unload_inner_query_schema_and_udf(spark, tmp_path):
+    """UNLOAD's quoted inner query gets schema flattening and SQL-UDF
+    inlining applied (the statement-level passes are literal-masked and
+    would otherwise skip it)."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    p = tmp_path / "out"
+    out = run_redshift_script(
+        spark,
+        f"""
+        CREATE SCHEMA mart;
+        CREATE FUNCTION f_twice(x BIGINT) RETURNS BIGINT AS $$
+            SELECT x * 2 $$ LANGUAGE sql;
+        CREATE TEMP TABLE mart.t (k BIGINT);
+        INSERT INTO mart.t VALUES (1), (2), (3);
+        UNLOAD ('SELECT k, f_twice(k) AS k2 FROM mart.t')
+        TO '{p}' FORMAT AS CSV HEADER ALLOWOVERWRITE;
+        SELECT COUNT(*) AS n FROM mart.t;
+        """,
+    )
+    assert [r.n for r in out.collect()] == [3]
+    back = spark.read.option("header", True).csv(str(p))
+    assert sorted((int(r.k), int(r.k2)) for r in back.collect()) == [
+        (1, 2), (2, 4), (3, 6),
+    ]
+
+
+def test_recursive_procedure_call_capped(spark):
+    """A self-CALLing procedure (no terminating condition exists in the
+    straight-line subset) raises at the expansion cap instead of
+    looping forever."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    with _pytest.raises(ValueError, match="256 procedure expansions"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE PROCEDURE loopy() AS $$
+            BEGIN
+                CALL loopy();
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL loopy();
+            """,
+        )

@@ -1185,6 +1185,84 @@ def redshift_script_stored_procedure(spark: SparkSession, sf_dir: str) -> DataFr
     return out
 
 
+_SCRIPT_PROC_CONTROL_FLOW = """
+    CREATE SCHEMA mart;
+    CREATE TEMP TABLE mart.monthly (m BIGINT, n BIGINT, total DOUBLE PRECISION)
+        ON COMMIT PRESERVE ROWS;
+    SET search_path TO '$user', public, mart;
+
+    CREATE PROCEDURE build(p_year INT) AS $$
+    BEGIN
+        FOR mm IN 1..3 LOOP
+            INSERT INTO monthly
+            SELECT mm, COUNT(*),
+                   CAST(SUM(CONVERT(DECIMAL(18,6), o_totalprice)) AS DOUBLE PRECISION)
+            FROM {orders}
+            WHERE EXTRACT(YEAR FROM o_orderdate) = p_year
+              AND EXTRACT(MONTH FROM o_orderdate) = mm;
+        END LOOP;
+        IF (SELECT COUNT(*) FROM monthly) = 0 THEN
+            RAISE EXCEPTION 'no rows loaded for %', p_year;
+        ELSIF (SELECT MIN(n) FROM monthly) < 0 THEN
+            RAISE EXCEPTION 'negative counts';
+        ELSE
+            RAISE NOTICE 'loaded % months', (SELECT COUNT(*) FROM monthly);
+        END IF;
+        WHILE (SELECT COUNT(*) FROM monthly) < 5 LOOP
+            INSERT INTO monthly
+            SELECT MAX(m) + 100, -1, 0.0 FROM monthly;
+        END LOOP;
+    END;
+    $$ LANGUAGE plpgsql;
+
+    CALL build(1995);
+    SELECT m, n, total FROM mart.monthly;
+"""
+
+
+@register(
+    "redshift_script_proc_control_flow",
+    tags=("S6",),
+    oracle="""
+        WITH base AS (
+            SELECT CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+            FROM orders
+            WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+              AND EXTRACT(MONTH FROM o_orderdate) <= 3
+            GROUP BY 1
+        )
+        SELECT m, n, total FROM base
+        UNION ALL SELECT CAST(103 AS BIGINT), CAST(-1 AS BIGINT), CAST(0.0 AS DOUBLE)
+        UNION ALL SELECT CAST(203 AS BIGINT), CAST(-1 AS BIGINT), CAST(0.0 AS DOUBLE)
+    """,
+)
+def redshift_script_proc_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """plpgsql control flow in procedures (r6): a verbatim body using
+    FOR mm IN 1..3 (textual loop-variable substitution), IF/ELSIF/ELSE
+    with scalar-subquery conditions, RAISE EXCEPTION guards (not
+    taken) + RAISE NOTICE (taken, a log-level no-op), and a WHILE that
+    re-evaluates table state per iteration (pads the rollup to exactly
+    5 rows: 103 then 203) — every construct is load-bearing in the
+    hash. SET search_path resolution is too: the body's unqualified
+    `monthly` references resolve to the declared `mart` schema.
+
+    Scale: control flow is driver-side statement expansion — each
+    condition is a one-row scalar query, each iteration's INSERT is the
+    same pushed-filter rollup a straight-line script would run; nothing
+    per-row or per-partition happens in Python.
+    """
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rs_cf_orders")
+    out = run_redshift_script(
+        spark, _SCRIPT_PROC_CONTROL_FLOW.format(orders="rs_cf_orders")
+    )
+    assert out is not None
+    return out
+
+
 _REDSHIFT_MISC3 = """
     SELECT c_custkey,
            REPLICATE(c_mktsegment, 2) AS seg_twice,

@@ -913,13 +913,20 @@ def _rewrite_log_base10(sql: str) -> str:
     """Redshift's 1-arg LOG is base-10; Spark's 1-arg log is NATURAL —
     a silent-wrong-answer trap, so the rewrite is mandatory. Only the
     one-argument form rewrites (a 2-arg log(base, x) means the same in
-    both engines' extended dialects)."""
+    both engines' extended dialects). A TABLE named ``log`` is NOT a
+    call: table-name positions (CREATE TABLE log (...), INSERT INTO
+    log (...), FROM/JOIN log, alias log (...)) are excluded by the
+    preceding keyword."""
     pat = re.compile(r"\bLOG\s*\(", re.IGNORECASE)
+    name_pos = re.compile(
+        r"(?is)\b(?:TABLE|VIEW|INTO|FROM|JOIN|UPDATE|USING|EXISTS|AS)\s*$"
+    )
     while True:
         hits = [
             m
             for m in pat.finditer(sql)
             if not _in_literal(sql, m.start())
+            and not name_pos.search(sql[: m.start()])
             and len(_split_args(sql[m.end() : _scan_balanced(sql, m.end()) - 1])) == 1
         ]
         if not hits:

@@ -525,12 +525,14 @@ _DROP_PROC = re.compile(
     r"^DROP\s+PROCEDURE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*(?:\([^)]*\))?\s*$",
     re.IGNORECASE,
 )
-# plpgsql constructs outside the supported straight-line subset; any hit
-# in a procedure body is a loud error, not a silent misparse
+# plpgsql constructs outside the supported subset (r6 added IF/ELSIF/
+# ELSE, WHILE ... LOOP, FOR i IN a..b LOOP and RAISE — see the control-
+# flow section below); any hit in a procedure body is a loud error, not
+# a silent misparse. Checked on quote-masked text so a RAISE message
+# containing one of these words cannot false-positive.
 _PLPGSQL_CONTROL = re.compile(
-    r"(?i)(?:^|[^\w$])(IF(?!\s+(?:NOT\s+)?EXISTS\b)|ELSIF|LOOP|WHILE|"
-    r"RETURN|RAISE|EXECUTE|DECLARE|CURSOR|FETCH|EXCEPTION|PERFORM|"
-    r"GET\s+DIAGNOSTICS)(?:[^\w$]|$)"
+    r"(?i)(?:^|[^\w$])(RETURN|EXECUTE|DECLARE|FETCH|OPEN|CLOSE|PERFORM|"
+    r"EXIT|CONTINUE|GET\s+DIAGNOSTICS|EXCEPTION\s+WHEN)(?:[^\w$]|$)"
 )
 
 
@@ -554,6 +556,274 @@ def _parse_proc_params(params: str) -> list[str]:
             raise ValueError(f"CREATE PROCEDURE: cannot parse parameter {p!r}")
         names.append(pm.group(1))
     return names
+
+
+# ---------------------------------------------------------------------------
+# plpgsql control flow (round 6): IF/ELSIF/ELSE, WHILE ... LOOP,
+# FOR i IN [REVERSE] a..b LOOP, and RAISE inside procedure bodies.
+#
+# Design: block bodies are kept as RAW TEXT and re-parsed lazily when the
+# block executes (a WHILE body re-parses per iteration), so the script
+# runner's worklist model is unchanged — control nodes sit in the same
+# deque as plain statements and expand in place when popped. Conditions
+# are arbitrary boolean SQL expressions (scalar subqueries included),
+# evaluated through the same dialect front-end as every other statement
+# via a one-row ``SELECT CAST((cond) AS BOOLEAN)``.
+#
+# Out of scope (loud at CREATE PROCEDURE): variables/DECLARE, EXIT/
+# CONTINUE, bare LOOP (needs EXIT), FOR-over-query, RETURN, EXCEPTION
+# blocks, EXECUTE — the _PLPGSQL_CONTROL check above.
+
+
+class _IfNode:
+    __slots__ = ("branches", "else_body")
+
+    def __init__(self, branches: list[tuple[str, str]], else_body: str | None):
+        self.branches = branches  # [(cond_sql, body_text), ...]
+        self.else_body = else_body
+
+
+class _WhileNode:
+    __slots__ = ("cond", "body", "iters")
+    MAX_ITERS = 1000
+
+    def __init__(self, cond: str, body: str):
+        self.cond = cond
+        self.body = body
+        self.iters = 0
+
+
+class _ForNode:
+    __slots__ = ("var", "frm", "to", "reverse", "body")
+    MAX_RANGE = 1000
+
+    def __init__(self, var: str, frm: str, to: str, reverse: bool, body: str):
+        self.var = var
+        self.frm = frm  # start-bound expression (the higher one under REVERSE)
+        self.to = to
+        self.reverse = reverse
+        self.body = body
+
+
+def _mask_quoted(text: str) -> str:
+    """Copy of *text* with single-quoted literal contents blanked, so
+    keyword/semicolon scans cannot match inside strings ('' escapes
+    toggle twice, landing back in-literal)."""
+    out = list(text)
+    in_q = False
+    for i, ch in enumerate(text):
+        if ch == "'":
+            in_q = not in_q
+        elif in_q:
+            out[i] = " "
+    return "".join(out)
+
+
+# One token scanner drives all block matching. Order matters: END IF /
+# END LOOP before END (CASE closer), IF EXISTS / IF NOT EXISTS (DDL
+# modifiers, no block) before IF. WHILE/FOR heads don't open a block —
+# their LOOP keyword does.
+_CTRL_TOKEN = re.compile(
+    r"(?is)\b(?:(?P<endif>END\s+IF)|(?P<endloop>END\s+LOOP)"
+    r"|(?P<ifx>IF\s+(?:NOT\s+)?EXISTS)|(?P<if>IF)|(?P<loop>LOOP)"
+    r"|(?P<then>THEN)|(?P<elsif>ELSIF|ELSEIF)|(?P<else>ELSE)"
+    r"|(?P<case>CASE)|(?P<end>END))\b"
+)
+
+
+def _consume_semi(text: str, j: int) -> int:
+    n = len(text)
+    while j < n and text[j].isspace():
+        j += 1
+    return j + 1 if j < n and text[j] == ";" else j
+
+
+def _parse_if(text: str, masked: str, start: int) -> tuple[_IfNode, int]:
+    """Parse ``IF cond THEN ... [ELSIF ...] [ELSE ...] END IF`` starting
+    at *start* (the IF keyword). Returns the node and the index past the
+    closing ``END IF;``."""
+    stack = 1  # IF/LOOP nesting relative to this IF
+    case_depth = 0  # CASE expressions carry their own THEN/ELSE/END
+    branches: list[tuple[str, str]] = []
+    cond_start = start + 2
+    seg_cond: str | None = None
+    body_start: int | None = None
+    else_start: int | None = None
+    for m in _CTRL_TOKEN.finditer(masked, start + 2):
+        kind = m.lastgroup
+        if kind == "case":
+            case_depth += 1
+        elif kind == "end":
+            if case_depth > 0:
+                case_depth -= 1
+        elif kind == "if":
+            stack += 1
+        elif kind == "loop":
+            stack += 1
+        elif kind == "endloop":
+            stack -= 1
+        elif kind == "endif":
+            stack -= 1
+            if stack == 0:
+                if else_start is not None:
+                    else_body: str | None = text[else_start : m.start()]
+                elif body_start is not None:
+                    branches.append((seg_cond, text[body_start : m.start()]))
+                    else_body = None
+                else:
+                    raise ValueError(f"IF: missing THEN near {text[start:start + 60]!r}")
+                return _IfNode(branches, else_body), _consume_semi(text, m.end())
+        elif stack == 1 and case_depth == 0 and else_start is None:
+            if kind == "then" and body_start is None:
+                seg_cond = text[cond_start : m.start()].strip()
+                if not seg_cond:
+                    raise ValueError("IF/ELSIF: empty condition")
+                body_start = m.end()
+            elif kind == "elsif":
+                if body_start is None:
+                    raise ValueError("ELSIF before THEN")
+                branches.append((seg_cond, text[body_start : m.start()]))
+                cond_start, seg_cond, body_start = m.end(), None, None
+            elif kind == "else":
+                if body_start is None:
+                    raise ValueError("ELSE before THEN")
+                branches.append((seg_cond, text[body_start : m.start()]))
+                else_start = m.end()
+    raise ValueError(f"IF: missing END IF near {text[start:start + 60]!r}")
+
+
+def _find_block_close(masked: str, pos: int, want: str, what: str) -> re.Match:
+    """Match for the END IF/END LOOP closing the block open at *pos*."""
+    stack = 1
+    for m in _CTRL_TOKEN.finditer(masked, pos):
+        kind = m.lastgroup
+        if kind in ("if", "loop"):
+            stack += 1
+        elif kind in ("endif", "endloop"):
+            stack -= 1
+            if stack == 0:
+                if kind != want:
+                    raise ValueError(f"{what}: mismatched block closer")
+                return m
+    raise ValueError(f"{what}: missing END LOOP")
+
+
+def _parse_while(text: str, masked: str, start: int) -> tuple[_WhileNode, int]:
+    lm = re.compile(r"(?is)\bLOOP\b").search(masked, start + 5)
+    if lm is None:
+        raise ValueError(f"WHILE: missing LOOP near {text[start:start + 60]!r}")
+    cond = text[start + 5 : lm.start()].strip()
+    if not cond:
+        raise ValueError("WHILE: empty condition")
+    em = _find_block_close(masked, lm.end(), "endloop", "WHILE")
+    return _WhileNode(cond, text[lm.end() : em.start()]), _consume_semi(text, em.end())
+
+
+def _parse_for(text: str, masked: str, start: int) -> tuple[_ForNode, int]:
+    lm = re.compile(r"(?is)\bLOOP\b").search(masked, start + 3)
+    if lm is None:
+        raise ValueError(f"FOR: missing LOOP near {text[start:start + 60]!r}")
+    head = text[start + 3 : lm.start()].strip()
+    hm = re.match(r"(?is)^(\w+)\s+IN\s+(REVERSE\s+)?(.+)$", head)
+    if hm is None:
+        raise ValueError(f"FOR: expected 'FOR var IN [REVERSE] a..b LOOP', got {head!r}")
+    rng = hm.group(3)
+    dots = _mask_quoted(rng).find("..")
+    if dots < 0:
+        raise ValueError(
+            f"FOR {hm.group(1)}: only integer ranges (a..b) are supported, "
+            "not FOR-over-query"
+        )
+    em = _find_block_close(masked, lm.end(), "endloop", "FOR")
+    node = _ForNode(
+        hm.group(1),
+        rng[:dots].strip(),
+        rng[dots + 2 :].strip(),
+        bool(hm.group(2)),
+        text[lm.end() : em.start()],
+    )
+    return node, _consume_semi(text, em.end())
+
+
+def _parse_plpgsql_nodes(text: str) -> list:
+    """Split a procedure body into executable items: plain SQL statement
+    strings interleaved with control nodes (each block's body stays raw
+    text, re-parsed when the block runs)."""
+    nodes: list = []
+    masked = _mask_quoted(text)
+    i, n = 0, len(text)
+    while i < n:
+        while i < n and (text[i].isspace() or text[i] == ";"):
+            i += 1
+        if i >= n:
+            break
+        m = re.match(r"(?i)(IF|WHILE|FOR)\b", masked[i:])
+        kw = m.group(1).upper() if m else None
+        if kw == "IF":
+            node, i = _parse_if(text, masked, i)
+            nodes.append(node)
+        elif kw == "WHILE":
+            node, i = _parse_while(text, masked, i)
+            nodes.append(node)
+        elif kw == "FOR":
+            node, i = _parse_for(text, masked, i)
+            nodes.append(node)
+        else:
+            j = masked.find(";", i)
+            if j == -1:
+                j = n
+            stmt = text[i:j].strip()
+            if stmt:
+                if bm := re.match(
+                    r"(?i)(LOOP|ELSIF|ELSEIF|ELSE|THEN|END\s+IF|END\s+LOOP)\b", stmt
+                ):
+                    # bare LOOP (needs EXIT, unsupported) or a block
+                    # keyword with no open block — loud, not misparse
+                    raise ValueError(
+                        f"plpgsql: unsupported or misplaced {bm.group(1).upper()} "
+                        f"near {stmt[:60]!r} (bare LOOP needs EXIT — use WHILE/FOR)"
+                    )
+                nodes.append(stmt)
+            i = j + 1
+    return nodes
+
+
+# RAISE [level] 'format' [, arg...]: EXCEPTION (the default) aborts the
+# script with the %-formatted message; NOTICE/INFO/WARNING/LOG/DEBUG are
+# log-channel levels with no script-visible effect — accepted no-ops.
+_RAISE = re.compile(
+    r"^RAISE\s+(?:(EXCEPTION|NOTICE|INFO|WARNING|LOG|DEBUG)\s+)?"
+    r"'((?:[^']|'')*)'\s*(?:,(.*))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _format_raise_message(msg: str, vals: list[str]) -> str:
+    """plpgsql %-placeholders consume args in order; %% is a literal %.
+    Arity mismatches are errors (plpgsql's own contract)."""
+    out: list[str] = []
+    it = iter(vals)
+    i, n = 0, len(msg)
+    used = 0
+    while i < n:
+        ch = msg[i]
+        if ch == "%":
+            if i + 1 < n and msg[i + 1] == "%":
+                out.append("%")
+                i += 2
+                continue
+            try:
+                out.append(next(it))
+                used += 1
+            except StopIteration:
+                raise ValueError(f"RAISE: too few parameters for format {msg!r}")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    if used != len(vals):
+        raise ValueError(f"RAISE: too many parameters for format {msg!r}")
+    return "".join(out)
 
 
 _TRUNCATE = re.compile(r"^TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*$", re.IGNORECASE)
@@ -609,6 +879,7 @@ _OPT_TOKEN = re.compile(
     | TIMEFORMAT\s+(?:AS\s+)?'(?P<timefmt>[^']*)'
     | NULL\s+(?:AS\s+)?'(?P<nullas>[^']*)'
     | ACCEPTINVCHARS(?:\s+(?:AS\s+)?'(?P<invchar>[^']*)')?
+    | (?P<removequotes>REMOVEQUOTES)\b
     | ACCEPTANYDATE\b              # PERMISSIVE parsing already nulls unparseable dates
     | ESCAPE\b                     # Spark's CSV reader already honors backslash escapes
     | (?P<blanksasnull>BLANKSASNULL)\b
@@ -634,7 +905,7 @@ def _parse_io_options(clause: str, stmt_kind: str) -> dict:
                   "datefmt": None, "timefmt": None, "maxfilesize": None,
                   "blanksasnull": False, "trimblanks": False,
                   "emptyasnull": False, "ignoreblank": False,
-                  "invchar": None}
+                  "invchar": None, "removequotes": False}
     pos = 0
     while pos < len(clause):
         m = _OPT_TOKEN.match(clause, pos)
@@ -670,7 +941,8 @@ def _parse_io_options(clause: str, stmt_kind: str) -> dict:
             opts["datefmt"] = m.group("datefmt")
         if m.group("timefmt") is not None:
             opts["timefmt"] = m.group("timefmt")
-        for flag in ("blanksasnull", "trimblanks", "emptyasnull", "ignoreblank"):
+        for flag in ("blanksasnull", "trimblanks", "emptyasnull", "ignoreblank",
+                     "removequotes"):
             if m.group(flag):
                 opts[flag] = True
         if m.group(0).upper().startswith("ACCEPTINVCHARS"):
@@ -748,6 +1020,11 @@ class _ScriptState:
         self.schemas: set[str] = set()
         # SQL UDFs: function -> (param names, scalar expression text)
         self.funcs: dict[str, tuple[list[str], str]] = {}
+        # SET search_path schema order; unqualified references that are
+        # not bound plain resolve to the first path schema that has a
+        # binding of that name (read-side resolution — see
+        # _apply_search_path for the contract and its documented hazard)
+        self.search_path: list[str] = []
         # table -> {column: DEFAULT literal SQL text} (CREATE/ALTER DDL
         # attribute; INSERTs that omit the column fill the default, not
         # NULL — Redshift's contract). Lifecycle mirrors identity_cols.
@@ -799,9 +1076,13 @@ def _cast_positional(sel: DataFrame, target: DataFrame, table: str) -> DataFrame
         )
     from pyspark.sql import functions as F
 
+    # positional rename FIRST, then cast: an unaliased literal like 0.0
+    # yields a column NAMED "0.0", which name-based resolution would
+    # parse as `0`.`0` and fail
+    sel = sel.toDF(*[f"_pos{i}" for i in range(len(sel.columns))])
     return sel.select(
         *[
-            F.col(sel.columns[i]).cast(f.dataType).alias(f.name)
+            F.col(f"_pos{i}").cast(f.dataType).alias(f.name)
             for i, f in enumerate(tgt_schema.fields)
         ]
     )
@@ -813,6 +1094,54 @@ def _sub_outside_quotes(text: str, pattern: str, repl) -> str:
     segs = text.split("'")
     segs[0::2] = [re.sub(pattern, repl, s) for s in segs[0::2]]
     return "'".join(segs)
+
+
+def _apply_search_path(state: "_ScriptState", sql: str) -> str:
+    """``SET search_path`` resolution, read-side: an unqualified name
+    that has no plain binding rewrites to ``<schema>__<name>`` for the
+    FIRST path schema holding that binding (a plain binding always
+    shadows the path — Redshift's own resolution order puts earlier
+    path entries first, and the script's unqualified CREATEs bind
+    plain). Same documented hazard class as declared-schema flattening:
+    a bare column named exactly like a path-resolved table would be
+    rewritten too; qualify the column to avoid it."""
+    for s in state.search_path:
+        for bound in list(state.tables):
+            if not bound.startswith(f"{s}__"):
+                continue
+            plain = bound[len(s) + 2 :]
+            if plain in state.tables:
+                continue
+            sql = _sub_outside_quotes(
+                sql,
+                rf"(?i)(?<![\w.#$]){re.escape(plain)}(?![\w$])(?!\s*\()",
+                bound,
+            )
+    return sql
+
+
+def _prep_stmt_sql(state: "_ScriptState", sql: str) -> str:
+    """The same per-statement text passes the main loop applies (#temp
+    rename, declared-schema flattening, search-path resolution, SQL-UDF
+    inlining) for SQL built OUTSIDE the loop — control-flow condition
+    evaluation."""
+    sql = rewrite_temp_names(sql)
+    for s in state.schemas:
+        sql = _sub_outside_quotes(sql, rf"(?i)\b{re.escape(s)}\s*\.\s*(\w+)", rf"{s}__\1")
+    sql = _apply_search_path(state, sql)
+    if state.funcs:
+        sql = _inline_sql_udfs(sql, state.funcs)
+    return sql
+
+
+def _eval_script_scalar(spark: SparkSession, state: "_ScriptState", expr: str, cast: str):
+    """Evaluate a scalar SQL expression (scalar subqueries included) in
+    the script's current bindings. One-row driver-side read by design —
+    the same O(1)-result class as the JDBC-bounds and query-vector
+    lookups."""
+    sql = _prep_stmt_sql(state, f"SELECT CAST(({expr}) AS {cast}) AS v")
+    row = spark.sql(translate_redshift_sql(sql)).first()
+    return None if row is None else row[0]
 
 
 def _run_merge_into(
@@ -1074,6 +1403,56 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
         n_calls = 0
         while pending:
             raw = pending.popleft()
+            # plpgsql control nodes (from CALL-expanded bodies) expand in
+            # place: the taken branch / next iteration's statements go to
+            # the FRONT of the worklist, exactly where the block sat.
+            if isinstance(raw, _IfNode):
+                for cond, body in raw.branches:
+                    # NULL condition = branch not taken (SQL three-valued)
+                    if bool(_eval_script_scalar(spark, state, cond, "BOOLEAN")):
+                        pending.extendleft(reversed(_parse_plpgsql_nodes(body)))
+                        break
+                else:
+                    if raw.else_body is not None:
+                        pending.extendleft(
+                            reversed(_parse_plpgsql_nodes(raw.else_body))
+                        )
+                continue
+            if isinstance(raw, _WhileNode):
+                raw.iters += 1
+                if raw.iters > _WhileNode.MAX_ITERS:
+                    raise ValueError(
+                        f"WHILE: more than {_WhileNode.MAX_ITERS} iterations "
+                        "in one script (runaway loop?)"
+                    )
+                if bool(_eval_script_scalar(spark, state, raw.cond, "BOOLEAN")):
+                    pending.appendleft(raw)  # re-test after this iteration
+                    pending.extendleft(reversed(_parse_plpgsql_nodes(raw.body)))
+                continue
+            if isinstance(raw, _ForNode):
+                frm = _eval_script_scalar(spark, state, raw.frm, "BIGINT")
+                to = _eval_script_scalar(spark, state, raw.to, "BIGINT")
+                if frm is None or to is None:
+                    raise ValueError(f"FOR {raw.var}: NULL range bound")
+                vals = range(frm, to - 1, -1) if raw.reverse else range(frm, to + 1)
+                if len(vals) > _ForNode.MAX_RANGE:
+                    raise ValueError(
+                        f"FOR {raw.var}: range of {len(vals)} exceeds the "
+                        f"{_ForNode.MAX_RANGE}-iteration cap"
+                    )
+                var_pat = rf"(?i)(?<![\w$]){re.escape(raw.var)}(?![\w$])"
+                pending.extendleft(
+                    reversed(
+                        [
+                            node
+                            for v in vals
+                            for node in _parse_plpgsql_nodes(
+                                re.sub(var_pat, str(v), raw.body)
+                            )
+                        ]
+                    )
+                )
+                continue
             # Redshift #temp names → plain identifiers BEFORE statement
             # classification (the CREATE/COPY/INSERT regexes match \w
             # identifiers; '#stg' would silently fall through to
@@ -1108,6 +1487,18 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 # flatten declared-schema-qualified names to one part
                 raw = _sub_outside_quotes(
                     raw, rf"(?i)\b{re.escape(s)}\s*\.\s*(\w+)", rf"{s}__\1"
+                )
+            if state.search_path:
+                raw = _apply_search_path(state, raw)
+            if raw[:6].upper() == "CREATE" and re.search(r"(?i)\bON\s+COMMIT\b", raw):
+                # CREATE TEMP TABLE ... ON COMMIT PRESERVE|DELETE ROWS:
+                # script scope has no transactions (BEGIN/COMMIT are
+                # no-ops), so both spellings behave as PRESERVE here;
+                # temp tables die at script end either way.
+                raw = _sub_outside_quotes(
+                    raw,
+                    r"(?i)\s+ON\s+COMMIT\s+(?:PRESERVE\s+ROWS|DELETE\s+ROWS|DROP)",
+                    " ",
                 )
             if hm := _CREATE_FUNC_HEAD.match(raw):
                 sig_end = _scan_balanced_fwd(raw, hm.end())
@@ -1153,12 +1544,13 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         "BEGIN ... END block"
                     )
                 body = bm.group(1)
-                if cm := _PLPGSQL_CONTROL.search(body):
+                if cm := _PLPGSQL_CONTROL.search(_mask_quoted(body)):
                     raise ValueError(
                         f"CREATE PROCEDURE {hm.group(1)}: procedural "
                         f"{cm.group(1).upper()} is outside the supported "
-                        "straight-line subset (plain SQL statements only)"
+                        "subset (plain SQL + IF/WHILE/FOR/RAISE only)"
                     )
+                _parse_plpgsql_nodes(body)  # surface block-structure errors at define time
                 state.procs[hm.group(1)] = (params, body)
                 continue
             if m := _DROP_PROC.match(raw):
@@ -1192,8 +1584,30 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     body = re.sub(
                         rf"(?i)(?<![\w$]){re.escape(p)}(?![\w$])", a, body
                     )
-                pending.extendleft(reversed(split_statements(body)))
+                pending.extendleft(reversed(_parse_plpgsql_nodes(body)))
                 continue
+            if re.match(r"(?i)^RAISE\b", raw):
+                m = _RAISE.match(raw)
+                if m is None:
+                    raise ValueError(f"RAISE: unsupported form {raw[:60]!r}")
+                level = (m.group(1) or "EXCEPTION").upper()
+                if level == "EXCEPTION":
+                    args = [
+                        a.strip()
+                        for a in _split_top_commas(m.group(3) or "")
+                        if a.strip()
+                    ]
+                    vals = [
+                        str(_eval_script_scalar(spark, state, a, "STRING"))
+                        for a in args
+                    ]
+                    raise RuntimeError(
+                        "RAISE EXCEPTION: "
+                        + _format_raise_message(
+                            m.group(2).replace("''", "'"), vals
+                        )
+                    )
+                continue  # NOTICE/INFO/WARNING/LOG/DEBUG: log-only, no-op
             # COPY/UNLOAD carry path literals and option clauses the SQL
             # rewriter must not touch — matched on the RAW statement;
             # only UNLOAD's inner query goes through the front-end.
@@ -1237,26 +1651,53 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 # spellings and non-text formats are out of the
                 # supported subset (loud, not silently ignored).
                 fmt_opts: dict[str, str] = {}
+                epoch_unit: str | None = None
                 for key, opt_name in (("datefmt", "DATEFORMAT"), ("timefmt", "TIMEFORMAT")):
                     v = opts[key]
                     if v is None or v.lower() == "auto":
                         continue
-                    if v.lower() in ("epochsecs", "epochmillisecs"):
-                        raise ValueError(
-                            f"COPY {name}: TIMEFORMAT {v!r} unsupported — load "
-                            "as BIGINT and convert with TIMESTAMP 'epoch' + "
-                            "arithmetic"
-                        )
                     if fmt in ("JSON", "PARQUET") or opts["fixedwidth"] is not None:
                         raise ValueError(
                             f"COPY {name}: {opt_name} applies to delimited "
                             "text loads only"
                         )
+                    if v.lower() in ("epochsecs", "epochmillisecs"):
+                        if key != "timefmt":
+                            raise ValueError(
+                                f"COPY {name}: DATEFORMAT {v!r} invalid — "
+                                "epoch spellings are TIMEFORMAT-only"
+                            )
+                        # epoch ints: parse timestamp columns as BIGINT,
+                        # convert after load (timestamp_seconds/_millis)
+                        epoch_unit = "s" if v.lower() == "epochsecs" else "ms"
+                        continue
                     from sql_redshift_etl_spark.functions.dialect import (
                         translate_datetime_format,
                     )
 
                     fmt_opts[key] = translate_datetime_format(v)
+                read_schema = base.schema
+                epoch_cols: list[str] = []
+                if epoch_unit is not None:
+                    from pyspark.sql import types as T
+
+                    swapped = []
+                    for f in base.schema.fields:
+                        if isinstance(f.dataType, T.TimestampType):
+                            epoch_cols.append(f.name)
+                            swapped.append(
+                                T.StructField(f.name, T.LongType(), f.nullable)
+                            )
+                        else:
+                            swapped.append(f)
+                    read_schema = T.StructType(swapped)
+                if opts["removequotes"] and (
+                    fmt in ("JSON", "PARQUET") or opts["fixedwidth"] is not None
+                ):
+                    raise ValueError(
+                        f"COPY {name}: REMOVEQUOTES applies to delimited "
+                        "text loads only"
+                    )
                 if opts["maxerror"] is not None and (
                     fmt == "PARQUET" or opts["fixedwidth"] is not None
                 ):
@@ -1288,7 +1729,7 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     loaded, bad = read_with_error_budget(
                         spark,
                         src,
-                        base.schema,
+                        read_schema,
                         fmt,
                         max_error=opts["maxerror"],
                         header=opts["skip"] > 0,
@@ -1319,12 +1760,19 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     loaded = read_csv(
                         spark,
                         src,
-                        base.schema,
+                        read_schema,
                         header=opts["skip"] > 0,
                         delimiter=opts["delimiter"] or ("," if fmt == "CSV" else "|"),
                         null_value=opts["null_as"],
                         date_format=fmt_opts.get("datefmt"),
                         timestamp_format=fmt_opts.get("timefmt"),
+                    )
+                for c in epoch_cols:
+                    loaded = loaded.withColumn(
+                        c,
+                        F.timestamp_seconds(F.col(c))
+                        if epoch_unit == "s"
+                        else F.timestamp_millis(F.col(c)),
                     )
                 conv = [
                     k
@@ -1334,6 +1782,7 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         "emptyasnull",
                         "ignoreblank",
                         "invchar",
+                        "removequotes",
                     )
                     if opts[k]
                 ]
@@ -1351,6 +1800,11 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         if not isinstance(f.dataType, T.StringType):
                             continue
                         col = F.col(f.name)
+                        if opts["removequotes"]:
+                            # strip ONE pair of matching surrounding
+                            # quotes (" or ') — Redshift's REMOVEQUOTES
+                            # for delimited text; unmatched quotes stay
+                            col = F.regexp_replace(col, "^([\"'])(.*)\\1$", "$2")
                         if opts["invchar"] is not None:
                             # ACCEPTINVCHARS: the JVM text decoder has
                             # already replaced invalid UTF-8 sequences
@@ -1978,17 +2432,32 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     # insert NULLs, not resurrect the old behavior
                     state.drop_meta(name)
                     state.mv_defs.pop(name, None)
-            elif sm := re.match(r"(?is)^SET\s+(\w+)\s*(?:=|TO)\s+\S", stmt):
+            elif sm := re.match(r"(?is)^SET\s+(\w+)\s*(?:=|TO)\s+(\S.*)$", stmt):
                 # warehouse session knobs (enable_result_cache_for_
                 # session, wlm_query_slot_count, statement_timeout, ...)
                 # have no Spark analog — accepted no-ops, EXCEPT
-                # search_path, which changes name resolution and would
-                # silently alter which tables a script reads.
+                # search_path, which changes name resolution: resolved
+                # read-side against declared schemas (_apply_search_path).
                 if sm.group(1).lower() == "search_path":
-                    raise ValueError(
-                        "SET search_path unsupported — use schema-qualified "
-                        "names (CREATE SCHEMA is supported)"
-                    )
+                    names = [
+                        p.strip().strip("'\"").lower()
+                        for p in sm.group(2).split(",")
+                        if p.strip()
+                    ]
+                    # '$user' and 'public' are Redshift's defaults; other
+                    # undeclared names would silently resolve nothing —
+                    # loud, not ignored (module policy)
+                    unknown = [
+                        s
+                        for s in names
+                        if s not in state.schemas and s not in ("$user", "public")
+                    ]
+                    if unknown:
+                        raise ValueError(
+                            f"SET search_path: undeclared schema(s) "
+                            f"{', '.join(unknown)} — CREATE SCHEMA first"
+                        )
+                    state.search_path = [s for s in names if s in state.schemas]
             elif re.match(r"(?is)^(?:EXPLAIN|SHOW)\b", stmt):
                 # EXPLAIN/SHOW pass straight to Spark; the plan/setting
                 # text is engine-specific by nature

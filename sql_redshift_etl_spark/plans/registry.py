@@ -104,6 +104,7 @@ def register(
 # Names not listed keep their module registration order after these.
 _VERIFY_FIRST: list[str] = [
     "redshift_script_merge_into",
+    "redshift_script_proc_control_flow",
     "redshift_script_materialized_view",
     "redshift_script_stored_procedure",
     "redshift_sql_misc3",
@@ -152,8 +153,11 @@ _VERIFY_FIRST: list[str] = [
     "redshift_script_copy_unload",
     "events_merge_upsert",
     "redshift_sql_misc2",
-    "flagship_pricing_summary",
     # --- 50-query driver boundary ---
+    # flagship_pricing_summary sits just below: it is the single most
+    # re-checked query in repo history (green r1-r5 + every bench run),
+    # demoted to make head room for the r6 control-flow query above.
+    "flagship_pricing_summary",
     "multimodal_image_resize",
     "multimodal_png_roundtrip",
     "multimodal_wav_roundtrip",

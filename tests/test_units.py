@@ -2069,12 +2069,15 @@ def test_copy_dateformat_timeformat(spark, tmp_path):
     )
     assert [tuple(r) for r in out.collect()] == [(1, "1995-06-17", "1999-12-31 23:59:58")]
 
+    # TIMEFORMAT epoch spellings are supported (r6, see
+    # test_copy_removequotes_and_epoch_timeformat); the DATEFORMAT
+    # spelling of them stays invalid
     with _pytest.raises(ValueError, match="epoch"):
         run_redshift_script(
             spark,
             f"""
             CREATE TEMP TABLE t2 (k BIGINT);
-            COPY t2 FROM '{p}' FORMAT AS CSV TIMEFORMAT 'epochsecs';
+            COPY t2 FROM '{p}' FORMAT AS CSV DATEFORMAT 'epochsecs';
             """,
         )
     with _pytest.raises(ValueError, match="delimited text"):
@@ -2390,3 +2393,326 @@ def test_recursive_procedure_call_capped(spark):
             CALL loopy();
             """,
         )
+
+
+# --- plpgsql control flow (round 6: IF/ELSIF/ELSE, WHILE, FOR, RAISE) ---
+
+
+def test_procedure_if_elsif_else_branches(spark):
+    """IF takes the first true branch; conditions are full SQL
+    expressions (scalar subqueries included); NULL condition = not
+    taken; ELSE catches when nothing matched."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE log (tag VARCHAR(20));
+        CREATE PROCEDURE route(n INT) AS $$
+        BEGIN
+            IF (SELECT COUNT(*) FROM log) > 100 THEN
+                INSERT INTO log VALUES ('big');
+            ELSIF n = 1 THEN
+                INSERT INTO log VALUES ('one');
+            ELSIF CAST(NULL AS BOOLEAN) THEN
+                INSERT INTO log VALUES ('null-taken');
+            ELSE
+                INSERT INTO log VALUES ('other');
+            END IF;
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL route(1);
+        CALL route(2);
+        SELECT tag FROM log ORDER BY tag;
+        """,
+    )
+    assert [r.tag for r in out.collect()] == ["one", "other"]
+
+
+def test_procedure_while_loop_reevaluates_condition(spark):
+    """WHILE re-evaluates its condition against CURRENT table state each
+    iteration (the doubling stops exactly at the threshold)."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE acc (v INT);
+        INSERT INTO acc VALUES (1);
+        CREATE PROCEDURE grow() AS $$
+        BEGIN
+            WHILE (SELECT COUNT(*) FROM acc) < 5 LOOP
+                INSERT INTO acc SELECT v FROM acc LIMIT 1;
+            END LOOP;
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL grow();
+        SELECT COUNT(*) AS n FROM acc;
+        """,
+    )
+    assert [r.n for r in out.collect()] == [5]
+
+
+def test_procedure_for_loop_and_reverse(spark):
+    """FOR i IN a..b substitutes the loop variable textually per value;
+    REVERSE iterates down; an empty range (a > b forward) runs zero
+    iterations — all plpgsql's own semantics."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE seq (pos INT, val INT);
+        CREATE PROCEDURE fill() AS $$
+        BEGIN
+            FOR i IN 1..3 LOOP
+                INSERT INTO seq VALUES (i, i * i);
+            END LOOP;
+            FOR j IN REVERSE 5..4 LOOP
+                INSERT INTO seq VALUES (j, -j);
+            END LOOP;
+            FOR k IN 9..8 LOOP
+                INSERT INTO seq VALUES (k, 999);
+            END LOOP;
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL fill();
+        SELECT pos, val FROM seq ORDER BY pos;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        (1, 1), (2, 4), (3, 9), (4, -4), (5, -5),
+    ]
+
+
+def test_procedure_nested_blocks_and_case_in_condition(spark):
+    """Nested IF inside FOR, with a CASE expression in the condition —
+    the block parser must not mistake CASE's THEN/ELSE/END for the
+    IF-statement's own boundaries."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE w (x INT);
+        CREATE PROCEDURE p2() AS $$
+        BEGIN
+            FOR j IN 1..3 LOOP
+                IF CASE WHEN j > 1 THEN TRUE ELSE FALSE END THEN
+                    IF j = 2 THEN
+                        INSERT INTO w VALUES (20);
+                    ELSE
+                        INSERT INTO w VALUES (j);
+                    END IF;
+                END IF;
+            END LOOP;
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p2();
+        SELECT x FROM w ORDER BY x;
+        """,
+    )
+    assert [r.x for r in out.collect()] == [3, 20]
+
+
+def test_raise_exception_formats_and_aborts(spark):
+    """RAISE EXCEPTION aborts the script with the %-formatted message
+    (args are SQL expressions, %% is a literal %); RAISE NOTICE is a
+    log-level no-op."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    with _pytest.raises(RuntimeError, match=r"empty load: 0 rows \(pct %\)"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE TEMP TABLE t (a INT);
+            CREATE PROCEDURE guard() AS $$
+            BEGIN
+                RAISE NOTICE 'checking %', 't';
+                IF (SELECT COUNT(*) FROM t) = 0 THEN
+                    RAISE EXCEPTION 'empty load: % rows (pct %%)',
+                        (SELECT COUNT(*) FROM t);
+                END IF;
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL guard();
+            """,
+        )
+
+
+def test_while_runaway_loop_capped(spark):
+    """A WHILE whose condition never turns false raises at the
+    iteration cap instead of spinning forever."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    with _pytest.raises(ValueError, match="1000 iterations"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE PROCEDURE spin() AS $$
+            BEGIN
+                WHILE 1 = 1 LOOP
+                    RAISE NOTICE 'tick';
+                END LOOP;
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL spin();
+            """,
+        )
+
+
+def test_unsupported_plpgsql_still_loud(spark):
+    """EXIT (and the rest of the unsupported keyword list) still raises
+    at CREATE PROCEDURE; a RAISE message CONTAINING such a word does
+    not false-positive (the check runs on quote-masked text)."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    with _pytest.raises(ValueError, match="EXIT"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE PROCEDURE bad() AS $$
+            BEGIN
+                WHILE 1 = 1 LOOP
+                    EXIT;
+                END LOOP;
+            END;
+            $$ LANGUAGE plpgsql;
+            """,
+        )
+    # the same word inside a string literal is fine
+    run_redshift_script(
+        spark,
+        """
+        CREATE PROCEDURE ok() AS $$
+        BEGIN
+            RAISE NOTICE 'EXIT RETURN EXECUTE are just words here';
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL ok();
+        """,
+    )
+
+
+def test_procedure_missing_end_if_loud(spark):
+    """Block-structure errors surface at CREATE PROCEDURE time."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    with _pytest.raises(ValueError, match="END IF"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE PROCEDURE broken() AS $$
+            BEGIN
+                IF 1 = 1 THEN
+                    RAISE NOTICE 'x';
+            END;
+            $$ LANGUAGE plpgsql;
+            """,
+        )
+
+
+# --- COPY REMOVEQUOTES / epoch TIMEFORMAT / ON COMMIT / search_path ---
+
+
+def test_copy_removequotes_and_epoch_timeformat(spark, tmp_path):
+    """REMOVEQUOTES strips one pair of matching surrounding quotes from
+    text fields; TIMEFORMAT 'epochsecs'/'epochmillisecs' loads
+    timestamp columns from epoch integers."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    p = tmp_path / "in.txt"
+    p.write_text(
+        "1|'single'|1704067200\n"
+        "2|plain|1704153600\n"
+    )
+    out = run_redshift_script(
+        spark,
+        f"""
+        CREATE TEMP TABLE t (id INT, txt VARCHAR(50), ts TIMESTAMP)
+            ON COMMIT PRESERVE ROWS;
+        COPY t FROM '{p}' REMOVEQUOTES TIMEFORMAT 'epochsecs';
+        SELECT id, txt, CAST(ts AS STRING) AS ts FROM t ORDER BY id;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        (1, "single", "2024-01-01 00:00:00"),
+        (2, "plain", "2024-01-02 00:00:00"),
+    ]
+
+    pm = tmp_path / "ms.txt"
+    pm.write_text("3|1704240000500\n")
+    out2 = run_redshift_script(
+        spark,
+        f"""
+        CREATE TEMP TABLE m (id INT, ts TIMESTAMP);
+        COPY m FROM '{pm}' TIMEFORMAT 'epochmillisecs';
+        SELECT CAST(ts AS STRING) AS ts FROM m;
+        """,
+    )
+    assert [r.ts for r in out2.collect()] == ["2024-01-03 00:00:00.5"]
+
+
+def test_copy_removequotes_non_text_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    p = tmp_path / "x.json"
+    p.write_text('{"id": 1}\n')
+    with _pytest.raises(ValueError, match="REMOVEQUOTES"):
+        run_redshift_script(
+            spark,
+            f"""
+            CREATE TEMP TABLE t (id INT);
+            COPY t FROM '{p}' FORMAT AS JSON REMOVEQUOTES;
+            """,
+        )
+
+
+def test_set_search_path_resolves_unqualified_names(spark):
+    """SET search_path resolves unqualified references to the first
+    path schema holding that binding; a plain binding shadows the path;
+    undeclared schemas raise."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE SCHEMA analytics;
+        CREATE TEMP TABLE analytics.daily (d INT, v BIGINT);
+        INSERT INTO analytics.daily VALUES (1, 10), (2, 20);
+        SET search_path TO '$user', public, analytics;
+        INSERT INTO daily VALUES (3, 30);
+        SELECT d, v FROM daily ORDER BY d;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, 10), (2, 20), (3, 30)]
+
+    # plain binding shadows the path
+    out2 = run_redshift_script(
+        spark,
+        """
+        CREATE SCHEMA s1;
+        CREATE TEMP TABLE s1.t (v INT);
+        INSERT INTO s1.t VALUES (1);
+        CREATE TEMP TABLE t (v INT);
+        INSERT INTO t VALUES (2);
+        SET search_path = s1;
+        SELECT v FROM t;
+        """,
+    )
+    assert [r.v for r in out2.collect()] == [2]
+
+    with _pytest.raises(ValueError, match="undeclared"):
+        run_redshift_script(spark, "SET search_path = nope;")

@@ -1185,6 +1185,61 @@ def redshift_script_stored_procedure(spark: SparkSession, sf_dir: str) -> DataFr
     return out
 
 
+_SCRIPT_TRANSACTIONS = """
+    CREATE TEMP TABLE ledger (grp VARCHAR(32), n BIGINT, total DOUBLE PRECISION);
+    INSERT INTO ledger
+    SELECT o_orderpriority, COUNT(*),
+           CAST(SUM(CONVERT(DECIMAL(18,6), o_totalprice)) AS DOUBLE PRECISION)
+    FROM {orders} WHERE o_orderstatus = 'F' GROUP BY o_orderpriority;
+
+    BEGIN;
+    UPDATE ledger SET n = -1;
+    INSERT INTO ledger VALUES ('JUNK', 0, 0.0);
+    ROLLBACK;
+
+    BEGIN;
+    INSERT INTO ledger
+    SELECT 'TOTAL-' || o_orderstatus, COUNT(*),
+           CAST(SUM(CONVERT(DECIMAL(18,6), o_totalprice)) AS DOUBLE PRECISION)
+    FROM {orders} GROUP BY o_orderstatus;
+    COMMIT;
+
+    SELECT grp, n, total FROM ledger;
+"""
+
+
+@register(
+    "redshift_script_transactions",
+    tags=("S6",),
+    oracle="""
+        SELECT o_orderpriority AS grp, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+        UNION ALL
+        SELECT 'TOTAL-' || o_orderstatus, COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        FROM orders GROUP BY o_orderstatus
+    """,
+)
+def redshift_script_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit transactions (r6): BEGIN snapshots the script state,
+    ROLLBACK restores it (a rolled-back UPDATE-all + junk INSERT leave
+    no trace — load-bearing in the hash), COMMIT makes the second batch
+    permanent. Previously ROLLBACK was a silent keep-changes no-op — a
+    contract violation under the module's own loud policy.
+
+    Scale: a snapshot is shallow dict copies of immutable DataFrame
+    bindings — O(#tables) driver-side, no data copied, no extra jobs;
+    rollback re-registers the old plans.
+    """
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rs_tx_orders")
+    out = run_redshift_script(spark, _SCRIPT_TRANSACTIONS.format(orders="rs_tx_orders"))
+    assert out is not None
+    return out
+
+
 _SCRIPT_PROC_CONTROL_FLOW = """
     CREATE SCHEMA mart;
     CREATE TEMP TABLE mart.monthly (m BIGINT, n BIGINT, total DOUBLE PRECISION)
@@ -1192,6 +1247,8 @@ _SCRIPT_PROC_CONTROL_FLOW = """
     SET search_path TO '$user', public, mart;
 
     CREATE PROCEDURE build(p_year INT) AS $$
+    DECLARE
+        v_pad BIGINT;
     BEGIN
         FOR mm IN 1..3 LOOP
             INSERT INTO monthly
@@ -1209,8 +1266,8 @@ _SCRIPT_PROC_CONTROL_FLOW = """
             RAISE NOTICE 'loaded % months', (SELECT COUNT(*) FROM monthly);
         END IF;
         WHILE (SELECT COUNT(*) FROM monthly) < 5 LOOP
-            INSERT INTO monthly
-            SELECT MAX(m) + 100, -1, 0.0 FROM monthly;
+            SELECT MAX(m) + 100 INTO v_pad FROM monthly;
+            INSERT INTO monthly VALUES (v_pad, -1, 0.0);
         END LOOP;
     END;
     $$ LANGUAGE plpgsql;
@@ -1242,10 +1299,11 @@ def redshift_script_proc_control_flow(spark: SparkSession, sf_dir: str) -> DataF
     """plpgsql control flow in procedures (r6): a verbatim body using
     FOR mm IN 1..3 (textual loop-variable substitution), IF/ELSIF/ELSE
     with scalar-subquery conditions, RAISE EXCEPTION guards (not
-    taken) + RAISE NOTICE (taken, a log-level no-op), and a WHILE that
-    re-evaluates table state per iteration (pads the rollup to exactly
-    5 rows: 103 then 203) — every construct is load-bearing in the
-    hash. SET search_path resolution is too: the body's unqualified
+    taken) + RAISE NOTICE (taken, a log-level no-op), a DECLAREd
+    variable assigned per-iteration via SELECT ... INTO, and a WHILE
+    that re-evaluates table state per iteration (pads the rollup to
+    exactly 5 rows: 103 then 203) — every construct is load-bearing in
+    the hash. SET search_path resolution is too: the body's unqualified
     `monthly` references resolve to the declared `mart` schema.
 
     Scale: control flow is driver-side statement expansion — each

@@ -531,7 +531,7 @@ _DROP_PROC = re.compile(
 # a silent misparse. Checked on quote-masked text so a RAISE message
 # containing one of these words cannot false-positive.
 _PLPGSQL_CONTROL = re.compile(
-    r"(?i)(?:^|[^\w$])(RETURN|EXECUTE|DECLARE|FETCH|OPEN|CLOSE|PERFORM|"
+    r"(?i)(?:^|[^\w$])(RETURN|EXECUTE|FETCH|OPEN|CLOSE|PERFORM|"
     r"EXIT|CONTINUE|GET\s+DIAGNOSTICS|EXCEPTION\s+WHEN)(?:[^\w$]|$)"
 )
 
@@ -788,6 +788,86 @@ def _parse_plpgsql_nodes(text: str) -> list:
     return nodes
 
 
+# --- plpgsql variables (round 6) -------------------------------------------
+# DECLARE section + `var := expr` + `SELECT ... INTO var[, ...]`.
+# Variables are DRIVER-SIDE scalars: each use-site substitutes the
+# current value as a typed SQL literal (CAST('..' AS type)), so Catalyst
+# sees constants — exactly how plpgsql binds values into SQL. Statements
+# expanded from a CALL carry their scope in a _Scoped wrapper; values
+# substitute when the statement RUNS, not when the body parses (a later
+# assignment changes what later statements see). plpgsql's own hazard
+# applies: a variable named like a column would capture the column
+# reference — name variables v_* as plpgsql style guides do.
+
+
+class _Scoped:
+    __slots__ = ("item", "scope")
+
+    def __init__(self, item, scope: dict):
+        self.item = item
+        self.scope = scope  # lower-cased name -> [normalized type, value]
+
+
+def _parse_proc_decls(decls: str, proc: str) -> list[tuple[str, str, str | None]]:
+    """DECLARE entries as (name, normalized type, default expr | None).
+    Cursors/records/aliases are outside the subset (loud)."""
+    out: list[tuple[str, str, str | None]] = []
+    for d in _split_top_semis(decls):
+        d = d.strip()
+        if not d:
+            continue
+        if re.search(r"(?i)\b(CURSOR|RECORD|REFCURSOR|CONSTANT|ALIAS)\b", _mask_quoted(d)):
+            raise ValueError(
+                f"CREATE PROCEDURE {proc}: DECLARE supports scalar variables "
+                f"only, not {d[:50]!r}"
+            )
+        parts = re.split(r"(?i):=|\bDEFAULT\b", d, maxsplit=1)
+        default = parts[1].strip() if len(parts) > 1 else None
+        hm = re.match(r"(?s)^([\w$]+)\s+(.+)$", parts[0].strip())
+        if hm is None:
+            raise ValueError(f"CREATE PROCEDURE {proc}: cannot parse DECLARE {d!r}")
+        out.append((hm.group(1).lower(), _normalize_ddl_types(hm.group(2).strip()), default))
+    return out
+
+
+def _split_top_semis(text: str) -> list[str]:
+    masked = _mask_quoted(text)
+    parts, start = [], 0
+    for i, ch in enumerate(masked):
+        if ch == ";":
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return parts
+
+
+def _sql_literal(value, typ: str) -> str:
+    """A Python scalar as a typed SQL literal (the CAST keeps the
+    variable's declared type at every use site)."""
+    if value is None:
+        return f"CAST(NULL AS {typ})"
+    if isinstance(value, bool):
+        return f"CAST({'TRUE' if value else 'FALSE'} AS BOOLEAN)"
+    if isinstance(value, str):
+        return f"CAST('{value.replace(chr(39), chr(39) * 2)}' AS {typ})"
+    if isinstance(value, (bytes, bytearray, list, dict)):
+        raise ValueError(f"plpgsql variable of unsupported runtime type {type(value).__name__}")
+    return f"CAST('{value}' AS {typ})"  # numerics/Decimal/date/timestamp via str()
+
+
+def _subst_vars(scope: dict, sql: str) -> str:
+    for name, (typ, value) in scope.items():
+        sql = _sub_outside_quotes(
+            sql, rf"(?i)(?<![\w$]){re.escape(name)}(?![\w$])", _sql_literal(value, typ)
+        )
+    return sql
+
+
+# `var := expr;` — plpgsql assignment (also the `var = expr` spelling
+# plpgsql accepts, but only via :=, to keep SET/UPDATE unambiguous here)
+_ASSIGN = re.compile(r"^([\w$]+)\s*:=\s*(.+)$", re.DOTALL)
+
+
 # RAISE [level] 'format' [, arg...]: EXCEPTION (the default) aborts the
 # script with the %-formatted message; NOTICE/INFO/WARNING/LOG/DEBUG are
 # log-channel levels with no script-visible effect — accepted no-ops.
@@ -1034,6 +1114,55 @@ class _ScriptState:
         # resolved DataFrames so cleanup restores them — "shadowed for
         # the script's duration", not destroyed.
         self.shadowed: dict[str, DataFrame] = {}
+        # Explicit-transaction snapshot (BEGIN ... COMMIT/ROLLBACK).
+        # Bindings are immutable DataFrames, so a snapshot is shallow
+        # dict/set copies; ROLLBACK restores them. Single-level, like
+        # Redshift (a nested BEGIN is a warning-and-ignore there).
+        self.txn_snap: dict | None = None
+
+    def txn_begin(self) -> None:
+        if self.txn_snap is not None:
+            return  # nested BEGIN: Redshift warns and ignores
+        self.txn_snap = {
+            "tables": dict(self.tables),
+            "created_views": set(self.created_views),
+            "identity_cols": {k: dict(v) for k, v in self.identity_cols.items()},
+            "default_cols": {k: dict(v) for k, v in self.default_cols.items()},
+            "mv_defs": dict(self.mv_defs),
+            "procs": dict(self.procs),
+            "schemas": set(self.schemas),
+            "funcs": dict(self.funcs),
+            "search_path": list(self.search_path),
+        }
+
+    def txn_commit(self) -> None:
+        self.txn_snap = None
+
+    def txn_rollback(self) -> None:
+        """Restore every binding and DDL attribute to its BEGIN-time
+        snapshot. File side effects (UNLOAD output, JDBC writes) are
+        not unwritten — the same contract as Redshift's S3 UNLOADs.
+        Outside an explicit transaction ROLLBACK is a no-op (statement
+        autocommit: nothing is uncommitted)."""
+        if self.txn_snap is None:
+            return
+        snap, self.txn_snap = self.txn_snap, None
+        for name in self.created_views - snap["created_views"]:
+            self.spark.catalog.dropTempView(name)
+            if name in self.shadowed:
+                # the pre-script view reappears NOW, not at cleanup
+                self.shadowed.pop(name).createOrReplaceTempView(name)
+        for name, df in snap["tables"].items():
+            df.createOrReplaceTempView(name)
+        self.tables = snap["tables"]
+        self.created_views = snap["created_views"]
+        self.identity_cols = snap["identity_cols"]
+        self.default_cols = snap["default_cols"]
+        self.mv_defs = snap["mv_defs"]
+        self.procs = snap["procs"]
+        self.schemas = snap["schemas"]
+        self.funcs = snap["funcs"]
+        self.search_path = snap["search_path"]
 
     def drop_meta(self, name: str) -> None:
         """A rebind or drop kills per-table DDL attributes."""
@@ -1405,17 +1534,32 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
             raw = pending.popleft()
             # plpgsql control nodes (from CALL-expanded bodies) expand in
             # place: the taken branch / next iteration's statements go to
-            # the FRONT of the worklist, exactly where the block sat.
+            # the FRONT of the worklist, exactly where the block sat. A
+            # _Scoped wrapper carries the CALL's variable scope; values
+            # substitute when each statement RUNS (assignments between
+            # statements change what later ones see).
+            scope: dict | None = None
+            if isinstance(raw, _Scoped):
+                scope, raw = raw.scope, raw.item
+
+            def _in_scope(nodes: list) -> list:
+                return [_Scoped(nd, scope) for nd in nodes] if scope else nodes
+
+            def _scoped_sql(sql: str) -> str:
+                return _subst_vars(scope, sql) if scope else sql
+
             if isinstance(raw, _IfNode):
                 for cond, body in raw.branches:
                     # NULL condition = branch not taken (SQL three-valued)
-                    if bool(_eval_script_scalar(spark, state, cond, "BOOLEAN")):
-                        pending.extendleft(reversed(_parse_plpgsql_nodes(body)))
+                    if bool(
+                        _eval_script_scalar(spark, state, _scoped_sql(cond), "BOOLEAN")
+                    ):
+                        pending.extendleft(reversed(_in_scope(_parse_plpgsql_nodes(body))))
                         break
                 else:
                     if raw.else_body is not None:
                         pending.extendleft(
-                            reversed(_parse_plpgsql_nodes(raw.else_body))
+                            reversed(_in_scope(_parse_plpgsql_nodes(raw.else_body)))
                         )
                 continue
             if isinstance(raw, _WhileNode):
@@ -1425,13 +1569,18 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         f"WHILE: more than {_WhileNode.MAX_ITERS} iterations "
                         "in one script (runaway loop?)"
                     )
-                if bool(_eval_script_scalar(spark, state, raw.cond, "BOOLEAN")):
-                    pending.appendleft(raw)  # re-test after this iteration
-                    pending.extendleft(reversed(_parse_plpgsql_nodes(raw.body)))
+                if bool(
+                    _eval_script_scalar(spark, state, _scoped_sql(raw.cond), "BOOLEAN")
+                ):
+                    # re-test after this iteration
+                    pending.appendleft(_Scoped(raw, scope) if scope else raw)
+                    pending.extendleft(
+                        reversed(_in_scope(_parse_plpgsql_nodes(raw.body)))
+                    )
                 continue
             if isinstance(raw, _ForNode):
-                frm = _eval_script_scalar(spark, state, raw.frm, "BIGINT")
-                to = _eval_script_scalar(spark, state, raw.to, "BIGINT")
+                frm = _eval_script_scalar(spark, state, _scoped_sql(raw.frm), "BIGINT")
+                to = _eval_script_scalar(spark, state, _scoped_sql(raw.to), "BIGINT")
                 if frm is None or to is None:
                     raise ValueError(f"FOR {raw.var}: NULL range bound")
                 vals = range(frm, to - 1, -1) if raw.reverse else range(frm, to + 1)
@@ -1443,16 +1592,59 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 var_pat = rf"(?i)(?<![\w$]){re.escape(raw.var)}(?![\w$])"
                 pending.extendleft(
                     reversed(
-                        [
-                            node
-                            for v in vals
-                            for node in _parse_plpgsql_nodes(
-                                re.sub(var_pat, str(v), raw.body)
-                            )
-                        ]
+                        _in_scope(
+                            [
+                                node
+                                for v in vals
+                                for node in _parse_plpgsql_nodes(
+                                    re.sub(var_pat, str(v), raw.body)
+                                )
+                            ]
+                        )
                     )
                 )
                 continue
+            if scope is not None:
+                # `var := expr;` — plpgsql assignment into the scope
+                if am := _ASSIGN.match(raw):
+                    vname = am.group(1).lower()
+                    if vname not in scope:
+                        raise ValueError(f"assignment to undeclared variable {vname!r}")
+                    scope[vname][1] = _eval_script_scalar(
+                        spark, state, _scoped_sql(am.group(2)), scope[vname][0]
+                    )
+                    continue
+                # `SELECT ... INTO var[, var2] FROM ...` — variable form
+                # (an INTO list that is NOT all declared variables falls
+                # through to the table-CTAS SELECT INTO below)
+                if raw[:6].upper() == "SELECT":
+                    head, tail = _split_top_kw(raw, "INTO")
+                    if tail is not None:
+                        nm = re.match(
+                            r"(?s)^((?:[\w$]+\s*,\s*)*[\w$]+)\s*(.*)$", tail.strip()
+                        )
+                        names = (
+                            [n.strip().lower() for n in nm.group(1).split(",")]
+                            if nm
+                            else []
+                        )
+                        if names and all(n in scope for n in names):
+                            query = f"{head} {nm.group(2)}".strip()
+                            row = spark.sql(
+                                translate_redshift_sql(
+                                    _prep_stmt_sql(state, _scoped_sql(query))
+                                ).strip()
+                            ).first()
+                            vals2 = list(row) if row is not None else [None] * len(names)
+                            if len(vals2) != len(names):
+                                raise ValueError(
+                                    f"SELECT INTO: {len(names)} variable(s) but "
+                                    f"query returns {len(vals2)} column(s)"
+                                )
+                            for n, v in zip(names, vals2):
+                                scope[n][1] = v
+                            continue
+                raw = _subst_vars(scope, raw)
             # Redshift #temp names → plain identifiers BEFORE statement
             # classification (the CREATE/COPY/INSERT regexes match \w
             # identifiers; '#stg' would silently fall through to
@@ -1537,21 +1729,24 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     )
                 params = _parse_proc_params(raw[hm.end() : sig_end - 1])
                 body = tm.group(1).strip()
-                bm = re.match(r"(?is)^BEGIN\b(.*?)\bEND\s*;?\s*$", body)
+                bm = re.match(
+                    r"(?is)^(?:DECLARE\b(.*?))?\s*BEGIN\b(.*?)\bEND\s*;?\s*$", body
+                )
                 if bm is None:
                     raise ValueError(
                         f"CREATE PROCEDURE {hm.group(1)}: body must be one "
-                        "BEGIN ... END block"
+                        "[DECLARE ...] BEGIN ... END block"
                     )
-                body = bm.group(1)
+                decls = _parse_proc_decls(bm.group(1) or "", hm.group(1))
+                body = bm.group(2)
                 if cm := _PLPGSQL_CONTROL.search(_mask_quoted(body)):
                     raise ValueError(
                         f"CREATE PROCEDURE {hm.group(1)}: procedural "
                         f"{cm.group(1).upper()} is outside the supported "
-                        "subset (plain SQL + IF/WHILE/FOR/RAISE only)"
+                        "subset (plain SQL + IF/WHILE/FOR/RAISE/variables only)"
                     )
                 _parse_plpgsql_nodes(body)  # surface block-structure errors at define time
-                state.procs[hm.group(1)] = (params, body)
+                state.procs[hm.group(1)] = (params, decls, body)
                 continue
             if m := _DROP_PROC.match(raw):
                 if m.group(1) not in state.procs and "IF EXISTS" not in raw.upper():
@@ -1571,20 +1766,40 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         "CALL: more than 256 procedure expansions in one "
                         "script (recursive CALL?)"
                     )
-                params, body = state.procs[name]
+                params, decls, body = state.procs[name]
                 args = [a.strip() for a in _split_top_commas(m.group(2)) if a.strip()]
                 if len(args) != len(params):
                     raise ValueError(
                         f"CALL {name}: expected {len(params)} argument(s) "
                         f"({', '.join(params)}), got {len(args)}"
                     )
+                call_decls = decls
                 for p, a in zip(params, args):
                     # identifier-boundary textual substitution (plpgsql
-                    # itself substitutes params lexically)
-                    body = re.sub(
-                        rf"(?i)(?<![\w$]){re.escape(p)}(?![\w$])", a, body
+                    # itself substitutes params lexically) — into the
+                    # body AND into DECLARE default expressions
+                    p_pat = rf"(?i)(?<![\w$]){re.escape(p)}(?![\w$])"
+                    body = re.sub(p_pat, a, body)
+                    call_decls = [
+                        (vn, vt, None if vd is None else re.sub(p_pat, a, vd))
+                        for vn, vt, vd in call_decls
+                    ]
+                # DECLAREd variables: defaults evaluate at block entry,
+                # in order (a later default may reference an earlier var)
+                scope: dict = {}
+                for vname, vtyp, vdefault in call_decls:
+                    value = (
+                        None
+                        if vdefault is None
+                        else _eval_script_scalar(
+                            spark, state, _subst_vars(scope, vdefault), vtyp
+                        )
                     )
-                pending.extendleft(reversed(_parse_plpgsql_nodes(body)))
+                    scope[vname] = [vtyp, value]
+                nodes = _parse_plpgsql_nodes(body)
+                if scope:
+                    nodes = [_Scoped(nd, scope) for nd in nodes]
+                pending.extendleft(reversed(nodes))
                 continue
             if re.match(r"(?i)^RAISE\b", raw):
                 m = _RAISE.match(raw)
@@ -1920,6 +2135,23 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     write_manifest(path, suffix=suffix)
                 continue
             stmt = translate_redshift_sql(raw).strip()
+            # Explicit transactions (r6): BEGIN snapshots the script
+            # state, COMMIT/END discards the snapshot, ROLLBACK/ABORT
+            # restores it — a real rollback, not the silent keep-changes
+            # no-op it was (module policy: no silent contract changes).
+            if tx := re.match(
+                r"(?i)^(BEGIN|START|COMMIT|END|ROLLBACK|ABORT)\b"
+                r"(?:\s+(?:WORK|TRANSACTION))?\s*$",
+                stmt,
+            ):
+                kw = tx.group(1).upper()
+                if kw in ("BEGIN", "START"):
+                    state.txn_begin()
+                elif kw in ("COMMIT", "END"):
+                    state.txn_commit()
+                else:
+                    state.txn_rollback()
+                continue
             if _NOOP.match(stmt):
                 continue
             if (hm := _CREATE_EXTERNAL_HEAD.match(stmt)) and (

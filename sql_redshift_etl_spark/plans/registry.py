@@ -154,9 +154,12 @@ _VERIFY_FIRST: list[str] = [
     "events_merge_upsert",
     "redshift_sql_misc2",
     # --- 50-query driver boundary ---
-    # flagship_pricing_summary sits just below: it is the single most
-    # re-checked query in repo history (green r1-r5 + every bench run),
-    # demoted to make head room for the r6 control-flow query above.
+    # Below-boundary order = r7 window priority. redshift_script_
+    # transactions is r6-new (bit-checked by pytest oracle parity +
+    # driver_sim this round) and leads the next window; flagship_
+    # pricing_summary is the single most re-checked query in repo
+    # history (green r1-r5 + every bench run), demoted for head room.
+    "redshift_script_transactions",
     "flagship_pricing_summary",
     "multimodal_image_resize",
     "multimodal_png_roundtrip",

@@ -2716,3 +2716,160 @@ def test_set_search_path_resolves_unqualified_names(spark):
 
     with _pytest.raises(ValueError, match="undeclared"):
         run_redshift_script(spark, "SET search_path = nope;")
+
+
+def test_script_transaction_rollback_restores_state(spark):
+    """BEGIN snapshots bindings; ROLLBACK restores them — inserts,
+    updates, drops, and tables created inside the transaction all
+    unwind; COMMIT makes them permanent."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE t (k INT, v VARCHAR(10));
+        INSERT INTO t VALUES (1, 'keep');
+        BEGIN;
+        INSERT INTO t VALUES (2, 'discard');
+        UPDATE t SET v = 'mangled' WHERE k = 1;
+        CREATE TEMP TABLE junk (x INT);
+        DROP TABLE t;
+        CREATE TEMP TABLE t (k INT, v VARCHAR(10));
+        ROLLBACK;
+        SELECT k, v FROM t ORDER BY k;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, "keep")]
+
+    out2 = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE t2 (k INT);
+        BEGIN;
+        INSERT INTO t2 VALUES (1), (2);
+        COMMIT;
+        BEGIN;
+        INSERT INTO t2 VALUES (3);
+        ROLLBACK;
+        SELECT COUNT(*) AS n FROM t2;
+        """,
+    )
+    assert [r.n for r in out2.collect()] == [2]
+
+
+def test_script_transaction_created_table_gone_after_rollback(spark):
+    """A table created inside a rolled-back transaction does not exist
+    afterwards; a ROLLBACK outside any BEGIN is a no-op (statement
+    autocommit)."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    with _pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|cannot be found"):
+        run_redshift_script(
+            spark,
+            """
+            BEGIN;
+            CREATE TEMP TABLE b (y INT);
+            ROLLBACK;
+            SELECT * FROM b;
+            """,
+        )
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE c (x INT);
+        INSERT INTO c VALUES (7);
+        ROLLBACK;
+        SELECT x FROM c;
+        """,
+    )
+    assert [r.x for r in out.collect()] == [7]
+
+
+def test_procedure_variables_declare_assign_select_into(spark):
+    """DECLAREd variables: defaults evaluate at block entry (and may
+    reference IN params), := reassigns, SELECT ... INTO fills one or
+    more variables from a one-row query, and every use-site sees the
+    CURRENT value as a typed literal."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE src (k INT, v BIGINT);
+        INSERT INTO src VALUES (1, 10), (2, 20), (3, 30);
+        CREATE TEMP TABLE report (label VARCHAR(30), val BIGINT);
+        CREATE PROCEDURE summarize(p_min BIGINT) AS $$
+        DECLARE
+            v_cnt BIGINT;
+            v_sum BIGINT := 0;
+            v_label VARCHAR(30) := 'batch-' || CAST(p_min AS VARCHAR);
+        BEGIN
+            SELECT COUNT(*), SUM(v) INTO v_cnt, v_sum FROM src WHERE v >= p_min;
+            v_cnt := v_cnt * 100;
+            IF v_sum > 40 THEN
+                INSERT INTO report VALUES (v_label, v_cnt + v_sum);
+            ELSE
+                INSERT INTO report VALUES (v_label || '-small', v_cnt);
+            END IF;
+            WHILE v_sum > 15 LOOP
+                v_sum := v_sum - 20;
+            END LOOP;
+            INSERT INTO report VALUES ('residual', v_sum);
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL summarize(15);
+        SELECT label, val FROM report ORDER BY label;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [("batch-15", 250), ("residual", 10)]
+
+
+def test_procedure_variable_loud_shapes(spark):
+    """Assignment to an undeclared variable and cursor DECLAREs raise;
+    a NULL-initialized variable reads as typed NULL."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    with _pytest.raises(ValueError, match="undeclared variable"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE PROCEDURE p() AS $$
+            DECLARE v_x BIGINT;
+            BEGIN
+                v_y := 1;
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL p();
+            """,
+        )
+    with _pytest.raises(ValueError, match="scalar variables only"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE PROCEDURE p2() AS $$
+            DECLARE c CURSOR FOR SELECT 1;
+            BEGIN
+                SELECT 1;
+            END;
+            $$ LANGUAGE plpgsql;
+            """,
+        )
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE t (x BIGINT);
+        CREATE PROCEDURE p3() AS $$
+        DECLARE v_n BIGINT;
+        BEGIN
+            INSERT INTO t VALUES (COALESCE(v_n, -7));
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p3();
+        SELECT x FROM t;
+        """,
+    )
+    assert [r.x for r in out.collect()] == [-7]

@@ -1088,6 +1088,8 @@ def _strip_storage_clauses(sql: str) -> str:
     masked, lits = _mask_literals(sql)
     masked = re.sub(r"\bDISTSTYLE\s+\w+", "", masked, flags=re.IGNORECASE)
     masked = re.sub(r"\b(DISTKEY|SORTKEY|INTERLEAVED\s+SORTKEY|COMPOUND\s+SORTKEY)\s*\([^)]*\)", "", masked, flags=re.IGNORECASE)
+    masked = re.sub(r"\bSORTKEY\s+AUTO\b", "", masked, flags=re.IGNORECASE)
+    masked = re.sub(r"\bBACKUP\s+(?:YES|NO)\b", "", masked, flags=re.IGNORECASE)
     masked = re.sub(r"\bENCODE\s+\w+", "", masked, flags=re.IGNORECASE)
     return _unmask_literals(masked, lits)
 

@@ -455,14 +455,19 @@ _IDENTITY_ATTR = re.compile(
 )
 # DEFAULT <literal> column attribute: recorded (INSERTs omitting the
 # column fill the default — Redshift's contract) and stripped before
-# StructType.fromDDL. Literal forms only; expression defaults
-# (GETDATE() etc.) are nondeterministic and raise at INSERT-time cast
-# if someone smuggles one in.
+# StructType.fromDDL. Literal forms plus the audit-column clock
+# functions (DEFAULT GETDATE()/SYSDATE arrive here as
+# current_timestamp() — the front-end rewrites them first); a fill
+# from a clock default pins the bound table (localCheckpoint), since a
+# nondeterministic expression must not re-evaluate per downstream
+# action. Other expression defaults stay out of scope.
 _DEFAULT_ATTR = re.compile(
     r"(\w+)\s+(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?(?:\s+NOT\s+NULL)?)\s+"
-    r"DEFAULT\s+('(?:[^']|'')*'|[-+]?\d+(?:\.\d+)?|TRUE|FALSE|NULL)",
+    r"DEFAULT\s+('(?:[^']|'')*'|[-+]?\d+(?:\.\d+)?|TRUE|FALSE|NULL"
+    r"|current_timestamp\s*\(\s*\)|current_date\b)",
     re.IGNORECASE,
 )
+_VOLATILE_DEFAULT = re.compile(r"(?i)current_timestamp|current_date")
 # Redshift Spectrum analog (r5): an external table is a schema-on-read
 # binding over a storage prefix — exactly a Spark read. Bounded subset:
 # PARQUET (self-describing; optional hive PARTITIONED BY discovered from
@@ -531,8 +536,8 @@ _DROP_PROC = re.compile(
 # a silent misparse. Checked on quote-masked text so a RAISE message
 # containing one of these words cannot false-positive.
 _PLPGSQL_CONTROL = re.compile(
-    r"(?i)(?:^|[^\w$])(RETURN|EXECUTE|FETCH|OPEN|CLOSE|PERFORM|"
-    r"EXIT|CONTINUE|GET\s+DIAGNOSTICS|EXCEPTION\s+WHEN)(?:[^\w$]|$)"
+    r"(?i)(?:^|[^\w$])(EXECUTE|FETCH|OPEN|CLOSE|PERFORM|"
+    r"GET\s+DIAGNOSTICS|EXCEPTION\s+WHEN)(?:[^\w$]|$)"
 )
 
 
@@ -594,7 +599,11 @@ class _WhileNode:
 
 
 class _ForNode:
-    __slots__ = ("var", "frm", "to", "reverse", "body")
+    """Runs ONE iteration per worklist pop, re-pushing itself — so the
+    node doubles as the loop marker EXIT/CONTINUE unwind to (same shape
+    as _WhileNode)."""
+
+    __slots__ = ("var", "frm", "to", "reverse", "body", "vals", "idx")
     MAX_RANGE = 1000
 
     def __init__(self, var: str, frm: str, to: str, reverse: bool, body: str):
@@ -603,6 +612,16 @@ class _ForNode:
         self.to = to
         self.reverse = reverse
         self.body = body
+        self.vals: range | None = None  # bounds evaluate on first pop
+        self.idx = 0
+
+
+class _CallEnd:
+    """Marks the end of a CALL expansion on the worklist: a no-op when
+    popped normally, the unwind target for early RETURN, and the fence
+    EXIT/CONTINUE must not cross."""
+
+    __slots__ = ()
 
 
 def _mask_quoted(text: str) -> str:
@@ -757,7 +776,7 @@ def _parse_plpgsql_nodes(text: str) -> list:
             i += 1
         if i >= n:
             break
-        m = re.match(r"(?i)(IF|WHILE|FOR)\b", masked[i:])
+        m = re.match(r"(?i)(IF|WHILE|FOR|LOOP)\b", masked[i:])
         kw = m.group(1).upper() if m else None
         if kw == "IF":
             node, i = _parse_if(text, masked, i)
@@ -768,6 +787,12 @@ def _parse_plpgsql_nodes(text: str) -> list:
         elif kw == "FOR":
             node, i = _parse_for(text, masked, i)
             nodes.append(node)
+        elif kw == "LOOP":
+            # bare LOOP ... END LOOP: an unconditional loop — EXIT is
+            # its only way out (the iteration cap backstops a miss)
+            em = _find_block_close(masked, i + 4, "endloop", "LOOP")
+            nodes.append(_WhileNode("TRUE", text[i + 4 : em.start()]))
+            i = _consume_semi(text, em.end())
         else:
             j = masked.find(";", i)
             if j == -1:
@@ -775,13 +800,12 @@ def _parse_plpgsql_nodes(text: str) -> list:
             stmt = text[i:j].strip()
             if stmt:
                 if bm := re.match(
-                    r"(?i)(LOOP|ELSIF|ELSEIF|ELSE|THEN|END\s+IF|END\s+LOOP)\b", stmt
+                    r"(?i)(ELSIF|ELSEIF|ELSE|THEN|END\s+IF|END\s+LOOP)\b", stmt
                 ):
-                    # bare LOOP (needs EXIT, unsupported) or a block
-                    # keyword with no open block — loud, not misparse
+                    # a block keyword with no open block — loud misparse
                     raise ValueError(
-                        f"plpgsql: unsupported or misplaced {bm.group(1).upper()} "
-                        f"near {stmt[:60]!r} (bare LOOP needs EXIT — use WHILE/FOR)"
+                        f"plpgsql: misplaced {bm.group(1).upper()} "
+                        f"near {stmt[:60]!r}"
                     )
                 nodes.append(stmt)
             i = j + 1
@@ -1579,30 +1603,76 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     )
                 continue
             if isinstance(raw, _ForNode):
-                frm = _eval_script_scalar(spark, state, _scoped_sql(raw.frm), "BIGINT")
-                to = _eval_script_scalar(spark, state, _scoped_sql(raw.to), "BIGINT")
-                if frm is None or to is None:
-                    raise ValueError(f"FOR {raw.var}: NULL range bound")
-                vals = range(frm, to - 1, -1) if raw.reverse else range(frm, to + 1)
-                if len(vals) > _ForNode.MAX_RANGE:
-                    raise ValueError(
-                        f"FOR {raw.var}: range of {len(vals)} exceeds the "
-                        f"{_ForNode.MAX_RANGE}-iteration cap"
-                    )
-                var_pat = rf"(?i)(?<![\w$]){re.escape(raw.var)}(?![\w$])"
-                pending.extendleft(
-                    reversed(
-                        _in_scope(
-                            [
-                                node
-                                for v in vals
-                                for node in _parse_plpgsql_nodes(
-                                    re.sub(var_pat, str(v), raw.body)
-                                )
-                            ]
+                if raw.vals is None:  # bounds evaluate once, at loop entry
+                    frm = _eval_script_scalar(spark, state, _scoped_sql(raw.frm), "BIGINT")
+                    to = _eval_script_scalar(spark, state, _scoped_sql(raw.to), "BIGINT")
+                    if frm is None or to is None:
+                        raise ValueError(f"FOR {raw.var}: NULL range bound")
+                    raw.vals = range(frm, to - 1, -1) if raw.reverse else range(frm, to + 1)
+                    if len(raw.vals) > _ForNode.MAX_RANGE:
+                        raise ValueError(
+                            f"FOR {raw.var}: range of {len(raw.vals)} exceeds the "
+                            f"{_ForNode.MAX_RANGE}-iteration cap"
+                        )
+                if raw.idx < len(raw.vals):
+                    # one iteration per pop; the re-pushed node is the
+                    # loop marker EXIT/CONTINUE unwind to
+                    v = raw.vals[raw.idx]
+                    raw.idx += 1
+                    pending.appendleft(_Scoped(raw, scope) if scope else raw)
+                    var_pat = rf"(?i)(?<![\w$]){re.escape(raw.var)}(?![\w$])"
+                    pending.extendleft(
+                        reversed(
+                            _in_scope(
+                                _parse_plpgsql_nodes(re.sub(var_pat, str(v), raw.body))
+                            )
                         )
                     )
+                continue
+            if isinstance(raw, _CallEnd):
+                continue  # normal fall-through off the end of a CALL
+            if isinstance(raw, str) and (
+                um := re.match(
+                    r"(?is)^(EXIT|CONTINUE)\b(?:\s+WHEN\s+(.+))?\s*$", raw
                 )
+            ):
+                kw, when = um.group(1).upper(), um.group(2)
+                if when is not None and not bool(
+                    _eval_script_scalar(spark, state, _scoped_sql(when), "BOOLEAN")
+                ):
+                    continue
+                # unwind queued items to the innermost loop marker (the
+                # re-pushed _WhileNode/_ForNode); EXIT consumes it,
+                # CONTINUE leaves it so the next iteration runs. A
+                # _CallEnd fence means no enclosing loop — loud.
+                while pending:
+                    nxt = pending[0]
+                    inner = nxt.item if isinstance(nxt, _Scoped) else nxt
+                    if isinstance(inner, (_WhileNode, _ForNode)):
+                        if kw == "EXIT":
+                            pending.popleft()
+                        break
+                    if isinstance(inner, _CallEnd):
+                        raise ValueError(f"{kw}: no enclosing loop")
+                    pending.popleft()
+                else:
+                    raise ValueError(f"{kw}: no enclosing loop")
+                continue
+            if isinstance(raw, str) and re.match(r"(?i)^RETURN\b", raw):
+                if re.sub(r"(?i)^RETURN", "", raw).strip(" ;"):
+                    raise ValueError(
+                        "RETURN with a value: procedures return nothing — "
+                        "write results to a table the caller reads"
+                    )
+                # early exit from the current procedure: unwind to (and
+                # through) the CALL fence; loop markers on the way die
+                while pending:
+                    nxt = pending.popleft()
+                    inner = nxt.item if isinstance(nxt, _Scoped) else nxt
+                    if isinstance(inner, _CallEnd):
+                        break
+                else:
+                    raise ValueError("RETURN: not inside a procedure CALL")
                 continue
             if scope is not None:
                 # `var := expr;` — plpgsql assignment into the scope
@@ -1799,6 +1869,7 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 nodes = _parse_plpgsql_nodes(body)
                 if scope:
                     nodes = [_Scoped(nd, scope) for nd in nodes]
+                nodes.append(_CallEnd())  # RETURN's unwind target
                 pending.extendleft(reversed(nodes))
                 continue
             if re.match(r"(?i)^RAISE\b", raw):
@@ -2152,6 +2223,15 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 else:
                     state.txn_rollback()
                 continue
+            if om := re.match(
+                r"(?i)^ALTER\s+TABLE\s+([\w.]+)\s+OWNER\s+TO\s+\S+\s*$", stmt
+            ):
+                state.existing(om.group(1))  # must exist (loud); ownership has no analog
+                continue
+            if re.match(r"(?i)^(?:CREATE|ALTER|DROP)\s+(?:USER|GROUP|ROLE)\b", stmt):
+                # account/ACL DDL: no Spark analog — accepted no-ops,
+                # the same class as GRANT/REVOKE
+                continue
             if _NOOP.match(stmt):
                 continue
             if (hm := _CREATE_EXTERNAL_HEAD.match(stmt)) and (
@@ -2449,7 +2529,11 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         exprs.append(F.expr(dflts[f.name]).cast(f.dataType).alias(f.name))
                     else:
                         exprs.append(F.lit(None).cast(f.dataType).alias(f.name))
-                state.bind(name, base.unionAll(spark.range(1).select(*exprs)))
+                bound = base.unionAll(spark.range(1).select(*exprs))
+                if any(_VOLATILE_DEFAULT.search(d) for d in dflts.values()):
+                    # a clock default must not re-evaluate per action
+                    bound = bound.localCheckpoint(eager=True)
+                state.bind(name, bound)
             elif m := _INSERT.match(stmt):
                 name, cols, query = m.group(1), m.group(2), m.group(3)
                 base = state.existing(name)
@@ -2516,7 +2600,10 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         if f.name in state.default_cols.get(name, {}):
                             # unlisted + declared DEFAULT → the default
                             # literal, not NULL (Redshift's contract)
-                            return F.expr(state.default_cols[name][f.name])
+                            dflt = state.default_cols[name][f.name]
+                            if _VOLATILE_DEFAULT.search(dflt):
+                                filled_identity = True  # clock defaults pin too
+                            return F.expr(dflt)
                         return F.lit(None)
 
                     sel = sel.select(

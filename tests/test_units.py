@@ -1815,13 +1815,13 @@ def test_script_stored_procedure_loud_rejections(spark):
 
     from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
 
-    with _pytest.raises(ValueError, match="LOOP"):
+    with _pytest.raises(ValueError, match="EXECUTE"):
         run_redshift_script(
             spark,
             """
             CREATE PROCEDURE p1() AS $$
             BEGIN
-                LOOP SELECT 1; END LOOP;
+                EXECUTE 'SELECT 1';
             END;
             $$ LANGUAGE plpgsql;
             """,
@@ -2566,22 +2566,20 @@ def test_while_runaway_loop_capped(spark):
 
 
 def test_unsupported_plpgsql_still_loud(spark):
-    """EXIT (and the rest of the unsupported keyword list) still raises
-    at CREATE PROCEDURE; a RAISE message CONTAINING such a word does
-    not false-positive (the check runs on quote-masked text)."""
+    """FETCH (and the rest of the unsupported keyword list) still
+    raises at CREATE PROCEDURE; a RAISE message CONTAINING such a word
+    does not false-positive (the check runs on quote-masked text)."""
     import pytest as _pytest
 
     from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
 
-    with _pytest.raises(ValueError, match="EXIT"):
+    with _pytest.raises(ValueError, match="FETCH"):
         run_redshift_script(
             spark,
             """
             CREATE PROCEDURE bad() AS $$
             BEGIN
-                WHILE 1 = 1 LOOP
-                    EXIT;
-                END LOOP;
+                FETCH cur INTO r;
             END;
             $$ LANGUAGE plpgsql;
             """,
@@ -2592,7 +2590,7 @@ def test_unsupported_plpgsql_still_loud(spark):
         """
         CREATE PROCEDURE ok() AS $$
         BEGIN
-            RAISE NOTICE 'EXIT RETURN EXECUTE are just words here';
+            RAISE NOTICE 'FETCH PERFORM EXECUTE are just words here';
         END;
         $$ LANGUAGE plpgsql;
         CALL ok();
@@ -2873,3 +2871,118 @@ def test_procedure_variable_loud_shapes(spark):
         """,
     )
     assert [r.x for r in out.collect()] == [-7]
+
+
+def test_procedure_exit_continue_return_bare_loop(spark):
+    """Bare LOOP with EXIT WHEN / CONTINUE WHEN, EXIT out of a FOR, and
+    early RETURN (skips the rest of the procedure but not the rest of
+    the script)."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE t (x BIGINT);
+        CREATE PROCEDURE p() AS $$
+        DECLARE v_i BIGINT := 0;
+        BEGIN
+            LOOP
+                v_i := v_i + 1;
+                EXIT WHEN v_i > 6;
+                CONTINUE WHEN v_i = 3;
+                INSERT INTO t VALUES (v_i);
+            END LOOP;
+            FOR j IN 1..10 LOOP
+                EXIT WHEN j = 4;
+                INSERT INTO t VALUES (j * 100);
+            END LOOP;
+            IF v_i > 0 THEN
+                RETURN;
+            END IF;
+            INSERT INTO t VALUES (-999);
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p();
+        INSERT INTO t VALUES (777);
+        SELECT x FROM t ORDER BY x;
+        """,
+    )
+    assert [r.x for r in out.collect()] == [1, 2, 4, 5, 6, 100, 200, 300, 777]
+
+
+def test_exit_outside_loop_and_return_with_value_loud(spark):
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    with _pytest.raises(ValueError, match="no enclosing loop"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE PROCEDURE p() AS $$
+            BEGIN
+                EXIT;
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL p();
+            """,
+        )
+    with _pytest.raises(ValueError, match="RETURN with a value"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE PROCEDURE p2() AS $$
+            BEGIN
+                RETURN 42;
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL p2();
+            """,
+        )
+
+
+def test_ddl_tails_backup_sortkey_auto_acl_noops(spark):
+    """BACKUP YES|NO and SORTKEY AUTO strip like the other storage
+    clauses; ALTER TABLE OWNER TO and USER/GROUP/ROLE DDL are accepted
+    no-ops (the GRANT/REVOKE class) — but OWNER on a missing table is
+    still loud."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE USER loader PASSWORD 'md5abc';
+        CREATE TEMP TABLE a (x INT) BACKUP NO SORTKEY AUTO;
+        ALTER TABLE a OWNER TO loader;
+        DROP USER loader;
+        INSERT INTO a VALUES (5);
+        SELECT x FROM a;
+        """,
+    )
+    assert [r.x for r in out.collect()] == [5]
+    with _pytest.raises(Exception, match="ghost"):
+        run_redshift_script(spark, "ALTER TABLE ghost OWNER TO x;")
+
+
+def test_default_getdate_fills_and_pins(spark):
+    """DEFAULT GETDATE()/SYSDATE (the audit-column idiom) fills omitted
+    columns with the load clock; the bound table is pinned so two
+    downstream reads see the SAME timestamps."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TABLE audit (
+            k INT,
+            loaded_at TIMESTAMP DEFAULT GETDATE(),
+            src VARCHAR(8) DEFAULT 'etl'
+        );
+        INSERT INTO audit (k) VALUES (1), (2);
+        INSERT INTO audit DEFAULT VALUES;
+        SELECT COUNT(*) AS n, COUNT(loaded_at) AS n_ts, MIN(src) AS src FROM audit;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(3, 3, "etl")]

@@ -1185,6 +1185,60 @@ def redshift_script_stored_procedure(spark: SparkSession, sf_dir: str) -> DataFr
     return out
 
 
+_REDSHIFT_MISC4 = """
+    SELECT o_orderkey,
+           CAST(NEXT_DAY(o_orderdate, 'MON') AS VARCHAR) AS next_mon,
+           ROUND(MONTHS_BETWEEN(DATE '1998-01-15', o_orderdate), 6) AS mb,
+           WIDTH_BUCKET(o_totalprice, 0, 600000, 12) AS price_bucket,
+           GET_BYTE(o_orderstatus, 0) AS status_byte
+    FROM {orders}
+    WHERE o_orderkey <= 2000
+"""
+
+
+@register(
+    "redshift_sql_misc4",
+    tags=("§2.7",),
+    oracle="""
+        SELECT o_orderkey,
+               CAST(CAST(o_orderdate + to_days(CAST(
+                   CASE WHEN (8 - CAST(strftime(o_orderdate, '%w') AS INT)) % 7 = 0
+                        THEN 7
+                        ELSE (8 - CAST(strftime(o_orderdate, '%w') AS INT)) % 7 END
+                   AS INT)) AS DATE) AS VARCHAR) AS next_mon,
+               ROUND((1998 - EXTRACT(YEAR FROM o_orderdate)) * 12
+                     + (1 - EXTRACT(MONTH FROM o_orderdate))
+                     + (15 - EXTRACT(DAY FROM o_orderdate)) / 31.0, 6) AS mb,
+               CAST(floor(CAST(o_totalprice AS DOUBLE)
+                          / (CAST(600000 AS DOUBLE) / 12)) AS BIGINT) + 1
+                   AS price_bucket,
+               ascii(o_orderstatus) AS status_byte
+        FROM orders
+        WHERE o_orderkey <= 2000
+    """,
+)
+def redshift_sql_misc4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar surface round 6b: NEXT_DAY / MONTHS_BETWEEN /
+    WIDTH_BUCKET pass through to Spark's natives (the oracle replays
+    each definition arithmetically — strictly-after next-weekday,
+    months + day-delta/31 with Spark's 8-digit rounding pinned by
+    ROUND 6, floor((v-lo)/((hi-lo)/n))+1 bucketing); GET_BYTE rewrites
+    to a binary substring (redshift_sql._rewrite_get_byte). DIFFERENCE
+    (soundex match count, _rewrite_difference) and SOUNDEX itself are
+    pytest-pinned with literal expectations — DuckDB has no soundex to
+    oracle against.
+
+    Scale: all row-local projections inside whole-stage codegen; the
+    key filter pushes to the scan.
+    """
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rs_m4_orders")
+    return spark.sql(
+        translate_redshift_sql(_REDSHIFT_MISC4.format(orders="rs_m4_orders"))
+    )
+
+
 _SCRIPT_TRANSACTIONS = """
     CREATE TEMP TABLE ledger (grp VARCHAR(32), n BIGINT, total DOUBLE PRECISION);
     INSERT INTO ledger

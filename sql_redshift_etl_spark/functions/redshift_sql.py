@@ -962,6 +962,45 @@ def _rewrite_strtol(sql: str) -> str:
         sql = f"{sql[: m.start()]}CAST(conv({s}, {base}, 10) AS BIGINT){sql[end:]}"
 
 
+def _rewrite_difference(sql: str) -> str:
+    """DIFFERENCE(a, b) → position-wise match count of the two American
+    Soundex codes (0-4; 4 = identical codes), composed from Spark's
+    native soundex(). Redshift documents the result as 'the number of
+    matching characters' of the codes; this is the position-wise
+    reading (identical codes → 4 either way)."""
+    pat = re.compile(r"\bDIFFERENCE\s*\(", re.IGNORECASE)
+    while True:
+        hits = [m for m in pat.finditer(sql) if not _in_literal(sql, m.start())]
+        if not hits:
+            return sql
+        m = hits[-1]
+        end = _scan_balanced(sql, m.end())
+        a, b = _split_two_args(sql[m.end() : end - 1])
+        terms = " + ".join(
+            f"(CASE WHEN substring(soundex({a}), {i}, 1) = "
+            f"substring(soundex({b}), {i}, 1) THEN 1 ELSE 0 END)"
+            for i in (1, 2, 3, 4)
+        )
+        sql = f"{sql[: m.start()]}({terms}){sql[end:]}"
+
+
+def _rewrite_get_byte(sql: str) -> str:
+    """GET_BYTE(expr, offset) → the 0-based byte value via a binary
+    substring (hex → base-10)."""
+    pat = re.compile(r"\bGET_BYTE\s*\(", re.IGNORECASE)
+    while True:
+        hits = [m for m in pat.finditer(sql) if not _in_literal(sql, m.start())]
+        if not hits:
+            return sql
+        m = hits[-1]
+        end = _scan_balanced(sql, m.end())
+        a, off = _split_two_args(sql[m.end() : end - 1])
+        sql = (
+            f"{sql[: m.start()]}CAST(conv(hex(substring(CAST({a} AS BINARY), "
+            f"({off}) + 1, 1)), 16, 10) AS INT){sql[end:]}"
+        )
+
+
 def _rewrite_cmp_fns(sql: str) -> str:
     """DATE_CMP / TIMESTAMP_CMP / DATE_CMP_TIMESTAMP /
     TIMESTAMP_CMP_DATE (a, b) → the -1/0/+1 CASE comparison (Spark
@@ -1102,7 +1141,7 @@ def translate_redshift_sql(sql: str) -> str:
     _rewrite_top runs before _rewrite_qualify so TOP + QUALIFY composes
     (qualify keeps the appended LIMIT in its tail)."""
     sql = strip_sql_comments(sql)
-    for fn in (rewrite_temp_names, _rewrite_partiql_unnest, _rewrite_top, _rewrite_qualify, _rewrite_convert, _rewrite_type_spellings, _rewrite_datediff, _rewrite_to_char, _rewrite_to_datetime, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_approx_count, _rewrite_similar_to, _rewrite_date_part_year, _rewrite_extract_epoch, _rewrite_at_time_zone, _rewrite_string_fns, _rewrite_trunc, _rewrite_math_aliases, _rewrite_replicate, _rewrite_log_base10, _rewrite_to_hex, _rewrite_strtol, _rewrite_cmp_fns, _rewrite_quote_fns, _rewrite_to_number, _rewrite_now, _strip_storage_clauses):
+    for fn in (rewrite_temp_names, _rewrite_partiql_unnest, _rewrite_top, _rewrite_qualify, _rewrite_convert, _rewrite_type_spellings, _rewrite_datediff, _rewrite_to_char, _rewrite_to_datetime, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_approx_count, _rewrite_similar_to, _rewrite_date_part_year, _rewrite_extract_epoch, _rewrite_at_time_zone, _rewrite_string_fns, _rewrite_trunc, _rewrite_math_aliases, _rewrite_replicate, _rewrite_log_base10, _rewrite_to_hex, _rewrite_strtol, _rewrite_cmp_fns, _rewrite_difference, _rewrite_get_byte, _rewrite_quote_fns, _rewrite_to_number, _rewrite_now, _strip_storage_clauses):
         sql = fn(sql)
     return sql
 

@@ -616,6 +616,28 @@ class _ForNode:
         self.idx = 0
 
 
+class _ForQueryNode:
+    """``FOR rec IN <query> LOOP``: per-row iteration over a CONTROL
+    TABLE — plpgsql's own semantics run the body once per result row on
+    the coordinator, so the bounded driver-side ``take`` here is the
+    faithful (and only) implementation, the same legitimate
+    O(small)-result class as the JDBC-bounds lookups. The query
+    evaluates ONCE at loop entry; more than MAX_ROWS rows raise (a
+    row-per-fact loop is a misuse of the construct at any engine).
+    ``rec.field`` references substitute as typed literals per row."""
+
+    __slots__ = ("var", "query", "body", "rows", "fields", "idx")
+    MAX_ROWS = 1000
+
+    def __init__(self, var: str, query: str, body: str):
+        self.var = var
+        self.query = query
+        self.body = body
+        self.rows: list | None = None
+        self.fields: list[tuple[str, str]] = []
+        self.idx = 0
+
+
 class _CallEnd:
     """Marks the end of a CALL expansion on the worklist: a no-op when
     popped normally, the unwind target for early RETURN, and the fence
@@ -748,12 +770,15 @@ def _parse_for(text: str, masked: str, start: int) -> tuple[_ForNode, int]:
         raise ValueError(f"FOR: expected 'FOR var IN [REVERSE] a..b LOOP', got {head!r}")
     rng = hm.group(3)
     dots = _mask_quoted(rng).find("..")
-    if dots < 0:
-        raise ValueError(
-            f"FOR {hm.group(1)}: only integer ranges (a..b) are supported, "
-            "not FOR-over-query"
-        )
     em = _find_block_close(masked, lm.end(), "endloop", "FOR")
+    if dots < 0:
+        # FOR rec IN <query> LOOP — row iteration over a control table
+        if hm.group(2):
+            raise ValueError(f"FOR {hm.group(1)}: REVERSE needs an integer range")
+        return (
+            _ForQueryNode(hm.group(1), rng.strip(), text[lm.end() : em.start()]),
+            _consume_semi(text, em.end()),
+        )
     node = _ForNode(
         hm.group(1),
         rng[:dots].strip(),
@@ -984,6 +1009,9 @@ _OPT_TOKEN = re.compile(
     | NULL\s+(?:AS\s+)?'(?P<nullas>[^']*)'
     | ACCEPTINVCHARS(?:\s+(?:AS\s+)?'(?P<invchar>[^']*)')?
     | (?P<removequotes>REMOVEQUOTES)\b
+    | QUOTE\s+(?:AS\s+)?'(?P<quotechar>[^']*)'
+    | (?P<addquotes>ADDQUOTES)\b
+    | (?P<cleanpath>CLEANPATH)\b
     | ACCEPTANYDATE\b              # PERMISSIVE parsing already nulls unparseable dates
     | ESCAPE\b                     # Spark's CSV reader already honors backslash escapes
     | (?P<blanksasnull>BLANKSASNULL)\b
@@ -1009,7 +1037,8 @@ def _parse_io_options(clause: str, stmt_kind: str) -> dict:
                   "datefmt": None, "timefmt": None, "maxfilesize": None,
                   "blanksasnull": False, "trimblanks": False,
                   "emptyasnull": False, "ignoreblank": False,
-                  "invchar": None, "removequotes": False}
+                  "invchar": None, "removequotes": False,
+                  "quotechar": None, "addquotes": False, "cleanpath": False}
     pos = 0
     while pos < len(clause):
         m = _OPT_TOKEN.match(clause, pos)
@@ -1046,9 +1075,11 @@ def _parse_io_options(clause: str, stmt_kind: str) -> dict:
         if m.group("timefmt") is not None:
             opts["timefmt"] = m.group("timefmt")
         for flag in ("blanksasnull", "trimblanks", "emptyasnull", "ignoreblank",
-                     "removequotes"):
+                     "removequotes", "addquotes", "cleanpath"):
             if m.group(flag):
                 opts[flag] = True
+        if m.group("quotechar") is not None:
+            opts["quotechar"] = m.group("quotechar")
         if m.group(0).upper().startswith("ACCEPTINVCHARS"):
             # default replacement is '?' (Redshift's own default)
             opts["invchar"] = m.group("invchar") or "?"
@@ -1629,6 +1660,40 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         )
                     )
                 continue
+            if isinstance(raw, _ForQueryNode):
+                if raw.rows is None:  # the query evaluates once, at loop entry
+                    qdf = spark.sql(
+                        translate_redshift_sql(
+                            _prep_stmt_sql(state, _scoped_sql(raw.query))
+                        ).strip()
+                    )
+                    raw.fields = [
+                        (f.name, f.dataType.simpleString()) for f in qdf.schema.fields
+                    ]
+                    raw.rows = qdf.take(_ForQueryNode.MAX_ROWS + 1)
+                    if len(raw.rows) > _ForQueryNode.MAX_ROWS:
+                        raise ValueError(
+                            f"FOR {raw.var} IN <query>: more than "
+                            f"{_ForQueryNode.MAX_ROWS} rows — a control-table "
+                            "loop, not a per-fact loop (use a join)"
+                        )
+                if raw.idx < len(raw.rows):
+                    row = raw.rows[raw.idx]
+                    raw.idx += 1
+                    body = raw.body
+                    for (fname, ftyp), val in zip(raw.fields, row):
+                        lit = _sql_literal(val, ftyp)
+                        body = _sub_outside_quotes(
+                            body,
+                            rf"(?i)(?<![\w$]){re.escape(raw.var)}\s*\.\s*"
+                            rf"{re.escape(fname)}(?![\w$])",
+                            lambda _m, _lit=lit: _lit,
+                        )
+                    pending.appendleft(_Scoped(raw, scope) if scope else raw)
+                    pending.extendleft(
+                        reversed(_in_scope(_parse_plpgsql_nodes(body)))
+                    )
+                continue
             if isinstance(raw, _CallEnd):
                 continue  # normal fall-through off the end of a CALL
             if isinstance(raw, str) and (
@@ -1648,7 +1713,7 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 while pending:
                     nxt = pending[0]
                     inner = nxt.item if isinstance(nxt, _Scoped) else nxt
-                    if isinstance(inner, (_WhileNode, _ForNode)):
+                    if isinstance(inner, (_WhileNode, _ForNode, _ForQueryNode)):
                         if kw == "EXIT":
                             pending.popleft()
                         break
@@ -1984,6 +2049,11 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         f"COPY {name}: REMOVEQUOTES applies to delimited "
                         "text loads only"
                     )
+                if opts["quotechar"] is not None and fmt != "CSV":
+                    raise ValueError(
+                        f"COPY {name}: QUOTE AS applies to CSV only "
+                        "(Redshift's own restriction)"
+                    )
                 if opts["maxerror"] is not None and (
                     fmt == "PARQUET" or opts["fixedwidth"] is not None
                 ):
@@ -2052,6 +2122,7 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         null_value=opts["null_as"],
                         date_format=fmt_opts.get("datefmt"),
                         timestamp_format=fmt_opts.get("timefmt"),
+                        quote=opts["quotechar"],
                     )
                 for c in epoch_cols:
                     loaded = loaded.withColumn(
@@ -2170,7 +2241,13 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         )
                 if not opts["parallel"]:
                     df = df.coalesce(1)  # PARALLEL OFF = single output file
-                writer = df.write.mode("overwrite" if opts["overwrite"] else "errorifexists")
+                # CLEANPATH deletes what's at the prefix before writing —
+                # the same observable result as ALLOWOVERWRITE here
+                writer = df.write.mode(
+                    "overwrite"
+                    if (opts["overwrite"] or opts["cleanpath"])
+                    else "errorifexists"
+                )
                 if opts["partition_by"]:
                     writer = writer.partitionBy(*opts["partition_by"])
                 fmt = opts["format"] or "TEXT"
@@ -2188,11 +2265,19 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     writer = writer.option("compression", opts["codec"])
                 if opts["null_as"] is not None:
                     writer = writer.option("nullValue", opts["null_as"])
+                if opts["addquotes"] and fmt in ("PARQUET", "JSON"):
+                    raise ValueError(
+                        "UNLOAD: ADDQUOTES applies to delimited text only"
+                    )
                 if fmt == "PARQUET":
                     writer.parquet(path)
                 elif fmt == "JSON":
                     writer.json(path)
                 else:
+                    if opts["addquotes"]:
+                        # ADDQUOTES: every field quoted on export (the
+                        # REMOVEQUOTES round-trip partner)
+                        writer = writer.option("quoteAll", True)
                     writer.option("header", opts["header"]).option(
                         "delimiter", opts["delimiter"] or ("," if fmt == "CSV" else "|")
                     ).csv(path)

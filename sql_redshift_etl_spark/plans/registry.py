@@ -160,6 +160,7 @@ _VERIFY_FIRST: list[str] = [
     # pricing_summary is the single most re-checked query in repo
     # history (green r1-r5 + every bench run), demoted for head room.
     "redshift_script_transactions",
+    "redshift_sql_misc4",
     "flagship_pricing_summary",
     "multimodal_image_resize",
     "multimodal_png_roundtrip",

@@ -28,6 +28,7 @@ def read_csv(
     null_value: str | None = None,
     date_format: str | None = None,
     timestamp_format: str | None = None,
+    quote: str | None = None,
 ) -> DataFrame:
     """COPY ... FORMAT CSV analog: schema-on-read bulk CSV load.
     ``date_format``/``timestamp_format`` are Spark (Java) patterns —
@@ -61,6 +62,9 @@ def read_csv(
         reader = reader.option("dateFormat", date_format)
     if timestamp_format is not None:
         reader = reader.option("timestampFormat", timestamp_format)
+    if quote is not None:
+        # COPY CSV QUOTE AS 'c' (r6): a non-default field quote
+        reader = reader.option("quote", quote)
     return reader.csv(path)
 
 

@@ -2986,3 +2986,85 @@ def test_default_getdate_fills_and_pins(spark):
         """,
     )
     assert [tuple(r) for r in out.collect()] == [(3, 3, "etl")]
+
+
+def test_procedure_for_over_query(spark):
+    """FOR rec IN <query> LOOP iterates the control table's rows in
+    query order, substituting rec.field as typed literals; EXIT WHEN
+    stops at the first matching row."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE regions (code VARCHAR(4), factor BIGINT);
+        INSERT INTO regions VALUES ('NA', 2), ('EU', 3), ('AP', 99);
+        CREATE TEMP TABLE built (tag VARCHAR(10), x BIGINT);
+        CREATE PROCEDURE loadall() AS $$
+        BEGIN
+            FOR r IN SELECT code, factor FROM regions ORDER BY factor LOOP
+                EXIT WHEN r.factor > 50;
+                INSERT INTO built VALUES (r.code, r.factor * 10);
+            END LOOP;
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL loadall();
+        SELECT tag, x FROM built ORDER BY tag;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [("EU", 30), ("NA", 20)]
+
+
+def test_copy_quote_as_and_unload_addquotes_roundtrip(spark, tmp_path):
+    """UNLOAD ADDQUOTES quotes every exported field (CLEANPATH clears
+    the prefix); COPY CSV QUOTE AS reads them back — embedded
+    delimiters survive the round trip."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    p = tmp_path / "q"
+    out = run_redshift_script(
+        spark,
+        f"""
+        CREATE TEMP TABLE t (k INT, txt VARCHAR(30));
+        INSERT INTO t VALUES (1, 'a,b'), (2, 'plain');
+        UNLOAD ('SELECT k, txt FROM t') TO '{p}' FORMAT AS CSV ADDQUOTES CLEANPATH;
+        CREATE TEMP TABLE back (k INT, txt VARCHAR(30));
+        COPY back FROM '{p}' FORMAT AS CSV QUOTE AS '"';
+        SELECT k, txt FROM back ORDER BY k;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, "a,b"), (2, "plain")]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ADDQUOTES"):
+        run_redshift_script(
+            spark,
+            f"""
+            CREATE TEMP TABLE t2 (k INT);
+            INSERT INTO t2 VALUES (1);
+            UNLOAD ('SELECT k FROM t2') TO '{tmp_path / "p"}' PARQUET ADDQUOTES;
+            """,
+        )
+    with _pytest.raises(ValueError, match="QUOTE AS"):
+        run_redshift_script(
+            spark,
+            f"""
+            CREATE TEMP TABLE t3 (k INT);
+            COPY t3 FROM '{p}' QUOTE AS '"';
+            """,
+        )
+
+
+def test_soundex_difference_get_byte_literals(spark):
+    """SOUNDEX passes through to Spark's native; DIFFERENCE composes a
+    position-wise soundex match count; GET_BYTE reads the 0-based byte
+    value — literal expectations (DuckDB has no soundex to oracle)."""
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql
+
+    row = spark.sql(
+        translate_redshift_sql(
+            "SELECT SOUNDEX('Robert') AS s, DIFFERENCE('smith', 'smyth') AS d4, "
+            "DIFFERENCE('ann', 'zoe') AS d_low, GET_BYTE('abc', 1) AS b"
+        )
+    ).first()
+    assert tuple(row) == ("R163", 4, 2, 98)

@@ -1624,9 +1624,9 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         f"WHILE: more than {_WhileNode.MAX_ITERS} iterations "
                         "in one script (runaway loop?)"
                     )
-                if bool(
+                if raw.cond.strip().upper() == "TRUE" or bool(
                     _eval_script_scalar(spark, state, _scoped_sql(raw.cond), "BOOLEAN")
-                ):
+                ):  # literal-TRUE (bare LOOP) skips the per-iteration job
                     # re-test after this iteration
                     pending.appendleft(_Scoped(raw, scope) if scope else raw)
                     pending.extendleft(
@@ -1696,11 +1696,12 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 continue
             if isinstance(raw, _CallEnd):
                 continue  # normal fall-through off the end of a CALL
-            if isinstance(raw, str) and (
-                um := re.match(
-                    r"(?is)^(EXIT|CONTINUE)\b(?:\s+WHEN\s+(.+))?\s*$", raw
-                )
-            ):
+            if isinstance(raw, str) and re.match(r"(?i)^(EXIT|CONTINUE)\b", raw):
+                um = re.match(r"(?is)^(EXIT|CONTINUE)\b(?:\s+WHEN\s+(.+))?\s*$", raw)
+                if um is None:
+                    raise ValueError(
+                        f"EXIT/CONTINUE: labels unsupported ({raw[:40]!r})"
+                    )
                 kw, when = um.group(1).upper(), um.group(2)
                 if when is not None and not bool(
                     _eval_script_scalar(spark, state, _scoped_sql(when), "BOOLEAN")

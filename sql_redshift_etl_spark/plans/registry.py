@@ -161,6 +161,7 @@ _VERIFY_FIRST: list[str] = [
     # history (green r1-r5 + every bench run), demoted for head room.
     "redshift_script_transactions",
     "redshift_sql_misc4",
+    "dedup_minhash_incremental",
     "flagship_pricing_summary",
     "multimodal_image_resize",
     "multimodal_png_roundtrip",

@@ -3068,3 +3068,29 @@ def test_soundex_difference_get_byte_literals(spark):
         )
     ).first()
     assert tuple(row) == ("R163", 4, 2, 98)
+
+
+def test_dedup_incremental_matches_full_restricted(spark):
+    """The incremental MinHash path (sign the delta, band-join against
+    corpus ∪ delta) finds EXACTLY the from-scratch pipeline's pairs
+    restricted to delta-involved ones — no pair lost by skipping the
+    corpus self-join, none invented."""
+    from sql_redshift_etl_spark.catalog import load_table
+    from sql_redshift_etl_spark.llm.dedup import (
+        minhash_incremental_pairs_df,
+        minhash_lsh_pairs_df,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    full = (
+        minhash_lsh_pairs_df(docs)
+        .where((F.col("doc_a") % 10 == 0) | (F.col("doc_b") % 10 == 0))
+        .collect()
+    )
+    inc = minhash_incremental_pairs_df(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+    ).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, inc))
+    assert len(inc) > 0  # the fixture has planted near-dups on the delta

@@ -330,3 +330,148 @@ def test_fixed_width_roundtrip_property(spark, tmp_path_factory, rows):
     ).collect()
     got = sorted((r["k"], r["w"]) for r in out)
     assert got == sorted((k, w) for k, w in rows)
+
+
+# --- plpgsql control flow + variables vs a Python reference model (r6) ---
+
+_CF_LIT = st.integers(-20, 20)
+_CF_VAR = st.sampled_from(["v0", "v1"])
+
+
+def _cf_stmts(depth: int):
+    base = st.one_of(
+        st.tuples(st.just("addk"), _CF_VAR, st.integers(-5, 5)),  # v := v + k
+        st.tuples(st.just("copy"), _CF_VAR, _CF_VAR),             # v := w
+        st.tuples(st.just("lit"), _CF_VAR, _CF_LIT),              # v := k
+    )
+    if depth <= 0:
+        return st.lists(base, min_size=1, max_size=3)
+    inner = _cf_stmts(depth - 1)
+    block = st.one_of(
+        base,
+        st.tuples(st.just("if"), _CF_VAR, _CF_LIT, inner, inner),  # IF v < c
+        st.tuples(st.just("while"), st.integers(0, 4), inner),     # v2-counter loop
+        st.tuples(st.just("for"), st.integers(1, 3), _CF_VAR, inner),  # FOR i IN 1..n
+    )
+    return st.lists(block, min_size=1, max_size=3)
+
+
+def _cf_render(stmts) -> str:
+    out = []
+    for s in stmts:
+        if s[0] == "addk":
+            out.append(f"{s[1]} := {s[1]} + {s[2]};")
+        elif s[0] == "copy":
+            out.append(f"{s[1]} := {s[2]};")
+        elif s[0] == "lit":
+            out.append(f"{s[1]} := {s[2]};")
+        elif s[0] == "if":
+            out.append(
+                f"IF {s[1]} < {s[2]} THEN {_cf_render(s[3])} "
+                f"ELSE {_cf_render(s[4])} END IF;"
+            )
+        elif s[0] == "while":
+            out.append(
+                f"v2 := 0; WHILE v2 < {s[1]} LOOP {_cf_render(s[2])} "
+                "v2 := v2 + 1; END LOOP;"
+            )
+        elif s[0] == "for":
+            out.append(
+                f"FOR i IN 1..{s[1]} LOOP {s[2]} := {s[2]} + i; "
+                f"{_cf_render(s[3])} END LOOP;"
+            )
+    return " ".join(out)
+
+
+def _cf_eval(stmts, env) -> None:
+    for s in stmts:
+        if s[0] == "addk":
+            env[s[1]] += s[2]
+        elif s[0] == "copy":
+            env[s[1]] = env[s[2]]
+        elif s[0] == "lit":
+            env[s[1]] = s[2]
+        elif s[0] == "if":
+            _cf_eval(s[3] if env[s[1]] < s[2] else s[4], env)
+        elif s[0] == "while":
+            env["v2"] = 0
+            while env["v2"] < s[1]:
+                _cf_eval(s[2], env)
+                env["v2"] += 1
+        elif s[0] == "for":
+            for i in range(1, s[1] + 1):
+                env[s[2]] += i
+                _cf_eval(s[3], env)
+
+
+@given(_CF_LIT, _CF_LIT, _cf_stmts(2))
+@settings(max_examples=6, deadline=None)
+def test_plpgsql_control_flow_matches_python_model(spark, a, b, stmts):
+    """Random nested IF/WHILE/FOR + variable programs produce the same
+    final (v0, v1) as an independent Python evaluator — the strongest
+    check that condition timing, loop re-evaluation, and per-use-site
+    variable substitution all agree with plpgsql's sequential model."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    env = {"v0": a, "v1": b, "v2": 0}
+    _cf_eval(stmts, env)
+    out = run_redshift_script(
+        spark,
+        f"""
+        CREATE TEMP TABLE cf_out (x BIGINT, y BIGINT);
+        CREATE PROCEDURE prog() AS $$
+        DECLARE v0 BIGINT := {a}; v1 BIGINT := {b}; v2 BIGINT := 0;
+        BEGIN
+            {_cf_render(stmts)}
+            INSERT INTO cf_out VALUES (v0, v1);
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL prog();
+        SELECT x, y FROM cf_out;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(env["v0"], env["v1"])]
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(st.just("insert"), st.integers(0, 9)),
+            st.tuples(st.just("begin")),
+            st.tuples(st.just("commit")),
+            st.tuples(st.just("rollback")),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_script_transactions_match_model(spark, ops):
+    """Random BEGIN/COMMIT/ROLLBACK/INSERT sequences leave exactly the
+    rows a snapshot-stack reference model predicts (single-level
+    transactions, nested BEGIN ignored, ROLLBACK outside a transaction
+    a no-op — Redshift's contract)."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    rows: list[int] = []
+    snap = None
+    stmts = ["CREATE TEMP TABLE tx_t (k INT);"]
+    for op in ops:
+        if op[0] == "insert":
+            stmts.append(f"INSERT INTO tx_t VALUES ({op[1]});")
+            rows.append(op[1])
+        elif op[0] == "begin":
+            stmts.append("BEGIN;")
+            if snap is None:
+                snap = list(rows)
+        elif op[0] == "commit":
+            stmts.append("COMMIT;")
+            snap = None
+        else:
+            stmts.append("ROLLBACK;")
+            if snap is not None:
+                rows = snap
+                snap = None
+    stmts.append("SELECT k FROM tx_t;")
+    out = run_redshift_script(spark, "\n".join(stmts))
+    assert sorted(r.k for r in out.collect()) == sorted(rows)

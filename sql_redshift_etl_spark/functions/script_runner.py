@@ -122,12 +122,18 @@ Statement support:
   snapshots the defining query (eager analysis = Redshift's
   stale-until-REFRESH contract); REFRESH re-runs the stored definition.
 - ``SELECT ... INTO [TEMP] name FROM ...`` (r6) — the one-line CTAS.
-- ``CREATE [OR REPLACE] PROCEDURE name(params) AS $$ BEGIN ... END $$
-  LANGUAGE plpgsql`` / ``CALL name(args)`` / ``DROP PROCEDURE`` (r6) —
-  the straight-line subset: the body is a sequence of plain SQL
-  statements executed in place at CALL, with IN parameters substituted
-  on identifier boundaries (plpgsql's own lexical substitution).
-  Procedural control flow (IF/LOOP/cursors/RAISE/...) raises loudly.
+- ``CREATE [OR REPLACE] PROCEDURE name(params) AS $$ [DECLARE ...]
+  BEGIN ... END $$ LANGUAGE plpgsql`` / ``CALL name(args)`` /
+  ``DROP PROCEDURE`` (r6) — the body executes in place at CALL with IN
+  parameters substituted on identifier boundaries (plpgsql's own
+  lexical substitution), and supports the procedural core: IF/ELSIF/
+  ELSE, WHILE ... LOOP, FOR i IN [REVERSE] a..b LOOP, FOR rec IN
+  <query> LOOP (bounded control-table iteration), bare LOOP, EXIT/
+  CONTINUE [WHEN], bare RETURN, RAISE, and DECLAREd scalar variables
+  with ``var := expr`` and ``SELECT ... INTO var`` (values substitute
+  as typed literals at each use site). Still loud: cursors (DECLARE/
+  FETCH/OPEN/CLOSE), EXECUTE dynamic SQL, EXCEPTION WHEN blocks, OUT
+  params, RETURN with a value.
 - ``CREATE [OR REPLACE] FUNCTION f(a type, ...) RETURNS type AS
   $$ SELECT expr $$ LANGUAGE sql`` / ``DROP FUNCTION`` (r6) — scalar
   SQL UDFs inlined textually at every call site ($N positional or
@@ -136,8 +142,14 @@ Statement support:
   them. ``LANGUAGE plpythonu`` raises (Python logic belongs in the
   vectorized pandas-UDF path).
 - ``SET knob = value`` (r6) — warehouse session knobs are accepted
-  no-ops; ``SET search_path`` raises (it would silently change name
-  resolution).
+  no-ops; ``SET search_path`` resolves unqualified names against the
+  declared schemas in path order (read-side; a plain binding shadows
+  the path; undeclared schemas raise).
+- ``BEGIN / COMMIT / END / ROLLBACK / ABORT`` (r6) — real single-level
+  transactions: BEGIN snapshots the script state (shallow copies of
+  immutable bindings), ROLLBACK restores it; nested BEGIN is ignored
+  (Redshift warns-and-ignores); file side effects (UNLOAD output) are
+  not unwritten, matching Redshift's S3 contract.
 - ``EXPLAIN ... / SHOW ...`` (r6) — passed to Spark; output is
   engine-specific by nature.
 - ``SELECT ... / WITH ...`` — executed; the LAST one is the script's
@@ -513,12 +525,13 @@ _MERGE = re.compile(
     r"^MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+USING\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
-# Redshift stored procedures (plpgsql), minimal straight-line subset:
-# the $$ body is one BEGIN...END block of plain SQL statements (the
-# common ETL-orchestration shape). Procedural control flow (IF/LOOP/
-# cursors/...) raises loudly; IN params substitute textually at CALL
-# time on identifier boundaries. Matched on the RAW statement (before
-# the dialect front-end) so the body reaches CALL-time untouched.
+# Redshift stored procedures (plpgsql): the $$ body is [DECLARE ...]
+# BEGIN ... END with plain SQL plus the procedural core (IF/WHILE/FOR/
+# LOOP/EXIT/CONTINUE/RETURN/RAISE/variables — see the control-flow
+# section below); cursors/EXECUTE/EXCEPTION blocks raise loudly. IN
+# params substitute textually at CALL time on identifier boundaries.
+# Matched on the RAW statement (before the dialect front-end) so the
+# body reaches CALL-time untouched.
 _CREATE_PROC_HEAD = re.compile(
     r"^CREATE\s+(?:OR\s+REPLACE\s+)?PROCEDURE\s+([\w.]+)\s*\(", re.IGNORECASE
 )

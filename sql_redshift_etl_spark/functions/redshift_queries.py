@@ -1640,3 +1640,230 @@ def redshift_script_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_redshift_script(spark, _SCRIPT_SQL_UDF.format(orders="rs_udf_orders"))
     assert out is not None
     return out
+
+
+_SCRIPT_PROC_EXCEPTION = """
+    CREATE TEMP TABLE results (grp VARCHAR(20), n BIGINT, total DOUBLE PRECISION);
+    CREATE TEMP TABLE errlog (grp VARCHAR(10), code VARCHAR(10));
+
+    CREATE PROCEDURE load_status(p_status VARCHAR(2), p_div BIGINT) AS $$
+    BEGIN
+        BEGIN
+            INSERT INTO results VALUES (p_status || '~stage', 0, 0.0);
+            INSERT INTO results
+            SELECT p_status,
+                   CAST(FLOOR(COUNT(*) / p_div) AS BIGINT),
+                   CAST(SUM(CONVERT(DECIMAL(18,6), o_totalprice))
+                        AS DOUBLE PRECISION) / p_div
+            FROM {orders} WHERE o_orderstatus = p_status;
+            DELETE FROM results WHERE grp = p_status || '~stage';
+        EXCEPTION WHEN OTHERS THEN
+            INSERT INTO errlog VALUES (p_status, SQLSTATE);
+        END;
+    END;
+    $$ LANGUAGE plpgsql;
+
+    CALL load_status('F', 1);
+    CALL load_status('O', 0);
+    CALL load_status('P', 2);
+
+    SELECT grp, n, total FROM results
+    UNION ALL
+    SELECT 'ERR-' || grp || '-' || code, CAST(-1 AS BIGINT),
+           CAST(0.0 AS DOUBLE PRECISION)
+    FROM errlog;
+"""
+
+
+@register(
+    "redshift_script_proc_exception",
+    tags=("S6",),
+    oracle="""
+        SELECT 'F' AS grp, CAST(FLOOR(COUNT(*) / 1) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / 1 AS total
+        FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT 'P', CAST(FLOOR(COUNT(*) / 2) AS BIGINT),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / 2
+        FROM orders WHERE o_orderstatus = 'P'
+        UNION ALL
+        SELECT 'ERR-O-22012', CAST(-1 AS BIGINT), CAST(0.0 AS DOUBLE)
+    """,
+)
+def redshift_script_proc_exception(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """plpgsql EXCEPTION WHEN OTHERS (r7): the nightly-load
+    error-wrapper idiom as a verbatim script. Three CALLs load one
+    order-status partition each; the middle one divides by zero inside
+    the guarded block, so its handler row (with the classified SQLSTATE
+    22012) appears in errlog AND the block's already-inserted '~stage'
+    marker row disappears — the state rollback is load-bearing in the
+    hash, as are the two clean partitions whose '~stage' markers were
+    DELETEd on the success path. Honest catch timing: inside a guard
+    every mutation materializes eagerly (localCheckpoint), so the
+    division error surfaces at the INSERT that caused it, not at the
+    final SELECT (script_runner.py _GuardNode).
+
+    Scale: the guard materializes each mutated binding once — the cost
+    Redshift itself pays statement-by-statement; the rollback is
+    driver-side dict restore, no data movement. Everything else is the
+    same pushed-filter one-shuffle rollup a straight-line script runs.
+    """
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rs_exc_orders")
+    out = run_redshift_script(spark, _SCRIPT_PROC_EXCEPTION.format(orders="rs_exc_orders"))
+    assert out is not None
+    return out
+
+
+_SCRIPT_EXECUTE_DYNAMIC = """
+    CREATE TEMP TABLE summary (seg VARCHAR(20), n BIGINT, bal DOUBLE PRECISION);
+
+    CREATE PROCEDURE snap_seg(p_seg VARCHAR(20)) AS $$
+    DECLARE
+        v_tbl VARCHAR(64);
+        v_n BIGINT;
+    BEGIN
+        v_tbl := 'seg_' || LOWER(p_seg);
+        EXECUTE 'CREATE TEMP TABLE ' || v_tbl
+            || ' AS SELECT * FROM {customer} WHERE c_mktsegment = '
+            || QUOTE_LITERAL(p_seg);
+        EXECUTE 'SELECT COUNT(*) FROM ' || v_tbl INTO v_n;
+        EXECUTE 'INSERT INTO summary SELECT ' || QUOTE_LITERAL(p_seg)
+            || ', ' || CAST(v_n AS VARCHAR)
+            || ', CAST(SUM(CONVERT(DECIMAL(12,2), c_acctbal)) AS DOUBLE PRECISION)'
+            || ' FROM ' || v_tbl;
+    END;
+    $$ LANGUAGE plpgsql;
+
+    CALL snap_seg('BUILDING');
+    CALL snap_seg('MACHINERY');
+
+    SELECT seg, n, bal FROM summary
+    UNION ALL
+    SELECT 'tbl:seg_building', COUNT(*), CAST(0.0 AS DOUBLE PRECISION)
+    FROM seg_building;
+"""
+
+
+@register(
+    "redshift_script_execute_dynamic",
+    tags=("S6",),
+    oracle="""
+        SELECT c_mktsegment AS seg, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+        FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY 1
+        UNION ALL
+        SELECT 'tbl:seg_building',
+               (SELECT COUNT(*) FROM customer WHERE c_mktsegment = 'BUILDING'),
+               CAST(0.0 AS DOUBLE)
+    """,
+)
+def redshift_script_execute_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """plpgsql EXECUTE dynamic SQL (r7): the admin-script idiom — a
+    procedure builds per-segment snapshot tables whose NAMES come from
+    a variable ('seg_' || LOWER(param)), reads one back with
+    EXECUTE ... INTO, and inserts a summary row through a third dynamic
+    statement with QUOTE_LITERAL doing the quoting. The
+    dynamically-built name is load-bearing in the hash: the final
+    SELECT reads `seg_building` statically, which only exists if the
+    dynamic CREATE produced exactly that identifier.
+
+    Scale: EXECUTE is driver-side string evaluation (one 1-row job for
+    the command expression) and the built statement then runs through
+    the same lazy-view machinery as any other — the snapshot "tables"
+    here stay unmaterialized plans the final aggregates fold into.
+    """
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("rs_dyn_customer")
+    out = run_redshift_script(
+        spark, _SCRIPT_EXECUTE_DYNAMIC.format(customer="rs_dyn_customer")
+    )
+    assert out is not None
+    return out
+
+
+_SCRIPT_CURSOR_LOOP = """
+    CREATE TEMP TABLE nation_counts AS
+    SELECT n.n_name, COUNT(*) AS n_cust,
+           CAST(SUM(CONVERT(DECIMAL(12,2), c.c_acctbal)) AS DOUBLE PRECISION) AS bal
+    FROM {customer} c JOIN {nation} n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name;
+
+    CREATE TEMP TABLE walk (n_name VARCHAR(25), n_cust BIGINT,
+                            run_cust BIGINT, run_bal DOUBLE PRECISION);
+
+    CREATE PROCEDURE runsum() AS $$
+    DECLARE
+        cur CURSOR FOR SELECT n_name, n_cust, bal FROM nation_counts
+                       ORDER BY n_cust DESC, n_name LIMIT 10;
+        v_name VARCHAR(25);
+        v_n BIGINT;
+        v_bal DOUBLE PRECISION;
+        v_rc BIGINT := 0;
+        v_rb DOUBLE PRECISION := 0;
+    BEGIN
+        OPEN cur;
+        LOOP
+            FETCH cur INTO v_name, v_n, v_bal;
+            EXIT WHEN NOT found;
+            v_rc := v_rc + v_n;
+            v_rb := v_rb + v_bal;
+            INSERT INTO walk VALUES (v_name, v_n, v_rc, v_rb);
+        END LOOP;
+        CLOSE cur;
+    END;
+    $$ LANGUAGE plpgsql;
+
+    CALL runsum();
+    SELECT n_name, n_cust, run_cust, ROUND(run_bal, 4) AS run_bal FROM walk;
+"""
+
+
+@register(
+    "redshift_script_cursor_loop",
+    tags=("S6",),
+    oracle="""
+        WITH counts AS (
+            SELECT n_name, COUNT(*) AS n_cust,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        ), top10 AS (
+            SELECT * FROM counts ORDER BY n_cust DESC, n_name LIMIT 10
+        )
+        SELECT n_name, n_cust,
+               CAST(SUM(n_cust) OVER w AS BIGINT) AS run_cust,
+               ROUND(SUM(bal) OVER w, 4) AS run_bal
+        FROM top10
+        WINDOW w AS (ORDER BY n_cust DESC, n_name ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def redshift_script_cursor_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """plpgsql forward-only cursor (r7): DECLARE ... CURSOR FOR over a
+    top-10 control rollup, OPEN / FETCH ... INTO / EXIT WHEN NOT FOUND /
+    CLOSE accumulating running totals through plpgsql variables — the
+    cursor walk order, the FOUND flag, and the per-row variable
+    arithmetic are all load-bearing (the oracle is the same running
+    total as a window sum over the same top-10). The cursor buffers at
+    most 1000 control rows driver-side — the bounded coordinator-loop
+    contract plpgsql row iteration has at any engine (a per-fact cursor
+    raises loudly; script_runner.py _Cursor).
+
+    Scale: ONE shuffle builds the nation rollup; the cursor then walks
+    10 driver-side rows. The running totals never touch Spark row
+    counts — per-ingest work scales with the control table, not the
+    corpus.
+    """
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("rs_cur_customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("rs_cur_nation")
+    out = run_redshift_script(
+        spark,
+        _SCRIPT_CURSOR_LOOP.format(customer="rs_cur_customer", nation="rs_cur_nation"),
+    )
+    assert out is not None
+    return out

@@ -131,9 +131,39 @@ Statement support:
   <query> LOOP (bounded control-table iteration), bare LOOP, EXIT/
   CONTINUE [WHEN], bare RETURN, RAISE, and DECLAREd scalar variables
   with ``var := expr`` and ``SELECT ... INTO var`` (values substitute
-  as typed literals at each use site). Still loud: cursors (DECLARE/
-  FETCH/OPEN/CLOSE), EXECUTE dynamic SQL, EXCEPTION WHEN blocks, OUT
-  params, RETURN with a value.
+  as typed literals at each use site). Round 7 adds the remaining
+  procedural core:
+  * ``BEGIN ... EXCEPTION WHEN OTHERS THEN handler END`` blocks (the
+    nightly-load error-wrapper idiom) — on entry the script state
+    snapshots and every table mutation inside materializes eagerly
+    (localCheckpoint) so an execution error surfaces AT the statement
+    that caused it, not at some later action; a caught error restores
+    the snapshot ("changes are rolled back", plpgsql's contract) and
+    runs the handler, where SQLERRM/SQLSTATE substitute the message
+    and a classified code. Only WHEN OTHERS is accepted — Redshift's
+    own restriction. The runner's unsupported-construct ValueErrors
+    stay loud rather than routing to handlers: a real engine would
+    have executed those statements, so "catching" them would silently
+    change semantics. Cost model: each guarded mutation runs a real
+    job at bind time — guard hot loops, not bulk loads you could
+    guard one level up.
+  * ``EXECUTE <string expr> [INTO var, ...]`` dynamic SQL — the
+    expression evaluates with current variable values (QUOTE_IDENT/
+    QUOTE_LITERAL do the quoting) and the text runs as one statement;
+    dynamic SQL does not see plpgsql variables (plpgsql's contract).
+    USING is loud.
+  * forward-only cursors: ``name CURSOR FOR <query>`` in DECLARE,
+    ``OPEN`` (evaluates the query, buffering at most 1000 control
+    rows driver-side — the bounded coordinator-loop contract shared
+    with FOR-over-query), ``FETCH [NEXT] [FROM] cur INTO vars`` (sets
+    ``found``; NULLs past the end), ``CLOSE``. SCROLL/parameterized
+    cursors and FETCH counts are loud.
+  Still loud: OUT params, RETURN with a value, PERFORM,
+  GET DIAGNOSTICS, EXECUTE ... USING.
+  Cost model note (r6): WHILE/FOR loop conditions evaluate as one
+  1-row Spark job per iteration (capped at 1000) — faithful to
+  coordinator-side plpgsql, so a 1000-iteration loop costs the job
+  floor x 1000 at ANY data size; loop over control rows, never facts.
 - ``CREATE [OR REPLACE] FUNCTION f(a type, ...) RETURNS type AS
   $$ SELECT expr $$ LANGUAGE sql`` / ``DROP FUNCTION`` (r6) — scalar
   SQL UDFs inlined textually at every call site ($N positional or
@@ -544,13 +574,13 @@ _DROP_PROC = re.compile(
     re.IGNORECASE,
 )
 # plpgsql constructs outside the supported subset (r6 added IF/ELSIF/
-# ELSE, WHILE ... LOOP, FOR i IN a..b LOOP and RAISE — see the control-
-# flow section below); any hit in a procedure body is a loud error, not
-# a silent misparse. Checked on quote-masked text so a RAISE message
-# containing one of these words cannot false-positive.
+# ELSE, WHILE ... LOOP, FOR i IN a..b LOOP and RAISE; r7 added
+# EXCEPTION WHEN OTHERS blocks, EXECUTE dynamic SQL, and forward-only
+# cursors — see their sections below); any hit in a procedure body is a
+# loud error, not a silent misparse. Checked on quote-masked text so a
+# RAISE message containing one of these words cannot false-positive.
 _PLPGSQL_CONTROL = re.compile(
-    r"(?i)(?:^|[^\w$])(EXECUTE|FETCH|OPEN|CLOSE|PERFORM|"
-    r"GET\s+DIAGNOSTICS|EXCEPTION\s+WHEN)(?:[^\w$]|$)"
+    r"(?i)(?:^|[^\w$])(PERFORM|GET\s+DIAGNOSTICS)(?:[^\w$]|$)"
 )
 
 
@@ -802,6 +832,136 @@ def _parse_for(text: str, masked: str, start: int) -> tuple[_ForNode, int]:
     return node, _consume_semi(text, em.end())
 
 
+class _GuardNode:
+    """``BEGIN ... [EXCEPTION WHEN OTHERS THEN ...] END`` nested block
+    (round 7). With a handler the block is an exception guard: state
+    snapshots at entry, every table binding inside materializes eagerly
+    (localCheckpoint — errors surface at the statement that caused them,
+    not at some later action), and a caught error restores the snapshot
+    and runs the handler — plpgsql's own "changes are rolled back"
+    contract. Only ``WHEN OTHERS`` is accepted, which is Redshift's own
+    restriction (no named conditions). ``SQLERRM``/``SQLSTATE`` in the
+    handler substitute the error message / a classified SQLSTATE code.
+    Runner-limitation ValueErrors are NOT caught (module policy: loud)."""
+
+    __slots__ = ("body", "handler")
+
+    def __init__(self, body: str, handler: str | None):
+        self.body = body
+        self.handler = handler
+
+
+class _GuardEnd:
+    """End-of-guarded-block marker: pops as a no-op on clean completion
+    (discarding the snapshot); the unwind target when the block errors."""
+
+    __slots__ = ()
+
+
+# Block scanner for BEGIN ... END: unlike _CTRL_TOKEN it also tracks
+# nested BEGIN blocks and the EXCEPTION divider. The lookahead on
+# EXCEPTION keeps `RAISE EXCEPTION 'msg'` (string follows, not WHEN)
+# from reading as a handler divider.
+_GUARD_TOKEN = re.compile(
+    r"(?is)\b(?:(?P<endif>END\s+IF)|(?P<endloop>END\s+LOOP)"
+    r"|(?P<ifx>IF\s+(?:NOT\s+)?EXISTS)|(?P<if>IF)|(?P<loop>LOOP)"
+    r"|(?P<case>CASE)|(?P<begin>BEGIN)"
+    r"|(?P<exc>EXCEPTION(?=\s+WHEN\b))|(?P<end>END))\b"
+)
+
+_HANDLER_HEAD = re.compile(r"(?is)^\s*WHEN\s+OTHERS\s+THEN\b(.*)$")
+
+
+def _parse_begin_block(text: str, masked: str, start: int) -> tuple[_GuardNode, int]:
+    """Parse ``BEGIN ... [EXCEPTION WHEN OTHERS THEN ...] END`` starting
+    at *start* (the BEGIN keyword). Returns the node and the index past
+    the closing ``END;``."""
+    stack = ["begin"]
+    exc_span: tuple[int, int] | None = None
+    for m in _GUARD_TOKEN.finditer(masked, start + 5):
+        kind = m.lastgroup
+        if kind == "ifx":
+            continue
+        if kind in ("if", "loop", "case", "begin"):
+            stack.append(kind)
+        elif kind == "endif":
+            if not stack or stack.pop() != "if":
+                raise ValueError("BEGIN block: mismatched END IF")
+        elif kind == "endloop":
+            if not stack or stack.pop() != "loop":
+                raise ValueError("BEGIN block: mismatched END LOOP")
+        elif kind == "exc":
+            if len(stack) == 1:
+                if exc_span is not None:
+                    raise ValueError("BEGIN block: multiple EXCEPTION sections")
+                exc_span = (m.start(), m.end())
+        elif kind == "end":
+            top = stack.pop()
+            if top not in ("case", "begin"):
+                raise ValueError(f"BEGIN block: END closes an open {top.upper()}")
+            if not stack:
+                if exc_span is not None:
+                    body = text[start + 5 : exc_span[0]]
+                    hm = _HANDLER_HEAD.match(text[exc_span[1] : m.start()])
+                    if hm is None:
+                        raise ValueError(
+                            "EXCEPTION: only 'WHEN OTHERS THEN ...' is "
+                            "supported (Redshift's own restriction — no "
+                            "named conditions)"
+                        )
+                    return _GuardNode(body, hm.group(1)), _consume_semi(text, m.end())
+                return _GuardNode(text[start + 5 : m.start()], None), _consume_semi(
+                    text, m.end()
+                )
+    raise ValueError(f"BEGIN block: missing END near {text[start:start + 60]!r}")
+
+
+def _toplevel_exception(masked_body: str) -> bool:
+    """True when a procedure body (outer BEGIN/END already stripped)
+    carries an EXCEPTION divider at its own top level — the common
+    real-proc form ``BEGIN work EXCEPTION WHEN OTHERS THEN cleanup END``.
+    Depth-0 scan over quote-masked text."""
+    depth = 0
+    for m in _GUARD_TOKEN.finditer(masked_body):
+        kind = m.lastgroup
+        if kind == "ifx":
+            continue
+        if kind in ("if", "loop", "case", "begin"):
+            depth += 1
+        elif kind in ("endif", "endloop", "end"):
+            depth -= 1
+        elif kind == "exc" and depth == 0:
+            return True
+    return False
+
+
+def _sqlerrm(exc: BaseException) -> str:
+    """SQLERRM substitution text: a single-quoted SQL literal of the
+    error's first line (RAISE's own prefix stripped — plpgsql's SQLERRM
+    is the raised message, not the transport wrapper)."""
+    msg = str(exc)
+    if msg.startswith("RAISE EXCEPTION: "):
+        msg = msg[len("RAISE EXCEPTION: ") :]
+    msg = msg.split("\n", 1)[0][:256]
+    return "'" + msg.replace("'", "''") + "'"
+
+
+def _classify_sqlstate(exc: BaseException) -> str:
+    """Map an execution error to the SQLSTATE plpgsql would report:
+    P0001 raise_exception, 22012 division_by_zero, 22018 invalid cast,
+    22003 numeric out of range; XX000 (internal_error) otherwise."""
+    msg = str(exc)
+    if isinstance(exc, RuntimeError) and msg.startswith("RAISE EXCEPTION"):
+        return "P0001"
+    if "DIVIDE_BY_ZERO" in msg or "Division by zero" in msg:
+        return "22012"
+    if "CAST_INVALID_INPUT" in msg or "CAST_OVERFLOW" in msg:
+        return "22018"
+    if "NUMERIC_VALUE_OUT_OF_RANGE" in msg or "ARITHMETIC_OVERFLOW" in msg:
+        return "22003"
+    return "XX000"
+
+
 def _parse_plpgsql_nodes(text: str) -> list:
     """Split a procedure body into executable items: plain SQL statement
     strings interleaved with control nodes (each block's body stays raw
@@ -814,9 +974,17 @@ def _parse_plpgsql_nodes(text: str) -> list:
             i += 1
         if i >= n:
             break
-        m = re.match(r"(?i)(IF|WHILE|FOR|LOOP)\b", masked[i:])
+        m = re.match(r"(?i)(IF|WHILE|FOR|LOOP|BEGIN|DECLARE)\b", masked[i:])
         kw = m.group(1).upper() if m else None
-        if kw == "IF":
+        if kw == "DECLARE":
+            raise ValueError(
+                "plpgsql: nested-block DECLARE is unsupported — declare "
+                "all variables in the procedure's own DECLARE section"
+            )
+        if kw == "BEGIN":
+            node, i = _parse_begin_block(text, masked, i)
+            nodes.append(node)
+        elif kw == "IF":
             node, i = _parse_if(text, masked, i)
             nodes.append(node)
         elif kw == "WHILE":
@@ -870,18 +1038,46 @@ class _Scoped:
         self.scope = scope  # lower-cased name -> [normalized type, value]
 
 
+class _Cursor:
+    """Forward-only plpgsql cursor (r7): the DECLAREd query evaluates at
+    OPEN with the variable values of that moment, buffering at most
+    MAX_ROWS rows driver-side — the same bounded control-table contract
+    as _ForQueryNode (plpgsql row loops run on the coordinator by the
+    language's own semantics; a per-fact cursor is a misuse at any
+    engine). FETCH walks the buffer; CLOSE releases it. SCROLL,
+    parameterized cursors, and ``FETCH <count>`` are outside the subset
+    (loud at DECLARE / unsupported-statement time)."""
+
+    __slots__ = ("query", "rows", "fields", "idx")
+    MAX_ROWS = 1000
+
+    def __init__(self, query: str):
+        self.query = query
+        self.rows: list | None = None  # None = closed
+        self.fields: list[tuple[str, str]] = []
+        self.idx = 0
+
+
+_CURSOR_DECL = re.compile(r"(?is)^([\w$]+)\s+(?:NO\s+SCROLL\s+)?CURSOR\s+FOR\s+(.+)$")
+
+
 def _parse_proc_decls(decls: str, proc: str) -> list[tuple[str, str, str | None]]:
     """DECLARE entries as (name, normalized type, default expr | None).
-    Cursors/records/aliases are outside the subset (loud)."""
+    A ``name CURSOR FOR <query>`` entry comes back as (name, "CURSOR",
+    query). Records/aliases/SCROLL/parameterized cursors are outside the
+    subset (loud)."""
     out: list[tuple[str, str, str | None]] = []
     for d in _split_top_semis(decls):
         d = d.strip()
         if not d:
             continue
+        if cm := _CURSOR_DECL.match(d):
+            out.append((cm.group(1).lower(), "CURSOR", cm.group(2).strip()))
+            continue
         if re.search(r"(?i)\b(CURSOR|RECORD|REFCURSOR|CONSTANT|ALIAS)\b", _mask_quoted(d)):
             raise ValueError(
                 f"CREATE PROCEDURE {proc}: DECLARE supports scalar variables "
-                f"only, not {d[:50]!r}"
+                f"and 'name CURSOR FOR <query>' only, not {d[:50]!r}"
             )
         parts = re.split(r"(?i):=|\bDEFAULT\b", d, maxsplit=1)
         default = parts[1].strip() if len(parts) > 1 else None
@@ -919,6 +1115,8 @@ def _sql_literal(value, typ: str) -> str:
 
 def _subst_vars(scope: dict, sql: str) -> str:
     for name, (typ, value) in scope.items():
+        if typ == "CURSOR":
+            continue  # cursor names are statement operands, not scalars
         sql = _sub_outside_quotes(
             sql, rf"(?i)(?<![\w$]){re.escape(name)}(?![\w$])", _sql_literal(value, typ)
         )
@@ -1187,11 +1385,17 @@ class _ScriptState:
         # dict/set copies; ROLLBACK restores them. Single-level, like
         # Redshift (a nested BEGIN is a warning-and-ignore there).
         self.txn_snap: dict | None = None
+        # Depth of active EXCEPTION guards (plpgsql BEGIN...EXCEPTION
+        # blocks). While > 0, bind() materializes eagerly so execution
+        # errors surface at the guarded statement that caused them —
+        # honest catch timing under Spark's lazy plans.
+        self.guard_depth = 0
 
-    def txn_begin(self) -> None:
-        if self.txn_snap is not None:
-            return  # nested BEGIN: Redshift warns and ignores
-        self.txn_snap = {
+    def snapshot(self) -> dict:
+        """Shallow state snapshot (bindings are immutable DataFrames, so
+        dict/set copies suffice) — shared by explicit transactions and
+        EXCEPTION guards."""
+        return {
             "tables": dict(self.tables),
             "created_views": set(self.created_views),
             "identity_cols": {k: dict(v) for k, v in self.identity_cols.items()},
@@ -1201,7 +1405,15 @@ class _ScriptState:
             "schemas": set(self.schemas),
             "funcs": dict(self.funcs),
             "search_path": list(self.search_path),
+            "txn_snap": self.txn_snap,
         }
+
+    def txn_begin(self) -> None:
+        if self.txn_snap is not None:
+            return  # nested BEGIN: Redshift warns and ignores
+        snap = self.snapshot()
+        snap.pop("txn_snap")
+        self.txn_snap = snap
 
     def txn_commit(self) -> None:
         self.txn_snap = None
@@ -1215,6 +1427,13 @@ class _ScriptState:
         if self.txn_snap is None:
             return
         snap, self.txn_snap = self.txn_snap, None
+        self.restore(snap)
+
+    def restore(self, snap: dict) -> None:
+        """Roll the catalog and every state dict back to *snap* (from
+        snapshot() or txn_begin()): views created since then drop — a
+        shadowed pre-script view reappears NOW, not at cleanup — and
+        every surviving binding re-registers at its snapshot plan."""
         for name in self.created_views - snap["created_views"]:
             self.spark.catalog.dropTempView(name)
             if name in self.shadowed:
@@ -1231,6 +1450,8 @@ class _ScriptState:
         self.schemas = snap["schemas"]
         self.funcs = snap["funcs"]
         self.search_path = snap["search_path"]
+        if "txn_snap" in snap:
+            self.txn_snap = snap["txn_snap"]
 
     def drop_meta(self, name: str) -> None:
         """A rebind or drop kills per-table DDL attributes."""
@@ -1245,6 +1466,13 @@ class _ScriptState:
                     self.shadowed[name] = self.spark.table(name)
             except Exception:
                 pass  # no pre-existing table of that name
+        if self.guard_depth:
+            # inside an EXCEPTION guard every mutation materializes NOW:
+            # a lazy plan would defer e.g. a division error past the
+            # guarded block and the handler would never see it. This is
+            # the documented cost of honest catch semantics (Redshift
+            # itself materializes every statement).
+            df = df.localCheckpoint(eager=True)
         df.createOrReplaceTempView(name)
         self.tables[name] = df
         self.created_views.add(name)
@@ -1598,1307 +1826,1541 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
         # statements executed in place (front of the queue)
         pending = deque(split_statements(script))
         n_calls = 0
+        # Active EXCEPTION guards (innermost last): each entry holds the
+        # block-entry state snapshot, the handler text, the defining
+        # scope, and the block's end marker on the worklist.
+        guard_stack: list[dict] = []
+        n_execs = 0
         while pending:
-            raw = pending.popleft()
-            # plpgsql control nodes (from CALL-expanded bodies) expand in
-            # place: the taken branch / next iteration's statements go to
-            # the FRONT of the worklist, exactly where the block sat. A
-            # _Scoped wrapper carries the CALL's variable scope; values
-            # substitute when each statement RUNS (assignments between
-            # statements change what later ones see).
-            scope: dict | None = None
-            if isinstance(raw, _Scoped):
-                scope, raw = raw.scope, raw.item
+            try:
+                raw = pending.popleft()
+                # plpgsql control nodes (from CALL-expanded bodies) expand in
+                # place: the taken branch / next iteration's statements go to
+                # the FRONT of the worklist, exactly where the block sat. A
+                # _Scoped wrapper carries the CALL's variable scope; values
+                # substitute when each statement RUNS (assignments between
+                # statements change what later ones see).
+                scope: dict | None = None
+                if isinstance(raw, _Scoped):
+                    scope, raw = raw.scope, raw.item
 
-            def _in_scope(nodes: list) -> list:
-                return [_Scoped(nd, scope) for nd in nodes] if scope else nodes
+                def _in_scope(nodes: list) -> list:
+                    return [_Scoped(nd, scope) for nd in nodes] if scope else nodes
 
-            def _scoped_sql(sql: str) -> str:
-                return _subst_vars(scope, sql) if scope else sql
+                def _scoped_sql(sql: str) -> str:
+                    return _subst_vars(scope, sql) if scope else sql
 
-            if isinstance(raw, _IfNode):
-                for cond, body in raw.branches:
-                    # NULL condition = branch not taken (SQL three-valued)
-                    if bool(
-                        _eval_script_scalar(spark, state, _scoped_sql(cond), "BOOLEAN")
-                    ):
-                        pending.extendleft(reversed(_in_scope(_parse_plpgsql_nodes(body))))
-                        break
-                else:
-                    if raw.else_body is not None:
-                        pending.extendleft(
-                            reversed(_in_scope(_parse_plpgsql_nodes(raw.else_body)))
+                if isinstance(raw, _IfNode):
+                    for cond, body in raw.branches:
+                        # NULL condition = branch not taken (SQL three-valued)
+                        if bool(
+                            _eval_script_scalar(spark, state, _scoped_sql(cond), "BOOLEAN")
+                        ):
+                            pending.extendleft(reversed(_in_scope(_parse_plpgsql_nodes(body))))
+                            break
+                    else:
+                        if raw.else_body is not None:
+                            pending.extendleft(
+                                reversed(_in_scope(_parse_plpgsql_nodes(raw.else_body)))
+                            )
+                    continue
+                if isinstance(raw, _WhileNode):
+                    raw.iters += 1
+                    if raw.iters > _WhileNode.MAX_ITERS:
+                        raise ValueError(
+                            f"WHILE: more than {_WhileNode.MAX_ITERS} iterations "
+                            "in one script (runaway loop?)"
                         )
-                continue
-            if isinstance(raw, _WhileNode):
-                raw.iters += 1
-                if raw.iters > _WhileNode.MAX_ITERS:
-                    raise ValueError(
-                        f"WHILE: more than {_WhileNode.MAX_ITERS} iterations "
-                        "in one script (runaway loop?)"
+                    if raw.cond.strip().upper() == "TRUE" or bool(
+                        _eval_script_scalar(spark, state, _scoped_sql(raw.cond), "BOOLEAN")
+                    ):  # literal-TRUE (bare LOOP) skips the per-iteration job
+                        # re-test after this iteration
+                        pending.appendleft(_Scoped(raw, scope) if scope else raw)
+                        pending.extendleft(
+                            reversed(_in_scope(_parse_plpgsql_nodes(raw.body)))
+                        )
+                    continue
+                if isinstance(raw, _ForNode):
+                    if raw.vals is None:  # bounds evaluate once, at loop entry
+                        frm = _eval_script_scalar(spark, state, _scoped_sql(raw.frm), "BIGINT")
+                        to = _eval_script_scalar(spark, state, _scoped_sql(raw.to), "BIGINT")
+                        if frm is None or to is None:
+                            raise ValueError(f"FOR {raw.var}: NULL range bound")
+                        raw.vals = range(frm, to - 1, -1) if raw.reverse else range(frm, to + 1)
+                        if len(raw.vals) > _ForNode.MAX_RANGE:
+                            raise ValueError(
+                                f"FOR {raw.var}: range of {len(raw.vals)} exceeds the "
+                                f"{_ForNode.MAX_RANGE}-iteration cap"
+                            )
+                    if raw.idx < len(raw.vals):
+                        # one iteration per pop; the re-pushed node is the
+                        # loop marker EXIT/CONTINUE unwind to
+                        v = raw.vals[raw.idx]
+                        raw.idx += 1
+                        pending.appendleft(_Scoped(raw, scope) if scope else raw)
+                        var_pat = rf"(?i)(?<![\w$]){re.escape(raw.var)}(?![\w$])"
+                        pending.extendleft(
+                            reversed(
+                                _in_scope(
+                                    _parse_plpgsql_nodes(re.sub(var_pat, str(v), raw.body))
+                                )
+                            )
+                        )
+                    continue
+                if isinstance(raw, _ForQueryNode):
+                    if raw.rows is None:  # the query evaluates once, at loop entry
+                        qdf = spark.sql(
+                            translate_redshift_sql(
+                                _prep_stmt_sql(state, _scoped_sql(raw.query))
+                            ).strip()
+                        )
+                        raw.fields = [
+                            (f.name, f.dataType.simpleString()) for f in qdf.schema.fields
+                        ]
+                        raw.rows = qdf.take(_ForQueryNode.MAX_ROWS + 1)
+                        if len(raw.rows) > _ForQueryNode.MAX_ROWS:
+                            raise ValueError(
+                                f"FOR {raw.var} IN <query>: more than "
+                                f"{_ForQueryNode.MAX_ROWS} rows — a control-table "
+                                "loop, not a per-fact loop (use a join)"
+                            )
+                    if raw.idx < len(raw.rows):
+                        row = raw.rows[raw.idx]
+                        raw.idx += 1
+                        body = raw.body
+                        for (fname, ftyp), val in zip(raw.fields, row):
+                            lit = _sql_literal(val, ftyp)
+                            body = _sub_outside_quotes(
+                                body,
+                                rf"(?i)(?<![\w$]){re.escape(raw.var)}\s*\.\s*"
+                                rf"{re.escape(fname)}(?![\w$])",
+                                lambda _m, _lit=lit: _lit,
+                            )
+                        pending.appendleft(_Scoped(raw, scope) if scope else raw)
+                        pending.extendleft(
+                            reversed(_in_scope(_parse_plpgsql_nodes(body)))
+                        )
+                    continue
+                if isinstance(raw, _CallEnd):
+                    continue  # normal fall-through off the end of a CALL
+                if isinstance(raw, _GuardNode):
+                    if raw.handler is None:
+                        # plain nested BEGIN/END: statement grouping only
+                        pending.extendleft(
+                            reversed(_in_scope(_parse_plpgsql_nodes(raw.body)))
+                        )
+                        continue
+                    end = _GuardEnd()
+                    guard_stack.append(
+                        {
+                            "snap": state.snapshot(),
+                            "handler": raw.handler,
+                            "scope": scope,
+                            "end": end,
+                        }
                     )
-                if raw.cond.strip().upper() == "TRUE" or bool(
-                    _eval_script_scalar(spark, state, _scoped_sql(raw.cond), "BOOLEAN")
-                ):  # literal-TRUE (bare LOOP) skips the per-iteration job
-                    # re-test after this iteration
-                    pending.appendleft(_Scoped(raw, scope) if scope else raw)
+                    state.guard_depth = len(guard_stack)
+                    pending.appendleft(end)
                     pending.extendleft(
                         reversed(_in_scope(_parse_plpgsql_nodes(raw.body)))
                     )
-                continue
-            if isinstance(raw, _ForNode):
-                if raw.vals is None:  # bounds evaluate once, at loop entry
-                    frm = _eval_script_scalar(spark, state, _scoped_sql(raw.frm), "BIGINT")
-                    to = _eval_script_scalar(spark, state, _scoped_sql(raw.to), "BIGINT")
-                    if frm is None or to is None:
-                        raise ValueError(f"FOR {raw.var}: NULL range bound")
-                    raw.vals = range(frm, to - 1, -1) if raw.reverse else range(frm, to + 1)
-                    if len(raw.vals) > _ForNode.MAX_RANGE:
+                    continue
+                if isinstance(raw, _GuardEnd):
+                    # clean completion: discard the innermost snapshot
+                    g = guard_stack.pop()
+                    if g["end"] is not raw:  # pragma: no cover - invariant
+                        raise AssertionError("EXCEPTION guard stack out of sync")
+                    state.guard_depth = len(guard_stack)
+                    continue
+                if isinstance(raw, str) and re.match(r"(?i)^(EXIT|CONTINUE)\b", raw):
+                    um = re.match(r"(?is)^(EXIT|CONTINUE)\b(?:\s+WHEN\s+(.+))?\s*$", raw)
+                    if um is None:
                         raise ValueError(
-                            f"FOR {raw.var}: range of {len(raw.vals)} exceeds the "
-                            f"{_ForNode.MAX_RANGE}-iteration cap"
+                            f"EXIT/CONTINUE: labels unsupported ({raw[:40]!r})"
                         )
-                if raw.idx < len(raw.vals):
-                    # one iteration per pop; the re-pushed node is the
-                    # loop marker EXIT/CONTINUE unwind to
-                    v = raw.vals[raw.idx]
-                    raw.idx += 1
-                    pending.appendleft(_Scoped(raw, scope) if scope else raw)
-                    var_pat = rf"(?i)(?<![\w$]){re.escape(raw.var)}(?![\w$])"
-                    pending.extendleft(
-                        reversed(
-                            _in_scope(
-                                _parse_plpgsql_nodes(re.sub(var_pat, str(v), raw.body))
+                    kw, when = um.group(1).upper(), um.group(2)
+                    if when is not None and not bool(
+                        _eval_script_scalar(spark, state, _scoped_sql(when), "BOOLEAN")
+                    ):
+                        continue
+                    # unwind queued items to the innermost loop marker (the
+                    # re-pushed _WhileNode/_ForNode); EXIT consumes it,
+                    # CONTINUE leaves it so the next iteration runs. A
+                    # _CallEnd fence means no enclosing loop — loud.
+                    while pending:
+                        nxt = pending[0]
+                        inner = nxt.item if isinstance(nxt, _Scoped) else nxt
+                        if isinstance(inner, (_WhileNode, _ForNode, _ForQueryNode)):
+                            if kw == "EXIT":
+                                pending.popleft()
+                            break
+                        if isinstance(inner, _CallEnd):
+                            raise ValueError(f"{kw}: no enclosing loop")
+                        if isinstance(inner, _GuardEnd):
+                            # exiting a guarded block early retires its
+                            # guard (clean exit — snapshot discarded)
+                            guard_stack.pop()
+                            state.guard_depth = len(guard_stack)
+                        pending.popleft()
+                    else:
+                        raise ValueError(f"{kw}: no enclosing loop")
+                    continue
+                if isinstance(raw, str) and re.match(r"(?i)^RETURN\b", raw):
+                    if re.sub(r"(?i)^RETURN", "", raw).strip(" ;"):
+                        raise ValueError(
+                            "RETURN with a value: procedures return nothing — "
+                            "write results to a table the caller reads"
+                        )
+                    # early exit from the current procedure: unwind to (and
+                    # through) the CALL fence; loop markers on the way die
+                    while pending:
+                        nxt = pending.popleft()
+                        inner = nxt.item if isinstance(nxt, _Scoped) else nxt
+                        if isinstance(inner, _GuardEnd):
+                            # RETURN out of a guarded block: clean exit,
+                            # snapshot discarded
+                            guard_stack.pop()
+                            state.guard_depth = len(guard_stack)
+                        if isinstance(inner, _CallEnd):
+                            break
+                    else:
+                        raise ValueError("RETURN: not inside a procedure CALL")
+                    continue
+                if isinstance(raw, str) and re.match(r"(?i)^EXECUTE\b", raw):
+                    # plpgsql EXECUTE: evaluate the command-string
+                    # expression (variables substitute as literals, the
+                    # QUOTE_IDENT/QUOTE_LITERAL scalars from misc3 do the
+                    # quoting), then run the resulting text as ONE
+                    # statement. Dynamic SQL does NOT see plpgsql
+                    # variables — plpgsql's own contract — so the built
+                    # statement enqueues unscoped. `EXECUTE ... INTO
+                    # var[, ...]` assigns the single result row instead.
+                    # USING parameter binding is outside the subset.
+                    n_execs += 1
+                    if n_execs > 1000:
+                        raise ValueError(
+                            "EXECUTE: more than 1000 dynamic statements in "
+                            "one script (runaway loop?)"
+                        )
+                    body_txt = raw[7:].strip()
+                    if re.search(r"(?i)(?:^|[^\w$])USING(?:[^\w$]|$)", _mask_quoted(body_txt)):
+                        raise ValueError(
+                            "EXECUTE ... USING is unsupported — concatenate "
+                            "QUOTE_LITERAL(value) into the command string"
+                        )
+                    expr, into_tail = _split_top_kw(body_txt, "INTO")
+                    if not expr:
+                        raise ValueError("EXECUTE: empty command-string expression")
+                    sql_text = _eval_script_scalar(
+                        spark, state, _scoped_sql(expr), "STRING"
+                    )
+                    if sql_text is None or not str(sql_text).strip():
+                        raise ValueError("EXECUTE: command string is NULL/empty")
+                    sql_text = str(sql_text).strip().rstrip(";").strip()
+                    if into_tail is None:
+                        pending.appendleft(sql_text)
+                        continue
+                    names = [n.strip().lower() for n in into_tail.split(",")]
+                    if scope is None or not all(n and n in scope for n in names):
+                        raise ValueError(
+                            f"EXECUTE ... INTO: target(s) {into_tail.strip()!r} "
+                            "must all be declared plpgsql variables"
+                        )
+                    row = spark.sql(
+                        translate_redshift_sql(_prep_stmt_sql(state, sql_text)).strip()
+                    ).first()
+                    vals = list(row) if row is not None else [None] * len(names)
+                    if len(vals) != len(names):
+                        raise ValueError(
+                            f"EXECUTE ... INTO: {len(names)} variable(s) but "
+                            f"query returns {len(vals)} column(s)"
+                        )
+                    for n, v in zip(names, vals):
+                        scope[n][1] = v
+                    continue
+                if scope is not None:
+                    # forward-only cursor ops (r7): OPEN evaluates the
+                    # bound query NOW through the dialect front-end with
+                    # current variable values, buffering at most
+                    # MAX_ROWS control rows driver-side (the same
+                    # bounded O(small)-result contract as FOR-over-query
+                    # — plpgsql row loops run on the coordinator by the
+                    # language's own semantics); FETCH assigns the next
+                    # row (NULLs + found=FALSE past the end, plpgsql's
+                    # SELECT INTO contract); CLOSE releases the buffer.
+                    if om := re.match(r"(?is)^OPEN\s+([\w$]+)\s*$", raw):
+                        cname = om.group(1).lower()
+                        ent = scope.get(cname)
+                        if ent is None or ent[0] != "CURSOR":
+                            raise ValueError(f"OPEN: {cname!r} is not a declared cursor")
+                        cur = ent[1]
+                        if cur.rows is not None:
+                            raise ValueError(f"OPEN {cname}: cursor is already open")
+                        qdf = spark.sql(
+                            translate_redshift_sql(
+                                _prep_stmt_sql(state, _scoped_sql(cur.query))
+                            ).strip()
+                        )
+                        cur.fields = [
+                            (f.name, f.dataType.simpleString())
+                            for f in qdf.schema.fields
+                        ]
+                        cur.rows = qdf.take(_Cursor.MAX_ROWS + 1)
+                        if len(cur.rows) > _Cursor.MAX_ROWS:
+                            raise ValueError(
+                                f"OPEN {cname}: more than {_Cursor.MAX_ROWS} rows "
+                                "— a control-table cursor, not a per-fact one "
+                                "(use a join)"
+                            )
+                        cur.idx = 0
+                        continue
+                    if fm := re.match(
+                        r"(?is)^FETCH\s+(?:NEXT\s+)?(?:FROM\s+)?([\w$]+)\s+INTO\s+(.+)$",
+                        raw,
+                    ):
+                        cname = fm.group(1).lower()
+                        ent = scope.get(cname)
+                        if ent is None or ent[0] != "CURSOR":
+                            raise ValueError(f"FETCH: {cname!r} is not a declared cursor")
+                        cur = ent[1]
+                        if cur.rows is None:
+                            raise ValueError(f"FETCH {cname}: cursor is not open")
+                        names = [n.strip().lower() for n in fm.group(2).split(",")]
+                        bad = [
+                            n
+                            for n in names
+                            if n not in scope or scope[n][0] == "CURSOR"
+                        ]
+                        if bad:
+                            raise ValueError(
+                                f"FETCH ... INTO: {', '.join(bad)} not declared "
+                                "scalar variable(s)"
+                            )
+                        if cur.idx < len(cur.rows):
+                            vals = list(cur.rows[cur.idx])
+                            cur.idx += 1
+                            hit = True
+                        else:
+                            vals = [None] * len(names)
+                            hit = False
+                        if hit and len(vals) != len(names):
+                            raise ValueError(
+                                f"FETCH {cname}: {len(names)} variable(s) but "
+                                f"cursor returns {len(vals)} column(s)"
+                            )
+                        for n, v in zip(names, vals):
+                            scope[n][1] = v
+                        if "found" in scope:
+                            scope["found"][1] = hit
+                        continue
+                    if cm := re.match(r"(?is)^CLOSE\s+([\w$]+)\s*$", raw):
+                        cname = cm.group(1).lower()
+                        ent = scope.get(cname)
+                        if ent is None or ent[0] != "CURSOR":
+                            raise ValueError(f"CLOSE: {cname!r} is not a declared cursor")
+                        if ent[1].rows is None:
+                            raise ValueError(f"CLOSE {cname}: cursor is not open")
+                        ent[1].rows = None
+                        continue
+                    # `var := expr;` — plpgsql assignment into the scope
+                    if am := _ASSIGN.match(raw):
+                        vname = am.group(1).lower()
+                        if vname not in scope:
+                            raise ValueError(f"assignment to undeclared variable {vname!r}")
+                        scope[vname][1] = _eval_script_scalar(
+                            spark, state, _scoped_sql(am.group(2)), scope[vname][0]
+                        )
+                        continue
+                    # `SELECT ... INTO var[, var2] FROM ...` — variable form
+                    # (an INTO list that is NOT all declared variables falls
+                    # through to the table-CTAS SELECT INTO below)
+                    if raw[:6].upper() == "SELECT":
+                        head, tail = _split_top_kw(raw, "INTO")
+                        if tail is not None:
+                            nm = re.match(
+                                r"(?s)^((?:[\w$]+\s*,\s*)*[\w$]+)\s*(.*)$", tail.strip()
+                            )
+                            names = (
+                                [n.strip().lower() for n in nm.group(1).split(",")]
+                                if nm
+                                else []
+                            )
+                            if names and all(n in scope for n in names):
+                                query = f"{head} {nm.group(2)}".strip()
+                                row = spark.sql(
+                                    translate_redshift_sql(
+                                        _prep_stmt_sql(state, _scoped_sql(query))
+                                    ).strip()
+                                ).first()
+                                vals2 = list(row) if row is not None else [None] * len(names)
+                                if len(vals2) != len(names):
+                                    raise ValueError(
+                                        f"SELECT INTO: {len(names)} variable(s) but "
+                                        f"query returns {len(vals2)} column(s)"
+                                    )
+                                for n, v in zip(names, vals2):
+                                    scope[n][1] = v
+                                continue
+                    raw = _subst_vars(scope, raw)
+                # Redshift #temp names → plain identifiers BEFORE statement
+                # classification (the CREATE/COPY/INSERT regexes match \w
+                # identifiers; '#stg' would silently fall through to
+                # spark.sql and fail to parse). The front-end repeats the
+                # rewrite for standalone statements — it is idempotent.
+                raw = rewrite_temp_names(raw).strip()
+                if m := _CREATE_SCHEMA.match(raw):
+                    state.schemas.add(m.group(1).lower())
+                    continue
+                if m := _DROP_SCHEMA.match(raw):
+                    s, mode = m.group(1).lower(), (m.group(2) or "RESTRICT").upper()
+                    if s in state.schemas:
+                        members = [
+                            n for n in state.tables if n.lower().startswith(f"{s}__")
+                        ]
+                        if members and mode != "CASCADE":
+                            raise ValueError(
+                                f"DROP SCHEMA {s}: schema is not empty "
+                                f"({', '.join(sorted(members))}) — use CASCADE"
+                            )
+                        for n in members:
+                            spark.catalog.dropTempView(n)
+                            state.tables.pop(n, None)
+                            state.created_views.discard(n)
+                            state.drop_meta(n)
+                            state.mv_defs.pop(n, None)
+                        state.schemas.discard(s)
+                    elif "IF EXISTS" not in raw.upper():
+                        raise ValueError(f"DROP SCHEMA: no schema {s!r}")
+                    continue
+                for s in state.schemas:
+                    # flatten declared-schema-qualified names to one part
+                    raw = _sub_outside_quotes(
+                        raw, rf"(?i)\b{re.escape(s)}\s*\.\s*(\w+)", rf"{s}__\1"
+                    )
+                if state.search_path:
+                    raw = _apply_search_path(state, raw)
+                if raw[:6].upper() == "CREATE" and re.search(r"(?i)\bON\s+COMMIT\b", raw):
+                    # CREATE TEMP TABLE ... ON COMMIT PRESERVE|DELETE ROWS:
+                    # script scope has no transactions (BEGIN/COMMIT are
+                    # no-ops), so both spellings behave as PRESERVE here;
+                    # temp tables die at script end either way.
+                    raw = _sub_outside_quotes(
+                        raw,
+                        r"(?i)\s+ON\s+COMMIT\s+(?:PRESERVE\s+ROWS|DELETE\s+ROWS|DROP)",
+                        " ",
+                    )
+                if hm := _CREATE_FUNC_HEAD.match(raw):
+                    sig_end = _scan_balanced_fwd(raw, hm.end())
+                    if tm := _CREATE_FUNC_TAIL.match(raw[sig_end:]):
+                        fname = hm.group(1)
+                        if tm.group(2).lower() != "sql":
+                            raise ValueError(
+                                f"CREATE FUNCTION {fname}: LANGUAGE {tm.group(2)} "
+                                "unsupported — scalar SQL UDFs inline; Python "
+                                "logic belongs in the vectorized pandas-UDF path"
+                            )
+                        body = tm.group(1).strip().rstrip(";").strip()
+                        body = re.sub(r"(?is)^SELECT\s+", "", body)
+                        state.funcs[fname] = (
+                            _parse_func_params(raw[hm.end() : sig_end - 1]),
+                            body,
+                        )
+                        continue
+                if m := _DROP_FUNC.match(raw):
+                    if m.group(1) in state.funcs or "IF EXISTS" in raw.upper():
+                        state.funcs.pop(m.group(1), None)
+                        continue
+                    raise ValueError(f"DROP FUNCTION: no SQL UDF {m.group(1)!r}")
+                if state.funcs:
+                    raw = _inline_sql_udfs(raw, state.funcs)
+                # Stored procedures are matched on the RAW statement — the
+                # dialect front-end must not rewrite a $$ body at define
+                # time (each body statement is rewritten when it RUNS).
+                if hm := _CREATE_PROC_HEAD.match(raw):
+                    sig_end = _scan_balanced_fwd(raw, hm.end())
+                    tm = _CREATE_PROC_TAIL.match(raw[sig_end:])
+                    if tm is None:
+                        raise ValueError(
+                            f"CREATE PROCEDURE {hm.group(1)}: expected "
+                            "AS $$ ... $$ LANGUAGE plpgsql"
+                        )
+                    params = _parse_proc_params(raw[hm.end() : sig_end - 1])
+                    body = tm.group(1).strip()
+                    bm = re.match(
+                        r"(?is)^(?:DECLARE\b(.*?))?\s*BEGIN\b(.*?)\bEND\s*;?\s*$", body
+                    )
+                    if bm is None:
+                        raise ValueError(
+                            f"CREATE PROCEDURE {hm.group(1)}: body must be one "
+                            "[DECLARE ...] BEGIN ... END block"
+                        )
+                    decls = _parse_proc_decls(bm.group(1) or "", hm.group(1))
+                    body = bm.group(2)
+                    if cm := _PLPGSQL_CONTROL.search(_mask_quoted(body)):
+                        raise ValueError(
+                            f"CREATE PROCEDURE {hm.group(1)}: procedural "
+                            f"{cm.group(1).upper()} is outside the supported "
+                            "subset (plain SQL + IF/WHILE/FOR/RAISE/variables only)"
+                        )
+                    if _toplevel_exception(_mask_quoted(body)):
+                        # the common real-proc form puts the EXCEPTION
+                        # section on the procedure's own outer block
+                        # (stripped above) — re-wrap so the whole body
+                        # parses as one guarded BEGIN...EXCEPTION...END
+                        body = f"BEGIN {body} END"
+                    _parse_plpgsql_nodes(body)  # surface block-structure errors at define time
+                    state.procs[hm.group(1)] = (params, decls, body)
+                    continue
+                if m := _DROP_PROC.match(raw):
+                    if m.group(1) not in state.procs and "IF EXISTS" not in raw.upper():
+                        raise ValueError(f"DROP PROCEDURE: no procedure {m.group(1)!r}")
+                    state.procs.pop(m.group(1), None)
+                    continue
+                if m := _CALL.match(raw):
+                    name = m.group(1)
+                    if name not in state.procs:
+                        raise ValueError(f"CALL: no procedure {name!r} defined in this script")
+                    n_calls += 1
+                    if n_calls > 256:
+                        # a self-CALLing procedure has no terminating
+                        # condition in the straight-line subset — without a
+                        # cap the worklist loops forever
+                        raise ValueError(
+                            "CALL: more than 256 procedure expansions in one "
+                            "script (recursive CALL?)"
+                        )
+                    params, decls, body = state.procs[name]
+                    args = [a.strip() for a in _split_top_commas(m.group(2)) if a.strip()]
+                    if len(args) != len(params):
+                        raise ValueError(
+                            f"CALL {name}: expected {len(params)} argument(s) "
+                            f"({', '.join(params)}), got {len(args)}"
+                        )
+                    call_decls = decls
+                    for p, a in zip(params, args):
+                        # identifier-boundary textual substitution (plpgsql
+                        # itself substitutes params lexically) — into the
+                        # body AND into DECLARE default expressions
+                        p_pat = rf"(?i)(?<![\w$]){re.escape(p)}(?![\w$])"
+                        body = re.sub(p_pat, a, body)
+                        call_decls = [
+                            (vn, vt, None if vd is None else re.sub(p_pat, a, vd))
+                            for vn, vt, vd in call_decls
+                        ]
+                    # DECLAREd variables: defaults evaluate at block entry,
+                    # in order (a later default may reference an earlier var)
+                    scope: dict = {}
+                    for vname, vtyp, vdefault in call_decls:
+                        if vtyp == "CURSOR":
+                            # query text (param-substituted above) binds
+                            # variable values at OPEN, not here
+                            scope[vname] = [vtyp, _Cursor(vdefault)]
+                            continue
+                        value = (
+                            None
+                            if vdefault is None
+                            else _eval_script_scalar(
+                                spark, state, _subst_vars(scope, vdefault), vtyp
                             )
                         )
-                    )
-                continue
-            if isinstance(raw, _ForQueryNode):
-                if raw.rows is None:  # the query evaluates once, at loop entry
-                    qdf = spark.sql(
-                        translate_redshift_sql(
-                            _prep_stmt_sql(state, _scoped_sql(raw.query))
-                        ).strip()
-                    )
-                    raw.fields = [
-                        (f.name, f.dataType.simpleString()) for f in qdf.schema.fields
-                    ]
-                    raw.rows = qdf.take(_ForQueryNode.MAX_ROWS + 1)
-                    if len(raw.rows) > _ForQueryNode.MAX_ROWS:
+                        scope[vname] = [vtyp, value]
+                    if any(t == "CURSOR" for t, _v in scope.values()) and (
+                        "found" not in scope
+                    ):
+                        # plpgsql's FOUND, maintained by FETCH only in
+                        # this subset (other statements leave it alone —
+                        # the cursor-loop idiom `EXIT WHEN NOT found` is
+                        # what it exists for). Auto-declared only when a
+                        # cursor exists, to bound the name-capture blast
+                        # radius plpgsql variables inherently carry.
+                        scope["found"] = ["BOOLEAN", False]
+                    nodes = _parse_plpgsql_nodes(body)
+                    if scope:
+                        nodes = [_Scoped(nd, scope) for nd in nodes]
+                    nodes.append(_CallEnd())  # RETURN's unwind target
+                    pending.extendleft(reversed(nodes))
+                    continue
+                if re.match(r"(?i)^RAISE\b", raw):
+                    m = _RAISE.match(raw)
+                    if m is None:
+                        raise ValueError(f"RAISE: unsupported form {raw[:60]!r}")
+                    level = (m.group(1) or "EXCEPTION").upper()
+                    if level == "EXCEPTION":
+                        args = [
+                            a.strip()
+                            for a in _split_top_commas(m.group(3) or "")
+                            if a.strip()
+                        ]
+                        vals = [
+                            str(_eval_script_scalar(spark, state, a, "STRING"))
+                            for a in args
+                        ]
+                        raise RuntimeError(
+                            "RAISE EXCEPTION: "
+                            + _format_raise_message(
+                                m.group(2).replace("''", "'"), vals
+                            )
+                        )
+                    continue  # NOTICE/INFO/WARNING/LOG/DEBUG: log-only, no-op
+                # COPY/UNLOAD carry path literals and option clauses the SQL
+                # rewriter must not touch — matched on the RAW statement;
+                # only UNLOAD's inner query goes through the front-end.
+                if m := _COPY.match(raw):
+                    name, path, clause = m.group(1), m.group(2), m.group(3)
+                    opts = _parse_io_options(clause, "COPY")
+                    base = state.existing(name)
+                    if opts["skip"] > 1:
+                        # Spark CSV has no skip-N-rows option; a collapsed
+                        # header flag would silently load preamble lines as
+                        # data — reject loudly (module policy).
                         raise ValueError(
-                            f"FOR {raw.var} IN <query>: more than "
-                            f"{_ForQueryNode.MAX_ROWS} rows — a control-table "
-                            "loop, not a per-fact loop (use a join)"
+                            f"COPY {name}: IGNOREHEADER {opts['skip']} unsupported "
+                            "(only 0 or 1); preprocess multi-line preambles upstream"
                         )
-                if raw.idx < len(raw.rows):
-                    row = raw.rows[raw.idx]
-                    raw.idx += 1
-                    body = raw.body
-                    for (fname, ftyp), val in zip(raw.fields, row):
-                        lit = _sql_literal(val, ftyp)
-                        body = _sub_outside_quotes(
-                            body,
-                            rf"(?i)(?<![\w$]){re.escape(raw.var)}\s*\.\s*"
-                            rf"{re.escape(fname)}(?![\w$])",
-                            lambda _m, _lit=lit: _lit,
-                        )
-                    pending.appendleft(_Scoped(raw, scope) if scope else raw)
-                    pending.extendleft(
-                        reversed(_in_scope(_parse_plpgsql_nodes(body)))
-                    )
-                continue
-            if isinstance(raw, _CallEnd):
-                continue  # normal fall-through off the end of a CALL
-            if isinstance(raw, str) and re.match(r"(?i)^(EXIT|CONTINUE)\b", raw):
-                um = re.match(r"(?is)^(EXIT|CONTINUE)\b(?:\s+WHEN\s+(.+))?\s*$", raw)
-                if um is None:
-                    raise ValueError(
-                        f"EXIT/CONTINUE: labels unsupported ({raw[:40]!r})"
-                    )
-                kw, when = um.group(1).upper(), um.group(2)
-                if when is not None and not bool(
-                    _eval_script_scalar(spark, state, _scoped_sql(when), "BOOLEAN")
-                ):
-                    continue
-                # unwind queued items to the innermost loop marker (the
-                # re-pushed _WhileNode/_ForNode); EXIT consumes it,
-                # CONTINUE leaves it so the next iteration runs. A
-                # _CallEnd fence means no enclosing loop — loud.
-                while pending:
-                    nxt = pending[0]
-                    inner = nxt.item if isinstance(nxt, _Scoped) else nxt
-                    if isinstance(inner, (_WhileNode, _ForNode, _ForQueryNode)):
-                        if kw == "EXIT":
-                            pending.popleft()
-                        break
-                    if isinstance(inner, _CallEnd):
-                        raise ValueError(f"{kw}: no enclosing loop")
-                    pending.popleft()
-                else:
-                    raise ValueError(f"{kw}: no enclosing loop")
-                continue
-            if isinstance(raw, str) and re.match(r"(?i)^RETURN\b", raw):
-                if re.sub(r"(?i)^RETURN", "", raw).strip(" ;"):
-                    raise ValueError(
-                        "RETURN with a value: procedures return nothing — "
-                        "write results to a table the caller reads"
-                    )
-                # early exit from the current procedure: unwind to (and
-                # through) the CALL fence; loop markers on the way die
-                while pending:
-                    nxt = pending.popleft()
-                    inner = nxt.item if isinstance(nxt, _Scoped) else nxt
-                    if isinstance(inner, _CallEnd):
-                        break
-                else:
-                    raise ValueError("RETURN: not inside a procedure CALL")
-                continue
-            if scope is not None:
-                # `var := expr;` — plpgsql assignment into the scope
-                if am := _ASSIGN.match(raw):
-                    vname = am.group(1).lower()
-                    if vname not in scope:
-                        raise ValueError(f"assignment to undeclared variable {vname!r}")
-                    scope[vname][1] = _eval_script_scalar(
-                        spark, state, _scoped_sql(am.group(2)), scope[vname][0]
-                    )
-                    continue
-                # `SELECT ... INTO var[, var2] FROM ...` — variable form
-                # (an INTO list that is NOT all declared variables falls
-                # through to the table-CTAS SELECT INTO below)
-                if raw[:6].upper() == "SELECT":
-                    head, tail = _split_top_kw(raw, "INTO")
-                    if tail is not None:
-                        nm = re.match(
-                            r"(?s)^((?:[\w$]+\s*,\s*)*[\w$]+)\s*(.*)$", tail.strip()
-                        )
-                        names = (
-                            [n.strip().lower() for n in nm.group(1).split(",")]
-                            if nm
-                            else []
-                        )
-                        if names and all(n in scope for n in names):
-                            query = f"{head} {nm.group(2)}".strip()
-                            row = spark.sql(
-                                translate_redshift_sql(
-                                    _prep_stmt_sql(state, _scoped_sql(query))
-                                ).strip()
-                            ).first()
-                            vals2 = list(row) if row is not None else [None] * len(names)
-                            if len(vals2) != len(names):
-                                raise ValueError(
-                                    f"SELECT INTO: {len(names)} variable(s) but "
-                                    f"query returns {len(vals2)} column(s)"
-                                )
-                            for n, v in zip(names, vals2):
-                                scope[n][1] = v
-                            continue
-                raw = _subst_vars(scope, raw)
-            # Redshift #temp names → plain identifiers BEFORE statement
-            # classification (the CREATE/COPY/INSERT regexes match \w
-            # identifiers; '#stg' would silently fall through to
-            # spark.sql and fail to parse). The front-end repeats the
-            # rewrite for standalone statements — it is idempotent.
-            raw = rewrite_temp_names(raw).strip()
-            if m := _CREATE_SCHEMA.match(raw):
-                state.schemas.add(m.group(1).lower())
-                continue
-            if m := _DROP_SCHEMA.match(raw):
-                s, mode = m.group(1).lower(), (m.group(2) or "RESTRICT").upper()
-                if s in state.schemas:
-                    members = [
-                        n for n in state.tables if n.lower().startswith(f"{s}__")
-                    ]
-                    if members and mode != "CASCADE":
+                    fmt = opts["format"] or "TEXT"  # bare COPY = pipe-delimited text
+                    if opts["null_as"] is not None and fmt in ("JSON", "PARQUET"):
+                        # NULL AS only means something for delimited text;
+                        # silently ignoring it on JSON/PARQUET would change
+                        # semantics without a trace (module policy: loud).
                         raise ValueError(
-                            f"DROP SCHEMA {s}: schema is not empty "
-                            f"({', '.join(sorted(members))}) — use CASCADE"
+                            f"COPY {name}: NULL AS applies to delimited text "
+                            f"formats only, not {fmt}"
                         )
-                    for n in members:
-                        spark.catalog.dropTempView(n)
-                        state.tables.pop(n, None)
-                        state.created_views.discard(n)
-                        state.drop_meta(n)
-                        state.mv_defs.pop(n, None)
-                    state.schemas.discard(s)
-                elif "IF EXISTS" not in raw.upper():
-                    raise ValueError(f"DROP SCHEMA: no schema {s!r}")
-                continue
-            for s in state.schemas:
-                # flatten declared-schema-qualified names to one part
-                raw = _sub_outside_quotes(
-                    raw, rf"(?i)\b{re.escape(s)}\s*\.\s*(\w+)", rf"{s}__\1"
-                )
-            if state.search_path:
-                raw = _apply_search_path(state, raw)
-            if raw[:6].upper() == "CREATE" and re.search(r"(?i)\bON\s+COMMIT\b", raw):
-                # CREATE TEMP TABLE ... ON COMMIT PRESERVE|DELETE ROWS:
-                # script scope has no transactions (BEGIN/COMMIT are
-                # no-ops), so both spellings behave as PRESERVE here;
-                # temp tables die at script end either way.
-                raw = _sub_outside_quotes(
-                    raw,
-                    r"(?i)\s+ON\s+COMMIT\s+(?:PRESERVE\s+ROWS|DELETE\s+ROWS|DROP)",
-                    " ",
-                )
-            if hm := _CREATE_FUNC_HEAD.match(raw):
-                sig_end = _scan_balanced_fwd(raw, hm.end())
-                if tm := _CREATE_FUNC_TAIL.match(raw[sig_end:]):
-                    fname = hm.group(1)
-                    if tm.group(2).lower() != "sql":
-                        raise ValueError(
-                            f"CREATE FUNCTION {fname}: LANGUAGE {tm.group(2)} "
-                            "unsupported — scalar SQL UDFs inline; Python "
-                            "logic belongs in the vectorized pandas-UDF path"
-                        )
-                    body = tm.group(1).strip().rstrip(";").strip()
-                    body = re.sub(r"(?is)^SELECT\s+", "", body)
-                    state.funcs[fname] = (
-                        _parse_func_params(raw[hm.end() : sig_end - 1]),
-                        body,
-                    )
-                    continue
-            if m := _DROP_FUNC.match(raw):
-                if m.group(1) in state.funcs or "IF EXISTS" in raw.upper():
-                    state.funcs.pop(m.group(1), None)
-                    continue
-                raise ValueError(f"DROP FUNCTION: no SQL UDF {m.group(1)!r}")
-            if state.funcs:
-                raw = _inline_sql_udfs(raw, state.funcs)
-            # Stored procedures are matched on the RAW statement — the
-            # dialect front-end must not rewrite a $$ body at define
-            # time (each body statement is rewritten when it RUNS).
-            if hm := _CREATE_PROC_HEAD.match(raw):
-                sig_end = _scan_balanced_fwd(raw, hm.end())
-                tm = _CREATE_PROC_TAIL.match(raw[sig_end:])
-                if tm is None:
-                    raise ValueError(
-                        f"CREATE PROCEDURE {hm.group(1)}: expected "
-                        "AS $$ ... $$ LANGUAGE plpgsql"
-                    )
-                params = _parse_proc_params(raw[hm.end() : sig_end - 1])
-                body = tm.group(1).strip()
-                bm = re.match(
-                    r"(?is)^(?:DECLARE\b(.*?))?\s*BEGIN\b(.*?)\bEND\s*;?\s*$", body
-                )
-                if bm is None:
-                    raise ValueError(
-                        f"CREATE PROCEDURE {hm.group(1)}: body must be one "
-                        "[DECLARE ...] BEGIN ... END block"
-                    )
-                decls = _parse_proc_decls(bm.group(1) or "", hm.group(1))
-                body = bm.group(2)
-                if cm := _PLPGSQL_CONTROL.search(_mask_quoted(body)):
-                    raise ValueError(
-                        f"CREATE PROCEDURE {hm.group(1)}: procedural "
-                        f"{cm.group(1).upper()} is outside the supported "
-                        "subset (plain SQL + IF/WHILE/FOR/RAISE/variables only)"
-                    )
-                _parse_plpgsql_nodes(body)  # surface block-structure errors at define time
-                state.procs[hm.group(1)] = (params, decls, body)
-                continue
-            if m := _DROP_PROC.match(raw):
-                if m.group(1) not in state.procs and "IF EXISTS" not in raw.upper():
-                    raise ValueError(f"DROP PROCEDURE: no procedure {m.group(1)!r}")
-                state.procs.pop(m.group(1), None)
-                continue
-            if m := _CALL.match(raw):
-                name = m.group(1)
-                if name not in state.procs:
-                    raise ValueError(f"CALL: no procedure {name!r} defined in this script")
-                n_calls += 1
-                if n_calls > 256:
-                    # a self-CALLing procedure has no terminating
-                    # condition in the straight-line subset — without a
-                    # cap the worklist loops forever
-                    raise ValueError(
-                        "CALL: more than 256 procedure expansions in one "
-                        "script (recursive CALL?)"
-                    )
-                params, decls, body = state.procs[name]
-                args = [a.strip() for a in _split_top_commas(m.group(2)) if a.strip()]
-                if len(args) != len(params):
-                    raise ValueError(
-                        f"CALL {name}: expected {len(params)} argument(s) "
-                        f"({', '.join(params)}), got {len(args)}"
-                    )
-                call_decls = decls
-                for p, a in zip(params, args):
-                    # identifier-boundary textual substitution (plpgsql
-                    # itself substitutes params lexically) — into the
-                    # body AND into DECLARE default expressions
-                    p_pat = rf"(?i)(?<![\w$]){re.escape(p)}(?![\w$])"
-                    body = re.sub(p_pat, a, body)
-                    call_decls = [
-                        (vn, vt, None if vd is None else re.sub(p_pat, a, vd))
-                        for vn, vt, vd in call_decls
-                    ]
-                # DECLAREd variables: defaults evaluate at block entry,
-                # in order (a later default may reference an earlier var)
-                scope: dict = {}
-                for vname, vtyp, vdefault in call_decls:
-                    value = (
-                        None
-                        if vdefault is None
-                        else _eval_script_scalar(
-                            spark, state, _subst_vars(scope, vdefault), vtyp
-                        )
-                    )
-                    scope[vname] = [vtyp, value]
-                nodes = _parse_plpgsql_nodes(body)
-                if scope:
-                    nodes = [_Scoped(nd, scope) for nd in nodes]
-                nodes.append(_CallEnd())  # RETURN's unwind target
-                pending.extendleft(reversed(nodes))
-                continue
-            if re.match(r"(?i)^RAISE\b", raw):
-                m = _RAISE.match(raw)
-                if m is None:
-                    raise ValueError(f"RAISE: unsupported form {raw[:60]!r}")
-                level = (m.group(1) or "EXCEPTION").upper()
-                if level == "EXCEPTION":
-                    args = [
-                        a.strip()
-                        for a in _split_top_commas(m.group(3) or "")
-                        if a.strip()
-                    ]
-                    vals = [
-                        str(_eval_script_scalar(spark, state, a, "STRING"))
-                        for a in args
-                    ]
-                    raise RuntimeError(
-                        "RAISE EXCEPTION: "
-                        + _format_raise_message(
-                            m.group(2).replace("''", "'"), vals
-                        )
-                    )
-                continue  # NOTICE/INFO/WARNING/LOG/DEBUG: log-only, no-op
-            # COPY/UNLOAD carry path literals and option clauses the SQL
-            # rewriter must not touch — matched on the RAW statement;
-            # only UNLOAD's inner query goes through the front-end.
-            if m := _COPY.match(raw):
-                name, path, clause = m.group(1), m.group(2), m.group(3)
-                opts = _parse_io_options(clause, "COPY")
-                base = state.existing(name)
-                if opts["skip"] > 1:
-                    # Spark CSV has no skip-N-rows option; a collapsed
-                    # header flag would silently load preamble lines as
-                    # data — reject loudly (module policy).
-                    raise ValueError(
-                        f"COPY {name}: IGNOREHEADER {opts['skip']} unsupported "
-                        "(only 0 or 1); preprocess multi-line preambles upstream"
-                    )
-                fmt = opts["format"] or "TEXT"  # bare COPY = pipe-delimited text
-                if opts["null_as"] is not None and fmt in ("JSON", "PARQUET"):
-                    # NULL AS only means something for delimited text;
-                    # silently ignoring it on JSON/PARQUET would change
-                    # semantics without a trace (module policy: loud).
-                    raise ValueError(
-                        f"COPY {name}: NULL AS applies to delimited text "
-                        f"formats only, not {fmt}"
-                    )
-                src: str | list[str] = path
-                if opts["manifest"]:
-                    # COPY ... MANIFEST: the path IS a manifest file; load
-                    # exactly its listed files (missing mandatory → loud).
-                    from sql_redshift_etl_spark.sources.writers import read_manifest_paths
+                    src: str | list[str] = path
+                    if opts["manifest"]:
+                        # COPY ... MANIFEST: the path IS a manifest file; load
+                        # exactly its listed files (missing mandatory → loud).
+                        from sql_redshift_etl_spark.sources.writers import read_manifest_paths
 
-                    src = read_manifest_paths(path)
-                    if not src:
-                        # A zero-row UNLOAD legitimately writes a manifest
-                        # with entries:[] (no data files); Redshift's COPY
-                        # of it loads zero rows. Spark's readers throw on
-                        # an empty path list, so bind the target unchanged.
-                        state.bind(name, base)
-                        continue
-                # DATEFORMAT/TIMEFORMAT: Redshift-dialect read formats
-                # for delimited text; 'auto' = engine default. Epoch
-                # spellings and non-text formats are out of the
-                # supported subset (loud, not silently ignored).
-                fmt_opts: dict[str, str] = {}
-                epoch_unit: str | None = None
-                for key, opt_name in (("datefmt", "DATEFORMAT"), ("timefmt", "TIMEFORMAT")):
-                    v = opts[key]
-                    if v is None or v.lower() == "auto":
-                        continue
-                    if fmt in ("JSON", "PARQUET") or opts["fixedwidth"] is not None:
+                        src = read_manifest_paths(path)
+                        if not src:
+                            # A zero-row UNLOAD legitimately writes a manifest
+                            # with entries:[] (no data files); Redshift's COPY
+                            # of it loads zero rows. Spark's readers throw on
+                            # an empty path list, so bind the target unchanged.
+                            state.bind(name, base)
+                            continue
+                    # DATEFORMAT/TIMEFORMAT: Redshift-dialect read formats
+                    # for delimited text; 'auto' = engine default. Epoch
+                    # spellings and non-text formats are out of the
+                    # supported subset (loud, not silently ignored).
+                    fmt_opts: dict[str, str] = {}
+                    epoch_unit: str | None = None
+                    for key, opt_name in (("datefmt", "DATEFORMAT"), ("timefmt", "TIMEFORMAT")):
+                        v = opts[key]
+                        if v is None or v.lower() == "auto":
+                            continue
+                        if fmt in ("JSON", "PARQUET") or opts["fixedwidth"] is not None:
+                            raise ValueError(
+                                f"COPY {name}: {opt_name} applies to delimited "
+                                "text loads only"
+                            )
+                        if v.lower() in ("epochsecs", "epochmillisecs"):
+                            if key != "timefmt":
+                                raise ValueError(
+                                    f"COPY {name}: DATEFORMAT {v!r} invalid — "
+                                    "epoch spellings are TIMEFORMAT-only"
+                                )
+                            # epoch ints: parse timestamp columns as BIGINT,
+                            # convert after load (timestamp_seconds/_millis)
+                            epoch_unit = "s" if v.lower() == "epochsecs" else "ms"
+                            continue
+                        from sql_redshift_etl_spark.functions.dialect import (
+                            translate_datetime_format,
+                        )
+
+                        fmt_opts[key] = translate_datetime_format(v)
+                    read_schema = base.schema
+                    epoch_cols: list[str] = []
+                    if epoch_unit is not None:
+                        from pyspark.sql import types as T
+
+                        swapped = []
+                        for f in base.schema.fields:
+                            if isinstance(f.dataType, T.TimestampType):
+                                epoch_cols.append(f.name)
+                                swapped.append(
+                                    T.StructField(f.name, T.LongType(), f.nullable)
+                                )
+                            else:
+                                swapped.append(f)
+                        read_schema = T.StructType(swapped)
+                    if opts["removequotes"] and (
+                        fmt in ("JSON", "PARQUET") or opts["fixedwidth"] is not None
+                    ):
                         raise ValueError(
-                            f"COPY {name}: {opt_name} applies to delimited "
+                            f"COPY {name}: REMOVEQUOTES applies to delimited "
                             "text loads only"
                         )
-                    if v.lower() in ("epochsecs", "epochmillisecs"):
-                        if key != "timefmt":
+                    if opts["quotechar"] is not None and fmt != "CSV":
+                        raise ValueError(
+                            f"COPY {name}: QUOTE AS applies to CSV only "
+                            "(Redshift's own restriction)"
+                        )
+                    if opts["maxerror"] is not None and (
+                        fmt == "PARQUET" or opts["fixedwidth"] is not None
+                    ):
+                        # Parquet loads are schema-checked at file level and
+                        # fixed-width cuts cannot flag a malformed row —
+                        # an ignored MAXERROR would be a silent contract
+                        # change (module policy: loud).
+                        raise ValueError(
+                            f"COPY {name}: MAXERROR applies to CSV/TEXT/JSON "
+                            "loads only"
+                        )
+                    if opts["fixedwidth"] is not None:
+                        if opts["format"] is not None:
                             raise ValueError(
-                                f"COPY {name}: DATEFORMAT {v!r} invalid — "
-                                "epoch spellings are TIMEFORMAT-only"
+                                f"COPY {name}: FIXEDWIDTH excludes FORMAT "
+                                f"{opts['format']} (fixed-width IS the format)"
                             )
-                        # epoch ints: parse timestamp columns as BIGINT,
-                        # convert after load (timestamp_seconds/_millis)
-                        epoch_unit = "s" if v.lower() == "epochsecs" else "ms"
-                        continue
-                    from sql_redshift_etl_spark.functions.dialect import (
-                        translate_datetime_format,
-                    )
+                        from sql_redshift_etl_spark.sources.readers import read_fixed_width
 
-                    fmt_opts[key] = translate_datetime_format(v)
-                read_schema = base.schema
-                epoch_cols: list[str] = []
-                if epoch_unit is not None:
-                    from pyspark.sql import types as T
-
-                    swapped = []
-                    for f in base.schema.fields:
-                        if isinstance(f.dataType, T.TimestampType):
-                            epoch_cols.append(f.name)
-                            swapped.append(
-                                T.StructField(f.name, T.LongType(), f.nullable)
-                            )
-                        else:
-                            swapped.append(f)
-                    read_schema = T.StructType(swapped)
-                if opts["removequotes"] and (
-                    fmt in ("JSON", "PARQUET") or opts["fixedwidth"] is not None
-                ):
-                    raise ValueError(
-                        f"COPY {name}: REMOVEQUOTES applies to delimited "
-                        "text loads only"
-                    )
-                if opts["quotechar"] is not None and fmt != "CSV":
-                    raise ValueError(
-                        f"COPY {name}: QUOTE AS applies to CSV only "
-                        "(Redshift's own restriction)"
-                    )
-                if opts["maxerror"] is not None and (
-                    fmt == "PARQUET" or opts["fixedwidth"] is not None
-                ):
-                    # Parquet loads are schema-checked at file level and
-                    # fixed-width cuts cannot flag a malformed row —
-                    # an ignored MAXERROR would be a silent contract
-                    # change (module policy: loud).
-                    raise ValueError(
-                        f"COPY {name}: MAXERROR applies to CSV/TEXT/JSON "
-                        "loads only"
-                    )
-                if opts["fixedwidth"] is not None:
-                    if opts["format"] is not None:
-                        raise ValueError(
-                            f"COPY {name}: FIXEDWIDTH excludes FORMAT "
-                            f"{opts['format']} (fixed-width IS the format)"
+                        loaded = read_fixed_width(
+                            spark, src, base.schema, opts["fixedwidth"],
+                            null_value=opts["null_as"],
                         )
-                    from sql_redshift_etl_spark.sources.readers import read_fixed_width
-
-                    loaded = read_fixed_width(
-                        spark, src, base.schema, opts["fixedwidth"],
-                        null_value=opts["null_as"],
-                    )
-                elif opts["maxerror"] is not None:
-                    from sql_redshift_etl_spark.sources.readers import (
-                        read_with_error_budget,
-                    )
-
-                    loaded, bad = read_with_error_budget(
-                        spark,
-                        src,
-                        read_schema,
-                        fmt,
-                        max_error=opts["maxerror"],
-                        header=opts["skip"] > 0,
-                        delimiter=opts["delimiter"] or ("," if fmt == "CSV" else "|"),
-                        null_value=opts["null_as"],
-                        date_format=fmt_opts.get("datefmt"),
-                        timestamp_format=fmt_opts.get("timefmt"),
-                    )
-                    # the STL_LOAD_ERRORS analog: skipped raw records
-                    # accumulate in a queryable script-scoped table
-                    errs = bad.select(F.lit(name).alias("tbl"), "raw_line")
-                    if "stl_load_errors" in state.tables:
-                        errs = state.tables["stl_load_errors"].unionAll(errs)
-                    state.bind("stl_load_errors", errs)
-                elif fmt == "JSON":
-                    from sql_redshift_etl_spark.sources.readers import read_json_lines
-
-                    loaded = read_json_lines(spark, src, base.schema)
-                elif fmt == "PARQUET":
-                    loaded = (
-                        spark.read.schema(base.schema).parquet(*src)
-                        if isinstance(src, list)
-                        else spark.read.schema(base.schema).parquet(src)
-                    )
-                else:
-                    from sql_redshift_etl_spark.sources.readers import read_csv
-
-                    loaded = read_csv(
-                        spark,
-                        src,
-                        read_schema,
-                        header=opts["skip"] > 0,
-                        delimiter=opts["delimiter"] or ("," if fmt == "CSV" else "|"),
-                        null_value=opts["null_as"],
-                        date_format=fmt_opts.get("datefmt"),
-                        timestamp_format=fmt_opts.get("timefmt"),
-                        quote=opts["quotechar"],
-                    )
-                for c in epoch_cols:
-                    loaded = loaded.withColumn(
-                        c,
-                        F.timestamp_seconds(F.col(c))
-                        if epoch_unit == "s"
-                        else F.timestamp_millis(F.col(c)),
-                    )
-                conv = [
-                    k
-                    for k in (
-                        "blanksasnull",
-                        "trimblanks",
-                        "emptyasnull",
-                        "ignoreblank",
-                        "invchar",
-                        "removequotes",
-                    )
-                    if opts[k]
-                ]
-                if conv and fmt == "PARQUET":
-                    raise ValueError(
-                        f"COPY {name}: {'/'.join(k.upper() for k in conv)} "
-                        "applies to text loads only"
-                    )
-                if conv:
-                    # Redshift data-conversion parameters, applied to the
-                    # parsed string columns before the positional cast
-                    from pyspark.sql import types as T
-
-                    for f in loaded.schema.fields:
-                        if not isinstance(f.dataType, T.StringType):
-                            continue
-                        col = F.col(f.name)
-                        if opts["removequotes"]:
-                            # strip ONE pair of matching surrounding
-                            # quotes (" or ') — Redshift's REMOVEQUOTES
-                            # for delimited text; unmatched quotes stay
-                            col = F.regexp_replace(col, "^([\"'])(.*)\\1$", "$2")
-                        if opts["invchar"] is not None:
-                            # ACCEPTINVCHARS: the JVM text decoder has
-                            # already replaced invalid UTF-8 sequences
-                            # with U+FFFD; map those to the requested
-                            # replacement char (Redshift default '?')
-                            col = F.regexp_replace(
-                                col, "�", opts["invchar"]
-                            )
-                        if opts["trimblanks"]:
-                            col = F.rtrim(col)
-                        if opts["blanksasnull"]:
-                            col = F.when(F.trim(col) == "", F.lit(None)).otherwise(col)
-                        elif opts["emptyasnull"]:
-                            col = F.when(col == "", F.lit(None)).otherwise(col)
-                        loaded = loaded.withColumn(f.name, col)
-                    if opts["ignoreblank"]:
-                        # a blank input line parses as an all-null row
-                        import functools as _ft
-                        import operator as _op
-
-                        loaded = loaded.filter(
-                            ~_ft.reduce(
-                                _op.and_,
-                                [F.col(c).isNull() for c in loaded.columns],
-                            )
+                    elif opts["maxerror"] is not None:
+                        from sql_redshift_etl_spark.sources.readers import (
+                            read_with_error_budget,
                         )
-                state.bind(name, base.unionAll(_cast_positional(loaded, base, name)))
-                continue
-            if m := _UNLOAD.match(raw):
-                inner, path, clause = m.group(1), m.group(2), m.group(3)
-                opts = _parse_io_options(clause, "UNLOAD")
-                # the inner query sat inside UNLOAD's single quotes, so
-                # the statement-level schema flattening and SQL-UDF
-                # inlining skipped it (they are literal-masked) — apply
-                # both to the unescaped text before translation
-                inner_sql = inner.replace("''", "'")
-                for s in state.schemas:
-                    inner_sql = _sub_outside_quotes(
-                        inner_sql, rf"(?i)\b{re.escape(s)}\s*\.\s*(\w+)", rf"{s}__\1"
-                    )
-                if state.funcs:
-                    inner_sql = _inline_sql_udfs(inner_sql, state.funcs)
-                df = spark.sql(translate_redshift_sql(inner_sql).strip())
-                if opts["maxfilesize"] is not None:
-                    # MAXFILESIZE n [MB|GB]: size the output files by
-                    # repartitioning to ceil(estimated_bytes / max) —
-                    # the estimate is a JSON-rendered row-size average
-                    # over a 10k sample × the row count (approximate,
-                    # like Redshift's own "approximately"; compression
-                    # shrinks below the cap, never splits above it by
-                    # more than one task's skew).
-                    if not opts["parallel"]:
-                        raise ValueError(
-                            "UNLOAD: MAXFILESIZE with PARALLEL OFF unsupported "
-                            "(a single-file write cannot split by size)"
-                        )
-                    avg_row = (
-                        df.limit(10_000)
-                        .select(
-                            F.avg(
-                                F.length(F.to_json(F.struct(*df.columns)))
-                            ).alias("b")
-                        )
-                        .first()["b"]
-                    )
-                    if avg_row:  # empty result → leave partitioning alone
-                        import math as _math
 
-                        n_files = max(
-                            1,
-                            _math.ceil(df.count() * avg_row / opts["maxfilesize"]),
+                        loaded, bad = read_with_error_budget(
+                            spark,
+                            src,
+                            read_schema,
+                            fmt,
+                            max_error=opts["maxerror"],
+                            header=opts["skip"] > 0,
+                            delimiter=opts["delimiter"] or ("," if fmt == "CSV" else "|"),
+                            null_value=opts["null_as"],
+                            date_format=fmt_opts.get("datefmt"),
+                            timestamp_format=fmt_opts.get("timefmt"),
                         )
-                        df = (
-                            df.repartition(n_files, *opts["partition_by"])
-                            if opts["partition_by"]
-                            else df.repartition(n_files)
+                        # the STL_LOAD_ERRORS analog: skipped raw records
+                        # accumulate in a queryable script-scoped table
+                        errs = bad.select(F.lit(name).alias("tbl"), "raw_line")
+                        if "stl_load_errors" in state.tables:
+                            errs = state.tables["stl_load_errors"].unionAll(errs)
+                        state.bind("stl_load_errors", errs)
+                    elif fmt == "JSON":
+                        from sql_redshift_etl_spark.sources.readers import read_json_lines
+
+                        loaded = read_json_lines(spark, src, base.schema)
+                    elif fmt == "PARQUET":
+                        loaded = (
+                            spark.read.schema(base.schema).parquet(*src)
+                            if isinstance(src, list)
+                            else spark.read.schema(base.schema).parquet(src)
                         )
-                if not opts["parallel"]:
-                    df = df.coalesce(1)  # PARALLEL OFF = single output file
-                # CLEANPATH deletes what's at the prefix before writing —
-                # the same observable result as ALLOWOVERWRITE here
-                writer = df.write.mode(
-                    "overwrite"
-                    if (opts["overwrite"] or opts["cleanpath"])
-                    else "errorifexists"
-                )
-                if opts["partition_by"]:
-                    writer = writer.partitionBy(*opts["partition_by"])
-                fmt = opts["format"] or "TEXT"
-                if opts["codec"]:
-                    # UNLOAD GZIP/BZIP2/ZSTD: Spark writes per-file
-                    # codecs natively; codec×format support differs —
-                    # parquet: gzip/zstd, text: gzip/bzip2 (no zstd
-                    # codec in Spark's text sources) — loud, not silent.
-                    if fmt == "PARQUET" and opts["codec"] == "bzip2":
-                        raise ValueError("UNLOAD PARQUET supports GZIP or ZSTD")
-                    if fmt != "PARQUET" and opts["codec"] == "zstd":
-                        raise ValueError(
-                            f"UNLOAD {fmt}: ZSTD is parquet-only in this engine"
+                    else:
+                        from sql_redshift_etl_spark.sources.readers import read_csv
+
+                        loaded = read_csv(
+                            spark,
+                            src,
+                            read_schema,
+                            header=opts["skip"] > 0,
+                            delimiter=opts["delimiter"] or ("," if fmt == "CSV" else "|"),
+                            null_value=opts["null_as"],
+                            date_format=fmt_opts.get("datefmt"),
+                            timestamp_format=fmt_opts.get("timefmt"),
+                            quote=opts["quotechar"],
                         )
-                    writer = writer.option("compression", opts["codec"])
-                if opts["null_as"] is not None:
-                    writer = writer.option("nullValue", opts["null_as"])
-                if opts["addquotes"] and fmt in ("PARQUET", "JSON"):
-                    raise ValueError(
-                        "UNLOAD: ADDQUOTES applies to delimited text only"
-                    )
-                if fmt == "PARQUET":
-                    writer.parquet(path)
-                elif fmt == "JSON":
-                    writer.json(path)
-                else:
-                    if opts["addquotes"]:
-                        # ADDQUOTES: every field quoted on export (the
-                        # REMOVEQUOTES round-trip partner)
-                        writer = writer.option("quoteAll", True)
-                    writer.option("header", opts["header"]).option(
-                        "delimiter", opts["delimiter"] or ("," if fmt == "CSV" else "|")
-                    ).csv(path)
-                if opts["manifest"]:
-                    from sql_redshift_etl_spark.sources.writers import write_manifest
-
-                    suffix = {"PARQUET": ".parquet", "JSON": ".json"}.get(fmt, ".csv")
-                    if opts["codec"] and fmt != "PARQUET":
-                        # codec'd text files end .csv.gz / .json.bz2 ...
-                        suffix += {"gzip": ".gz", "bzip2": ".bz2"}[opts["codec"]]
-                    write_manifest(path, suffix=suffix)
-                continue
-            stmt = translate_redshift_sql(raw).strip()
-            # Explicit transactions (r6): BEGIN snapshots the script
-            # state, COMMIT/END discards the snapshot, ROLLBACK/ABORT
-            # restores it — a real rollback, not the silent keep-changes
-            # no-op it was (module policy: no silent contract changes).
-            if tx := re.match(
-                r"(?i)^(BEGIN|START|COMMIT|END|ROLLBACK|ABORT)\b"
-                r"(?:\s+(?:WORK|TRANSACTION))?\s*$",
-                stmt,
-            ):
-                kw = tx.group(1).upper()
-                if kw in ("BEGIN", "START"):
-                    state.txn_begin()
-                elif kw in ("COMMIT", "END"):
-                    state.txn_commit()
-                else:
-                    state.txn_rollback()
-                continue
-            if om := re.match(
-                r"(?i)^ALTER\s+TABLE\s+([\w.]+)\s+OWNER\s+TO\s+\S+\s*$", stmt
-            ):
-                state.existing(om.group(1))  # must exist (loud); ownership has no analog
-                continue
-            if re.match(r"(?i)^(?:CREATE|ALTER|DROP)\s+(?:USER|GROUP|ROLE)\b", stmt):
-                # account/ACL DDL: no Spark analog — accepted no-ops,
-                # the same class as GRANT/REVOKE
-                continue
-            if _NOOP.match(stmt):
-                continue
-            if (hm := _CREATE_EXTERNAL_HEAD.match(stmt)) and (
-                (cols_end := _scan_balanced_fwd(stmt, hm.end()))
-                and (tm := _CREATE_EXTERNAL_TAIL.match(stmt[cols_end:]))
-            ):
-                name = hm.group(1)
-                cols = stmt[hm.end() : cols_end - 1]
-                part_cols, delim, stored, loc = tm.groups()
-                from pyspark.sql import types as T
-
-                def _lowered(ddl: str):
-                    parsed = T.StructType.fromDDL(_normalize_ddl_types(ddl))
-                    return T.StructType(
-                        [
-                            T.StructField(
-                                f.name,
-                                T.StringType()
-                                if isinstance(f.dataType, (T.VarcharType, T.CharType))
-                                else f.dataType,
-                                f.nullable,
-                            )
-                            for f in parsed.fields
-                        ]
-                    )
-
-                if stored.upper() == "PARQUET":
-                    reader = spark.read.option("basePath", loc)
-                    # parquet is self-describing; the declared column
-                    # list is validated against the files below, and
-                    # hive PARTITIONED BY columns come from the
-                    # directory layout (Spark partition discovery).
-                    try:
-                        ext = reader.parquet(loc)
-                    except Exception as e:
-                        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
-                            raise
-                        # empty prefix (e.g. a zero-row UNLOAD): the
-                        # external is an EMPTY table with the DECLARED
-                        # schema — Redshift's behavior; crashing would
-                        # make empty upstream slices fatal.
-                        full = cols + ("," + part_cols if part_cols else "")
-                        state.bind(name, spark.createDataFrame([], _lowered(full)))
-                        continue
-                    declared_fields = list(_lowered(cols).fields) + (
-                        list(_lowered(part_cols).fields) if part_cols else []
-                    )
-                    actual = [c.lower() for c in ext.columns]
-                    missing = [
-                        f.name.lower()
-                        for f in declared_fields
-                        if f.name.lower() not in actual
+                    for c in epoch_cols:
+                        loaded = loaded.withColumn(
+                            c,
+                            F.timestamp_seconds(F.col(c))
+                            if epoch_unit == "s"
+                            else F.timestamp_millis(F.col(c)),
+                        )
+                    conv = [
+                        k
+                        for k in (
+                            "blanksasnull",
+                            "trimblanks",
+                            "emptyasnull",
+                            "ignoreblank",
+                            "invchar",
+                            "removequotes",
+                        )
+                        if opts[k]
                     ]
-                    if missing:
+                    if conv and fmt == "PARQUET":
                         raise ValueError(
-                            f"CREATE EXTERNAL TABLE {name}: declared columns "
-                            f"{missing} not present at {loc} (files have {actual})"
+                            f"COPY {name}: {'/'.join(k.upper() for k in conv)} "
+                            "applies to text loads only"
                         )
-                    # Bind the DECLARED schema, not the file schema:
-                    # exactly the declared (+ partition) columns, each
-                    # cast to its declared type — Spectrum's contract.
-                    # Undeclared file columns are invisible to SELECT *.
-                    by_lower = {c.lower(): c for c in ext.columns}
-                    ext = ext.select(
-                        *[
-                            F.col(by_lower[f.name.lower()])
-                            .cast(f.dataType)
-                            .alias(f.name)
+                    if conv:
+                        # Redshift data-conversion parameters, applied to the
+                        # parsed string columns before the positional cast
+                        from pyspark.sql import types as T
+
+                        for f in loaded.schema.fields:
+                            if not isinstance(f.dataType, T.StringType):
+                                continue
+                            col = F.col(f.name)
+                            if opts["removequotes"]:
+                                # strip ONE pair of matching surrounding
+                                # quotes (" or ') — Redshift's REMOVEQUOTES
+                                # for delimited text; unmatched quotes stay
+                                col = F.regexp_replace(col, "^([\"'])(.*)\\1$", "$2")
+                            if opts["invchar"] is not None:
+                                # ACCEPTINVCHARS: the JVM text decoder has
+                                # already replaced invalid UTF-8 sequences
+                                # with U+FFFD; map those to the requested
+                                # replacement char (Redshift default '?')
+                                col = F.regexp_replace(
+                                    col, "�", opts["invchar"]
+                                )
+                            if opts["trimblanks"]:
+                                col = F.rtrim(col)
+                            if opts["blanksasnull"]:
+                                col = F.when(F.trim(col) == "", F.lit(None)).otherwise(col)
+                            elif opts["emptyasnull"]:
+                                col = F.when(col == "", F.lit(None)).otherwise(col)
+                            loaded = loaded.withColumn(f.name, col)
+                        if opts["ignoreblank"]:
+                            # a blank input line parses as an all-null row
+                            import functools as _ft
+                            import operator as _op
+
+                            loaded = loaded.filter(
+                                ~_ft.reduce(
+                                    _op.and_,
+                                    [F.col(c).isNull() for c in loaded.columns],
+                                )
+                            )
+                    state.bind(name, base.unionAll(_cast_positional(loaded, base, name)))
+                    continue
+                if m := _UNLOAD.match(raw):
+                    inner, path, clause = m.group(1), m.group(2), m.group(3)
+                    opts = _parse_io_options(clause, "UNLOAD")
+                    # the inner query sat inside UNLOAD's single quotes, so
+                    # the statement-level schema flattening and SQL-UDF
+                    # inlining skipped it (they are literal-masked) — apply
+                    # both to the unescaped text before translation
+                    inner_sql = inner.replace("''", "'")
+                    for s in state.schemas:
+                        inner_sql = _sub_outside_quotes(
+                            inner_sql, rf"(?i)\b{re.escape(s)}\s*\.\s*(\w+)", rf"{s}__\1"
+                        )
+                    if state.funcs:
+                        inner_sql = _inline_sql_udfs(inner_sql, state.funcs)
+                    df = spark.sql(translate_redshift_sql(inner_sql).strip())
+                    if opts["maxfilesize"] is not None:
+                        # MAXFILESIZE n [MB|GB]: size the output files by
+                        # repartitioning to ceil(estimated_bytes / max) —
+                        # the estimate is a JSON-rendered row-size average
+                        # over a 10k sample × the row count (approximate,
+                        # like Redshift's own "approximately"; compression
+                        # shrinks below the cap, never splits above it by
+                        # more than one task's skew).
+                        if not opts["parallel"]:
+                            raise ValueError(
+                                "UNLOAD: MAXFILESIZE with PARALLEL OFF unsupported "
+                                "(a single-file write cannot split by size)"
+                            )
+                        avg_row = (
+                            df.limit(10_000)
+                            .select(
+                                F.avg(
+                                    F.length(F.to_json(F.struct(*df.columns)))
+                                ).alias("b")
+                            )
+                            .first()["b"]
+                        )
+                        if avg_row:  # empty result → leave partitioning alone
+                            import math as _math
+
+                            n_files = max(
+                                1,
+                                _math.ceil(df.count() * avg_row / opts["maxfilesize"]),
+                            )
+                            df = (
+                                df.repartition(n_files, *opts["partition_by"])
+                                if opts["partition_by"]
+                                else df.repartition(n_files)
+                            )
+                    if not opts["parallel"]:
+                        df = df.coalesce(1)  # PARALLEL OFF = single output file
+                    # CLEANPATH deletes what's at the prefix before writing —
+                    # the same observable result as ALLOWOVERWRITE here
+                    writer = df.write.mode(
+                        "overwrite"
+                        if (opts["overwrite"] or opts["cleanpath"])
+                        else "errorifexists"
+                    )
+                    if opts["partition_by"]:
+                        writer = writer.partitionBy(*opts["partition_by"])
+                    fmt = opts["format"] or "TEXT"
+                    if opts["codec"]:
+                        # UNLOAD GZIP/BZIP2/ZSTD: Spark writes per-file
+                        # codecs natively; codec×format support differs —
+                        # parquet: gzip/zstd, text: gzip/bzip2 (no zstd
+                        # codec in Spark's text sources) — loud, not silent.
+                        if fmt == "PARQUET" and opts["codec"] == "bzip2":
+                            raise ValueError("UNLOAD PARQUET supports GZIP or ZSTD")
+                        if fmt != "PARQUET" and opts["codec"] == "zstd":
+                            raise ValueError(
+                                f"UNLOAD {fmt}: ZSTD is parquet-only in this engine"
+                            )
+                        writer = writer.option("compression", opts["codec"])
+                    if opts["null_as"] is not None:
+                        writer = writer.option("nullValue", opts["null_as"])
+                    if opts["addquotes"] and fmt in ("PARQUET", "JSON"):
+                        raise ValueError(
+                            "UNLOAD: ADDQUOTES applies to delimited text only"
+                        )
+                    if fmt == "PARQUET":
+                        writer.parquet(path)
+                    elif fmt == "JSON":
+                        writer.json(path)
+                    else:
+                        if opts["addquotes"]:
+                            # ADDQUOTES: every field quoted on export (the
+                            # REMOVEQUOTES round-trip partner)
+                            writer = writer.option("quoteAll", True)
+                        writer.option("header", opts["header"]).option(
+                            "delimiter", opts["delimiter"] or ("," if fmt == "CSV" else "|")
+                        ).csv(path)
+                    if opts["manifest"]:
+                        from sql_redshift_etl_spark.sources.writers import write_manifest
+
+                        suffix = {"PARQUET": ".parquet", "JSON": ".json"}.get(fmt, ".csv")
+                        if opts["codec"] and fmt != "PARQUET":
+                            # codec'd text files end .csv.gz / .json.bz2 ...
+                            suffix += {"gzip": ".gz", "bzip2": ".bz2"}[opts["codec"]]
+                        write_manifest(path, suffix=suffix)
+                    continue
+                stmt = translate_redshift_sql(raw).strip()
+                # Explicit transactions (r6): BEGIN snapshots the script
+                # state, COMMIT/END discards the snapshot, ROLLBACK/ABORT
+                # restores it — a real rollback, not the silent keep-changes
+                # no-op it was (module policy: no silent contract changes).
+                if tx := re.match(
+                    r"(?i)^(BEGIN|START|COMMIT|END|ROLLBACK|ABORT)\b"
+                    r"(?:\s+(?:WORK|TRANSACTION))?\s*$",
+                    stmt,
+                ):
+                    kw = tx.group(1).upper()
+                    if kw in ("BEGIN", "START"):
+                        state.txn_begin()
+                    elif kw in ("COMMIT", "END"):
+                        state.txn_commit()
+                    else:
+                        state.txn_rollback()
+                    continue
+                if om := re.match(
+                    r"(?i)^ALTER\s+TABLE\s+([\w.]+)\s+OWNER\s+TO\s+\S+\s*$", stmt
+                ):
+                    state.existing(om.group(1))  # must exist (loud); ownership has no analog
+                    continue
+                if re.match(r"(?i)^(?:CREATE|ALTER|DROP)\s+(?:USER|GROUP|ROLE)\b", stmt):
+                    # account/ACL DDL: no Spark analog — accepted no-ops,
+                    # the same class as GRANT/REVOKE
+                    continue
+                if _NOOP.match(stmt):
+                    continue
+                if (hm := _CREATE_EXTERNAL_HEAD.match(stmt)) and (
+                    (cols_end := _scan_balanced_fwd(stmt, hm.end()))
+                    and (tm := _CREATE_EXTERNAL_TAIL.match(stmt[cols_end:]))
+                ):
+                    name = hm.group(1)
+                    cols = stmt[hm.end() : cols_end - 1]
+                    part_cols, delim, stored, loc = tm.groups()
+                    from pyspark.sql import types as T
+
+                    def _lowered(ddl: str):
+                        parsed = T.StructType.fromDDL(_normalize_ddl_types(ddl))
+                        return T.StructType(
+                            [
+                                T.StructField(
+                                    f.name,
+                                    T.StringType()
+                                    if isinstance(f.dataType, (T.VarcharType, T.CharType))
+                                    else f.dataType,
+                                    f.nullable,
+                                )
+                                for f in parsed.fields
+                            ]
+                        )
+
+                    if stored.upper() == "PARQUET":
+                        reader = spark.read.option("basePath", loc)
+                        # parquet is self-describing; the declared column
+                        # list is validated against the files below, and
+                        # hive PARTITIONED BY columns come from the
+                        # directory layout (Spark partition discovery).
+                        try:
+                            ext = reader.parquet(loc)
+                        except Exception as e:
+                            if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+                                raise
+                            # empty prefix (e.g. a zero-row UNLOAD): the
+                            # external is an EMPTY table with the DECLARED
+                            # schema — Redshift's behavior; crashing would
+                            # make empty upstream slices fatal.
+                            full = cols + ("," + part_cols if part_cols else "")
+                            state.bind(name, spark.createDataFrame([], _lowered(full)))
+                            continue
+                        declared_fields = list(_lowered(cols).fields) + (
+                            list(_lowered(part_cols).fields) if part_cols else []
+                        )
+                        actual = [c.lower() for c in ext.columns]
+                        missing = [
+                            f.name.lower()
                             for f in declared_fields
+                            if f.name.lower() not in actual
                         ]
-                    )
-                else:
-                    if part_cols:
-                        raise ValueError(
-                            "CREATE EXTERNAL TABLE ... TEXTFILE with PARTITIONED "
-                            "BY is not supported; use PARQUET for partitioned "
-                            "externals"
+                        if missing:
+                            raise ValueError(
+                                f"CREATE EXTERNAL TABLE {name}: declared columns "
+                                f"{missing} not present at {loc} (files have {actual})"
+                            )
+                        # Bind the DECLARED schema, not the file schema:
+                        # exactly the declared (+ partition) columns, each
+                        # cast to its declared type — Spectrum's contract.
+                        # Undeclared file columns are invisible to SELECT *.
+                        by_lower = {c.lower(): c for c in ext.columns}
+                        ext = ext.select(
+                            *[
+                                F.col(by_lower[f.name.lower()])
+                                .cast(f.dataType)
+                                .alias(f.name)
+                                for f in declared_fields
+                            ]
                         )
-                    from sql_redshift_etl_spark.sources.readers import read_csv
+                    else:
+                        if part_cols:
+                            raise ValueError(
+                                "CREATE EXTERNAL TABLE ... TEXTFILE with PARTITIONED "
+                                "BY is not supported; use PARQUET for partitioned "
+                                "externals"
+                            )
+                        from sql_redshift_etl_spark.sources.readers import read_csv
 
-                    # read schemas reject char/varchar — lower to string,
-                    # the same rule the CREATE TABLE DDL branch applies
-                    ext = read_csv(
-                        spark,
-                        loc,
-                        _lowered(cols),
-                        header=False,
-                        delimiter=delim or "|",
-                    )
-                state.bind(name, ext)
-            elif m := _CREATE_LIKE.match(stmt):
-                # CREATE TABLE new (LIKE other): empty table with other's
-                # schema — the first half of Redshift's rebuild-and-swap
-                # publish idiom. (Checked before CTAS/DDL: its "(LIKE x)"
-                # body would otherwise parse as a column list.) Identity
-                # attributes inherit, as in Redshift's LIKE.
-                state.drop_meta(m.group(1))  # rebind clears
-                if m.group(2) in state.identity_cols:
-                    state.identity_cols[m.group(1)] = dict(state.identity_cols[m.group(2)])
-                if m.group(2) in state.default_cols and (m.group(3) or "").upper() == "INCLUDING":
-                    # Redshift LIKE copies defaults only under
-                    # INCLUDING DEFAULTS (EXCLUDING is the default)
-                    state.default_cols[m.group(1)] = dict(state.default_cols[m.group(2)])
-                state.bind(m.group(1), state.existing(m.group(2)).limit(0))
-            elif m := _ALTER_RENAME.match(stmt):
-                # ALTER TABLE a RENAME TO b: the atomic-swap publish step.
-                # The resolved DataFrame moves to the new name; the old
-                # name is dropped from script scope (a caller-registered
-                # view of the old name is restored by cleanup only if a
-                # script statement had already shadowed it — same scope
-                # rule as DROP TABLE).
-                old, new = m.group(1), m.group(2)
-                df = state.existing(old)
-                spark.catalog.dropTempView(old)
-                state.tables.pop(old, None)
-                state.created_views.discard(old)
-                state.drop_meta(new)  # overwritten target's dies
-                if old in state.identity_cols:
-                    state.identity_cols[new] = state.identity_cols.pop(old)
-                if old in state.default_cols:
-                    state.default_cols[new] = state.default_cols.pop(old)
-                state.bind(new, df)
-            elif m := _ALTER_APPEND.match(stmt):
-                # ALTER TABLE tgt APPEND FROM src: Redshift's move-rows
-                # publish (faster than INSERT+DELETE because it moves
-                # blocks). Here: append src's rows positionally-cast to
-                # the target schema, then empty src — same observable
-                # state. IGNOREEXTRA/FILLTARGET accepted; the positional
-                # cast already errors loudly on a width mismatch.
-                tgt, src_name = m.group(1), m.group(2)
-                base = state.existing(tgt)
-                src_df = state.existing(src_name)
-                state.bind(tgt, base.unionAll(_cast_positional(src_df, base, tgt)))
-                state.bind(src_name, src_df.limit(0))
-            elif m := _ALTER_COL_TYPE.match(stmt):
-                # ALTER COLUMN c TYPE t (Redshift's varchar-resize /
-                # type-migration op): cast in place, keeping position
-                name, col, typ = m.groups()
-                base = state.existing(name)
-                actual = {c.lower(): c for c in base.columns}
-                if col.lower() not in actual:
-                    raise ValueError(f"ALTER TABLE {name}: no column {col!r} to alter")
-                from pyspark.sql import types as T
+                        # read schemas reject char/varchar — lower to string,
+                        # the same rule the CREATE TABLE DDL branch applies
+                        ext = read_csv(
+                            spark,
+                            loc,
+                            _lowered(cols),
+                            header=False,
+                            delimiter=delim or "|",
+                        )
+                    state.bind(name, ext)
+                elif m := _CREATE_LIKE.match(stmt):
+                    # CREATE TABLE new (LIKE other): empty table with other's
+                    # schema — the first half of Redshift's rebuild-and-swap
+                    # publish idiom. (Checked before CTAS/DDL: its "(LIKE x)"
+                    # body would otherwise parse as a column list.) Identity
+                    # attributes inherit, as in Redshift's LIKE.
+                    state.drop_meta(m.group(1))  # rebind clears
+                    if m.group(2) in state.identity_cols:
+                        state.identity_cols[m.group(1)] = dict(state.identity_cols[m.group(2)])
+                    if m.group(2) in state.default_cols and (m.group(3) or "").upper() == "INCLUDING":
+                        # Redshift LIKE copies defaults only under
+                        # INCLUDING DEFAULTS (EXCLUDING is the default)
+                        state.default_cols[m.group(1)] = dict(state.default_cols[m.group(2)])
+                    state.bind(m.group(1), state.existing(m.group(2)).limit(0))
+                elif m := _ALTER_RENAME.match(stmt):
+                    # ALTER TABLE a RENAME TO b: the atomic-swap publish step.
+                    # The resolved DataFrame moves to the new name; the old
+                    # name is dropped from script scope (a caller-registered
+                    # view of the old name is restored by cleanup only if a
+                    # script statement had already shadowed it — same scope
+                    # rule as DROP TABLE).
+                    old, new = m.group(1), m.group(2)
+                    df = state.existing(old)
+                    spark.catalog.dropTempView(old)
+                    state.tables.pop(old, None)
+                    state.created_views.discard(old)
+                    state.drop_meta(new)  # overwritten target's dies
+                    if old in state.identity_cols:
+                        state.identity_cols[new] = state.identity_cols.pop(old)
+                    if old in state.default_cols:
+                        state.default_cols[new] = state.default_cols.pop(old)
+                    state.bind(new, df)
+                elif m := _ALTER_APPEND.match(stmt):
+                    # ALTER TABLE tgt APPEND FROM src: Redshift's move-rows
+                    # publish (faster than INSERT+DELETE because it moves
+                    # blocks). Here: append src's rows positionally-cast to
+                    # the target schema, then empty src — same observable
+                    # state. IGNOREEXTRA/FILLTARGET accepted; the positional
+                    # cast already errors loudly on a width mismatch.
+                    tgt, src_name = m.group(1), m.group(2)
+                    base = state.existing(tgt)
+                    src_df = state.existing(src_name)
+                    state.bind(tgt, base.unionAll(_cast_positional(src_df, base, tgt)))
+                    state.bind(src_name, src_df.limit(0))
+                elif m := _ALTER_COL_TYPE.match(stmt):
+                    # ALTER COLUMN c TYPE t (Redshift's varchar-resize /
+                    # type-migration op): cast in place, keeping position
+                    name, col, typ = m.groups()
+                    base = state.existing(name)
+                    actual = {c.lower(): c for c in base.columns}
+                    if col.lower() not in actual:
+                        raise ValueError(f"ALTER TABLE {name}: no column {col!r} to alter")
+                    from pyspark.sql import types as T
 
-                f = T.StructType.fromDDL(f"x {_normalize_ddl_types(typ)}").fields[0]
-                dt = (
-                    T.StringType()
-                    if isinstance(f.dataType, (T.VarcharType, T.CharType))
-                    else f.dataType
-                )
-                c0 = actual[col.lower()]
-                state.bind(
-                    name,
-                    base.select(
-                        *[
-                            F.col(c).cast(dt).alias(c) if c == c0 else F.col(c)
-                            for c in base.columns
-                        ]
-                    ),
-                )
-            elif m := _ALTER_ADD_COL.match(stmt):
-                # ALTER TABLE t ADD COLUMN c type [DEFAULT lit]: existing
-                # rows take the default (NULL absent one) — Redshift's
-                # backfill. char/varchar lower to string as in CREATE.
-                name, col, typ, default = m.groups()
-                base = state.existing(name)
-                if col.lower() in {c.lower() for c in base.columns}:
-                    raise ValueError(f"ALTER TABLE {name}: column {col!r} already exists")
-                from pyspark.sql import types as T
-
-                f = T.StructType.fromDDL(f"x {_normalize_ddl_types(typ)}").fields[0]
-                dt = (
-                    T.StringType()
-                    if isinstance(f.dataType, (T.VarcharType, T.CharType))
-                    else f.dataType
-                )
-                val = F.expr(default).cast(dt) if default else F.lit(None).cast(dt)
-                if default:
-                    # future INSERTs omitting the column also take the
-                    # default, not just the backfill of existing rows
-                    state.default_cols.setdefault(name, {})[col] = default
-                state.bind(name, base.withColumn(col, val))
-            elif m := _ALTER_DROP_COL.match(stmt):
-                name, col = m.groups()
-                base = state.existing(name)
-                actual = {c.lower(): c for c in base.columns}
-                if col.lower() not in actual:
-                    raise ValueError(f"ALTER TABLE {name}: no column {col!r} to drop")
-                state.bind(name, base.drop(actual[col.lower()]))
-                ids = state.identity_cols.get(name)
-                if ids:  # dropping the identity column kills its generator
-                    ids.pop(actual[col.lower()], None)
-                dfs = state.default_cols.get(name)
-                if dfs:  # ... and its default
-                    dfs.pop(actual[col.lower()], None)
-            elif m := _ALTER_RENAME_COL.match(stmt):
-                name, old_c, new_c = m.groups()
-                base = state.existing(name)
-                actual = {c.lower(): c for c in base.columns}
-                if old_c.lower() not in actual:
-                    raise ValueError(f"ALTER TABLE {name}: no column {old_c!r} to rename")
-                state.bind(name, base.withColumnRenamed(actual[old_c.lower()], new_c))
-                ids = state.identity_cols.get(name)
-                if ids and actual[old_c.lower()] in ids:
-                    ids[new_c] = ids.pop(actual[old_c.lower()])
-                dfs = state.default_cols.get(name)
-                if dfs and actual[old_c.lower()] in dfs:
-                    dfs[new_c] = dfs.pop(actual[old_c.lower()])
-            elif m := _CTAS_COLS.match(stmt):
-                # CREATE TABLE t (a, b) AS SELECT: positional rename
-                name, cols, query = m.groups()
-                names = [c.strip() for c in cols.split(",")]
-                df = spark.sql(query)
-                if len(names) != len(df.columns):
-                    raise ValueError(
-                        f"CREATE TABLE {name}: column list has {len(names)} "
-                        f"names, query returns {len(df.columns)} columns"
-                    )
-                state.drop_meta(name)
-                state.bind(name, df.toDF(*names))
-            elif m := _CTAS.match(stmt):
-                state.drop_meta(m.group(1))  # rebind clears
-                state.bind(m.group(1), spark.sql(m.group(2)))
-            elif m := _CREATE_VIEW.match(stmt):
-                state.drop_meta(m.group(1))
-                state.bind(m.group(1), spark.sql(m.group(2)))
-            elif m := _CREATE_MV.match(stmt):
-                state.drop_meta(m.group(1))
-                state.mv_defs[m.group(1)] = m.group(2)
-                state.bind(m.group(1), spark.sql(m.group(2)))
-            elif m := _REFRESH_MV.match(stmt):
-                if m.group(1) not in state.mv_defs:
-                    raise ValueError(
-                        f"REFRESH MATERIALIZED VIEW: {m.group(1)!r} is not a "
-                        "materialized view created by this script"
-                    )
-                # re-run the defining query against current bindings —
-                # Redshift's stale-until-REFRESH contract
-                state.bind(m.group(1), spark.sql(state.mv_defs[m.group(1)]))
-            elif m := _CREATE_DDL.match(stmt):
-                # Spark parses DDL-format schemas ("a BIGINT, b
-                # VARCHAR(32)") directly — Redshift storage clauses were
-                # already stripped by the front-end. CHAR/VARCHAR lower
-                # to plain STRING (Spark's own CTAS behavior; an empty
-                # LogicalRDD may not carry char/varchar types).
-                from pyspark.sql import types as T
-
-                ddl_body = _normalize_ddl_types(m.group(2))
-                state.drop_meta(m.group(1))  # rebind clears
-                defaults = {
-                    c: lit for c, _typ, lit in _DEFAULT_ATTR.findall(ddl_body)
-                }
-                if defaults:
-                    ddl_body = _DEFAULT_ATTR.sub(r"\1 \2", ddl_body)
-                    state.default_cols[m.group(1)] = defaults
-                ids = {
-                    c: int(seed)
-                    for c, _typ, seed, _step in _IDENTITY_ATTR.findall(ddl_body)
-                }
-                if ids:
-                    # IDENTITY(seed, step): record the columns, strip the
-                    # attribute (fromDDL cannot parse it). Values
-                    # auto-generate on INSERTs that omit the column —
-                    # unique and ascending, NOT consecutive, which is
-                    # Redshift's own IDENTITY contract (its docs: values
-                    # "might not be consecutive").
-                    ddl_body = _IDENTITY_ATTR.sub(r"\1 \2", ddl_body)
-                    state.identity_cols[m.group(1)] = ids
-                schema = T.StructType.fromDDL(ddl_body)
-                fields = [
-                    T.StructField(
-                        f.name,
+                    f = T.StructType.fromDDL(f"x {_normalize_ddl_types(typ)}").fields[0]
+                    dt = (
                         T.StringType()
                         if isinstance(f.dataType, (T.VarcharType, T.CharType))
-                        else f.dataType,
-                        f.nullable,
+                        else f.dataType
                     )
-                    for f in schema.fields
-                ]
-                state.bind(m.group(1), spark.createDataFrame([], schema=T.StructType(fields)))
-            elif m := _INSERT_DEFAULTS.match(stmt):
-                # INSERT INTO t DEFAULT VALUES: one row of declared
-                # defaults (identity generates, unattributed → NULL)
-                name = m.group(1)
-                base = state.existing(name)
-                dflts = state.default_cols.get(name, {})
-                ids = state.identity_cols.get(name, {})
-                exprs = []
-                for f in base.schema.fields:
-                    if f.name in ids:
-                        prior = base.agg(F.max(f.name)).first()[0]
-                        start = ids[f.name] if prior is None else int(prior) + 1
-                        exprs.append(F.lit(start).cast(f.dataType).alias(f.name))
-                    elif f.name in dflts:
-                        exprs.append(F.expr(dflts[f.name]).cast(f.dataType).alias(f.name))
-                    else:
-                        exprs.append(F.lit(None).cast(f.dataType).alias(f.name))
-                bound = base.unionAll(spark.range(1).select(*exprs))
-                if any(_VOLATILE_DEFAULT.search(d) for d in dflts.values()):
-                    # a clock default must not re-evaluate per action
-                    bound = bound.localCheckpoint(eager=True)
-                state.bind(name, bound)
-            elif m := _INSERT.match(stmt):
-                name, cols, query = m.group(1), m.group(2), m.group(3)
-                base = state.existing(name)
-                sel = spark.sql(query)
-                if cols:
-                    listed = [c.strip() for c in cols.split(",")]
-                    if len(listed) != len(sel.columns):
+                    c0 = actual[col.lower()]
+                    state.bind(
+                        name,
+                        base.select(
+                            *[
+                                F.col(c).cast(dt).alias(c) if c == c0 else F.col(c)
+                                for c in base.columns
+                            ]
+                        ),
+                    )
+                elif m := _ALTER_ADD_COL.match(stmt):
+                    # ALTER TABLE t ADD COLUMN c type [DEFAULT lit]: existing
+                    # rows take the default (NULL absent one) — Redshift's
+                    # backfill. char/varchar lower to string as in CREATE.
+                    name, col, typ, default = m.groups()
+                    base = state.existing(name)
+                    if col.lower() in {c.lower() for c in base.columns}:
+                        raise ValueError(f"ALTER TABLE {name}: column {col!r} already exists")
+                    from pyspark.sql import types as T
+
+                    f = T.StructType.fromDDL(f"x {_normalize_ddl_types(typ)}").fields[0]
+                    dt = (
+                        T.StringType()
+                        if isinstance(f.dataType, (T.VarcharType, T.CharType))
+                        else f.dataType
+                    )
+                    val = F.expr(default).cast(dt) if default else F.lit(None).cast(dt)
+                    if default:
+                        # future INSERTs omitting the column also take the
+                        # default, not just the backfill of existing rows
+                        state.default_cols.setdefault(name, {})[col] = default
+                    state.bind(name, base.withColumn(col, val))
+                elif m := _ALTER_DROP_COL.match(stmt):
+                    name, col = m.groups()
+                    base = state.existing(name)
+                    actual = {c.lower(): c for c in base.columns}
+                    if col.lower() not in actual:
+                        raise ValueError(f"ALTER TABLE {name}: no column {col!r} to drop")
+                    state.bind(name, base.drop(actual[col.lower()]))
+                    ids = state.identity_cols.get(name)
+                    if ids:  # dropping the identity column kills its generator
+                        ids.pop(actual[col.lower()], None)
+                    dfs = state.default_cols.get(name)
+                    if dfs:  # ... and its default
+                        dfs.pop(actual[col.lower()], None)
+                elif m := _ALTER_RENAME_COL.match(stmt):
+                    name, old_c, new_c = m.groups()
+                    base = state.existing(name)
+                    actual = {c.lower(): c for c in base.columns}
+                    if old_c.lower() not in actual:
+                        raise ValueError(f"ALTER TABLE {name}: no column {old_c!r} to rename")
+                    state.bind(name, base.withColumnRenamed(actual[old_c.lower()], new_c))
+                    ids = state.identity_cols.get(name)
+                    if ids and actual[old_c.lower()] in ids:
+                        ids[new_c] = ids.pop(actual[old_c.lower()])
+                    dfs = state.default_cols.get(name)
+                    if dfs and actual[old_c.lower()] in dfs:
+                        dfs[new_c] = dfs.pop(actual[old_c.lower()])
+                elif m := _CTAS_COLS.match(stmt):
+                    # CREATE TABLE t (a, b) AS SELECT: positional rename
+                    name, cols, query = m.groups()
+                    names = [c.strip() for c in cols.split(",")]
+                    df = spark.sql(query)
+                    if len(names) != len(df.columns):
                         raise ValueError(
-                            f"INSERT INTO {name}: column list has {len(listed)} "
-                            f"names, query returns {len(sel.columns)} columns"
+                            f"CREATE TABLE {name}: column list has {len(names)} "
+                            f"names, query returns {len(df.columns)} columns"
                         )
-                    # SQL identifiers are case-insensitive: resolve the
-                    # listed names against the target schema, loudly.
-                    target_by_lower = {f.name.lower(): f.name for f in base.schema.fields}
-                    unknown = [c for c in listed if c.lower() not in target_by_lower]
-                    if unknown:
+                    state.drop_meta(name)
+                    state.bind(name, df.toDF(*names))
+                elif m := _CTAS.match(stmt):
+                    state.drop_meta(m.group(1))  # rebind clears
+                    state.bind(m.group(1), spark.sql(m.group(2)))
+                elif m := _CREATE_VIEW.match(stmt):
+                    state.drop_meta(m.group(1))
+                    state.bind(m.group(1), spark.sql(m.group(2)))
+                elif m := _CREATE_MV.match(stmt):
+                    state.drop_meta(m.group(1))
+                    state.mv_defs[m.group(1)] = m.group(2)
+                    state.bind(m.group(1), spark.sql(m.group(2)))
+                elif m := _REFRESH_MV.match(stmt):
+                    if m.group(1) not in state.mv_defs:
                         raise ValueError(
-                            f"INSERT INTO {name}: unknown columns {unknown} "
-                            f"(table has {list(target_by_lower.values())})"
+                            f"REFRESH MATERIALIZED VIEW: {m.group(1)!r} is not a "
+                            "materialized view created by this script"
                         )
-                    by_name = {
-                        target_by_lower[c.lower()]: src for c, src in zip(listed, sel.columns)
+                    # re-run the defining query against current bindings —
+                    # Redshift's stale-until-REFRESH contract
+                    state.bind(m.group(1), spark.sql(state.mv_defs[m.group(1)]))
+                elif m := _CREATE_DDL.match(stmt):
+                    # Spark parses DDL-format schemas ("a BIGINT, b
+                    # VARCHAR(32)") directly — Redshift storage clauses were
+                    # already stripped by the front-end. CHAR/VARCHAR lower
+                    # to plain STRING (Spark's own CTAS behavior; an empty
+                    # LogicalRDD may not carry char/varchar types).
+                    from pyspark.sql import types as T
+
+                    ddl_body = _normalize_ddl_types(m.group(2))
+                    state.drop_meta(m.group(1))  # rebind clears
+                    defaults = {
+                        c: lit for c, _typ, lit in _DEFAULT_ATTR.findall(ddl_body)
                     }
-                    # Alias every projection to the target column name —
-                    # multiple unlisted columns would otherwise all be
-                    # named `NULL` and break the positional re-select.
-                    id_cols = state.identity_cols.get(name, {})
-                    filled_identity = False
-
-                    def _fill(f):  # unlisted → identity value or NULL
-                        nonlocal filled_identity
-                        if f.name in by_name:
-                            return F.col(by_name[f.name])
-                        if f.name in id_cols:
-                            # unique ascending ids above everything already
-                            # in the table (1-row max lookup — metadata
-                            # scale, the same legitimate driver-side class
-                            # as JDBC partition bounds); within the batch
-                            # monotonically_increasing_id is unique.
-                            filled_identity = True
+                    if defaults:
+                        ddl_body = _DEFAULT_ATTR.sub(r"\1 \2", ddl_body)
+                        state.default_cols[m.group(1)] = defaults
+                    ids = {
+                        c: int(seed)
+                        for c, _typ, seed, _step in _IDENTITY_ATTR.findall(ddl_body)
+                    }
+                    if ids:
+                        # IDENTITY(seed, step): record the columns, strip the
+                        # attribute (fromDDL cannot parse it). Values
+                        # auto-generate on INSERTs that omit the column —
+                        # unique and ascending, NOT consecutive, which is
+                        # Redshift's own IDENTITY contract (its docs: values
+                        # "might not be consecutive").
+                        ddl_body = _IDENTITY_ATTR.sub(r"\1 \2", ddl_body)
+                        state.identity_cols[m.group(1)] = ids
+                    schema = T.StructType.fromDDL(ddl_body)
+                    fields = [
+                        T.StructField(
+                            f.name,
+                            T.StringType()
+                            if isinstance(f.dataType, (T.VarcharType, T.CharType))
+                            else f.dataType,
+                            f.nullable,
+                        )
+                        for f in schema.fields
+                    ]
+                    state.bind(m.group(1), spark.createDataFrame([], schema=T.StructType(fields)))
+                elif m := _INSERT_DEFAULTS.match(stmt):
+                    # INSERT INTO t DEFAULT VALUES: one row of declared
+                    # defaults (identity generates, unattributed → NULL)
+                    name = m.group(1)
+                    base = state.existing(name)
+                    dflts = state.default_cols.get(name, {})
+                    ids = state.identity_cols.get(name, {})
+                    exprs = []
+                    for f in base.schema.fields:
+                        if f.name in ids:
                             prior = base.agg(F.max(f.name)).first()[0]
-                            start = id_cols[f.name] if prior is None else int(prior) + 1
-                            from pyspark.sql import types as T
+                            start = ids[f.name] if prior is None else int(prior) + 1
+                            exprs.append(F.lit(start).cast(f.dataType).alias(f.name))
+                        elif f.name in dflts:
+                            exprs.append(F.expr(dflts[f.name]).cast(f.dataType).alias(f.name))
+                        else:
+                            exprs.append(F.lit(None).cast(f.dataType).alias(f.name))
+                    bound = base.unionAll(spark.range(1).select(*exprs))
+                    if any(_VOLATILE_DEFAULT.search(d) for d in dflts.values()):
+                        # a clock default must not re-evaluate per action
+                        bound = bound.localCheckpoint(eager=True)
+                    state.bind(name, bound)
+                elif m := _INSERT.match(stmt):
+                    name, cols, query = m.group(1), m.group(2), m.group(3)
+                    base = state.existing(name)
+                    sel = spark.sql(query)
+                    if cols:
+                        listed = [c.strip() for c in cols.split(",")]
+                        if len(listed) != len(sel.columns):
+                            raise ValueError(
+                                f"INSERT INTO {name}: column list has {len(listed)} "
+                                f"names, query returns {len(sel.columns)} columns"
+                            )
+                        # SQL identifiers are case-insensitive: resolve the
+                        # listed names against the target schema, loudly.
+                        target_by_lower = {f.name.lower(): f.name for f in base.schema.fields}
+                        unknown = [c for c in listed if c.lower() not in target_by_lower]
+                        if unknown:
+                            raise ValueError(
+                                f"INSERT INTO {name}: unknown columns {unknown} "
+                                f"(table has {list(target_by_lower.values())})"
+                            )
+                        by_name = {
+                            target_by_lower[c.lower()]: src for c, src in zip(listed, sel.columns)
+                        }
+                        # Alias every projection to the target column name —
+                        # multiple unlisted columns would otherwise all be
+                        # named `NULL` and break the positional re-select.
+                        id_cols = state.identity_cols.get(name, {})
+                        filled_identity = False
 
-                            if isinstance(
-                                f.dataType, (T.IntegerType, T.ShortType, T.ByteType)
-                            ):
-                                # mid() values (partitionId*2^33 + n) wrap
-                                # a narrow column under non-ANSI casts.
-                                # A narrow identity type caps the TABLE at
-                                # the type's own range anyway, so a dense
-                                # scheme (row_number over mono-id — one
-                                # single-partition window, bounded by that
-                                # same range) is both safe and honest.
-                                from pyspark.sql import Window as _W
+                        def _fill(f):  # unlisted → identity value or NULL
+                            nonlocal filled_identity
+                            if f.name in by_name:
+                                return F.col(by_name[f.name])
+                            if f.name in id_cols:
+                                # unique ascending ids above everything already
+                                # in the table (1-row max lookup — metadata
+                                # scale, the same legitimate driver-side class
+                                # as JDBC partition bounds); within the batch
+                                # monotonically_increasing_id is unique.
+                                filled_identity = True
+                                prior = base.agg(F.max(f.name)).first()[0]
+                                start = id_cols[f.name] if prior is None else int(prior) + 1
+                                from pyspark.sql import types as T
 
-                                return (
-                                    F.row_number().over(
-                                        _W.orderBy(F.monotonically_increasing_id())
+                                if isinstance(
+                                    f.dataType, (T.IntegerType, T.ShortType, T.ByteType)
+                                ):
+                                    # mid() values (partitionId*2^33 + n) wrap
+                                    # a narrow column under non-ANSI casts.
+                                    # A narrow identity type caps the TABLE at
+                                    # the type's own range anyway, so a dense
+                                    # scheme (row_number over mono-id — one
+                                    # single-partition window, bounded by that
+                                    # same range) is both safe and honest.
+                                    from pyspark.sql import Window as _W
+
+                                    return (
+                                        F.row_number().over(
+                                            _W.orderBy(F.monotonically_increasing_id())
+                                        )
+                                        + F.lit(start - 1)
                                     )
-                                    + F.lit(start - 1)
-                                )
-                            return F.monotonically_increasing_id() + F.lit(start)
-                        if f.name in state.default_cols.get(name, {}):
-                            # unlisted + declared DEFAULT → the default
-                            # literal, not NULL (Redshift's contract)
-                            dflt = state.default_cols[name][f.name]
-                            if _VOLATILE_DEFAULT.search(dflt):
-                                filled_identity = True  # clock defaults pin too
-                            return F.expr(dflt)
-                        return F.lit(None)
+                                return F.monotonically_increasing_id() + F.lit(start)
+                            if f.name in state.default_cols.get(name, {}):
+                                # unlisted + declared DEFAULT → the default
+                                # literal, not NULL (Redshift's contract)
+                                dflt = state.default_cols[name][f.name]
+                                if _VOLATILE_DEFAULT.search(dflt):
+                                    filled_identity = True  # clock defaults pin too
+                                return F.expr(dflt)
+                            return F.lit(None)
 
-                    sel = sel.select(
-                        *[_fill(f).alias(f.name) for f in base.schema.fields]
-                    )
-                bound = base.unionAll(_cast_positional(sel, base, name))
-                if cols and filled_identity:
-                    # pin generated ids: monotonically_increasing_id is
-                    # nondeterministic across re-evaluations, and a bound
-                    # table is read by every later statement — two
-                    # downstream actions must see the SAME ids (the same
-                    # reason UPDATE...FROM pins its rowids).
-                    bound = bound.localCheckpoint(eager=True)
-                state.bind(name, bound)
-            elif m := _MERGE.match(stmt):
-                _run_merge_into(spark, state, m.group(1), m.group(2) or m.group(1), m.group(3))
-            elif m := _DELETE.match(stmt):
-                name, rest = m.group(1), m.group(2)
-                state.existing(name)  # must exist (loud failure)
-                if rest is None:
-                    state.bind(name, state.existing(name).limit(0))
-                elif um := re.match(r"(?is)^USING\s+(.+)$", rest):
-                    # DELETE FROM t USING s [, s2] WHERE cond (r5): the
-                    # join-based delete (retention/dedup jobs). A row is
-                    # deleted when ANY source row satisfies cond —
-                    # exactly NOT EXISTS for the survivors, which Spark
-                    # plans as a left-anti join.
-                    using, where = _split_top_kw(um.group(1), "WHERE")
-                    if where is None:
-                        raise ValueError(
-                            f"DELETE FROM {name} USING requires a WHERE join "
-                            "condition (an unconditioned delete-all is spelled "
-                            "without USING)"
+                        sel = sel.select(
+                            *[_fill(f).alias(f.name) for f in base.schema.fields]
                         )
-                    state.bind(
-                        name,
-                        spark.sql(
-                            f"SELECT {name}.* FROM {name} WHERE NOT EXISTS "
-                            f"(SELECT 1 FROM {using} WHERE {where})"
-                        ),
-                    )
-                elif wm := re.match(r"(?is)^WHERE\s+(.+)$", rest):
-                    # DELETE removes rows where cond IS TRUE; NULL-cond
-                    # rows are kept. Through spark.sql so IN/EXISTS
-                    # subqueries in the predicate resolve.
-                    state.bind(
-                        name,
-                        spark.sql(
-                            f"SELECT * FROM {name} WHERE NOT coalesce(({wm.group(1)}), false)"
-                        ),
-                    )
-                else:
-                    raise ValueError(
-                        f"DELETE FROM {name}: expected WHERE or USING, got {rest[:40]!r}"
-                    )
-            elif m := _UPDATE.match(stmt):
-                name, rest = m.group(1), m.group(2)
-                sets_from, cond = _split_set_where(rest)
-                sets, from_text = _split_top_kw(sets_from, "FROM")
-                base = state.existing(name)
-                assigned = dict(_split_assignments(sets))
-                unknown = set(assigned) - set(base.columns)
-                if unknown:
-                    raise ValueError(f"UPDATE {name}: unknown columns {sorted(unknown)}")
-                if from_text:
-                    # UPDATE t SET ... FROM s [, s2] WHERE cond — the
-                    # join-based update every Redshift ETL uses. Semantics
-                    # matched exactly: each TARGET row updates AT MOST
-                    # ONCE even when the join matches several source rows
-                    # (Redshift leaves which match wins unspecified; we
-                    # pick deterministically by ordering on the new
-                    # values). Implemented with a synthetic rowid:
-                    # localCheckpoint pins the ids so the match join and
-                    # the final left join see the SAME rows — without it
-                    # a nondeterministic base (e.g. IDENTITY inserts)
-                    # could re-evaluate differently per use.
-                    if cond is None:
-                        raise ValueError(
-                            f"UPDATE {name} ... FROM requires a WHERE join condition "
-                            "(an unconditioned cross-table update is almost never meant)"
-                        )
-                    rid = base.withColumn(
-                        "__rid", F.monotonically_increasing_id()
-                    ).localCheckpoint(eager=True)
-                    state.bind(name, rid)
-                    new_cols = ", ".join(
-                        f"({e}) AS __new_{c}" for c, e in assigned.items()
-                    )
-                    matched = spark.sql(
-                        f"SELECT {name}.__rid AS __rid, {new_cols} "
-                        f"FROM {name}, {from_text} WHERE {cond}"
-                    )
-                    from pyspark.sql import Window as _W
-
-                    one = (
-                        matched.withColumn(
-                            "__rn",
-                            F.row_number().over(
-                                _W.partitionBy("__rid").orderBy(
-                                    *[f"__new_{c}" for c in assigned]
-                                )
+                    bound = base.unionAll(_cast_positional(sel, base, name))
+                    if cols and filled_identity:
+                        # pin generated ids: monotonically_increasing_id is
+                        # nondeterministic across re-evaluations, and a bound
+                        # table is read by every later statement — two
+                        # downstream actions must see the SAME ids (the same
+                        # reason UPDATE...FROM pins its rowids).
+                        bound = bound.localCheckpoint(eager=True)
+                    state.bind(name, bound)
+                elif m := _MERGE.match(stmt):
+                    _run_merge_into(spark, state, m.group(1), m.group(2) or m.group(1), m.group(3))
+                elif m := _DELETE.match(stmt):
+                    name, rest = m.group(1), m.group(2)
+                    state.existing(name)  # must exist (loud failure)
+                    if rest is None:
+                        state.bind(name, state.existing(name).limit(0))
+                    elif um := re.match(r"(?is)^USING\s+(.+)$", rest):
+                        # DELETE FROM t USING s [, s2] WHERE cond (r5): the
+                        # join-based delete (retention/dedup jobs). A row is
+                        # deleted when ANY source row satisfies cond —
+                        # exactly NOT EXISTS for the survivors, which Spark
+                        # plans as a left-anti join.
+                        using, where = _split_top_kw(um.group(1), "WHERE")
+                        if where is None:
+                            raise ValueError(
+                                f"DELETE FROM {name} USING requires a WHERE join "
+                                "condition (an unconditioned delete-all is spelled "
+                                "without USING)"
+                            )
+                        state.bind(
+                            name,
+                            spark.sql(
+                                f"SELECT {name}.* FROM {name} WHERE NOT EXISTS "
+                                f"(SELECT 1 FROM {using} WHERE {where})"
                             ),
                         )
-                        .where(F.col("__rn") == 1)
-                        .drop("__rn")
-                        .withColumn("__m", F.lit(True))
-                    )
-                    joined = rid.join(one, "__rid", "left")
-                    proj = [
-                        (
-                            F.when(
-                                F.col("__m"),
-                                F.col(f"__new_{f.name}").cast(f.dataType),
-                            )
-                            .otherwise(F.col(f.name))
-                            .alias(f.name)
-                            if f.name in assigned
-                            else F.col(f.name)
-                        )
-                        for f in base.schema.fields
-                    ]
-                    state.bind(name, joined.select(*proj))
-                    continue
-                cond = cond or "true"
-                proj = []
-                for f in base.schema.fields:
-                    if f.name in assigned:
-                        proj.append(
-                            f"CASE WHEN coalesce(({cond}), false) "
-                            f"THEN CAST(({assigned[f.name]}) AS {f.dataType.simpleString()}) "
-                            f"ELSE {f.name} END AS {f.name}"
+                    elif wm := re.match(r"(?is)^WHERE\s+(.+)$", rest):
+                        # DELETE removes rows where cond IS TRUE; NULL-cond
+                        # rows are kept. Through spark.sql so IN/EXISTS
+                        # subqueries in the predicate resolve.
+                        state.bind(
+                            name,
+                            spark.sql(
+                                f"SELECT * FROM {name} WHERE NOT coalesce(({wm.group(1)}), false)"
+                            ),
                         )
                     else:
-                        proj.append(f.name)
-                state.bind(name, spark.sql(f"SELECT {', '.join(proj)} FROM {name}"))
-            elif m := _TRUNCATE.match(stmt):
-                state.bind(m.group(1), state.existing(m.group(1)).limit(0))
-            elif m := _DROP.match(stmt):
-                for name in (n.strip() for n in m.group(1).split(",")):
-                    spark.catalog.dropTempView(name)
-                    state.tables.pop(name, None)
-                    state.created_views.discard(name)
-                    # DDL attributes (IDENTITY/DEFAULT) die with the table
-                    # — a later CREATE of the same name without them must
-                    # insert NULLs, not resurrect the old behavior
-                    state.drop_meta(name)
-                    state.mv_defs.pop(name, None)
-            elif sm := re.match(r"(?is)^SET\s+(\w+)\s*(?:=|TO)\s+(\S.*)$", stmt):
-                # warehouse session knobs (enable_result_cache_for_
-                # session, wlm_query_slot_count, statement_timeout, ...)
-                # have no Spark analog — accepted no-ops, EXCEPT
-                # search_path, which changes name resolution: resolved
-                # read-side against declared schemas (_apply_search_path).
-                if sm.group(1).lower() == "search_path":
-                    names = [
-                        p.strip().strip("'\"").lower()
-                        for p in sm.group(2).split(",")
-                        if p.strip()
-                    ]
-                    # '$user' and 'public' are Redshift's defaults; other
-                    # undeclared names would silently resolve nothing —
-                    # loud, not ignored (module policy)
-                    unknown = [
-                        s
-                        for s in names
-                        if s not in state.schemas and s not in ("$user", "public")
-                    ]
-                    if unknown:
                         raise ValueError(
-                            f"SET search_path: undeclared schema(s) "
-                            f"{', '.join(unknown)} — CREATE SCHEMA first"
+                            f"DELETE FROM {name}: expected WHERE or USING, got {rest[:40]!r}"
                         )
-                    state.search_path = [s for s in names if s in state.schemas]
-            elif re.match(r"(?is)^(?:EXPLAIN|SHOW)\b", stmt):
-                # EXPLAIN/SHOW pass straight to Spark; the plan/setting
-                # text is engine-specific by nature
-                result = spark.sql(stmt)
-            elif _QUERY.match(stmt):
-                # SELECT ... INTO name FROM ... (Redshift's SELECT INTO,
-                # the one-line CTAS): bind the projection to the name.
-                # Top-level split only — an INTO inside a subquery or
-                # string stays content.
-                if stmt[:6].upper() == "SELECT":
-                    head, tail = _split_top_kw(stmt, "INTO")
-                    if tail is not None:
-                        tm = re.match(r"(?is)^(?:TEMP(?:ORARY)?\s+)?([\w.]+)\s+(FROM\b.*)$", tail)
-                        if tm is None:
+                elif m := _UPDATE.match(stmt):
+                    name, rest = m.group(1), m.group(2)
+                    sets_from, cond = _split_set_where(rest)
+                    sets, from_text = _split_top_kw(sets_from, "FROM")
+                    base = state.existing(name)
+                    assigned = dict(_split_assignments(sets))
+                    unknown = set(assigned) - set(base.columns)
+                    if unknown:
+                        raise ValueError(f"UPDATE {name}: unknown columns {sorted(unknown)}")
+                    if from_text:
+                        # UPDATE t SET ... FROM s [, s2] WHERE cond — the
+                        # join-based update every Redshift ETL uses. Semantics
+                        # matched exactly: each TARGET row updates AT MOST
+                        # ONCE even when the join matches several source rows
+                        # (Redshift leaves which match wins unspecified; we
+                        # pick deterministically by ordering on the new
+                        # values). Implemented with a synthetic rowid:
+                        # localCheckpoint pins the ids so the match join and
+                        # the final left join see the SAME rows — without it
+                        # a nondeterministic base (e.g. IDENTITY inserts)
+                        # could re-evaluate differently per use.
+                        if cond is None:
                             raise ValueError(
-                                f"SELECT INTO: expected 'INTO [TEMP] name FROM ...', "
-                                f"got INTO {tail[:40]!r}"
+                                f"UPDATE {name} ... FROM requires a WHERE join condition "
+                                "(an unconditioned cross-table update is almost never meant)"
                             )
-                        state.bind(tm.group(1), spark.sql(f"{head} {tm.group(2)}"))
+                        rid = base.withColumn(
+                            "__rid", F.monotonically_increasing_id()
+                        ).localCheckpoint(eager=True)
+                        state.bind(name, rid)
+                        new_cols = ", ".join(
+                            f"({e}) AS __new_{c}" for c, e in assigned.items()
+                        )
+                        matched = spark.sql(
+                            f"SELECT {name}.__rid AS __rid, {new_cols} "
+                            f"FROM {name}, {from_text} WHERE {cond}"
+                        )
+                        from pyspark.sql import Window as _W
+
+                        one = (
+                            matched.withColumn(
+                                "__rn",
+                                F.row_number().over(
+                                    _W.partitionBy("__rid").orderBy(
+                                        *[f"__new_{c}" for c in assigned]
+                                    )
+                                ),
+                            )
+                            .where(F.col("__rn") == 1)
+                            .drop("__rn")
+                            .withColumn("__m", F.lit(True))
+                        )
+                        joined = rid.join(one, "__rid", "left")
+                        proj = [
+                            (
+                                F.when(
+                                    F.col("__m"),
+                                    F.col(f"__new_{f.name}").cast(f.dataType),
+                                )
+                                .otherwise(F.col(f.name))
+                                .alias(f.name)
+                                if f.name in assigned
+                                else F.col(f.name)
+                            )
+                            for f in base.schema.fields
+                        ]
+                        state.bind(name, joined.select(*proj))
                         continue
-                result = spark.sql(stmt)
-            else:
-                raise ValueError(f"unsupported statement in script: {stmt[:80]!r}...")
+                    cond = cond or "true"
+                    proj = []
+                    for f in base.schema.fields:
+                        if f.name in assigned:
+                            proj.append(
+                                f"CASE WHEN coalesce(({cond}), false) "
+                                f"THEN CAST(({assigned[f.name]}) AS {f.dataType.simpleString()}) "
+                                f"ELSE {f.name} END AS {f.name}"
+                            )
+                        else:
+                            proj.append(f.name)
+                    state.bind(name, spark.sql(f"SELECT {', '.join(proj)} FROM {name}"))
+                elif m := _TRUNCATE.match(stmt):
+                    state.bind(m.group(1), state.existing(m.group(1)).limit(0))
+                elif m := _DROP.match(stmt):
+                    for name in (n.strip() for n in m.group(1).split(",")):
+                        spark.catalog.dropTempView(name)
+                        state.tables.pop(name, None)
+                        state.created_views.discard(name)
+                        # DDL attributes (IDENTITY/DEFAULT) die with the table
+                        # — a later CREATE of the same name without them must
+                        # insert NULLs, not resurrect the old behavior
+                        state.drop_meta(name)
+                        state.mv_defs.pop(name, None)
+                elif sm := re.match(r"(?is)^SET\s+(\w+)\s*(?:=|TO)\s+(\S.*)$", stmt):
+                    # warehouse session knobs (enable_result_cache_for_
+                    # session, wlm_query_slot_count, statement_timeout, ...)
+                    # have no Spark analog — accepted no-ops, EXCEPT
+                    # search_path, which changes name resolution: resolved
+                    # read-side against declared schemas (_apply_search_path).
+                    if sm.group(1).lower() == "search_path":
+                        names = [
+                            p.strip().strip("'\"").lower()
+                            for p in sm.group(2).split(",")
+                            if p.strip()
+                        ]
+                        # '$user' and 'public' are Redshift's defaults; other
+                        # undeclared names would silently resolve nothing —
+                        # loud, not ignored (module policy)
+                        unknown = [
+                            s
+                            for s in names
+                            if s not in state.schemas and s not in ("$user", "public")
+                        ]
+                        if unknown:
+                            raise ValueError(
+                                f"SET search_path: undeclared schema(s) "
+                                f"{', '.join(unknown)} — CREATE SCHEMA first"
+                            )
+                        state.search_path = [s for s in names if s in state.schemas]
+                elif re.match(r"(?is)^(?:EXPLAIN|SHOW)\b", stmt):
+                    # EXPLAIN/SHOW pass straight to Spark; the plan/setting
+                    # text is engine-specific by nature
+                    result = spark.sql(stmt)
+                elif _QUERY.match(stmt):
+                    # SELECT ... INTO name FROM ... (Redshift's SELECT INTO,
+                    # the one-line CTAS): bind the projection to the name.
+                    # Top-level split only — an INTO inside a subquery or
+                    # string stays content.
+                    if stmt[:6].upper() == "SELECT":
+                        head, tail = _split_top_kw(stmt, "INTO")
+                        if tail is not None:
+                            tm = re.match(r"(?is)^(?:TEMP(?:ORARY)?\s+)?([\w.]+)\s+(FROM\b.*)$", tail)
+                            if tm is None:
+                                raise ValueError(
+                                    f"SELECT INTO: expected 'INTO [TEMP] name FROM ...', "
+                                    f"got INTO {tail[:40]!r}"
+                                )
+                            state.bind(tm.group(1), spark.sql(f"{head} {tm.group(2)}"))
+                            continue
+                    result = spark.sql(stmt)
+                else:
+                    raise ValueError(f"unsupported statement in script: {stmt[:80]!r}...")
+            except Exception as exc:
+                # plpgsql EXCEPTION WHEN OTHERS: an execution error inside
+                # a guarded block unwinds to the block's end marker,
+                # rolls the script state back to block entry, and runs the
+                # handler. The runner's own unsupported-construct
+                # ValueErrors stay loud by module policy: a real engine
+                # would have executed those statements, so routing them to
+                # a handler would silently change semantics.
+                if not guard_stack or isinstance(exc, ValueError):
+                    raise
+                g = guard_stack.pop()
+                state.guard_depth = len(guard_stack)
+                while pending:
+                    if pending.popleft() is g["end"]:
+                        break
+                else:
+                    raise  # end marker lost — internal error, stay loud
+                state.restore(g["snap"])
+                handler = _sub_outside_quotes(
+                    g["handler"],
+                    r"(?i)(?<![\w$])SQLERRM(?![\w$])",
+                    lambda _m, _s=_sqlerrm(exc): _s,
+                )
+                handler = _sub_outside_quotes(
+                    handler,
+                    r"(?i)(?<![\w$])SQLSTATE(?![\w$])",
+                    lambda _m, _s=f"'{_classify_sqlstate(exc)}'": _s,
+                )
+                nodes = _parse_plpgsql_nodes(handler)
+                if g["scope"]:
+                    nodes = [_Scoped(nd, g["scope"]) for nd in nodes]
+                pending.extendleft(reversed(nodes))
+                continue
         return result
     finally:
         state.cleanup()

@@ -83,15 +83,18 @@ def register(
 # r3 the 38 then-never-checked, r4 the 19 post-r3 registrations + bench
 # set + an r1 sample, r5 rotated to freshness (q12 + 8 new + all r1-era
 # + 26 r2-era) and came back 50/50 green — r1∪…∪r5 covered all 165
-# then-registered queries, every SQL-oracled row ever-green. The ROUND-6
-# window finishes the freshness rotation (verdict r5 item 2): (1) the
-# new redshift_script_merge_into (the 63rd and last component) leads;
-# (2) the 25 remaining r2-era entries — after a green r6 no SQL-oracled
-# query's newest driver row is older than r3; (3) every query whose code
-# path changed this round (identity lifecycle + MERGE in script_runner,
-# external-table declared schema, COPY NULL AS guard, cube dsum
-# widening); (4) the r5-new entries with a single driver row; (5) the
-# bench headline set.
+# then-registered queries, every SQL-oracled row ever-green; r6 finished
+# the freshness rotation (nothing oracled older than r3) and came back
+# 50/50 green. The ROUND-7 window (verdict r6 items 1-4): (1) the three
+# r7-new plpgsql queries lead (EXCEPTION WHEN OTHERS, EXECUTE dynamic
+# SQL, cursor loop); (2) the 5 registered queries that had never had an
+# official driver row (3 late-r6 oracled + 2 rows-only by design) — after
+# a green r7 EVERY registered query has one; (3) two r6-green procedural
+# queries re-checked because the script-runner core was restructured this
+# round (worklist loop wrapped in the guard try, state snapshot/restore
+# refactor); (4) the 40 entries whose newest row was r3-era (39 oracled +
+# approx_count_distinct's r1 rows-only) — after a green r7 nothing is
+# older than r4.
 # Maintenance rules (CI-enforced in tests/test_registry_hygiene.py):
 #  - every SQL-oracled query must appear in this list OR carry a
 #    "sibling-coverage:" note in its docstring naming the in-list query
@@ -103,10 +106,61 @@ def register(
 #    columns throw; serialize with array_join/to_json).
 # Names not listed keep their module registration order after these.
 _VERIFY_FIRST: list[str] = [
-    "redshift_script_merge_into",
+    "redshift_script_proc_exception",
+    "redshift_script_execute_dynamic",
+    "redshift_script_cursor_loop",
+    "redshift_script_transactions",
+    "redshift_sql_misc4",
+    "dedup_minhash_incremental",
+    "hll_sketch_partition_merge",
+    "embedding_pca_project",
     "redshift_script_proc_control_flow",
-    "redshift_script_materialized_view",
     "redshift_script_stored_procedure",
+    "approx_count_distinct",
+    "curation_shard_export",
+    "dedup_exact_groups",
+    "dedup_minhash_ml",
+    "dedup_survivor_corpus",
+    "embedding_quantize_int8",
+    "etl_star_mart_publish",
+    "json_from_json_struct",
+    "misc_scalar_functions",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_bracketed_revenue",
+    "q22_dormant_accounts",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "redshift_sql_ratio_to_report",
+    "sample_domain_temperature",
+    "sample_hash_fraction",
+    "sample_salted_hot_agg",
+    "sim_ann_lsh",
+    "sim_ivf_kmeans",
+    "sim_ivf_search",
+    "stream_stateful_sessions",
+    "stream_stream_interval_join",
+    "stream_tumbling_daily",
+    "stream_tumbling_watermark",
+    "subquery_scalar_uncorrelated",
+    "text_bigram_lm_score",
+    "text_tfidf_top_terms",
+    "text_word_freq_topk",
+    "udaf_weighted_mean",
+    "window_ignore_nulls",
+    "window_range_frame",
+    # --- 50-query driver boundary ---
+    # Below-boundary order = r8 window priority: the 13 r6-era
+    # first-session oracled queries lead, then the r5 cohort.
+    "redshift_script_merge_into",
+    "redshift_script_materialized_view",
     "redshift_sql_misc3",
     "events_gap_fill_locf",
     "source_fixedwidth_copy_roundtrip",
@@ -153,15 +207,6 @@ _VERIFY_FIRST: list[str] = [
     "redshift_script_copy_unload",
     "events_merge_upsert",
     "redshift_sql_misc2",
-    # --- 50-query driver boundary ---
-    # Below-boundary order = r7 window priority. redshift_script_
-    # transactions is r6-new (bit-checked by pytest oracle parity +
-    # driver_sim this round) and leads the next window; flagship_
-    # pricing_summary is the single most re-checked query in repo
-    # history (green r1-r5 + every bench run), demoted for head room.
-    "redshift_script_transactions",
-    "redshift_sql_misc4",
-    "dedup_minhash_incremental",
     "flagship_pricing_summary",
     "multimodal_image_resize",
     "multimodal_png_roundtrip",
@@ -253,45 +298,6 @@ _VERIFY_FIRST: list[str] = [
     "window_ranks",
     "window_lag_lead",
     "window_first_last",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_ratio",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_bracketed_revenue",
-    "q22_dormant_accounts",
-    "stream_tumbling_daily",
-    "stream_stream_interval_join",
-    "subquery_scalar_uncorrelated",
-    "window_range_frame",
-    "window_ignore_nulls",
-    "text_word_freq_topk",
-    "text_tfidf_top_terms",
-    "text_bigram_lm_score",
-    "sample_hash_fraction",
-    "sample_domain_temperature",
-    "sample_salted_hot_agg",
-    "multimodal_frame_sample",
-    "json_from_json_struct",
-    "etl_star_mart_publish",
-    "redshift_sql_ratio_to_report",
-    "curation_shard_export",
-    "dedup_survivor_corpus",
-    "misc_scalar_functions",
-    "udaf_weighted_mean",
-    "embedding_quantize_int8",
-    "stream_stateful_sessions",
-    "stream_tumbling_watermark",
-    "sim_ann_lsh",
-    "sim_ivf_search",
-    "sim_ivf_kmeans",
-    "dedup_minhash_ml",
-    "multimodal_decode_features",
-    "dedup_exact_groups",
 ]
 
 

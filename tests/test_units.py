@@ -1815,13 +1815,13 @@ def test_script_stored_procedure_loud_rejections(spark):
 
     from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
 
-    with _pytest.raises(ValueError, match="EXECUTE"):
+    with _pytest.raises(ValueError, match="PERFORM"):
         run_redshift_script(
             spark,
             """
             CREATE PROCEDURE p1() AS $$
             BEGIN
-                EXECUTE 'SELECT 1';
+                PERFORM pg_sleep(1);
             END;
             $$ LANGUAGE plpgsql;
             """,
@@ -2566,20 +2566,20 @@ def test_while_runaway_loop_capped(spark):
 
 
 def test_unsupported_plpgsql_still_loud(spark):
-    """FETCH (and the rest of the unsupported keyword list) still
+    """GET DIAGNOSTICS (the remaining unsupported keyword list) still
     raises at CREATE PROCEDURE; a RAISE message CONTAINING such a word
     does not false-positive (the check runs on quote-masked text)."""
     import pytest as _pytest
 
     from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
 
-    with _pytest.raises(ValueError, match="FETCH"):
+    with _pytest.raises(ValueError, match="GET"):
         run_redshift_script(
             spark,
             """
             CREATE PROCEDURE bad() AS $$
             BEGIN
-                FETCH cur INTO r;
+                GET DIAGNOSTICS n := ROW_COUNT;
             END;
             $$ LANGUAGE plpgsql;
             """,
@@ -2844,12 +2844,12 @@ def test_procedure_variable_loud_shapes(spark):
             CALL p();
             """,
         )
-    with _pytest.raises(ValueError, match="scalar variables only"):
+    with _pytest.raises(ValueError, match="scalar variables"):
         run_redshift_script(
             spark,
             """
             CREATE PROCEDURE p2() AS $$
-            DECLARE c CURSOR FOR SELECT 1;
+            DECLARE r RECORD;
             BEGIN
                 SELECT 1;
             END;
@@ -3094,3 +3094,455 @@ def test_dedup_incremental_matches_full_restricted(spark):
     ).collect()
     assert sorted(map(tuple, full)) == sorted(map(tuple, inc))
     assert len(inc) > 0  # the fixture has planted near-dups on the delta
+
+
+# --- round 7: plpgsql EXCEPTION WHEN OTHERS, EXECUTE, cursors ---------------
+
+
+def test_exception_block_catches_and_rolls_back(spark):
+    """A caught execution error restores every binding changed inside the
+    guarded block (plpgsql's "changes are rolled back"), routes to the
+    handler with classified SQLSTATE, and the statements AFTER the block
+    still run — while a clean pass skips the handler entirely."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE audit (step VARCHAR(40), code VARCHAR(10));
+        CREATE TEMP TABLE tgt (k INT, v INT);
+        INSERT INTO tgt VALUES (1, 10);
+        CREATE OR REPLACE PROCEDURE risky(divisor INT) AS $$
+        BEGIN
+            INSERT INTO audit VALUES ('start', NULL);
+            BEGIN
+                INSERT INTO tgt VALUES (2, 20);
+                INSERT INTO tgt SELECT 3, 100 / divisor;
+                INSERT INTO audit VALUES ('loaded', NULL);
+            EXCEPTION WHEN OTHERS THEN
+                INSERT INTO audit VALUES ('caught', SQLSTATE);
+            END;
+            INSERT INTO audit VALUES ('done', NULL);
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL risky(0);
+        CALL risky(5);
+        SELECT a.step, a.code, t.cnt
+        FROM audit a CROSS JOIN (SELECT COUNT(*) AS cnt FROM tgt) t
+        ORDER BY a.step, a.code NULLS FIRST;
+        """,
+    )
+    rows = [tuple(r) for r in out.collect()]
+    # tgt: initial row + the 2 rows of the SUCCESSFUL call only (the
+    # failed call's partial INSERT of (2,20) was rolled back)
+    assert rows == [
+        ("caught", "22012", 3),
+        ("done", None, 3),
+        ("done", None, 3),
+        ("loaded", None, 3),
+        ("start", None, 3),
+        ("start", None, 3),
+    ]
+
+
+def test_exception_sqlerrm_and_p0001(spark):
+    """RAISE EXCEPTION is catchable; SQLERRM carries the raised message
+    (transport prefix stripped) and SQLSTATE classifies as P0001."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE log_tbl (code VARCHAR(10), msg VARCHAR(256));
+        CREATE OR REPLACE PROCEDURE p() AS $$
+        BEGIN
+            BEGIN
+                RAISE EXCEPTION 'bad load: % rows', 42;
+            EXCEPTION WHEN OTHERS THEN
+                INSERT INTO log_tbl VALUES (SQLSTATE, SQLERRM);
+            END;
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p();
+        SELECT * FROM log_tbl;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [("P0001", "bad load: 42 rows")]
+
+
+def test_exception_toplevel_body_form_and_nesting(spark):
+    """The common real-proc form (EXCEPTION section on the procedure's
+    own outer block) parses; nested guards catch innermost-first, and an
+    error RAISEd inside a handler is caught by the enclosing guard."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE trail (tag VARCHAR(20));
+        CREATE OR REPLACE PROCEDURE p() AS $$
+        BEGIN
+            BEGIN
+                INSERT INTO trail SELECT CAST(1/0 AS VARCHAR);
+            EXCEPTION WHEN OTHERS THEN
+                INSERT INTO trail VALUES ('inner');
+                RAISE EXCEPTION 'escalate';
+            END;
+            INSERT INTO trail VALUES ('unreached');
+        EXCEPTION WHEN OTHERS THEN
+            INSERT INTO trail VALUES ('outer');
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p();
+        SELECT * FROM trail ORDER BY tag;
+        """,
+    )
+    # the outer handler's rollback undoes the inner handler's 'inner'
+    # row too — the outer block's snapshot predates it
+    assert [r[0] for r in out.collect()] == ["outer"]
+
+
+def test_exception_uncaught_and_valueerror_stay_loud(spark):
+    """Without a guard the error propagates; with a guard, the runner's
+    own unsupported-construct ValueErrors are NOT caught (module
+    policy: a real engine would have executed the statement)."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        # outside a guard the plan stays lazy (the module's documented
+        # execution model), so the error surfaces at the result action
+        run_redshift_script(
+            spark,
+            """
+            CREATE TEMP TABLE t (x INT);
+            CREATE OR REPLACE PROCEDURE p() AS $$
+            BEGIN
+                INSERT INTO t SELECT 1/0;
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL p();
+            SELECT * FROM t;
+            """,
+        ).collect()
+    with _pytest.raises(ValueError, match="unsupported statement"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE OR REPLACE PROCEDURE p() AS $$
+            BEGIN
+                BEGIN
+                    FROBNICATE the warehouse;
+                EXCEPTION WHEN OTHERS THEN
+                    RAISE NOTICE 'should not get here';
+                END;
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL p();
+            """,
+        )
+
+
+def test_exception_only_when_others(spark):
+    """Named exception conditions are loud at define time — Redshift
+    itself only supports WHEN OTHERS."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    with _pytest.raises(ValueError, match="WHEN OTHERS"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE PROCEDURE p() AS $$
+            BEGIN
+                BEGIN
+                    SELECT 1;
+                EXCEPTION WHEN division_by_zero THEN
+                    RAISE NOTICE 'nope';
+                END;
+            END;
+            $$ LANGUAGE plpgsql;
+            """,
+        )
+
+
+def test_exception_guard_retires_on_return_and_exit(spark):
+    """Leaving a guarded block early (RETURN, EXIT crossing the block)
+    retires the guard: an error AFTER the early exit must NOT route to
+    the dead handler."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE TEMP TABLE t (x INT);
+            CREATE OR REPLACE PROCEDURE p() AS $$
+            BEGIN
+                BEGIN
+                    RETURN;
+                EXCEPTION WHEN OTHERS THEN
+                    RAISE NOTICE 'dead handler';
+                END;
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL p();
+            CREATE OR REPLACE PROCEDURE q() AS $$
+            BEGIN
+                INSERT INTO t SELECT 1/0;
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL q();
+            SELECT * FROM t;
+            """,
+        ).collect()
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE acc (i INT);
+        CREATE OR REPLACE PROCEDURE p() AS $$
+        DECLARE v_i INT := 0;
+        BEGIN
+            WHILE v_i < 5 LOOP
+                v_i := v_i + 1;
+                BEGIN
+                    INSERT INTO acc VALUES (v_i);
+                    EXIT WHEN v_i >= 3;
+                EXCEPTION WHEN OTHERS THEN
+                    INSERT INTO acc VALUES (-1);
+                END;
+            END LOOP;
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p();
+        SELECT * FROM acc ORDER BY i;
+        """,
+    )
+    assert [r[0] for r in out.collect()] == [1, 2, 3]
+
+
+def test_plain_nested_begin_block_is_grouping_only(spark):
+    """A nested BEGIN/END with no EXCEPTION section is pure statement
+    grouping — no snapshot, no materialization, identical results."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE t (x INT);
+        CREATE OR REPLACE PROCEDURE p() AS $$
+        BEGIN
+            BEGIN
+                INSERT INTO t VALUES (1);
+                BEGIN
+                    INSERT INTO t VALUES (2);
+                END;
+            END;
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p();
+        SELECT * FROM t ORDER BY x;
+        """,
+    )
+    assert [r[0] for r in out.collect()] == [1, 2]
+
+
+def test_execute_dynamic_sql_roundtrip(spark):
+    """EXECUTE builds statements from variables (the admin-script
+    idiom): a dynamically-named CTAS, an EXECUTE ... INTO readback, and
+    a dynamic INSERT with QUOTE_LITERAL all land."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE src (k INT, v VARCHAR(10));
+        INSERT INTO src VALUES (1,'a'),(2,'b'),(3,'c');
+        CREATE OR REPLACE PROCEDURE build(suffix VARCHAR(10), lo INT) AS $$
+        DECLARE
+            v_sql VARCHAR(400);
+            v_cnt BIGINT;
+        BEGIN
+            v_sql := 'CREATE TEMP TABLE snap_' || suffix
+                || ' AS SELECT * FROM src WHERE k >= ' || CAST(lo AS VARCHAR);
+            EXECUTE v_sql;
+            EXECUTE 'SELECT COUNT(*) FROM snap_' || suffix INTO v_cnt;
+            EXECUTE 'INSERT INTO snap_' || suffix || ' VALUES ('
+                || CAST(v_cnt AS VARCHAR) || ', '
+                || QUOTE_LITERAL('n=' || CAST(v_cnt AS VARCHAR)) || ')';
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL build('x', 2);
+        SELECT * FROM snap_x ORDER BY k, v;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(2, "b"), (2, "n=2"), (3, "c")]
+
+
+def test_execute_loud_cases(spark):
+    """NULL command string, USING, and INTO an undeclared target are
+    each loud."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    proc = """
+        CREATE OR REPLACE PROCEDURE p() AS $$
+        DECLARE v_x INT;
+        BEGIN
+            {stmt}
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p();
+    """
+    with _pytest.raises(ValueError, match="NULL/empty"):
+        run_redshift_script(spark, proc.format(stmt="EXECUTE NULL;"))
+    with _pytest.raises(ValueError, match="USING"):
+        run_redshift_script(
+            spark, proc.format(stmt="EXECUTE 'SELECT $1' USING 1;")
+        )
+    with _pytest.raises(ValueError, match="declared plpgsql variables"):
+        run_redshift_script(
+            spark, proc.format(stmt="EXECUTE 'SELECT 1' INTO v_missing;")
+        )
+
+
+def test_cursor_loop_found_and_lifecycle(spark):
+    """The canonical cursor walk: OPEN / FETCH ... INTO / EXIT WHEN NOT
+    FOUND / CLOSE accumulates a running total; FETCH past the end sets
+    NULLs + found=FALSE; re-OPEN after CLOSE re-evaluates against the
+    bindings of that moment."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE items (k INT, amt DOUBLE PRECISION);
+        INSERT INTO items VALUES (1, 10.5), (2, 20.25), (3, 30.0);
+        CREATE TEMP TABLE out_tbl (k INT, running DOUBLE PRECISION);
+        CREATE OR REPLACE PROCEDURE walk() AS $$
+        DECLARE
+            cur CURSOR FOR SELECT k, amt FROM items ORDER BY k;
+            v_k INT;
+            v_amt DOUBLE PRECISION;
+            v_tot DOUBLE PRECISION := 0;
+        BEGIN
+            OPEN cur;
+            LOOP
+                FETCH cur INTO v_k, v_amt;
+                EXIT WHEN NOT found;
+                v_tot := v_tot + v_amt;
+                INSERT INTO out_tbl VALUES (v_k, v_tot);
+            END LOOP;
+            -- exhausted: one more FETCH keeps found=false, vars NULL
+            FETCH cur INTO v_k, v_amt;
+            IF v_k IS NULL AND NOT found THEN
+                INSERT INTO out_tbl VALUES (99, -1);
+            END IF;
+            CLOSE cur;
+            -- re-OPEN sees the rows inserted meanwhile
+            OPEN cur;
+            FETCH cur INTO v_k, v_amt;
+            CLOSE cur;
+            INSERT INTO out_tbl VALUES (100, v_amt);
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL walk();
+        SELECT * FROM out_tbl ORDER BY k;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        (1, 10.5),
+        (2, 30.75),
+        (3, 60.75),
+        (99, -1.0),
+        (100, 10.5),
+    ]
+
+
+def test_cursor_binds_variables_at_open(spark):
+    """The cursor query sees variable values as of OPEN, not DECLARE —
+    plpgsql's documented binding point."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE items (k INT);
+        INSERT INTO items VALUES (1), (2), (3), (4);
+        CREATE TEMP TABLE got (k INT);
+        CREATE OR REPLACE PROCEDURE p() AS $$
+        DECLARE
+            v_lo INT := 0;
+            cur CURSOR FOR SELECT k FROM items WHERE k > v_lo ORDER BY k;
+            v_k INT;
+        BEGIN
+            v_lo := 2;
+            OPEN cur;
+            LOOP
+                FETCH cur INTO v_k;
+                EXIT WHEN NOT found;
+                INSERT INTO got VALUES (v_k);
+            END LOOP;
+            CLOSE cur;
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p();
+        SELECT * FROM got ORDER BY k;
+        """,
+    )
+    assert [r[0] for r in out.collect()] == [3, 4]
+
+
+def test_cursor_loud_cases(spark):
+    """Double OPEN, FETCH on a closed cursor, CLOSE of a not-open
+    cursor, FETCH into a cursor name, and an over-cap control query are
+    each loud."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    def proc(body):
+        return f"""
+        CREATE TEMP TABLE items (k INT);
+        INSERT INTO items VALUES (1);
+        CREATE OR REPLACE PROCEDURE p() AS $$
+        DECLARE
+            cur CURSOR FOR SELECT k FROM items;
+            v_k INT;
+        BEGIN
+            {body}
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p();
+        """
+
+    with _pytest.raises(ValueError, match="already open"):
+        run_redshift_script(spark, proc("OPEN cur; OPEN cur;"))
+    with _pytest.raises(ValueError, match="not open"):
+        run_redshift_script(spark, proc("FETCH cur INTO v_k;"))
+    with _pytest.raises(ValueError, match="not open"):
+        run_redshift_script(spark, proc("CLOSE cur;"))
+    with _pytest.raises(ValueError, match="not declared scalar"):
+        run_redshift_script(spark, proc("OPEN cur; FETCH cur INTO cur;"))
+    with _pytest.raises(ValueError, match="more than 1000 rows"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE OR REPLACE PROCEDURE p() AS $$
+            DECLARE
+                cur CURSOR FOR SELECT id FROM RANGE(0, 2000);
+                v INT;
+            BEGIN
+                OPEN cur;
+                FETCH cur INTO v;
+                CLOSE cur;
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL p();
+            """,
+        )

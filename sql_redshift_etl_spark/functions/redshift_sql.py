@@ -902,6 +902,104 @@ def _rewrite_partiql_unnest(sql: str) -> str:
         masked = masked[: m.start()] + repl + masked[m.end() :]
 
 
+# Redshift hierarchical queries: SELECT ... FROM t [WHERE w]
+# START WITH cond CONNECT BY PRIOR-cond [ORDER BY/LIMIT]. Rewritten to a
+# recursive CTE (Spark 4 executes those natively via UnionLoop — same
+# engine path as redshift_sql_recursive). LEVEL is exposed as the CTE's
+# `level` column. Subset (loud otherwise): one top-level clause pair, a
+# single unaliased table, at least one PRIOR reference, no
+# CONNECT_BY_ROOT / SYS_CONNECT_BY_PATH, no bare `SELECT *` (Redshift's
+# * excludes the LEVEL pseudocolumn; the CTE's cannot).
+_START_WITH_KW = re.compile(r"\bSTART\s+WITH\b", re.IGNORECASE)
+_CONNECT_BY_KW = re.compile(r"\bCONNECT\s+BY\b", re.IGNORECASE)
+_WHERE_KW = re.compile(r"\bWHERE\b", re.IGNORECASE)
+_CB_TAIL_KW = re.compile(r"\b(ORDER\s+BY|LIMIT|OFFSET)\b", re.IGNORECASE)
+_PRIOR_REF = re.compile(r"\bPRIOR\s+([\w$]+)\b", re.IGNORECASE)
+
+
+def _rewrite_connect_by(sql: str) -> str:
+    """``START WITH ... CONNECT BY PRIOR ...`` → WITH RECURSIVE.
+
+    The recursive arm joins the base table (child side, ``__c``) against
+    a projection of the working set that renames each PRIOR-referenced
+    column to ``__prior_<col>`` — so unqualified column references in
+    the CONNECT BY condition resolve unambiguously to the child row and
+    ``PRIOR x`` rewrites to ``__p.__prior_x`` (plus the parent's level),
+    exactly Oracle/Redshift's two-row evaluation model. A WHERE clause
+    filters AFTER hierarchy expansion (Redshift's semantics), so it
+    lands on the outer SELECT.
+    """
+    masked, lits = _mask_literals(sql)
+    cbs = _depth0_matches(masked, _CONNECT_BY_KW)
+    if not cbs:
+        return sql
+    if re.search(r"(?i)\b(CONNECT_BY_ROOT|SYS_CONNECT_BY_PATH|NOCYCLE)\b", masked):
+        raise ValueError(
+            "CONNECT BY: CONNECT_BY_ROOT / SYS_CONNECT_BY_PATH / NOCYCLE "
+            "are outside the supported subset"
+        )
+    sws = _depth0_matches(masked, _START_WITH_KW)
+    selects = _depth0_matches(masked, _SELECT_KW)
+    froms = _depth0_matches(masked, _FROM_KW)
+    if len(cbs) != 1 or len(sws) != 1 or len(selects) != 1 or len(froms) != 1:
+        raise ValueError(
+            "CONNECT BY: only one top-level SELECT ... FROM <table> "
+            "START WITH ... CONNECT BY ... is supported (no nesting/UNION)"
+        )
+    sel, frm, sw, cb = selects[0], froms[0], sws[0], cbs[0]
+    select_list = masked[sel.end() : frm.start()].strip()
+    if select_list == "*":
+        raise ValueError(
+            "CONNECT BY: list columns explicitly — Redshift's * excludes "
+            "the LEVEL pseudocolumn, the rewrite's working set cannot"
+        )
+    first, second = (sw, cb) if sw.start() < cb.start() else (cb, sw)
+    wheres = [
+        w
+        for w in _depth0_matches(masked, _WHERE_KW)
+        if frm.end() <= w.start() < first.start()
+    ]
+    if wheres:
+        where_part = masked[wheres[0].end() : first.start()].strip()
+        from_part = masked[frm.end() : wheres[0].start()].strip()
+    else:
+        where_part = None
+        from_part = masked[frm.end() : first.start()].strip()
+    tm = re.match(r"(?s)^[\w.]+$", from_part)
+    if tm is None:
+        raise ValueError(
+            f"CONNECT BY: FROM must be a single unaliased table, got {from_part[:40]!r}"
+        )
+    cond1 = masked[first.end() : second.start()].strip()
+    tails = [t for t in _depth0_matches(masked, _CB_TAIL_KW) if t.start() > second.end()]
+    end2 = tails[0].start() if tails else len(masked)
+    cond2 = masked[second.end() : end2].strip().rstrip(";").strip()
+    tail = masked[end2:].strip()
+    start_cond = cond1 if first is sw else cond2
+    cb_cond = cond2 if first is sw else cond1
+    if not start_cond or not cb_cond:
+        raise ValueError("CONNECT BY: empty START WITH or CONNECT BY condition")
+    prior_cols = sorted({m.group(1).lower() for m in _PRIOR_REF.finditer(cb_cond)})
+    if not prior_cols:
+        raise ValueError("CONNECT BY: the condition must reference PRIOR <column>")
+    join_cond = _PRIOR_REF.sub(lambda m: f"__p.__prior_{m.group(1).lower()}", cb_cond)
+    proj_prior = ", ".join(f"{c} AS __prior_{c}" for c in prior_cols)
+    rewritten = (
+        f"WITH RECURSIVE __cb AS ("
+        f" SELECT __c.*, CAST(1 AS INT) AS level FROM {from_part} __c"
+        f" WHERE {start_cond}"
+        f" UNION ALL"
+        f" SELECT __c.*, __p.level + 1 AS level"
+        f" FROM {from_part} __c"
+        f" JOIN (SELECT {proj_prior}, level FROM __cb) __p"
+        f" ON {join_cond}"
+        f") SELECT {select_list} FROM __cb"
+        + (f" WHERE {where_part}" if where_part else "")
+        + (f" {tail}" if tail else "")
+    )
+    return _unmask_literals(rewritten, lits)
+
+
 def _rewrite_replicate(sql: str) -> str:
     """REPLICATE (Redshift's REPEAT alias) → repeat."""
     masked, lits = _mask_literals(sql)
@@ -1141,7 +1239,7 @@ def translate_redshift_sql(sql: str) -> str:
     _rewrite_top runs before _rewrite_qualify so TOP + QUALIFY composes
     (qualify keeps the appended LIMIT in its tail)."""
     sql = strip_sql_comments(sql)
-    for fn in (rewrite_temp_names, _rewrite_partiql_unnest, _rewrite_top, _rewrite_qualify, _rewrite_convert, _rewrite_type_spellings, _rewrite_datediff, _rewrite_to_char, _rewrite_to_datetime, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_approx_count, _rewrite_similar_to, _rewrite_date_part_year, _rewrite_extract_epoch, _rewrite_at_time_zone, _rewrite_string_fns, _rewrite_trunc, _rewrite_math_aliases, _rewrite_replicate, _rewrite_log_base10, _rewrite_to_hex, _rewrite_strtol, _rewrite_cmp_fns, _rewrite_difference, _rewrite_get_byte, _rewrite_quote_fns, _rewrite_to_number, _rewrite_now, _strip_storage_clauses):
+    for fn in (rewrite_temp_names, _rewrite_connect_by, _rewrite_partiql_unnest, _rewrite_top, _rewrite_qualify, _rewrite_convert, _rewrite_type_spellings, _rewrite_datediff, _rewrite_to_char, _rewrite_to_datetime, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_approx_count, _rewrite_similar_to, _rewrite_date_part_year, _rewrite_extract_epoch, _rewrite_at_time_zone, _rewrite_string_fns, _rewrite_trunc, _rewrite_math_aliases, _rewrite_replicate, _rewrite_log_base10, _rewrite_to_hex, _rewrite_strtol, _rewrite_cmp_fns, _rewrite_difference, _rewrite_get_byte, _rewrite_quote_fns, _rewrite_to_number, _rewrite_now, _strip_storage_clauses):
         sql = fn(sql)
     return sql
 

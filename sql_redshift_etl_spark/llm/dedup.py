@@ -1022,6 +1022,13 @@ def dedup_embedding_ann_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     tools/dedup_scale_trend.py: candidate mass linear in n, 0.035% of
     pair space at 600 k vectors vs the fixed banding's 3.6%).
     """
+    import pyarrow.dataset as ds
+
     e = load_table(spark, sf_dir, "embeddings")
-    nb, bw = ann_banding_for(e.count())
+    # corpus size for the banding policy from parquet footer metadata —
+    # the same n a Spark count() returns, without spending a job on it
+    # (r7 job census; at 100 TB the store's row-count statistic is the
+    # right input to a PLANNING decision, not a cluster scan)
+    n = ds.dataset(f"{sf_dir}/embeddings.parquet").count_rows()
+    nb, bw = ann_banding_for(n)
     return embedding_ann_pairs_df(e, n_bands=nb, band_bits=bw)

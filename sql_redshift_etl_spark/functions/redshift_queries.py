@@ -1867,3 +1867,116 @@ def redshift_script_cursor_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert out is not None
     return out
+
+
+_REDSHIFT_CONNECT_BY = """
+    SELECT c_custkey, c_name, CAST(LEVEL AS BIGINT) AS lvl
+    FROM {customer}
+    WHERE MOD(c_custkey, 2) = 0
+    START WITH c_custkey = 1
+    CONNECT BY FLOOR(c_custkey / 10) = PRIOR c_custkey
+"""
+
+
+@register(
+    "redshift_sql_connect_by",
+    tags=("F2",),
+    oracle="""
+        WITH RECURSIVE cb AS (
+            SELECT c_custkey, c_name, 1 AS lvl
+            FROM customer WHERE c_custkey = 1
+            UNION ALL
+            SELECT c.c_custkey, c.c_name, p.lvl + 1
+            FROM customer c JOIN cb p ON FLOOR(c.c_custkey / 10) = p.c_custkey
+        )
+        SELECT c_custkey, c_name, CAST(lvl AS BIGINT) AS lvl
+        FROM cb WHERE MOD(c_custkey, 2) = 0
+    """,
+)
+def redshift_sql_connect_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redshift hierarchical query (r7): START WITH / CONNECT BY PRIOR
+    with the LEVEL pseudocolumn, rewritten by the dialect front-end into
+    a recursive CTE (redshift_sql.py _rewrite_connect_by; Spark 4
+    executes it natively as UnionLoop — zero driver-side iteration).
+    Load-bearing semantics: the WHERE filters AFTER hierarchy expansion
+    (odd-keyed parents vanish from the output but their even-keyed
+    descendants remain — pruning the tree instead would change the
+    rows), and LEVEL counts the walk depth per row.
+
+    Scale: each recursion step is a distributed join of the base table
+    against the previous frontier on the PRIOR key; depth here is
+    log10(max key) regardless of row count — the same frontier-shrink
+    argument as redshift_sql_recursive.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("rs_cb_customer")
+    return run_redshift_sql(spark, _REDSHIFT_CONNECT_BY.format(customer="rs_cb_customer"))
+
+
+_SCRIPT_GET_DIAGNOSTICS = """
+    CREATE TEMP TABLE stage AS
+    SELECT * FROM {orders} WHERE o_orderstatus = 'O' AND o_custkey <= 300;
+    CREATE TEMP TABLE audit_rc (step VARCHAR(10), n BIGINT);
+
+    CREATE PROCEDURE load_and_scrub() AS $$
+    DECLARE v_n BIGINT;
+    BEGIN
+        INSERT INTO stage
+        SELECT * FROM {orders} WHERE o_orderstatus = 'F' AND o_custkey <= 300;
+        GET DIAGNOSTICS v_n := ROW_COUNT;
+        INSERT INTO audit_rc VALUES ('ins', v_n);
+
+        UPDATE stage SET o_totalprice = 0 WHERE o_orderpriority = '1-URGENT';
+        GET DIAGNOSTICS v_n := ROW_COUNT;
+        INSERT INTO audit_rc VALUES ('upd', v_n);
+
+        DELETE FROM stage WHERE o_custkey <= 150;
+        GET DIAGNOSTICS v_n = ROW_COUNT;
+        INSERT INTO audit_rc VALUES ('del', v_n);
+    END;
+    $$ LANGUAGE plpgsql;
+
+    CALL load_and_scrub();
+    SELECT step, n FROM audit_rc
+    UNION ALL
+    SELECT 'final', COUNT(*) FROM stage;
+"""
+
+
+@register(
+    "redshift_script_get_diagnostics",
+    tags=("S6",),
+    oracle="""
+        WITH loaded AS (
+            SELECT * FROM orders
+            WHERE o_orderstatus IN ('O', 'F') AND o_custkey <= 300
+        )
+        SELECT 'ins' AS step,
+               (SELECT COUNT(*) FROM loaded WHERE o_orderstatus = 'F') AS n
+        UNION ALL
+        SELECT 'upd',
+               (SELECT COUNT(*) FROM loaded WHERE o_orderpriority = '1-URGENT')
+        UNION ALL
+        SELECT 'del', (SELECT COUNT(*) FROM loaded WHERE o_custkey <= 150)
+        UNION ALL
+        SELECT 'final', (SELECT COUNT(*) FROM loaded WHERE o_custkey > 150)
+    """,
+)
+def redshift_script_get_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET DIAGNOSTICS var := ROW_COUNT (r7): the load-audit idiom —
+    each DML's affected-row count lands in an audit table, and every
+    count is load-bearing in the hash (insert count, update-match count,
+    delete count, surviving rows). Affected sets are captured as LAZY
+    plans against the statement's own bindings and counted only at the
+    GET DIAGNOSTICS read — an untracked intervening statement makes the
+    read loud rather than silently stale (script_runner.py).
+
+    Scale: one count job per ROW_COUNT read, each over the captured
+    delta plan (pushed filters, no shuffle); procs that never read
+    ROW_COUNT pay nothing.
+    """
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rs_gd_orders")
+    out = run_redshift_script(spark, _SCRIPT_GET_DIAGNOSTICS.format(orders="rs_gd_orders"))
+    assert out is not None
+    return out

@@ -36,6 +36,9 @@ Handled rewrites (each with a unit test in tests/test_units.py):
   identifiers cannot start with '#')
 - LISTAGG ... WITHIN GROUP ... OVER (PARTITION BY ...) — window form
   (r5; ORDER BY inside OVER raises, matching Redshift's own restriction)
+- START WITH ... CONNECT BY PRIOR ... [LEVEL] → WITH RECURSIVE (r7;
+  hierarchical queries on Spark's native UnionLoop — see
+  _rewrite_connect_by for the subset and the PRIOR-rename join model)
 
 NVL / NVL2 / DECODE / :: casts / ILIKE / LEN / SPLIT_PART / POSITION /
 BTRIM / INITCAP / REGEXP_SUBSTR / REGEXP_COUNT / REGEXP_INSTR /

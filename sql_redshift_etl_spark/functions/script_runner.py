@@ -158,8 +158,13 @@ Statement support:
     with FOR-over-query), ``FETCH [NEXT] [FROM] cur INTO vars`` (sets
     ``found``; NULLs past the end), ``CLOSE``. SCROLL/parameterized
     cursors and FETCH counts are loud.
+  * ``GET DIAGNOSTICS var := ROW_COUNT`` — rows affected by the last
+    tracked statement (INSERT/UPDATE/DELETE/TRUNCATE via lazy
+    affected-set plans counted only when read; SELECT INTO var, FETCH
+    and EXECUTE INTO report 0/1). Untracked statements reset the
+    count, and reading it then is loud — never silently stale.
   Still loud: OUT params, RETURN with a value, PERFORM,
-  GET DIAGNOSTICS, EXECUTE ... USING.
+  EXECUTE ... USING, GET DIAGNOSTICS of anything but ROW_COUNT.
   Cost model note (r6): WHILE/FOR loop conditions evaluate as one
   1-row Spark job per iteration (capped at 1000) — faithful to
   coordinator-side plpgsql, so a 1000-iteration loop costs the job
@@ -579,9 +584,7 @@ _DROP_PROC = re.compile(
 # cursors — see their sections below); any hit in a procedure body is a
 # loud error, not a silent misparse. Checked on quote-masked text so a
 # RAISE message containing one of these words cannot false-positive.
-_PLPGSQL_CONTROL = re.compile(
-    r"(?i)(?:^|[^\w$])(PERFORM|GET\s+DIAGNOSTICS)(?:[^\w$]|$)"
-)
+_PLPGSQL_CONTROL = re.compile(r"(?i)(?:^|[^\w$])(PERFORM)(?:[^\w$]|$)")
 
 
 def _parse_proc_params(params: str) -> list[str]:
@@ -1390,6 +1393,13 @@ class _ScriptState:
         # errors surface at the guarded statement that caused them —
         # honest catch timing under Spark's lazy plans.
         self.guard_depth = 0
+        # Rows affected by the last DML, for GET DIAGNOSTICS ROW_COUNT:
+        # an int (known), a DataFrame (a LAZY plan of the affected rows,
+        # captured at DML time against that moment's bindings — counted
+        # only if ROW_COUNT is actually read, so untracked procs pay no
+        # extra jobs), or None (last statement's count not tracked —
+        # reading it then is loud, never silently stale).
+        self.last_dml: DataFrame | int | None = None
 
     def snapshot(self) -> dict:
         """Shallow state snapshot (bindings are immutable DataFrames, so
@@ -2077,8 +2087,44 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         )
                     for n, v in zip(names, vals):
                         scope[n][1] = v
+                    state.last_dml = 1 if row is not None else 0
                     continue
                 if scope is not None:
+                    if raw[:3].upper() == "GET":
+                        # GET DIAGNOSTICS var := ROW_COUNT (r7): rows
+                        # affected by the last tracked statement —
+                        # INSERT/UPDATE/DELETE/TRUNCATE (lazy affected-set
+                        # plans counted on first read, then cached) plus
+                        # the 0/1 of SELECT INTO var, FETCH, and
+                        # EXECUTE ... INTO. Any other preceding statement
+                        # resets the count to untracked — reading it then
+                        # is loud, never silently stale.
+                        gm = re.match(
+                            r"(?is)^GET\s+DIAGNOSTICS\s+([\w$]+)\s*(?::=|=)\s*ROW_COUNT\s*$",
+                            raw,
+                        )
+                        if gm is None:
+                            raise ValueError(
+                                f"GET DIAGNOSTICS: only 'var := ROW_COUNT' is "
+                                f"supported, got {raw[:60]!r}"
+                            )
+                        vname = gm.group(1).lower()
+                        if vname not in scope or scope[vname][0] == "CURSOR":
+                            raise ValueError(
+                                f"GET DIAGNOSTICS: {vname!r} is not a declared "
+                                "scalar variable"
+                            )
+                        if state.last_dml is None:
+                            raise ValueError(
+                                "GET DIAGNOSTICS ROW_COUNT: the preceding "
+                                "statement's row count is not tracked (tracked: "
+                                "INSERT/UPDATE/DELETE/TRUNCATE, SELECT INTO var, "
+                                "FETCH, EXECUTE INTO)"
+                            )
+                        if not isinstance(state.last_dml, int):
+                            state.last_dml = state.last_dml.count()
+                        scope[vname][1] = state.last_dml
+                        continue
                     # forward-only cursor ops (r7): OPEN evaluates the
                     # bound query NOW through the dialect front-end with
                     # current variable values, buffering at most
@@ -2152,6 +2198,7 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                             scope[n][1] = v
                         if "found" in scope:
                             scope["found"][1] = hit
+                        state.last_dml = 1 if hit else 0
                         continue
                     if cm := re.match(r"(?is)^CLOSE\s+([\w$]+)\s*$", raw):
                         cname = cm.group(1).lower()
@@ -2200,6 +2247,7 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                                     )
                                 for n, v in zip(names, vals2):
                                     scope[n][1] = v
+                                state.last_dml = 1 if row is not None else 0
                                 continue
                     raw = _subst_vars(scope, raw)
                 # Redshift #temp names → plain identifiers BEFORE statement
@@ -2734,6 +2782,10 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         write_manifest(path, suffix=suffix)
                     continue
                 stmt = translate_redshift_sql(raw).strip()
+                # every engine-executed statement resets ROW_COUNT (as in
+                # plpgsql); the DML handlers below re-set it. plpgsql-side
+                # statements (assignments, RAISE, control flow) do not.
+                state.last_dml = None
                 # Explicit transactions (r6): BEGIN snapshots the script
                 # state, COMMIT/END discards the snapshot, ROLLBACK/ABORT
                 # restores it — a real rollback, not the silent keep-changes
@@ -3062,6 +3114,7 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         # a clock default must not re-evaluate per action
                         bound = bound.localCheckpoint(eager=True)
                     state.bind(name, bound)
+                    state.last_dml = 1
                 elif m := _INSERT.match(stmt):
                     name, cols, query = m.group(1), m.group(2), m.group(3)
                     base = state.existing(name)
@@ -3137,7 +3190,9 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         sel = sel.select(
                             *[_fill(f).alias(f.name) for f in base.schema.fields]
                         )
-                    bound = base.unionAll(_cast_positional(sel, base, name))
+                    delta = _cast_positional(sel, base, name)
+                    state.last_dml = delta  # rows inserted (counted on demand)
+                    bound = base.unionAll(delta)
                     if cols and filled_identity:
                         # pin generated ids: monotonically_increasing_id is
                         # nondeterministic across re-evaluations, and a bound
@@ -3152,6 +3207,7 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     name, rest = m.group(1), m.group(2)
                     state.existing(name)  # must exist (loud failure)
                     if rest is None:
+                        state.last_dml = state.existing(name)  # all rows deleted
                         state.bind(name, state.existing(name).limit(0))
                     elif um := re.match(r"(?is)^USING\s+(.+)$", rest):
                         # DELETE FROM t USING s [, s2] WHERE cond (r5): the
@@ -3166,6 +3222,12 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                                 "condition (an unconditioned delete-all is spelled "
                                 "without USING)"
                             )
+                        # the deleted set, captured (lazily) BEFORE the
+                        # rebind so ROW_COUNT sees this statement's view
+                        state.last_dml = spark.sql(
+                            f"SELECT {name}.* FROM {name} WHERE EXISTS "
+                            f"(SELECT 1 FROM {using} WHERE {where})"
+                        )
                         state.bind(
                             name,
                             spark.sql(
@@ -3177,6 +3239,9 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         # DELETE removes rows where cond IS TRUE; NULL-cond
                         # rows are kept. Through spark.sql so IN/EXISTS
                         # subqueries in the predicate resolve.
+                        state.last_dml = spark.sql(
+                            f"SELECT * FROM {name} WHERE coalesce(({wm.group(1)}), false)"
+                        )
                         state.bind(
                             name,
                             spark.sql(
@@ -3253,9 +3318,14 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                             )
                             for f in base.schema.fields
                         ]
+                        state.last_dml = one.select("__rid")  # target rows updated
                         state.bind(name, joined.select(*proj))
                         continue
                     cond = cond or "true"
+                    # updated set captured before the rebind (ROW_COUNT)
+                    state.last_dml = spark.sql(
+                        f"SELECT 1 AS __one FROM {name} WHERE coalesce(({cond}), false)"
+                    )
                     proj = []
                     for f in base.schema.fields:
                         if f.name in assigned:
@@ -3268,6 +3338,7 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                             proj.append(f.name)
                     state.bind(name, spark.sql(f"SELECT {', '.join(proj)} FROM {name}"))
                 elif m := _TRUNCATE.match(stmt):
+                    state.last_dml = state.existing(m.group(1))
                     state.bind(m.group(1), state.existing(m.group(1)).limit(0))
                 elif m := _DROP.match(stmt):
                     for name in (n.strip() for n in m.group(1).split(",")):

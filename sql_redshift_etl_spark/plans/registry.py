@@ -89,12 +89,17 @@ def register(
 # r7-new plpgsql queries lead (EXCEPTION WHEN OTHERS, EXECUTE dynamic
 # SQL, cursor loop); (2) the 5 registered queries that had never had an
 # official driver row (3 late-r6 oracled + 2 rows-only by design) — after
-# a green r7 EVERY registered query has one; (3) two r6-green procedural
-# queries re-checked because the script-runner core was restructured this
-# round (worklist loop wrapped in the guard try, state snapshot/restore
-# refactor); (4) the 40 entries whose newest row was r3-era (39 oracled +
-# approx_count_distinct's r1 rows-only) — after a green r7 nothing is
-# older than r4.
+# a green r7 EVERY registered query has one; (3) control_flow re-checked
+# because the script-runner core was restructured this round (worklist
+# loop wrapped in the guard try, snapshot/restore refactor; the three
+# r7-new script queries cover the CALL machinery from the other side,
+# and displaced stored_procedure below the boundary for connect_by);
+# (4) 39 of the 40 entries whose newest row was r3-era (incl.
+# approx_count_distinct's r1 rows-only); sim_ann_lsh alone was displaced
+# by the 5th r7-new query (get_diagnostics) — the least-lost check, since
+# its oracle is bit-identical to sim_ann_lsh_pruned's by construction
+# (same _ann_lsh_oracle(); probe-set membership ⇔ Hamming≤2) and it leads
+# the r8 window below.
 # Maintenance rules (CI-enforced in tests/test_registry_hygiene.py):
 #  - every SQL-oracled query must appear in this list OR carry a
 #    "sibling-coverage:" note in its docstring naming the in-list query
@@ -109,13 +114,14 @@ _VERIFY_FIRST: list[str] = [
     "redshift_script_proc_exception",
     "redshift_script_execute_dynamic",
     "redshift_script_cursor_loop",
+    "redshift_sql_connect_by",
+    "redshift_script_get_diagnostics",
     "redshift_script_transactions",
     "redshift_sql_misc4",
     "dedup_minhash_incremental",
     "hll_sketch_partition_merge",
     "embedding_pca_project",
     "redshift_script_proc_control_flow",
-    "redshift_script_stored_procedure",
     "approx_count_distinct",
     "curation_shard_export",
     "dedup_exact_groups",
@@ -142,7 +148,6 @@ _VERIFY_FIRST: list[str] = [
     "sample_domain_temperature",
     "sample_hash_fraction",
     "sample_salted_hot_agg",
-    "sim_ann_lsh",
     "sim_ivf_kmeans",
     "sim_ivf_search",
     "stream_stateful_sessions",
@@ -159,6 +164,8 @@ _VERIFY_FIRST: list[str] = [
     # --- 50-query driver boundary ---
     # Below-boundary order = r8 window priority: the 13 r6-era
     # first-session oracled queries lead, then the r5 cohort.
+    "redshift_script_stored_procedure",
+    "sim_ann_lsh",
     "redshift_script_merge_into",
     "redshift_script_materialized_view",
     "redshift_sql_misc3",

@@ -475,3 +475,93 @@ def test_script_transactions_match_model(spark, ops):
     stmts.append("SELECT k FROM tx_t;")
     out = run_redshift_script(spark, "\n".join(stmts))
     assert sorted(r.k for r in out.collect()) == sorted(rows)
+
+
+# --- r7: EXCEPTION guard semantics vs a Python reference model -------------
+# Random programs of INSERTs, RAISEs, and nested BEGIN...EXCEPTION WHEN
+# OTHERS blocks. The model: a guard snapshots the table at entry; a raise
+# unwinds to the INNERMOST guard, restores the snapshot, and appends the
+# handler's marker row; nested guards catch before outer ones. This is
+# the strongest check that guard stacking, unwind order, and the
+# snapshot/restore rollback all agree with plpgsql's block semantics.
+
+_G_ITEM = st.deferred(
+    lambda: st.one_of(
+        st.tuples(st.just("ins"), st.integers(0, 99)),
+        st.tuples(st.just("raise")),
+        st.tuples(
+            st.just("guard"),
+            st.lists(_G_ITEM, min_size=0, max_size=3),
+            st.integers(100, 199),
+        ),
+    )
+)
+_G_TOP = st.lists(
+    st.one_of(
+        st.tuples(st.just("ins"), st.integers(0, 99)),
+        st.tuples(
+            st.just("guard"),
+            st.lists(_G_ITEM, min_size=0, max_size=3),
+            st.integers(100, 199),
+        ),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+def _g_render(items) -> str:
+    out = []
+    for it in items:
+        if it[0] == "ins":
+            out.append(f"INSERT INTO g_t VALUES ({it[1]});")
+        elif it[0] == "raise":
+            out.append("RAISE EXCEPTION 'boom';")
+        else:
+            out.append(
+                f"BEGIN {_g_render(it[1])} "
+                f"EXCEPTION WHEN OTHERS THEN INSERT INTO g_t VALUES ({it[2]}); END;"
+            )
+    return " ".join(out)
+
+
+class _GRaise(Exception):
+    pass
+
+
+def _g_eval(items, rows: list) -> None:
+    for it in items:
+        if it[0] == "ins":
+            rows.append(it[1])
+        elif it[0] == "raise":
+            raise _GRaise()
+        else:
+            snap = list(rows)
+            try:
+                _g_eval(it[1], rows)
+            except _GRaise:
+                rows[:] = snap
+                rows.append(it[2])
+
+
+@given(_G_TOP)
+@settings(max_examples=6, deadline=None)
+def test_exception_guard_matches_python_model(spark, prog):
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    rows: list[int] = []
+    _g_eval(prog, rows)
+    out = run_redshift_script(
+        spark,
+        f"""
+        CREATE TEMP TABLE g_t (k INT);
+        CREATE PROCEDURE prog() AS $$
+        BEGIN
+            {_g_render(prog)}
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL prog();
+        SELECT k FROM g_t;
+        """,
+    )
+    assert sorted(r.k for r in out.collect()) == sorted(rows)

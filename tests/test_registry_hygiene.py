@@ -53,13 +53,16 @@ def test_verify_first_has_no_duplicates():
 R7_MUST_VERIFY = frozenset(
     {
         "redshift_script_proc_exception", "redshift_script_execute_dynamic",
-        "redshift_script_cursor_loop",
+        "redshift_script_cursor_loop", "redshift_sql_connect_by",
+        "redshift_script_get_diagnostics",
         # never had an official driver row (VERDICT r6 item 1, by name)
         "redshift_script_transactions", "redshift_sql_misc4",
         "dedup_minhash_incremental", "hll_sketch_partition_merge",
         "embedding_pca_project",
-        # r7-touched procedural code paths
-        "redshift_script_proc_control_flow", "redshift_script_stored_procedure",
+        # r7-touched procedural code path (stored_procedure was displaced
+        # by connect_by: its CALL machinery is exercised by all three
+        # r7-new script queries plus control_flow)
+        "redshift_script_proc_control_flow",
         # the 40 r3-era rotations
         "approx_count_distinct", "curation_shard_export", "dedup_exact_groups",
         "dedup_minhash_ml", "dedup_survivor_corpus", "embedding_quantize_int8",
@@ -71,8 +74,11 @@ R7_MUST_VERIFY = frozenset(
         "q18_large_volume_customer", "q19_bracketed_revenue",
         "q22_dormant_accounts", "q5_local_supplier_volume",
         "q7_volume_shipping", "q8_market_share",
+        # sim_ann_lsh was displaced by get_diagnostics: its oracle is
+        # bit-identical to sim_ann_lsh_pruned's by construction, so the
+        # semantic check survives; it leads the r8 window instead
         "redshift_sql_ratio_to_report", "sample_domain_temperature",
-        "sample_hash_fraction", "sample_salted_hot_agg", "sim_ann_lsh",
+        "sample_hash_fraction", "sample_salted_hot_agg",
         "sim_ivf_kmeans", "sim_ivf_search", "stream_stateful_sessions",
         "stream_stream_interval_join", "stream_tumbling_daily",
         "stream_tumbling_watermark", "subquery_scalar_uncorrelated",

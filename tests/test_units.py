@@ -3546,3 +3546,122 @@ def test_cursor_loud_cases(spark):
             CALL p();
             """,
         )
+
+
+def test_connect_by_rewrite_and_loud_cases(spark):
+    """START WITH / CONNECT BY rewrites to a recursive CTE with LEVEL;
+    the out-of-subset spellings are loud."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.redshift_sql import (
+        run_redshift_sql,
+        translate_redshift_sql,
+    )
+
+    spark.createDataFrame(
+        [(i,) for i in range(1, 130)], "k INT"
+    ).createOrReplaceTempView("cb_t")
+    rows = run_redshift_sql(
+        spark,
+        """
+        SELECT k, CAST(LEVEL AS BIGINT) AS lvl
+        FROM cb_t
+        START WITH k = 1
+        CONNECT BY FLOOR(k / 10) = PRIOR k
+        ORDER BY k
+        """,
+    ).collect()
+    got = {r["k"]: r["lvl"] for r in rows}
+    # 1 (lvl 1); 10..19 (lvl 2); 100..129 (lvl 3)
+    assert got[1] == 1 and got[10] == 2 and got[19] == 2 and got[129] == 3
+    assert len(rows) == 1 + 10 + 30
+    # clause order flipped (CONNECT BY before START WITH) parses too
+    assert "WITH RECURSIVE" in translate_redshift_sql(
+        "SELECT k FROM cb_t CONNECT BY PRIOR k = k - 1 START WITH k = 1"
+    )
+    for bad, msg in [
+        ("SELECT * FROM cb_t START WITH k=1 CONNECT BY PRIOR k = k-1", "LEVEL pseudocolumn"),
+        ("SELECT k FROM cb_t START WITH k=1 CONNECT BY k = k-1", "PRIOR"),
+        (
+            "SELECT CONNECT_BY_ROOT k FROM cb_t START WITH k=1 CONNECT BY PRIOR k = k-1",
+            "CONNECT_BY_ROOT",
+        ),
+        (
+            "SELECT k FROM cb_t a START WITH k=1 CONNECT BY PRIOR k = k-1",
+            "single unaliased table",
+        ),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            translate_redshift_sql(bad)
+
+
+def test_get_diagnostics_row_count(spark):
+    """ROW_COUNT reports rows affected by INSERT/UPDATE/DELETE (lazy
+    affected-set plans counted at the read), the 0/1 of SELECT INTO var
+    and FETCH, and is LOUD after an untracked statement — never silently
+    stale."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE t (k INT, v INT);
+        CREATE TEMP TABLE log_tbl (tag VARCHAR(20), n BIGINT);
+        CREATE OR REPLACE PROCEDURE p() AS $$
+        DECLARE v_n BIGINT;
+        BEGIN
+            INSERT INTO t SELECT id, id * 2 FROM RANGE(0, 7);
+            GET DIAGNOSTICS v_n := ROW_COUNT;
+            INSERT INTO log_tbl VALUES ('ins', v_n);
+            UPDATE t SET v = 0 WHERE k < 3;
+            GET DIAGNOSTICS v_n := ROW_COUNT;
+            INSERT INTO log_tbl VALUES ('upd', v_n);
+            DELETE FROM t WHERE k >= 5;
+            GET DIAGNOSTICS v_n = ROW_COUNT;
+            INSERT INTO log_tbl VALUES ('del', v_n);
+            SELECT MAX(k) INTO v_n FROM t;
+            GET DIAGNOSTICS v_n := ROW_COUNT;
+            INSERT INTO log_tbl VALUES ('sel_into', v_n);
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p();
+        SELECT * FROM log_tbl;
+        """,
+    )
+    assert {tuple(r) for r in out.collect()} == {
+        ("ins", 7),
+        ("upd", 3),
+        ("del", 2),
+        ("sel_into", 1),
+    }
+    with _pytest.raises(ValueError, match="not tracked"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE TEMP TABLE t2 (k INT);
+            CREATE OR REPLACE PROCEDURE q() AS $$
+            DECLARE v_n BIGINT;
+            BEGIN
+                INSERT INTO t2 SELECT 1;
+                CREATE TEMP TABLE t3 AS SELECT 1 AS x;
+                GET DIAGNOSTICS v_n := ROW_COUNT;
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL q();
+            """,
+        )
+    with _pytest.raises(ValueError, match="only 'var := ROW_COUNT'"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE OR REPLACE PROCEDURE q2() AS $$
+            DECLARE v_n BIGINT;
+            BEGIN
+                GET DIAGNOSTICS v_n := PG_CONTEXT;
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL q2();
+            """,
+        )

@@ -1980,3 +1980,69 @@ def redshift_script_get_diagnostics(spark: SparkSession, sf_dir: str) -> DataFra
     out = run_redshift_script(spark, _SCRIPT_GET_DIAGNOSTICS.format(orders="rs_gd_orders"))
     assert out is not None
     return out
+
+
+_SCRIPT_CASE_STMT = """
+    CREATE TEMP TABLE tiers (seg VARCHAR(20), tier VARCHAR(10), n BIGINT);
+
+    CREATE PROCEDURE classify(p_seg VARCHAR(20)) AS $$
+    DECLARE v_n BIGINT;
+    BEGIN
+        SELECT COUNT(*) INTO v_n FROM {customer} WHERE c_mktsegment = p_seg;
+        CASE
+            WHEN v_n = 0 THEN
+                RAISE EXCEPTION 'empty segment %', p_seg;
+            WHEN v_n < 250 THEN
+                INSERT INTO tiers VALUES (p_seg, 'small', v_n);
+            ELSE
+                INSERT INTO tiers VALUES (p_seg, 'large', v_n);
+        END CASE;
+        CASE SUBSTRING(p_seg, 1, 1)
+            WHEN 'B', 'F' THEN
+                UPDATE tiers SET tier = tier || '+bf' WHERE seg = p_seg;
+            ELSE
+                UPDATE tiers SET tier = tier || '+other' WHERE seg = p_seg;
+        END CASE;
+    END;
+    $$ LANGUAGE plpgsql;
+
+    CALL classify('BUILDING');
+    CALL classify('FURNITURE');
+    CALL classify('MACHINERY');
+    SELECT seg, tier, n FROM tiers;
+"""
+
+
+@register(
+    "redshift_script_case_stmt",
+    tags=("S6",),
+    oracle="""
+        SELECT c_mktsegment AS seg,
+               (CASE WHEN COUNT(*) < 250 THEN 'small' ELSE 'large' END)
+               || (CASE WHEN substring(c_mktsegment, 1, 1) IN ('B', 'F')
+                        THEN '+bf' ELSE '+other' END) AS tier,
+               COUNT(*) AS n
+        FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'FURNITURE', 'MACHINERY')
+        GROUP BY c_mktsegment
+    """,
+)
+def redshift_script_case_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """plpgsql CASE *statement* (r7, late addition — leads the r8 driver
+    window; pytest + driver_sim green this round): both forms are
+    load-bearing — the searched form picks the size tier per segment
+    (with an untaken RAISE branch), and the simple value-list form
+    (`CASE SUBSTRING(seg,1,1) WHEN 'B','F'`) appends a suffix via
+    UPDATE. A no-match CASE without ELSE raises case_not_found, as
+    plpgsql does (unit-tested).
+
+    Scale: CASE statements are driver-side branch selection over 1-row
+    condition queries — the chosen arm's DML is the only distributed
+    work, identical to the hand-written equivalent.
+    """
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("rs_case_customer")
+    out = run_redshift_script(spark, _SCRIPT_CASE_STMT.format(customer="rs_case_customer"))
+    assert out is not None
+    return out

@@ -127,7 +127,9 @@ Statement support:
   ``DROP PROCEDURE`` (r6) — the body executes in place at CALL with IN
   parameters substituted on identifier boundaries (plpgsql's own
   lexical substitution), and supports the procedural core: IF/ELSIF/
-  ELSE, WHILE ... LOOP, FOR i IN [REVERSE] a..b LOOP, FOR rec IN
+  ELSE, WHILE ... LOOP, FOR i IN [REVERSE] a..b [BY step] LOOP (r7:
+  BY; non-positive steps loud, plpgsql's rule), CASE statements (r7:
+  searched + simple value-list forms, case_not_found raise), FOR rec IN
   <query> LOOP (bounded control-table iteration), bare LOOP, EXIT/
   CONTINUE [WHEN], bare RETURN, RAISE, and DECLAREd scalar variables
   with ``var := expr`` and ``SELECT ... INTO var`` (values substitute
@@ -649,14 +651,17 @@ class _ForNode:
     node doubles as the loop marker EXIT/CONTINUE unwind to (same shape
     as _WhileNode)."""
 
-    __slots__ = ("var", "frm", "to", "reverse", "body", "vals", "idx")
+    __slots__ = ("var", "frm", "to", "reverse", "by", "body", "vals", "idx")
     MAX_RANGE = 1000
 
-    def __init__(self, var: str, frm: str, to: str, reverse: bool, body: str):
+    def __init__(
+        self, var: str, frm: str, to: str, reverse: bool, by: str | None, body: str
+    ):
         self.var = var
         self.frm = frm  # start-bound expression (the higher one under REVERSE)
         self.to = to
         self.reverse = reverse
+        self.by = by  # optional positive step expression (plpgsql BY)
         self.body = body
         self.vals: range | None = None  # bounds evaluate on first pop
         self.idx = 0
@@ -711,7 +716,8 @@ def _mask_quoted(text: str) -> str:
 # modifiers, no block) before IF. WHILE/FOR heads don't open a block —
 # their LOOP keyword does.
 _CTRL_TOKEN = re.compile(
-    r"(?is)\b(?:(?P<endif>END\s+IF)|(?P<endloop>END\s+LOOP)"
+    r"(?is)\b(?:(?P<endcase>END\s+CASE)|(?P<endif>END\s+IF)"
+    r"|(?P<endloop>END\s+LOOP)"
     r"|(?P<ifx>IF\s+(?:NOT\s+)?EXISTS)|(?P<if>IF)|(?P<loop>LOOP)"
     r"|(?P<then>THEN)|(?P<elsif>ELSIF|ELSEIF)|(?P<else>ELSE)"
     r"|(?P<case>CASE)|(?P<end>END))\b"
@@ -740,7 +746,7 @@ def _parse_if(text: str, masked: str, start: int) -> tuple[_IfNode, int]:
         kind = m.lastgroup
         if kind == "case":
             case_depth += 1
-        elif kind == "end":
+        elif kind in ("end", "endcase"):
             if case_depth > 0:
                 case_depth -= 1
         elif kind == "if":
@@ -825,11 +831,16 @@ def _parse_for(text: str, masked: str, start: int) -> tuple[_ForNode, int]:
             _ForQueryNode(hm.group(1), rng.strip(), text[lm.end() : em.start()]),
             _consume_semi(text, em.end()),
         )
+    to_part, by = rng[dots + 2 :].strip(), None
+    if bm := re.match(r"(?is)^(.*?)\sBY\s(.+)$", _mask_quoted(to_part)):
+        by = to_part[len(bm.group(1)) + 4 :].strip()
+        to_part = to_part[: len(bm.group(1))].strip()
     node = _ForNode(
         hm.group(1),
         rng[:dots].strip(),
-        rng[dots + 2 :].strip(),
+        to_part,
         bool(hm.group(2)),
+        by,
         text[lm.end() : em.start()],
     )
     return node, _consume_semi(text, em.end())
@@ -866,13 +877,103 @@ class _GuardEnd:
 # EXCEPTION keeps `RAISE EXCEPTION 'msg'` (string follows, not WHEN)
 # from reading as a handler divider.
 _GUARD_TOKEN = re.compile(
-    r"(?is)\b(?:(?P<endif>END\s+IF)|(?P<endloop>END\s+LOOP)"
+    r"(?is)\b(?:(?P<endcase>END\s+CASE)|(?P<endif>END\s+IF)"
+    r"|(?P<endloop>END\s+LOOP)"
     r"|(?P<ifx>IF\s+(?:NOT\s+)?EXISTS)|(?P<if>IF)|(?P<loop>LOOP)"
     r"|(?P<case>CASE)|(?P<begin>BEGIN)"
     r"|(?P<exc>EXCEPTION(?=\s+WHEN\b))|(?P<end>END))\b"
 )
 
 _HANDLER_HEAD = re.compile(r"(?is)^\s*WHEN\s+OTHERS\s+THEN\b(.*)$")
+
+
+# plpgsql CASE *statement* (r7): both the searched form
+# (CASE WHEN cond THEN stmts ... END CASE) and the simple form
+# (CASE expr WHEN v1 [, v2] THEN stmts ... END CASE), desugared into the
+# proven _IfNode machinery. plpgsql semantics kept: the simple form
+# compares with = (spelled IN for value lists — NULL never matches,
+# same as plpgsql), and a CASE with no matching branch and no ELSE
+# RAISEs case_not_found instead of falling through.
+_CASE_TOKEN = re.compile(
+    r"(?is)\b(?:(?P<endcase>END\s+CASE)|(?P<endif>END\s+IF)"
+    r"|(?P<endloop>END\s+LOOP)|(?P<ifx>IF\s+(?:NOT\s+)?EXISTS)"
+    r"|(?P<if>IF)|(?P<loop>LOOP)|(?P<begin>BEGIN)|(?P<case>CASE)"
+    r"|(?P<when>WHEN)|(?P<then>THEN)|(?P<else>ELSE)|(?P<end>END))\b"
+)
+
+_CASE_NOT_FOUND = (
+    "RAISE EXCEPTION 'CASE statement: no matching branch (case_not_found)'"
+)
+
+
+def _parse_case_stmt(text: str, masked: str, start: int) -> tuple[_IfNode, int]:
+    """Parse a CASE statement starting at *start* (the CASE keyword) into
+    an _IfNode. Branch WHENs are recognized only at this CASE's own
+    level; a WHEN directly preceded by EXIT/CONTINUE (loop control) or
+    followed by [NOT] MATCHED (a MERGE inside an arm — wrap it in
+    BEGIN...END, documented subset) is not a branch divider."""
+    stack = 1
+    head_start = start + 4
+    search_expr: str | None = None
+    branches: list[tuple[str, str]] = []
+    seen_first_when = False
+    when_start: int | None = None
+    cur_when: str | None = None
+    body_start: int | None = None
+    else_start: int | None = None
+    for m in _CASE_TOKEN.finditer(masked, head_start):
+        kind = m.lastgroup
+        if kind == "ifx":
+            continue
+        if kind in ("if", "loop", "begin", "case"):
+            stack += 1
+            continue
+        if kind in ("endif", "endloop", "end"):
+            stack -= 1
+            continue
+        if kind == "endcase":
+            stack -= 1
+            if stack > 0:
+                continue
+            if else_start is not None:
+                else_body: str | None = text[else_start : m.start()]
+            elif body_start is not None:
+                branches.append((cur_when, text[body_start : m.start()]))
+                else_body = _CASE_NOT_FOUND  # plpgsql raises case_not_found
+            else:
+                raise ValueError(
+                    f"CASE statement: no WHEN branch near {text[start:start + 60]!r}"
+                )
+            if search_expr:
+                branches = [(f"({search_expr}) IN ({w})", b) for w, b in branches]
+            return _IfNode(branches, else_body), _consume_semi(text, m.end())
+        if stack != 1 or else_start is not None:
+            continue
+        if kind == "when":
+            if re.search(r"(?is)\b(EXIT|CONTINUE)\s*$", text[:m.start()]):
+                continue  # EXIT/CONTINUE WHEN inside a branch body
+            if re.match(r"(?is)WHEN\s+(?:NOT\s+)?MATCHED\b", text[m.start():]):
+                continue  # a MERGE clause, not a branch divider
+            if not seen_first_when:
+                seen_first_when = True
+                head = text[head_start : m.start()].strip()
+                search_expr = head or None
+            elif body_start is not None:
+                branches.append((cur_when, text[body_start : m.start()]))
+            when_start, body_start = m.end(), None
+        elif kind == "then":
+            if when_start is not None and body_start is None:
+                cur_when = text[when_start : m.start()].strip()
+                if not cur_when:
+                    raise ValueError("CASE statement: empty WHEN")
+                body_start = m.end()
+        elif kind == "else":
+            if body_start is None:
+                raise ValueError("CASE statement: ELSE before any WHEN ... THEN")
+            branches.append((cur_when, text[body_start : m.start()]))
+            body_start = None
+            else_start = m.end()
+    raise ValueError(f"CASE statement: missing END CASE near {text[start:start + 60]!r}")
 
 
 def _parse_begin_block(text: str, masked: str, start: int) -> tuple[_GuardNode, int]:
@@ -893,6 +994,9 @@ def _parse_begin_block(text: str, masked: str, start: int) -> tuple[_GuardNode, 
         elif kind == "endloop":
             if not stack or stack.pop() != "loop":
                 raise ValueError("BEGIN block: mismatched END LOOP")
+        elif kind == "endcase":
+            if not stack or stack.pop() != "case":
+                raise ValueError("BEGIN block: mismatched END CASE")
         elif kind == "exc":
             if len(stack) == 1:
                 if exc_span is not None:
@@ -931,7 +1035,7 @@ def _toplevel_exception(masked_body: str) -> bool:
             continue
         if kind in ("if", "loop", "case", "begin"):
             depth += 1
-        elif kind in ("endif", "endloop", "end"):
+        elif kind in ("endif", "endloop", "endcase", "end"):
             depth -= 1
         elif kind == "exc" and depth == 0:
             return True
@@ -977,7 +1081,7 @@ def _parse_plpgsql_nodes(text: str) -> list:
             i += 1
         if i >= n:
             break
-        m = re.match(r"(?i)(IF|WHILE|FOR|LOOP|BEGIN|DECLARE)\b", masked[i:])
+        m = re.match(r"(?i)(IF|WHILE|FOR|LOOP|BEGIN|DECLARE|CASE)\b", masked[i:])
         kw = m.group(1).upper() if m else None
         if kw == "DECLARE":
             raise ValueError(
@@ -986,6 +1090,9 @@ def _parse_plpgsql_nodes(text: str) -> list:
             )
         if kw == "BEGIN":
             node, i = _parse_begin_block(text, masked, i)
+            nodes.append(node)
+        elif kw == "CASE":
+            node, i = _parse_case_stmt(text, masked, i)
             nodes.append(node)
         elif kw == "IF":
             node, i = _parse_if(text, masked, i)
@@ -1896,7 +2003,22 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         to = _eval_script_scalar(spark, state, _scoped_sql(raw.to), "BIGINT")
                         if frm is None or to is None:
                             raise ValueError(f"FOR {raw.var}: NULL range bound")
-                        raw.vals = range(frm, to - 1, -1) if raw.reverse else range(frm, to + 1)
+                        step = 1
+                        if raw.by is not None:
+                            step = _eval_script_scalar(
+                                spark, state, _scoped_sql(raw.by), "BIGINT"
+                            )
+                            if step is None or step <= 0:
+                                # plpgsql's own rule: BY must be positive
+                                raise ValueError(
+                                    f"FOR {raw.var}: BY step must be a positive "
+                                    f"integer, got {step!r}"
+                                )
+                        raw.vals = (
+                            range(frm, to - 1, -step)
+                            if raw.reverse
+                            else range(frm, to + 1, step)
+                        )
                         if len(raw.vals) > _ForNode.MAX_RANGE:
                             raise ValueError(
                                 f"FOR {raw.var}: range of {len(raw.vals)} exceeds the "

@@ -58,14 +58,21 @@ def _query_vec(sf_dir: str) -> list[float]:
     t = ds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
         filter=ds.field("vec_id") == QUERY_VEC_ID, columns=["embedding"]
     )
+    if t.num_rows == 0:
+        return None  # empty corpus: no query vector (empty result upstream)
     return [float(x) for x in t.column("embedding")[0].as_py()]
 
 
 def _with_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidates (all vecs but the query) + the query vector as a folded
-    literal column (one job total — see _query_vec)."""
+    literal column (one job total — see _query_vec). An empty corpus has
+    no query vector: qvec stays NULL and the candidate set is empty
+    anyway — same empty-in/empty-out contract as the broadcast form."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = F.lit(_query_vec(sf_dir)).cast("array<double>")
+    vec = _query_vec(sf_dir)
+    q = F.lit(vec).cast("array<double>") if vec is not None else F.lit(None).cast(
+        "array<double>"
+    )
     return e.where(F.col("vec_id") != QUERY_VEC_ID).withColumn("qvec", q)
 
 

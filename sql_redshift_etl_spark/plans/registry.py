@@ -162,8 +162,11 @@ _VERIFY_FIRST: list[str] = [
     "window_ignore_nulls",
     "window_range_frame",
     # --- 50-query driver boundary ---
-    # Below-boundary order = r8 window priority: the 13 r6-era
-    # first-session oracled queries lead, then the r5 cohort.
+    # Below-boundary order = r8 window priority: case_stmt (r7 late
+    # addition, pytest + driver_sim green, no official row yet), the two
+    # r7 displacements, then the 13 r6-era first-session oracled
+    # queries, then the r5 cohort.
+    "redshift_script_case_stmt",
     "redshift_script_stored_procedure",
     "sim_ann_lsh",
     "redshift_script_merge_into",

@@ -25,6 +25,9 @@ EXPECTED_CONTRACT_ERRORS = {
     # training a quantizer on zero vectors is meaningless; raises a
     # clear ValueError instead of MLlib's opaque JVM failure
     "sim_ivf_kmeans": "cannot train a KMeans quantizer",
+    # the script's CASE statement deliberately RAISEs on an empty
+    # segment — plpgsql's own guard idiom, part of what the query tests
+    "redshift_script_case_stmt": "empty segment",
 }
 
 

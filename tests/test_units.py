@@ -2566,20 +2566,20 @@ def test_while_runaway_loop_capped(spark):
 
 
 def test_unsupported_plpgsql_still_loud(spark):
-    """GET DIAGNOSTICS (the remaining unsupported keyword list) still
-    raises at CREATE PROCEDURE; a RAISE message CONTAINING such a word
-    does not false-positive (the check runs on quote-masked text)."""
+    """PERFORM (the remaining unsupported keyword list) still raises at
+    CREATE PROCEDURE; a RAISE message CONTAINING such a word does not
+    false-positive (the check runs on quote-masked text)."""
     import pytest as _pytest
 
     from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
 
-    with _pytest.raises(ValueError, match="GET"):
+    with _pytest.raises(ValueError, match="PERFORM"):
         run_redshift_script(
             spark,
             """
             CREATE PROCEDURE bad() AS $$
             BEGIN
-                GET DIAGNOSTICS n := ROW_COUNT;
+                PERFORM refresh_stats();
             END;
             $$ LANGUAGE plpgsql;
             """,
@@ -3663,5 +3663,119 @@ def test_get_diagnostics_row_count(spark):
             END;
             $$ LANGUAGE plpgsql;
             CALL q2();
+            """,
+        )
+
+
+def test_case_statement_forms(spark):
+    """plpgsql CASE *statement*: searched and simple (value-list) forms
+    desugar to IF; a no-match CASE without ELSE raises case_not_found
+    (catchable); nested CASE expressions inside arms stay expressions."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE t (tag VARCHAR(30));
+        CREATE OR REPLACE PROCEDURE p(x INT) AS $$
+        BEGIN
+            CASE
+                WHEN x < 0 THEN INSERT INTO t VALUES ('neg');
+                WHEN x = 0 THEN
+                    INSERT INTO t SELECT CASE WHEN 1 = 1 THEN 'zero' ELSE 'no' END;
+                    INSERT INTO t VALUES ('zero2');
+                ELSE INSERT INTO t VALUES ('pos');
+            END CASE;
+            CASE x
+                WHEN 1, 2 THEN INSERT INTO t VALUES ('small');
+                WHEN 3 THEN INSERT INTO t VALUES ('three');
+                ELSE INSERT INTO t VALUES ('other');
+            END CASE;
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p(0);
+        CALL p(2);
+        CALL p(7);
+        SELECT * FROM t ORDER BY tag;
+        """,
+    )
+    assert [r[0] for r in out.collect()] == [
+        "other", "other", "pos", "pos", "small", "zero", "zero2",
+    ]
+    # case_not_found raises (P0001 via RAISE) and a guard catches it;
+    # a CASE statement nested in an IF parses (END CASE tokenization)
+    out2 = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE t2 (tag VARCHAR(30));
+        CREATE OR REPLACE PROCEDURE q(x INT) AS $$
+        BEGIN
+            IF x >= 0 THEN
+                BEGIN
+                    CASE x WHEN 1 THEN INSERT INTO t2 VALUES ('one'); END CASE;
+                EXCEPTION WHEN OTHERS THEN
+                    INSERT INTO t2 VALUES ('caught:' || SQLSTATE);
+                END;
+            END IF;
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL q(1);
+        CALL q(9);
+        SELECT * FROM t2 ORDER BY tag;
+        """,
+    )
+    assert [r[0] for r in out2.collect()] == ["caught:P0001", "one"]
+    with _pytest.raises(Exception, match="case_not_found"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE OR REPLACE PROCEDURE r() AS $$
+            BEGIN
+                CASE 5 WHEN 1 THEN RAISE NOTICE 'x'; END CASE;
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL r();
+            """,
+        )
+
+
+def test_for_loop_by_step(spark):
+    """FOR i IN a..b BY s steps by s (REVERSE too); a non-positive step
+    is loud — plpgsql's own rule."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE t (k INT);
+        CREATE OR REPLACE PROCEDURE p() AS $$
+        BEGIN
+            FOR i IN 1..10 BY 3 LOOP
+                INSERT INTO t VALUES (i);
+            END LOOP;
+            FOR i IN REVERSE 10..1 BY 2 + 2 LOOP
+                INSERT INTO t VALUES (-i);
+            END LOOP;
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p();
+        SELECT * FROM t ORDER BY k;
+        """,
+    )
+    assert [r[0] for r in out.collect()] == [-10, -6, -2, 1, 4, 7, 10]
+    with _pytest.raises(ValueError, match="BY step must be a positive"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE OR REPLACE PROCEDURE q() AS $$
+            BEGIN
+                FOR i IN 1..3 BY 0 LOOP RAISE NOTICE 'x'; END LOOP;
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL q();
             """,
         )

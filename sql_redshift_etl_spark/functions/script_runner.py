@@ -2411,8 +2411,10 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     raw = _apply_search_path(state, raw)
                 if raw[:6].upper() == "CREATE" and re.search(r"(?i)\bON\s+COMMIT\b", raw):
                     # CREATE TEMP TABLE ... ON COMMIT PRESERVE|DELETE ROWS:
-                    # script scope has no transactions (BEGIN/COMMIT are
-                    # no-ops), so both spellings behave as PRESERVE here;
+                    # both spellings behave as PRESERVE here (documented
+                    # simplification — r6's explicit transactions snapshot
+                    # BINDINGS; an end-of-txn truncation hook would add
+                    # state for a spelling Redshift ETLs rarely rely on);
                     # temp tables die at script end either way.
                     raw = _sub_outside_quotes(
                         raw,

@@ -1032,3 +1032,139 @@ def dedup_embedding_ann_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = ds.dataset(f"{sf_dir}/embeddings.parquet").count_rows()
     nb, bw = ann_banding_for(n)
     return embedding_ann_pairs_df(e, n_bands=nb, band_bits=bw)
+
+
+# --- exact-substring span dedup (r7) ----------------------------------------
+# The Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+# Better" exact-substring variant, re-expressed relationally: instead of
+# a distributed suffix array, emit every K-token window per document,
+# find windows shared across >= 2 distinct documents (ONE shuffle on the
+# window key), and merge each document's duplicated window positions
+# into contiguous spans with a gaps-and-islands window pass. Both
+# engines group on the window TEXT so the oracle is bit-exact by
+# construction; a production run swaps the text key for xxhash64(win)
+# (one line, row-local, identical plan shape) to shuffle 8 bytes instead
+# of ~50 — the 2^-64 collision risk is the standard trade at 100 TB.
+
+SUBSTR_K = 8  # window length in tokens (Lee et al. use 50 BPE tokens;
+#               the fixtures' planted near-dups share ~sentence-length
+#               runs, so 8 whitespace tokens exercises the same shapes)
+
+
+@register(
+    "dedup_substring_spans",
+    tags=("L2",),
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE len(string_split(text, ' ')) >= {SUBSTR_K}
+        ),
+        wins AS (
+            SELECT doc_id, i - 1 AS pos,
+                   array_to_string(w[i:i+{SUBSTR_K - 1}], ' ') AS win
+            FROM (
+                SELECT doc_id, w,
+                       unnest(generate_series(1, len(w) - {SUBSTR_K - 1}))
+                           AS i
+                FROM w
+            )
+        ),
+        dup AS (
+            SELECT win FROM wins GROUP BY win
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (win)),
+        flagged AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - COALESCE(lag(pos) OVER
+                       (PARTITION BY doc_id ORDER BY pos), -2) > 1
+                       THEN 1 ELSE 0 END AS brk
+            FROM hits
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS g
+            FROM flagged
+        ),
+        spans AS (
+            SELECT doc_id, g, COUNT(*) AS nw, MIN(pos) AS s,
+                   MAX(pos) + {SUBSTR_K - 1} AS e
+            FROM isl GROUP BY doc_id, g
+        ),
+        perdoc AS (
+            SELECT doc_id, CAST(SUM(nw) AS BIGINT) AS n_dup_windows,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+            FROM spans GROUP BY doc_id
+        )
+        SELECT p.doc_id, n_dup_windows, n_spans, dup_tokens,
+               ROUND(CAST(dup_tokens AS DOUBLE)
+                     / len(string_split(d.text, ' ')), 6) AS dup_frac
+        FROM perdoc p JOIN documents d ON p.doc_id = d.doc_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (L2, r7): per document, the contiguous
+    token spans covered by {SUBSTR_K}-token windows that also appear in
+    at least one OTHER document — the span-level signal production
+    pipelines use to CUT duplicated passages out of otherwise-unique
+    documents (MinHash flags whole documents; this flags regions).
+    Returns (doc_id, n_dup_windows, n_spans, dup_tokens, dup_frac).
+
+    Scale: windowing is row-local (transform over the pre-split token
+    array — the hoisted-split lesson from the shingle path applies);
+    the ONLY shuffle is the groupBy on the window key plus one
+    broadcast-able join back; span merge is a per-doc window pass over
+    the (small) duplicated-position set. At 100 TB swap the window-text
+    key for xxhash64(win) to shuffle 8-byte keys — same plan, one line
+    (kept as text here so the DuckDB oracle is bit-exact by
+    construction, not modulo hash collisions).
+    """
+    from pyspark.sql import Window
+
+    k = SUBSTR_K
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w")).where(F.size("w") >= k)
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {k - 1}),"
+                f" i -> array_join(slice(w, i, {k}), ' '))"
+            )
+        ).alias("pos", "win"),
+    )
+    dup = (
+        wins.groupBy("win")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("win")
+    )
+    hits = wins.join(dup, "win").select("doc_id", "pos")
+    ow = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn(
+        "g",
+        F.sum(
+            F.when(F.col("pos") - F.lag("pos", 1, -2).over(ow) > 1, 1).otherwise(0)
+        ).over(ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    spans = isl.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("nw"),
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(k - 1)).alias("e"),
+    )
+    perdoc = spans.groupBy("doc_id").agg(
+        F.sum("nw").cast("long").alias("n_dup_windows"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+    )
+    return perdoc.join(
+        d.select("doc_id", F.size(F.split("text", " ")).alias("n_tok")), "doc_id"
+    ).select(
+        "doc_id",
+        "n_dup_windows",
+        "n_spans",
+        "dup_tokens",
+        F.round(F.col("dup_tokens").cast("double") / F.col("n_tok"), 6).alias("dup_frac"),
+    )

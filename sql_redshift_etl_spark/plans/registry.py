@@ -167,6 +167,7 @@ _VERIFY_FIRST: list[str] = [
     # r7 displacements, then the 13 r6-era first-session oracled
     # queries, then the r5 cohort.
     "redshift_script_case_stmt",
+    "dedup_substring_spans",
     "redshift_script_stored_procedure",
     "sim_ann_lsh",
     "redshift_script_merge_into",

@@ -3779,3 +3779,46 @@ def test_for_loop_by_step(spark):
             CALL q();
             """,
         )
+
+
+def test_substring_span_merge_semantics(spark, tmp_path):
+    """Exact-substring span dedup on planted data: two docs share one
+    9-token run (=> 2 overlapping windows merging into ONE 9-token span
+    each) and a separate 8-token run (1 window, its own span); a third
+    doc shares nothing and must not appear."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sql_redshift_etl_spark.plans.registry import all_queries
+
+    shared9 = "a b c d e f g h i"           # 9 tokens -> windows at pos 0,1
+    shared8 = "p q r s t u v w"             # 8 tokens -> 1 window
+    docs = [
+        (1, f"{shared9} x1 y1 z1 w1 {shared8}", "en", "s1", 0),
+        (2, f"m2 n2 {shared9} k2 {shared8} q2 r2", "en", "s2", 0),
+        (3, "totally unrelated words only here nothing shared at all", "en", "s3", 0),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": [d[1] for d in docs],
+            "lang": [d[2] for d in docs],
+            "source": [d[3] for d in docs],
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in all_queries()["dedup_substring_spans"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {1, 2}
+    for doc_id in (1, 2):
+        r = out[doc_id]
+        # 9-token run: 2 windows, merged into one span of 9 tokens;
+        # 8-token run: 1 window, one span of 8 tokens
+        assert r["n_dup_windows"] == 3, r
+        assert r["n_spans"] == 2, r
+        assert r["dup_tokens"] == 9 + 8, r

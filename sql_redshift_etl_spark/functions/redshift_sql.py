@@ -929,8 +929,14 @@ def _rewrite_connect_by(sql: str) -> str:
     the CONNECT BY condition resolve unambiguously to the child row and
     ``PRIOR x`` rewrites to ``__p.__prior_x`` (plus the parent's level),
     exactly Oracle/Redshift's two-row evaluation model. A WHERE clause
-    filters AFTER hierarchy expansion (Redshift's semantics), so it
-    lands on the outer SELECT.
+    (Oracle position before START WITH, or trailing after the clause
+    pair) filters AFTER hierarchy expansion (Redshift's semantics), so
+    it lands on the outer SELECT — except a top-level ``LEVEL <= n``
+    conjunct, which ALSO pushes into the recursive arm (monotone in
+    depth, so pruning is exact) and bounds the recursion. Cyclic data
+    without a LEVEL cap stops LOUDLY at Spark's
+    RECURSION_LEVEL_LIMIT_EXCEEDED (both behaviors unit-tested) — never
+    a silent hang.
     """
     masked, lits = _mask_literals(sql)
     cbs = _depth0_matches(masked, _CONNECT_BY_KW)
@@ -974,10 +980,22 @@ def _rewrite_connect_by(sql: str) -> str:
             f"CONNECT BY: FROM must be a single unaliased table, got {from_part[:40]!r}"
         )
     cond1 = masked[first.end() : second.start()].strip()
-    tails = [t for t in _depth0_matches(masked, _CB_TAIL_KW) if t.start() > second.end()]
-    end2 = tails[0].start() if tails else len(masked)
+    ends = [
+        t
+        for t in _depth0_matches(masked, _CB_TAIL_KW) + _depth0_matches(masked, _WHERE_KW)
+        if t.start() > second.end()
+    ]
+    end2 = min((t.start() for t in ends), default=len(masked))
     cond2 = masked[second.end() : end2].strip().rstrip(";").strip()
     tail = masked[end2:].strip()
+    # a TRAILING WHERE (after the clause pair) filters post-expansion
+    # exactly like the Oracle-position one — merge them
+    if wm2 := re.match(r"(?is)^WHERE\s+(.*)$", tail):
+        rest = wm2.group(1)
+        sub = _depth0_matches(rest, _CB_TAIL_KW)
+        w2 = (rest[: sub[0].start()] if sub else rest).strip().rstrip(";").strip()
+        tail = rest[sub[0].start() :].strip() if sub else ""
+        where_part = f"({where_part}) AND ({w2})" if where_part else w2
     start_cond = cond1 if first is sw else cond2
     cb_cond = cond2 if first is sw else cond1
     if not start_cond or not cb_cond:
@@ -986,6 +1004,17 @@ def _rewrite_connect_by(sql: str) -> str:
     if not prior_cols:
         raise ValueError("CONNECT BY: the condition must reference PRIOR <column>")
     join_cond = _PRIOR_REF.sub(lambda m: f"__p.__prior_{m.group(1).lower()}", cb_cond)
+    # A top-level `LEVEL <= n` / `LEVEL < n` WHERE conjunct is monotone in
+    # the walk depth, so it also PUSHES into the recursive arm: descendants
+    # of a max-depth node can only be deeper, so pruning them is
+    # semantics-preserving — and it bounds the recursion (a depth-capped
+    # query terminates even on cyclic data, where the uncapped walk stops
+    # loudly at Spark's RECURSION_LEVEL_LIMIT_EXCEEDED instead of hanging).
+    level_cap = ""
+    if where_part:
+        for conj in _split_depth0_and(where_part):
+            if lm := re.match(r"(?is)^LEVEL\s*(<=|<)\s*(\d+)\s*$", conj.strip()):
+                level_cap = f" AND __p.level + 1 {lm.group(1)} {lm.group(2)}"
     proj_prior = ", ".join(f"{c} AS __prior_{c}" for c in prior_cols)
     rewritten = (
         f"WITH RECURSIVE __cb AS ("
@@ -995,12 +1024,27 @@ def _rewrite_connect_by(sql: str) -> str:
         f" SELECT __c.*, __p.level + 1 AS level"
         f" FROM {from_part} __c"
         f" JOIN (SELECT {proj_prior}, level FROM __cb) __p"
-        f" ON {join_cond}"
+        f" ON ({join_cond}){level_cap}"
         f") SELECT {select_list} FROM __cb"
         + (f" WHERE {where_part}" if where_part else "")
         + (f" {tail}" if tail else "")
     )
     return _unmask_literals(rewritten, lits)
+
+
+def _split_depth0_and(cond: str) -> list[str]:
+    """Split a (literal-masked) predicate on its top-level ANDs."""
+    parts, depth, start = [], 0, 0
+    for m in re.finditer(r"(?is)\(|\)|\bAND\b", cond):
+        if m.group() == "(":
+            depth += 1
+        elif m.group() == ")":
+            depth -= 1
+        elif depth == 0:
+            parts.append(cond[start : m.start()])
+            start = m.end()
+    parts.append(cond[start:])
+    return parts
 
 
 def _rewrite_replicate(sql: str) -> str:

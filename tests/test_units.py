@@ -3822,3 +3822,55 @@ def test_substring_span_merge_semantics(spark, tmp_path):
         assert r["n_dup_windows"] == 3, r
         assert r["n_spans"] == 2, r
         assert r["dup_tokens"] == 9 + 8, r
+
+
+def test_connect_by_level_cap_and_cycles(spark):
+    """A top-level `LEVEL <= n` WHERE conjunct pushes into the recursive
+    arm (same results, bounded recursion): on CYCLIC data the capped
+    walk terminates with exactly the capped rows, while the uncapped
+    walk stops loudly at Spark's recursion limit instead of hanging."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.redshift_sql import (
+        run_redshift_sql,
+        translate_redshift_sql,
+    )
+
+    # acyclic: capped result == uncapped result filtered
+    spark.createDataFrame(
+        [(i,) for i in range(1, 130)], "k INT"
+    ).createOrReplaceTempView("cbl_t")
+    q = """
+        SELECT k, CAST(LEVEL AS BIGINT) AS lvl FROM cbl_t
+        START WITH k = 1 CONNECT BY FLOOR(k / 10) = PRIOR k
+    """
+    full = {tuple(r) for r in run_redshift_sql(spark, q).collect()}
+    capped = {
+        tuple(r)
+        for r in run_redshift_sql(spark, q + " WHERE LEVEL <= 2 AND k >= 0").collect()
+    }
+    assert capped == {t for t in full if t[1] <= 2} and len(capped) == 11
+    assert "__p.level + 1 <=" in translate_redshift_sql(
+        q + " WHERE LEVEL <= 2 AND k >= 0"
+    )
+    # cyclic: 1 -> 2 -> 1. Capped terminates; uncapped errors loudly.
+    spark.createDataFrame(
+        [(1, 2), (2, 1)], "node INT, parent INT"
+    ).createOrReplaceTempView("cbl_cyc")
+    rows = run_redshift_sql(
+        spark,
+        """
+        SELECT node, CAST(LEVEL AS BIGINT) AS lvl FROM cbl_cyc
+        START WITH node = 1 CONNECT BY PRIOR node = parent
+        WHERE LEVEL <= 4
+        """,
+    ).collect()
+    assert sorted((r.node, r.lvl) for r in rows) == [(1, 1), (1, 3), (2, 2), (2, 4)]
+    with _pytest.raises(Exception, match="RECURSION_LEVEL_LIMIT_EXCEEDED"):
+        run_redshift_sql(
+            spark,
+            """
+            SELECT node FROM cbl_cyc
+            START WITH node = 1 CONNECT BY PRIOR node = parent
+            """,
+        ).collect()

@@ -1116,15 +1116,28 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     array — the hoisted-split lesson from the shingle path applies);
     the ONLY shuffle is the groupBy on the window key plus one
     broadcast-able join back; span merge is a per-doc window pass over
-    the (small) duplicated-position set. At 100 TB swap the window-text
-    key for xxhash64(win) to shuffle 8-byte keys — same plan, one line
-    (kept as text here so the DuckDB oracle is bit-exact by
-    construction, not modulo hash collisions).
+    the (small) duplicated-position set. The 100 TB configuration is
+    ``substring_spans_df(docs, hashed=True)`` — xxhash64 8-byte shuffle
+    keys, measured 18-24 s vs spill-noisy 25-164 s text keys at sf10
+    with identical results; this oracled query keeps the text key so
+    the DuckDB comparison is bit-exact by construction, not
+    modulo-collision.
     """
+    return substring_spans_df(load_table(spark, sf_dir, "documents"))
+
+
+def substring_spans_df(
+    d: DataFrame, k: int = SUBSTR_K, hashed: bool = False
+) -> DataFrame:
+    """Per-document duplicated-span metrics over any (doc_id, text)
+    frame. ``hashed=True`` is the 100 TB configuration: the shuffle key
+    becomes xxhash64(window) — 8 bytes instead of ~50 — accepting the
+    standard 2^-64 collision risk. Measured at sf10 (500 k docs, ~45 M
+    window rows): identical 47,700 flagged docs, steady 18-24 s hashed
+    vs a spill-noisy 25-164 s with text keys (docs/ROUND7.md); pytest
+    asserts hashed ≡ text on the fixtures."""
     from pyspark.sql import Window
 
-    k = SUBSTR_K
-    d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("w")).where(F.size("w") >= k)
     wins = toks.select(
         "doc_id",
@@ -1134,14 +1147,14 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" i -> array_join(slice(w, i, {k}), ' '))"
             )
         ).alias("pos", "win"),
-    )
+    ).withColumn("key", F.xxhash64("win") if hashed else F.col("win"))
     dup = (
-        wins.groupBy("win")
+        wins.groupBy("key")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .where(F.col("nd") >= 2)
-        .select("win")
+        .select("key")
     )
-    hits = wins.join(dup, "win").select("doc_id", "pos")
+    hits = wins.join(dup, "key").select("doc_id", "pos")
     ow = Window.partitionBy("doc_id").orderBy("pos")
     isl = hits.withColumn(
         "g",

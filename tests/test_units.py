@@ -3874,3 +3874,16 @@ def test_connect_by_level_cap_and_cycles(spark):
             START WITH node = 1 CONNECT BY PRIOR node = parent
             """,
         ).collect()
+
+
+def test_substring_spans_hashed_equals_text(spark):
+    """The 100 TB configuration (xxhash64 8-byte shuffle keys) produces
+    byte-identical per-doc span metrics to the oracle-exact text-key
+    form on the fixtures."""
+    from sql_redshift_etl_spark.catalog import load_table
+    from sql_redshift_etl_spark.llm.dedup import substring_spans_df
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    text_rows = sorted(map(tuple, substring_spans_df(d, hashed=False).collect()))
+    hash_rows = sorted(map(tuple, substring_spans_df(d, hashed=True).collect()))
+    assert text_rows == hash_rows and len(text_rows) > 0

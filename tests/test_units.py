@@ -3887,3 +3887,66 @@ def test_substring_spans_hashed_equals_text(spark):
     text_rows = sorted(map(tuple, substring_spans_df(d, hashed=False).collect()))
     hash_rows = sorted(map(tuple, substring_spans_df(d, hashed=True).collect()))
     assert text_rows == hash_rows and len(text_rows) > 0
+
+
+def test_guard_restores_open_transaction_state(spark):
+    """A guarded block erroring INSIDE a script-level transaction: the
+    handler restore keeps the transaction open with its original
+    BEGIN-time snapshot, so a later ROLLBACK still unwinds to the
+    script's BEGIN point. (A literal ``BEGIN;`` inside a plpgsql body
+    is a BLOCK opener, as in plpgsql itself — transaction control in
+    procs is COMMIT/ROLLBACK.)"""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE t (k INT);
+        INSERT INTO t VALUES (1);
+        CREATE OR REPLACE PROCEDURE p() AS $$
+        BEGIN
+            BEGIN
+                INSERT INTO t VALUES (2);
+                INSERT INTO t SELECT 1/0;
+            EXCEPTION WHEN OTHERS THEN
+                INSERT INTO t VALUES (-1);
+            END;
+        END;
+        $$ LANGUAGE plpgsql;
+        BEGIN;
+        INSERT INTO t VALUES (10);
+        CALL p();
+        INSERT INTO t VALUES (3);
+        ROLLBACK;
+        SELECT k FROM t;
+        """,
+    )
+    # ROLLBACK unwinds to the script BEGIN: 10, the handler's -1, and 3
+    # all vanish; only the pre-transaction row survives
+    assert sorted(r.k for r in out.collect()) == [1]
+
+
+def test_execute_sets_row_count(spark):
+    """GET DIAGNOSTICS after EXECUTE-built DML reads the dynamic
+    statement's affected count (the dynamic INSERT runs through the
+    same worklist DML handlers)."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE t (k INT);
+        CREATE TEMP TABLE log_tbl (n BIGINT);
+        CREATE OR REPLACE PROCEDURE p() AS $$
+        DECLARE v_n BIGINT;
+        BEGIN
+            EXECUTE 'INSERT INTO t SELECT id FROM RANGE(0, 5)';
+            GET DIAGNOSTICS v_n := ROW_COUNT;
+            INSERT INTO log_tbl VALUES (v_n);
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p();
+        SELECT n FROM log_tbl;
+        """,
+    )
+    assert [r.n for r in out.collect()] == [5]

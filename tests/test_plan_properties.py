@@ -417,3 +417,23 @@ def test_pca_partials_have_no_vector_shuffle(spark):
     plan = buf.getvalue()
     assert "Exchange" not in plan, "covariance partials acquired a shuffle"
     assert "Coalesce" in plan
+
+
+def test_substring_spans_broadcasts_and_bounded_shuffles(spark):
+    """Exact-substring span dedup: the duplicated-window set and the
+    per-doc token counts join back via BROADCAST (the dup set is small
+    by construction); shuffles are bounded to the window-key groupBy,
+    the per-doc span window, and the final per-doc agg; no Python on
+    the path."""
+    plan = plan_of(spark, "dedup_substring_spans")
+    assert "BatchEvalPython" not in plan, "Python UDF crept into the span path"
+    assert plan.count("BroadcastExchange") >= 2, "dup-set/token joins not broadcast"
+    hash_exchanges = sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith("(")
+        and "Exchange" in line
+        and "Broadcast" not in line
+        and "Reused" not in line
+    )
+    assert hash_exchanges <= 4, f"span pipeline grew extra shuffles: {hash_exchanges}"

@@ -933,10 +933,15 @@ def _rewrite_connect_by(sql: str) -> str:
     pair) filters AFTER hierarchy expansion (Redshift's semantics), so
     it lands on the outer SELECT — except a top-level ``LEVEL <= n``
     conjunct, which ALSO pushes into the recursive arm (monotone in
-    depth, so pruning is exact) and bounds the recursion. Cyclic data
-    without a LEVEL cap stops LOUDLY at Spark's
-    RECURSION_LEVEL_LIMIT_EXCEEDED (both behaviors unit-tested) — never
-    a silent hang.
+    depth, so pruning is exact) and bounds the recursion (measured 4.9×
+    at sf10, docs/ROUND7.md). Cyclic data without a LEVEL cap stops
+    LOUDLY at Spark's RECURSION_LEVEL_LIMIT_EXCEEDED (both behaviors
+    unit-tested) — never a silent hang. Scale note: the formatted plan
+    shows a bare Join over UnionLoopRef — UnionLoop plans each
+    iteration's frontier join AT RUNTIME with the materialized
+    frontier's actual size, which is exactly right (a small frontier
+    broadcasts; a wide tree's doesn't), so no static join hint is
+    emitted here.
     """
     masked, lits = _mask_literals(sql)
     cbs = _depth0_matches(masked, _CONNECT_BY_KW)

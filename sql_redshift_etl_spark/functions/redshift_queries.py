@@ -1912,6 +1912,59 @@ def redshift_sql_connect_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_redshift_sql(spark, _REDSHIFT_CONNECT_BY.format(customer="rs_cb_customer"))
 
 
+_REDSHIFT_CONNECT_BY_PATH = """
+    SELECT c_custkey, CAST(LEVEL AS BIGINT) AS lvl,
+           CONNECT_BY_ROOT c_custkey AS root_key,
+           SYS_CONNECT_BY_PATH(c_custkey, '/') AS key_path
+    FROM {customer}
+    WHERE (LEVEL <= 3)
+    START WITH c_custkey IN (1, 2, 3)
+    CONNECT BY PRIOR c_custkey = FLOOR(c_custkey / 10)
+"""
+
+
+@register(
+    "redshift_sql_connect_by_path",
+    tags=("F2",),
+    oracle="""
+        WITH RECURSIVE cb AS (
+            SELECT c_custkey, 1 AS lvl, c_custkey AS root_key,
+                   '/' || CAST(c_custkey AS VARCHAR) AS key_path
+            FROM customer WHERE c_custkey IN (1, 2, 3)
+            UNION ALL
+            SELECT c.c_custkey, p.lvl + 1, p.root_key,
+                   p.key_path || '/' || CAST(c.c_custkey AS VARCHAR)
+            FROM customer c
+            JOIN cb p ON FLOOR(c.c_custkey / 10) = p.c_custkey
+            WHERE p.lvl + 1 <= 3
+        )
+        SELECT c_custkey, CAST(lvl AS BIGINT) AS lvl, root_key, key_path
+        FROM cb
+    """,
+)
+def redshift_sql_connect_by_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONNECT BY pseudo-columns (r8): CONNECT_BY_ROOT tags every row
+    with its tree's root key (three interleaved trees here — the column
+    is load-bearing in the hash) and SYS_CONNECT_BY_PATH materializes
+    the root-to-row key path as a string (the org-chart / BOM
+    path-printing idiom). Both are rewritten into columns CARRIED
+    through the recursive CTE's arms (redshift_sql.py
+    _rewrite_connect_by) — one extra projected column each, no extra
+    join. The parenthesized ``(LEVEL <= 3)`` WHERE conjunct still pushes
+    into the recursive arm (the r7-advice paren fix) and bounds the
+    walk.
+
+    Scale: identical to redshift_sql_connect_by — per-step distributed
+    frontier join on the PRIOR key, runtime-planned by UnionLoop; the
+    carried columns add bytes per frontier row (the path grows with
+    depth), never jobs or shuffles.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("rs_cbp_customer")
+    return run_redshift_sql(
+        spark, _REDSHIFT_CONNECT_BY_PATH.format(customer="rs_cbp_customer")
+    )
+
+
 _SCRIPT_GET_DIAGNOSTICS = """
     CREATE TEMP TABLE stage AS
     SELECT * FROM {orders} WHERE o_orderstatus = 'O' AND o_custkey <= 300;

@@ -906,29 +906,77 @@ def _rewrite_partiql_unnest(sql: str) -> str:
 
 
 # Redshift hierarchical queries: SELECT ... FROM t [WHERE w]
-# START WITH cond CONNECT BY PRIOR-cond [ORDER BY/LIMIT]. Rewritten to a
-# recursive CTE (Spark 4 executes those natively via UnionLoop — same
-# engine path as redshift_sql_recursive). LEVEL is exposed as the CTE's
-# `level` column. Subset (loud otherwise): one top-level clause pair, a
-# single unaliased table, at least one PRIOR reference, no
-# CONNECT_BY_ROOT / SYS_CONNECT_BY_PATH, no bare `SELECT *` (Redshift's
-# * excludes the LEVEL pseudocolumn; the CTE's cannot).
+# START WITH cond CONNECT BY [NOCYCLE] PRIOR-cond [ORDER BY/LIMIT].
+# Rewritten to a recursive CTE (Spark 4 executes those natively via
+# UnionLoop — same engine path as redshift_sql_recursive). LEVEL is
+# exposed as the CTE's `level` column; CONNECT_BY_ROOT col and
+# SYS_CONNECT_BY_PATH(col, 'sep') become columns carried through both
+# CTE arms (r8); NOCYCLE guards the recursive join on a carried
+# ancestor-key path. Subset (loud otherwise): one top-level clause pair,
+# a single unaliased table, at least one PRIOR reference, simple-column
+# pseudo-column arguments, no CONNECT_BY_ISCYCLE / CONNECT_BY_ISLEAF /
+# ORDER SIBLINGS BY, no bare `SELECT *` (Redshift's * excludes the
+# LEVEL pseudocolumn; the CTE's cannot).
 _START_WITH_KW = re.compile(r"\bSTART\s+WITH\b", re.IGNORECASE)
 _CONNECT_BY_KW = re.compile(r"\bCONNECT\s+BY\b", re.IGNORECASE)
 _WHERE_KW = re.compile(r"\bWHERE\b", re.IGNORECASE)
 _CB_TAIL_KW = re.compile(r"\b(ORDER\s+BY|LIMIT|OFFSET)\b", re.IGNORECASE)
 _PRIOR_REF = re.compile(r"\bPRIOR\s+([\w$]+)\b", re.IGNORECASE)
+_CBR_REF = re.compile(
+    r"(?is)\bCONNECT_BY_ROOT\s*(?:\(\s*([\w$]+)\s*\)|([\w$]+))"
+)
+_SCBP_KW = re.compile(r"(?i)\bSYS_CONNECT_BY_PATH\s*\(")
+# bare LEVEL (not a qualified __p.level) — in the CONNECT BY condition it
+# means the CHILD row's level, i.e. parent + 1 (Oracle/Redshift evaluate
+# the condition when deciding whether to produce the child)
+_BARE_LEVEL = re.compile(r"(?i)(?<![\w$.])LEVEL(?![\w$])")
+
+
+def _strip_outer_parens(s: str) -> str:
+    """Strip balanced outermost parentheses: '((LEVEL <= 3))' → 'LEVEL <= 3'.
+    Leaves '(a) AND (b)'-shaped text alone (the parens don't span it)."""
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        spans = True
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(s) - 1:
+                    spans = False
+                    break
+        if not spans:
+            break
+        s = s[1:-1].strip()
+    return s
 
 
 def _rewrite_connect_by(sql: str) -> str:
-    """``START WITH ... CONNECT BY PRIOR ...`` → WITH RECURSIVE.
+    """``START WITH ... CONNECT BY [NOCYCLE] PRIOR ...`` → WITH RECURSIVE.
 
     The recursive arm joins the base table (child side, ``__c``) against
     a projection of the working set that renames each PRIOR-referenced
     column to ``__prior_<col>`` — so unqualified column references in
     the CONNECT BY condition resolve unambiguously to the child row and
     ``PRIOR x`` rewrites to ``__p.__prior_x`` (plus the parent's level),
-    exactly Oracle/Redshift's two-row evaluation model. A WHERE clause
+    exactly Oracle/Redshift's two-row evaluation model. A bare LEVEL in
+    the CONNECT BY condition is the CHILD's level — the condition is
+    evaluated to decide whether to produce the child — so it rewrites to
+    ``__p.level + 1``, not ``__p.level`` (off-by-one otherwise).
+
+    Pseudo-columns (r8) become columns CARRIED through both CTE arms,
+    one extra projected column each — no extra join or shuffle:
+    ``CONNECT_BY_ROOT col`` seeds ``col`` in the base arm and propagates
+    it verbatim through the recursive arm; ``SYS_CONNECT_BY_PATH(col,
+    sep)`` seeds ``sep || col`` and appends per level (NULL renders
+    empty, Oracle's contract); ``NOCYCLE`` carries a '|'-delimited path
+    of the PRIOR-column tuple and guards the recursive join with
+    ``instr(path, child_key) = 0`` — the walk stops at a row that is its
+    own ancestor instead of erroring at the recursion limit. Row
+    identity for cycle detection = the PRIOR-referenced columns (the
+    parent-key pattern), a documented subset. A WHERE clause
     (Oracle position before START WITH, or trailing after the clause
     pair) filters AFTER hierarchy expansion (Redshift's semantics), so
     it lands on the outer SELECT — except a top-level ``LEVEL <= n``
@@ -947,10 +995,14 @@ def _rewrite_connect_by(sql: str) -> str:
     cbs = _depth0_matches(masked, _CONNECT_BY_KW)
     if not cbs:
         return sql
-    if re.search(r"(?i)\b(CONNECT_BY_ROOT|SYS_CONNECT_BY_PATH|NOCYCLE)\b", masked):
+    if re.search(
+        r"(?i)\b(CONNECT_BY_ISCYCLE|CONNECT_BY_ISLEAF)\b"
+        r"|\bORDER\s+SIBLINGS\s+BY\b",
+        masked,
+    ):
         raise ValueError(
-            "CONNECT BY: CONNECT_BY_ROOT / SYS_CONNECT_BY_PATH / NOCYCLE "
-            "are outside the supported subset"
+            "CONNECT BY: CONNECT_BY_ISCYCLE / CONNECT_BY_ISLEAF / "
+            "ORDER SIBLINGS BY are outside the supported subset"
         )
     sws = _depth0_matches(masked, _START_WITH_KW)
     selects = _depth0_matches(masked, _SELECT_KW)
@@ -1005,10 +1057,66 @@ def _rewrite_connect_by(sql: str) -> str:
     cb_cond = cond2 if first is sw else cond1
     if not start_cond or not cb_cond:
         raise ValueError("CONNECT BY: empty START WITH or CONNECT BY condition")
+    nocycle = False
+    if nm := re.match(r"(?is)^NOCYCLE\b\s*(.*)$", cb_cond):
+        nocycle, cb_cond = True, nm.group(1).strip()
     prior_cols = sorted({m.group(1).lower() for m in _PRIOR_REF.finditer(cb_cond)})
     if not prior_cols:
         raise ValueError("CONNECT BY: the condition must reference PRIOR <column>")
     join_cond = _PRIOR_REF.sub(lambda m: f"__p.__prior_{m.group(1).lower()}", cb_cond)
+    # bare LEVEL in the CONNECT BY condition is the CHILD row's level
+    # (the condition decides whether to PRODUCE the child), i.e. the
+    # parent's + 1 — substituting __p.level here would be off by one
+    join_cond = _BARE_LEVEL.sub("(__p.level + 1)", join_cond)
+    # CONNECT_BY_ROOT col / SYS_CONNECT_BY_PATH(col, sep) in the select
+    # list, post-expansion WHERE, or ORDER BY tail become columns CARRIED
+    # through both CTE arms: the base arm seeds them from the root row,
+    # the recursive arm propagates (ROOT) or appends (PATH). Simple
+    # column arguments only — an expression argument is loud.
+    roots: dict[str, None] = {}
+    paths: dict[tuple[str, str], int] = {}
+
+    def _subst_pseudo(txt: str | None) -> str | None:
+        if txt is None:
+            return None
+        while m := _SCBP_KW.search(txt):
+            end = _scan_balanced(txt, m.end())
+            col, sep = _split_two_args(txt[m.end() : end - 1])
+            col = col.strip().lower()
+            if not re.fullmatch(r"[\w$]+", col) or col == "level":
+                raise ValueError(
+                    "SYS_CONNECT_BY_PATH: first argument must be a simple "
+                    f"base-table column, got {col[:40]!r}"
+                )
+            idx = paths.setdefault((col, sep.strip()), len(paths))
+            txt = f"{txt[: m.start()]}__cbp_{idx}{txt[end:]}"
+        out: list[str] = []
+        pos = 0
+        for m in _CBR_REF.finditer(txt):
+            col = (m.group(1) or m.group(2)).lower()
+            nxt = txt[m.end() :].lstrip()[:1]
+            if m.group(2) and nxt in ("(", "."):
+                raise ValueError(
+                    "CONNECT_BY_ROOT: argument must be a simple unqualified "
+                    f"base-table column, got {txt[m.start(): m.end() + 20]!r}"
+                )
+            if col == "level":
+                raise ValueError("CONNECT_BY_ROOT LEVEL is always 1 — write 1")
+            roots.setdefault(col)
+            out.append(txt[pos : m.start()])
+            out.append(f"__cbr_{col}")
+            pos = m.end()
+        out.append(txt[pos:])
+        return "".join(out)
+
+    select_list = _subst_pseudo(select_list)
+    where_part = _subst_pseudo(where_part)
+    tail = _subst_pseudo(tail)
+    if re.search(r"(?i)\b(CONNECT_BY_ROOT|SYS_CONNECT_BY_PATH)\b", f"{start_cond} {cb_cond}"):
+        raise ValueError(
+            "CONNECT BY: pseudo-columns are not supported inside START WITH "
+            "or the CONNECT BY condition"
+        )
     # A top-level `LEVEL <= n` / `LEVEL < n` WHERE conjunct is monotone in
     # the walk depth, so it also PUSHES into the recursive arm: descendants
     # of a max-depth node can only be deeper, so pruning them is
@@ -1018,18 +1126,56 @@ def _rewrite_connect_by(sql: str) -> str:
     level_cap = ""
     if where_part:
         for conj in _split_depth0_and(where_part):
-            if lm := re.match(r"(?is)^LEVEL\s*(<=|<)\s*(\d+)\s*$", conj.strip()):
+            # balanced outer parens strip so the conjuncts this code itself
+            # creates when merging two WHEREs ('(w1) AND (w2)') still push
+            if lm := re.match(
+                r"(?is)^LEVEL\s*(<=|<)\s*(\d+)\s*$", _strip_outer_parens(conj)
+            ):
                 level_cap = f" AND __p.level + 1 {lm.group(1)} {lm.group(2)}"
-    proj_prior = ", ".join(f"{c} AS __prior_{c}" for c in prior_cols)
+    # carried-column expressions per arm
+    base_extra, rec_extra, carried = [], [], []
+    for c in roots:
+        base_extra.append(f"__c.{c} AS __cbr_{c}")
+        rec_extra.append(f"__p.__cbr_{c} AS __cbr_{c}")
+        carried.append(f"__cbr_{c}")
+    for (c, sep), idx in paths.items():
+        # Oracle/Redshift path semantics: NULL column renders as empty
+        base_extra.append(
+            f"concat({sep}, coalesce(CAST(__c.{c} AS STRING), '')) AS __cbp_{idx}"
+        )
+        rec_extra.append(
+            f"concat(__p.__cbp_{idx}, {sep}, "
+            f"coalesce(CAST(__c.{c} AS STRING), '')) AS __cbp_{idx}"
+        )
+        carried.append(f"__cbp_{idx}")
+    cycle_guard = ""
+    if nocycle:
+        # NOCYCLE: stop expanding when the child row is already its own
+        # ancestor. Row identity = the PRIOR-referenced column tuple (the
+        # parent-key pattern; a loud documented subset — values render as
+        # strings, '|'-delimited, NULL as '<null>').
+        key_parts = ", '~', ".join(
+            f"coalesce(CAST(__c.{k} AS STRING), '<null>')" for k in prior_cols
+        )
+        child_key = f"concat('|', {key_parts}, '|')"
+        base_extra.append(f"{child_key} AS __cyc")
+        rec_extra.append(f"concat(__p.__cyc, {child_key}) AS __cyc")
+        carried.append("__cyc")
+        cycle_guard = f" AND instr(__p.__cyc, {child_key}) = 0"
+    proj_prior = ", ".join(
+        [f"{c} AS __prior_{c}" for c in prior_cols] + ["level"] + carried
+    )
+    base_sel = ", ".join(["__c.*", "CAST(1 AS INT) AS level"] + base_extra)
+    rec_sel = ", ".join(["__c.*", "__p.level + 1 AS level"] + rec_extra)
     rewritten = (
         f"WITH RECURSIVE __cb AS ("
-        f" SELECT __c.*, CAST(1 AS INT) AS level FROM {from_part} __c"
+        f" SELECT {base_sel} FROM {from_part} __c"
         f" WHERE {start_cond}"
         f" UNION ALL"
-        f" SELECT __c.*, __p.level + 1 AS level"
+        f" SELECT {rec_sel}"
         f" FROM {from_part} __c"
-        f" JOIN (SELECT {proj_prior}, level FROM __cb) __p"
-        f" ON ({join_cond}){level_cap}"
+        f" JOIN (SELECT {proj_prior} FROM __cb) __p"
+        f" ON ({join_cond}){level_cap}{cycle_guard}"
         f") SELECT {select_list} FROM __cb"
         + (f" WHERE {where_part}" if where_part else "")
         + (f" {tail}" if tail else "")

@@ -901,9 +901,8 @@ _CASE_TOKEN = re.compile(
     r"|(?P<when>WHEN)|(?P<then>THEN)|(?P<else>ELSE)|(?P<end>END))\b"
 )
 
-_CASE_NOT_FOUND = (
-    "RAISE EXCEPTION 'CASE statement: no matching branch (case_not_found)'"
-)
+_CASE_NOT_FOUND_MSG = "CASE statement: no matching branch (case_not_found)"
+_CASE_NOT_FOUND = f"RAISE EXCEPTION '{_CASE_NOT_FOUND_MSG}'"
 
 
 def _parse_case_stmt(text: str, masked: str, start: int) -> tuple[_IfNode, int]:
@@ -1055,14 +1054,23 @@ def _sqlerrm(exc: BaseException) -> str:
 
 def _classify_sqlstate(exc: BaseException) -> str:
     """Map an execution error to the SQLSTATE plpgsql would report:
-    P0001 raise_exception, 22012 division_by_zero, 22018 invalid cast,
-    22003 numeric out of range; XX000 (internal_error) otherwise."""
+    20000 case_not_found (a CASE statement with no matching branch and
+    no ELSE — routed through the runner's own RAISE sentinel), P0001
+    raise_exception, 22012 division_by_zero, 22P02 invalid text
+    representation (a failed cast from a malformed string — Postgres/
+    Redshift report 22P02 there, NOT 22018), 22018 invalid character
+    value for cast (numeric-conversion overflow in a cast), 22003
+    numeric out of range; XX000 (internal_error) otherwise."""
     msg = str(exc)
     if isinstance(exc, RuntimeError) and msg.startswith("RAISE EXCEPTION"):
+        if msg == f"RAISE EXCEPTION: {_CASE_NOT_FOUND_MSG}":
+            return "20000"
         return "P0001"
     if "DIVIDE_BY_ZERO" in msg or "Division by zero" in msg:
         return "22012"
-    if "CAST_INVALID_INPUT" in msg or "CAST_OVERFLOW" in msg:
+    if "CAST_INVALID_INPUT" in msg:
+        return "22P02"
+    if "CAST_OVERFLOW" in msg:
         return "22018"
     if "NUMERIC_VALUE_OUT_OF_RANGE" in msg or "ARITHMETIC_OVERFLOW" in msg:
         return "22003"
@@ -2089,6 +2097,16 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                             "handler": raw.handler,
                             "scope": scope,
                             "end": end,
+                            # cursors already open at guard entry survive a
+                            # catch; ones OPENed inside the block close on
+                            # rollback (plpgsql closes cursors opened inside
+                            # an aborted block — their buffered rows came
+                            # from undone state)
+                            "open_cursors": {
+                                n
+                                for n, e in (scope or {}).items()
+                                if e[0] == "CURSOR" and e[1].rows is not None
+                            },
                         }
                     )
                     state.guard_depth = len(guard_stack)
@@ -3541,6 +3559,20 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 else:
                     raise  # end marker lost — internal error, stay loud
                 state.restore(g["snap"])
+                # the rolled-back DML's affected-count is stale — reading
+                # ROW_COUNT in the handler must be loud, never a count of
+                # undone effects
+                state.last_dml = None
+                # cursors OPENed after the snapshot buffered rows from the
+                # rolled-back bindings — close them (plpgsql closes cursors
+                # opened inside an aborted block)
+                for n, e in (g["scope"] or {}).items():
+                    if (
+                        e[0] == "CURSOR"
+                        and e[1].rows is not None
+                        and n not in g["open_cursors"]
+                    ):
+                        e[1].rows = None
                 handler = _sub_outside_quotes(
                     g["handler"],
                     r"(?i)(?<![\w$])SQLERRM(?![\w$])",

@@ -85,21 +85,18 @@ def register(
 # + 26 r2-era) and came back 50/50 green — r1∪…∪r5 covered all 165
 # then-registered queries, every SQL-oracled row ever-green; r6 finished
 # the freshness rotation (nothing oracled older than r3) and came back
-# 50/50 green. The ROUND-7 window (verdict r6 items 1-4): (1) the three
-# r7-new plpgsql queries lead (EXCEPTION WHEN OTHERS, EXECUTE dynamic
-# SQL, cursor loop); (2) the 5 registered queries that had never had an
-# official driver row (3 late-r6 oracled + 2 rows-only by design) — after
-# a green r7 EVERY registered query has one; (3) control_flow re-checked
-# because the script-runner core was restructured this round (worklist
-# loop wrapped in the guard try, snapshot/restore refactor; the three
-# r7-new script queries cover the CALL machinery from the other side,
-# and displaced stored_procedure below the boundary for connect_by);
-# (4) 39 of the 40 entries whose newest row was r3-era (incl.
-# approx_count_distinct's r1 rows-only); sim_ann_lsh alone was displaced
-# by the 5th r7-new query (get_diagnostics) — the least-lost check, since
-# its oracle is bit-identical to sim_ann_lsh_pruned's by construction
-# (same _ann_lsh_oracle(); probe-set membership ⇔ Hamming≤2) and it leads
-# the r8 window below.
+# 50/50 green; r7 (the r6-verdict items) came back 50/50 green — the
+# third consecutive fully green round, and after it EVERY registered
+# query had an official row except the two late-r7 additions. The
+# ROUND-8 window (verdict r7 item 1, the documented below-boundary
+# order): (1) the two late-r7 additions with no official row yet
+# (case_stmt, dedup_substring_spans) lead; (2) the two r7 displacements
+# (stored_procedure, sim_ann_lsh — retiring the last r3-era row);
+# (3) new r8 queries as they land (inserted after those four, displacing
+# the window tail); (4) the 13 r6-era first-session oracled queries;
+# (5) the front of the r5 cohort. All 50 slots are SQL-oracled this
+# round — the five rows-only-by-design queries got their official rows
+# in r7 and rotate out.
 # Maintenance rules (CI-enforced in tests/test_registry_hygiene.py):
 #  - every SQL-oracled query must appear in this list OR carry a
 #    "sibling-coverage:" note in its docstring naming the in-list query
@@ -111,65 +108,11 @@ def register(
 #    columns throw; serialize with array_join/to_json).
 # Names not listed keep their module registration order after these.
 _VERIFY_FIRST: list[str] = [
-    "redshift_script_proc_exception",
-    "redshift_script_execute_dynamic",
-    "redshift_script_cursor_loop",
-    "redshift_sql_connect_by",
-    "redshift_script_get_diagnostics",
-    "redshift_script_transactions",
-    "redshift_sql_misc4",
-    "dedup_minhash_incremental",
-    "hll_sketch_partition_merge",
-    "embedding_pca_project",
-    "redshift_script_proc_control_flow",
-    "approx_count_distinct",
-    "curation_shard_export",
-    "dedup_exact_groups",
-    "dedup_minhash_ml",
-    "dedup_survivor_corpus",
-    "embedding_quantize_int8",
-    "etl_star_mart_publish",
-    "json_from_json_struct",
-    "misc_scalar_functions",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "q10_returned_items",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_ratio",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_bracketed_revenue",
-    "q22_dormant_accounts",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "redshift_sql_ratio_to_report",
-    "sample_domain_temperature",
-    "sample_hash_fraction",
-    "sample_salted_hot_agg",
-    "sim_ivf_kmeans",
-    "sim_ivf_search",
-    "stream_stateful_sessions",
-    "stream_stream_interval_join",
-    "stream_tumbling_daily",
-    "stream_tumbling_watermark",
-    "subquery_scalar_uncorrelated",
-    "text_bigram_lm_score",
-    "text_tfidf_top_terms",
-    "text_word_freq_topk",
-    "udaf_weighted_mean",
-    "window_ignore_nulls",
-    "window_range_frame",
-    # --- 50-query driver boundary ---
-    # Below-boundary order = r8 window priority: case_stmt (r7 late
-    # addition, pytest + driver_sim green, no official row yet), the two
-    # r7 displacements, then the 13 r6-era first-session oracled
-    # queries, then the r5 cohort.
     "redshift_script_case_stmt",
     "dedup_substring_spans",
     "redshift_script_stored_procedure",
     "sim_ann_lsh",
+    "redshift_sql_connect_by_path",
     "redshift_script_merge_into",
     "redshift_script_materialized_view",
     "redshift_sql_misc3",
@@ -215,7 +158,11 @@ _VERIFY_FIRST: list[str] = [
     "redshift_script_update_from",
     "redshift_script_etl_mart",
     "redshift_script_upsert_snapshot",
+    # --- 50-query driver boundary ---
     "redshift_script_copy_unload",
+    # Below-boundary order = r9 priority: the r4/r5-era remainder
+    # (oldest official rows after this round), then the 50-entry r7
+    # head (all green r7 — freshest, lowest re-check priority).
     "events_merge_upsert",
     "redshift_sql_misc2",
     "flagship_pricing_summary",
@@ -309,6 +256,57 @@ _VERIFY_FIRST: list[str] = [
     "window_ranks",
     "window_lag_lead",
     "window_first_last",
+    # --- r7 window (all green r7 rows) ---
+    "redshift_script_proc_exception",
+    "redshift_script_execute_dynamic",
+    "redshift_script_cursor_loop",
+    "redshift_sql_connect_by",
+    "redshift_script_get_diagnostics",
+    "redshift_script_transactions",
+    "redshift_sql_misc4",
+    "dedup_minhash_incremental",
+    "hll_sketch_partition_merge",
+    "embedding_pca_project",
+    "redshift_script_proc_control_flow",
+    "approx_count_distinct",
+    "curation_shard_export",
+    "dedup_exact_groups",
+    "dedup_minhash_ml",
+    "dedup_survivor_corpus",
+    "embedding_quantize_int8",
+    "etl_star_mart_publish",
+    "json_from_json_struct",
+    "misc_scalar_functions",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_bracketed_revenue",
+    "q22_dormant_accounts",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "redshift_sql_ratio_to_report",
+    "sample_domain_temperature",
+    "sample_hash_fraction",
+    "sample_salted_hot_agg",
+    "sim_ivf_kmeans",
+    "sim_ivf_search",
+    "stream_stateful_sessions",
+    "stream_stream_interval_join",
+    "stream_tumbling_daily",
+    "stream_tumbling_watermark",
+    "subquery_scalar_uncorrelated",
+    "text_bigram_lm_score",
+    "text_tfidf_top_terms",
+    "text_word_freq_topk",
+    "udaf_weighted_mean",
+    "window_ignore_nulls",
+    "window_range_frame",
 ]
 
 

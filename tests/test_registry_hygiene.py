@@ -39,76 +39,48 @@ def test_verify_first_has_no_duplicates():
     assert len(vf) == len(set(vf)), "duplicate names in _VERIFY_FIRST"
 
 
-# Round-7 window strategy (VERDICT r6 items 1-4): give every registered
-# query an official driver row and keep the freshness rotation running.
-# Must-haves in the first-50 window this round:
-#  - the three r7-new plpgsql queries (EXCEPTION WHEN OTHERS, EXECUTE
-#    dynamic SQL, cursor loop) — new code paths, never driver-checked;
-#  - the 5 registered queries that had never had a driver row (3 late-r6
-#    oracled + the 2 rows-only-by-design sketch/PCA checks the verdict
-#    named explicitly) — after a green r7 EVERY query has one;
-#  - two r6-green procedural queries re-checked because the script-runner
-#    core was restructured this round (guard try wrap, snapshot/restore);
-#  - the 40 entries whose newest row was r3-era.
-R7_MUST_VERIFY = frozenset(
+# Round-8 window strategy (VERDICT r7 item 1): clear the late-addition
+# driver-row debt and keep the freshness rotation running. Must-haves in
+# the first-50 window this round:
+#  - the two late-r7 additions that never got an official driver row
+#    (case_stmt, dedup_substring_spans);
+#  - the two r7 displacements (stored_procedure, sim_ann_lsh — retiring
+#    the last r3-era row);
+#  - the 13 r6-era first-session oracled queries (oldest official rows
+#    in the registry after the above).
+# The rest of the window is the front of the r5 cohort in the documented
+# below-boundary order. New r8 queries insert after the first four.
+R8_MUST_VERIFY = frozenset(
     {
-        "redshift_script_proc_exception", "redshift_script_execute_dynamic",
-        "redshift_script_cursor_loop", "redshift_sql_connect_by",
-        "redshift_script_get_diagnostics",
-        # never had an official driver row (VERDICT r6 item 1, by name)
-        "redshift_script_transactions", "redshift_sql_misc4",
-        "dedup_minhash_incremental", "hll_sketch_partition_merge",
-        "embedding_pca_project",
-        # r7-touched procedural code path (stored_procedure was displaced
-        # by connect_by: its CALL machinery is exercised by all three
-        # r7-new script queries plus control_flow)
-        "redshift_script_proc_control_flow",
-        # the 40 r3-era rotations
-        "approx_count_distinct", "curation_shard_export", "dedup_exact_groups",
-        "dedup_minhash_ml", "dedup_survivor_corpus", "embedding_quantize_int8",
-        "etl_star_mart_publish", "json_from_json_struct",
-        "misc_scalar_functions", "multimodal_decode_features",
-        "multimodal_frame_sample", "q10_returned_items",
-        "q13_order_count_distribution", "q14_promo_revenue_ratio",
-        "q15_top_supplier", "q17_small_quantity_revenue",
-        "q18_large_volume_customer", "q19_bracketed_revenue",
-        "q22_dormant_accounts", "q5_local_supplier_volume",
-        "q7_volume_shipping", "q8_market_share",
-        # sim_ann_lsh was displaced by get_diagnostics: its oracle is
-        # bit-identical to sim_ann_lsh_pruned's by construction, so the
-        # semantic check survives; it leads the r8 window instead
-        "redshift_sql_ratio_to_report", "sample_domain_temperature",
-        "sample_hash_fraction", "sample_salted_hot_agg",
-        "sim_ivf_kmeans", "sim_ivf_search", "stream_stateful_sessions",
-        "stream_stream_interval_join", "stream_tumbling_daily",
-        "stream_tumbling_watermark", "subquery_scalar_uncorrelated",
-        "text_bigram_lm_score", "text_tfidf_top_terms", "text_word_freq_topk",
-        "udaf_weighted_mean", "window_ignore_nulls", "window_range_frame",
+        "redshift_script_case_stmt", "dedup_substring_spans",
+        "redshift_script_stored_procedure", "sim_ann_lsh",
+        # the 13 r6-era first-session rotations
+        "redshift_script_merge_into", "redshift_script_materialized_view",
+        "redshift_sql_misc3", "events_gap_fill_locf",
+        "source_fixedwidth_copy_roundtrip", "text_approx_topk_words",
+        "stream_hll_incremental", "window_named_clause",
+        "partiql_unnest_embeddings", "source_copy_conversion_params",
+        "redshift_script_schemas", "redshift_script_sql_udf",
+        "redshift_script_merge_remove_dups",
     }
 )
 
-# The rows-only-by-design queries allowed to hold r7 window slots: the
-# verdict asked for their driver rows by name (the weaker rows-only row
-# IS their contract), plus the freshness rotation of the other three.
-R7_PLANNED_ROWS_ONLY = frozenset(
-    {
-        "hll_sketch_partition_merge", "embedding_pca_project",
-        "approx_count_distinct", "dedup_minhash_ml", "sim_ivf_kmeans",
-    }
-)
+# Every r8 window slot is SQL-oracled: the five rows-only-by-design
+# queries got their official driver rows in r7 and rotate out.
+R8_PLANNED_ROWS_ONLY: frozenset[str] = frozenset()
 
 
-def test_driver_window_contains_round7_must_verify():
+def test_driver_window_contains_round8_must_verify():
     window = set(list(all_queries())[:50])
-    missing = sorted(R7_MUST_VERIFY - window)
-    assert not missing, f"planned round-7 window members displaced: {missing}"
+    missing = sorted(R8_MUST_VERIFY - window)
+    assert not missing, f"planned round-8 window members displaced: {missing}"
     # a window slot on a name with no oracle gets only the weak rows-only
-    # check — allowed ONLY for the five planned this round
+    # check — none are planned this round
     qs = all_queries()
     weak = [
         n
         for n in list(qs)[:50]
-        if qs[n].oracle is None and n not in R7_PLANNED_ROWS_ONLY
+        if qs[n].oracle is None and n not in R8_PLANNED_ROWS_ONLY
     ]
     assert not weak, f"unplanned rows-only queries occupy driver-window slots: {weak}"
 

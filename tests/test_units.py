@@ -3170,6 +3170,119 @@ def test_exception_sqlerrm_and_p0001(spark):
     assert [tuple(r) for r in out.collect()] == [("P0001", "bad load: 42 rows")]
 
 
+def test_exception_sqlstate_classes_r8(spark):
+    """SQLSTATE parity fixes (r8, per the r7 advice): a malformed-string
+    cast reports 22P02 (invalid_text_representation, what Postgres/
+    Redshift raise) not 22018; a CASE statement with no matching branch
+    reports 20000 (case_not_found) not P0001."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE states (code VARCHAR(10));
+        CREATE OR REPLACE PROCEDURE p() AS $$
+        DECLARE x INT;
+        BEGIN
+            BEGIN
+                SELECT INTO x CAST('abc' AS INT);
+            EXCEPTION WHEN OTHERS THEN
+                INSERT INTO states VALUES (SQLSTATE);
+            END;
+            BEGIN
+                CASE 99 WHEN 1 THEN x := 1; END CASE;
+            EXCEPTION WHEN OTHERS THEN
+                INSERT INTO states VALUES (SQLSTATE);
+            END;
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p();
+        SELECT * FROM states ORDER BY code;
+        """,
+    )
+    assert [r[0] for r in out.collect()] == ["20000", "22P02"]
+
+
+def test_guard_catch_untracks_row_count_and_closes_cursors(spark):
+    """After a guard catches (r8, per the r7 advice): GET DIAGNOSTICS
+    ROW_COUNT in the handler is LOUD (the tracked DML was rolled back —
+    never a count of undone effects), and a cursor OPENed inside the
+    aborted block is closed (its buffered rows came from undone state)
+    while one opened BEFORE the guard survives."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    with _pytest.raises(ValueError, match="not tracked"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE TEMP TABLE t8 (v INT);
+            CREATE OR REPLACE PROCEDURE p() AS $$
+            DECLARE n INT;
+            BEGIN
+                BEGIN
+                    INSERT INTO t8 VALUES (1);
+                    RAISE EXCEPTION 'boom';
+                EXCEPTION WHEN OTHERS THEN
+                    GET DIAGNOSTICS n := ROW_COUNT;
+                END;
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL p();
+            """,
+        )
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE src8 (v INT);
+        INSERT INTO src8 VALUES (10), (20);
+        CREATE TEMP TABLE got8 (tag VARCHAR(30), v INT);
+        CREATE OR REPLACE PROCEDURE p() AS $$
+        DECLARE
+            pre CURSOR FOR SELECT v FROM src8 ORDER BY v;
+            x INT;
+        BEGIN
+            OPEN pre;
+            BEGIN
+                RAISE EXCEPTION 'boom';
+            EXCEPTION WHEN OTHERS THEN
+                FETCH pre INTO x;  -- survives: opened before the guard
+                INSERT INTO got8 VALUES ('pre_fetch', x);
+            END;
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p();
+        SELECT * FROM got8 ORDER BY tag;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [("pre_fetch", 10)]
+    # a cursor OPENed inside the aborted block is closed by the catch —
+    # the handler's FETCH is loud (ValueErrors stay loud by policy)
+    with _pytest.raises(ValueError, match="not open"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE TEMP TABLE src8b (v INT);
+            INSERT INTO src8b VALUES (10);
+            CREATE OR REPLACE PROCEDURE p() AS $$
+            DECLARE
+                post CURSOR FOR SELECT v FROM src8b;
+                x INT;
+            BEGIN
+                BEGIN
+                    OPEN post;
+                    RAISE EXCEPTION 'boom';
+                EXCEPTION WHEN OTHERS THEN
+                    FETCH post INTO x;
+                END;
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL p();
+            """,
+        )
+
+
 def test_exception_toplevel_body_form_and_nesting(spark):
     """The common real-proc form (EXCEPTION section on the procedure's
     own outer block) parses; nested guards catch innermost-first, and an
@@ -3583,8 +3696,28 @@ def test_connect_by_rewrite_and_loud_cases(spark):
         ("SELECT * FROM cb_t START WITH k=1 CONNECT BY PRIOR k = k-1", "LEVEL pseudocolumn"),
         ("SELECT k FROM cb_t START WITH k=1 CONNECT BY k = k-1", "PRIOR"),
         (
-            "SELECT CONNECT_BY_ROOT k FROM cb_t START WITH k=1 CONNECT BY PRIOR k = k-1",
-            "CONNECT_BY_ROOT",
+            "SELECT CONNECT_BY_ISLEAF FROM cb_t START WITH k=1 CONNECT BY PRIOR k = k-1",
+            "CONNECT_BY_ISLEAF",
+        ),
+        (
+            "SELECT CONNECT_BY_ROOT UPPER(k) FROM cb_t START WITH k=1 "
+            "CONNECT BY PRIOR k = k-1",
+            "simple unqualified",
+        ),
+        (
+            "SELECT CONNECT_BY_ROOT t.k FROM cb_t START WITH k=1 "
+            "CONNECT BY PRIOR k = k-1",
+            "simple unqualified",
+        ),
+        (
+            "SELECT SYS_CONNECT_BY_PATH(k + 1, '/') FROM cb_t START WITH k=1 "
+            "CONNECT BY PRIOR k = k-1",
+            "simple base-table column",
+        ),
+        (
+            "SELECT k FROM cb_t START WITH CONNECT_BY_ROOT k = 1 "
+            "CONNECT BY PRIOR k = k-1",
+            "not supported inside START WITH",
         ),
         (
             "SELECT k FROM cb_t a START WITH k=1 CONNECT BY PRIOR k = k-1",
@@ -3874,6 +4007,71 @@ def test_connect_by_level_cap_and_cycles(spark):
             START WITH node = 1 CONNECT BY PRIOR node = parent
             """,
         ).collect()
+
+
+def test_connect_by_pseudo_columns(spark):
+    """CONNECT_BY_ROOT / SYS_CONNECT_BY_PATH carry root and path columns
+    through the recursive CTE (r8); NOCYCLE terminates a cyclic walk at
+    the row that is its own ancestor; a bare LEVEL inside the CONNECT BY
+    condition means the CHILD's level (parent + 1 — the off-by-one the
+    r7 advice flagged)."""
+    from sql_redshift_etl_spark.functions.redshift_sql import run_redshift_sql
+
+    spark.createDataFrame(
+        [(1, None, "ceo"), (2, 1, "vp_a"), (3, 1, "vp_b"), (4, 2, "eng"), (5, 4, None)],
+        "emp_id INT, mgr_id INT, name STRING",
+    ).createOrReplaceTempView("cbp_emp")
+    rows = run_redshift_sql(
+        spark,
+        """
+        SELECT emp_id, CAST(LEVEL AS BIGINT) AS lvl,
+               CONNECT_BY_ROOT name AS root_name,
+               SYS_CONNECT_BY_PATH(name, '/') AS path
+        FROM cbp_emp
+        START WITH mgr_id IS NULL
+        CONNECT BY PRIOR emp_id = mgr_id
+        """,
+    ).collect()
+    got = {r.emp_id: (r.lvl, r.root_name, r.path) for r in rows}
+    assert got[1] == (1, "ceo", "/ceo")
+    assert got[2] == (2, "ceo", "/ceo/vp_a")
+    assert got[4] == (3, "ceo", "/ceo/vp_a/eng")
+    # NULL column renders empty in the path (Oracle's contract)
+    assert got[5] == (4, "ceo", "/ceo/vp_a/eng/")
+    # NOCYCLE: 1 -> 2 -> 1 terminates instead of hitting the recursion cap
+    spark.createDataFrame(
+        [(1, 2), (2, 1)], "node INT, parent INT"
+    ).createOrReplaceTempView("cbp_cyc")
+    rows = run_redshift_sql(
+        spark,
+        """
+        SELECT node, CAST(LEVEL AS BIGINT) AS lvl FROM cbp_cyc
+        START WITH node = 1 CONNECT BY NOCYCLE PRIOR node = parent
+        """,
+    ).collect()
+    assert sorted((r.node, r.lvl) for r in rows) == [(1, 1), (2, 2)]
+    # bare LEVEL in the CONNECT BY condition caps at the CHILD level:
+    # identical rows to the post-filter spelling on a tree
+    spark.createDataFrame(
+        [(i,) for i in range(1, 130)], "k INT"
+    ).createOrReplaceTempView("cbp_t")
+    in_cond = run_redshift_sql(
+        spark,
+        """
+        SELECT k, CAST(LEVEL AS BIGINT) AS lvl FROM cbp_t
+        START WITH k = 1 CONNECT BY FLOOR(k / 10) = PRIOR k AND LEVEL <= 2
+        """,
+    ).collect()
+    post = run_redshift_sql(
+        spark,
+        """
+        SELECT k, CAST(LEVEL AS BIGINT) AS lvl FROM cbp_t
+        START WITH k = 1 CONNECT BY FLOOR(k / 10) = PRIOR k
+        WHERE LEVEL <= 2
+        """,
+    ).collect()
+    assert sorted(map(tuple, in_cond)) == sorted(map(tuple, post))
+    assert len(in_cond) == 11  # 1 + 10..19
 
 
 def test_substring_spans_hashed_equals_text(spark):

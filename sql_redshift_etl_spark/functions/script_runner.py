@@ -149,11 +149,13 @@ Statement support:
     change semantics. Cost model: each guarded mutation runs a real
     job at bind time — guard hot loops, not bulk loads you could
     guard one level up.
-  * ``EXECUTE <string expr> [INTO var, ...]`` dynamic SQL — the
-    expression evaluates with current variable values (QUOTE_IDENT/
-    QUOTE_LITERAL do the quoting) and the text runs as one statement;
-    dynamic SQL does not see plpgsql variables (plpgsql's contract).
-    USING is loud.
+  * ``EXECUTE <string expr> [INTO var, ...] [USING expr, ...]``
+    dynamic SQL — the expression evaluates with current variable
+    values (QUOTE_IDENT/QUOTE_LITERAL do the quoting) and the text
+    runs as one statement; dynamic SQL does not see plpgsql variables
+    (plpgsql's contract). USING (r8) binds each argument's VALUE to
+    its $N placeholder as a typed literal — value-not-text, outside
+    quotes only, one bounded one-row job per argument.
   * forward-only cursors: ``name CURSOR FOR <query>`` in DECLARE,
     ``OPEN`` (evaluates the query, buffering at most 1000 control
     rows driver-side — the bounded coordinator-loop contract shared
@@ -165,8 +167,11 @@ Statement support:
     affected-set plans counted only when read; SELECT INTO var, FETCH
     and EXECUTE INTO report 0/1). Untracked statements reset the
     count, and reading it then is loud — never silently stale.
-  Still loud: OUT params, RETURN with a value, PERFORM,
-  EXECUTE ... USING, GET DIAGNOSTICS of anything but ROW_COUNT.
+  * ``PERFORM query`` (r8) — run-and-discard: sets ``found`` from a
+    bounded limit-1 probe; the discarded row count feeds ROW_COUNT as
+    the usual lazy plan.
+  Still loud: OUT params, RETURN with a value, GET DIAGNOSTICS of
+  anything but ROW_COUNT.
   Cost model note (r6): WHILE/FOR loop conditions evaluate as one
   1-row Spark job per iteration (capped at 1000) — faithful to
   coordinator-side plpgsql, so a 1000-iteration loop costs the job
@@ -580,13 +585,12 @@ _DROP_PROC = re.compile(
     r"^DROP\s+PROCEDURE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*(?:\([^)]*\))?\s*$",
     re.IGNORECASE,
 )
-# plpgsql constructs outside the supported subset (r6 added IF/ELSIF/
-# ELSE, WHILE ... LOOP, FOR i IN a..b LOOP and RAISE; r7 added
-# EXCEPTION WHEN OTHERS blocks, EXECUTE dynamic SQL, and forward-only
-# cursors — see their sections below); any hit in a procedure body is a
-# loud error, not a silent misparse. Checked on quote-masked text so a
-# RAISE message containing one of these words cannot false-positive.
-_PLPGSQL_CONTROL = re.compile(r"(?i)(?:^|[^\w$])(PERFORM)(?:[^\w$]|$)")
+# plpgsql procedural surface: r6 added IF/ELSIF/ELSE, WHILE ... LOOP,
+# FOR i IN a..b LOOP and RAISE; r7 added EXCEPTION WHEN OTHERS blocks,
+# EXECUTE dynamic SQL, and forward-only cursors; r8 added PERFORM and
+# EXECUTE ... USING — the create-time reject gate is gone because
+# nothing procedural is rejected at CREATE anymore (remaining
+# out-of-subset spellings raise at their own execution sites).
 
 
 def _parse_proc_params(params: str) -> list[str]:
@@ -623,9 +627,9 @@ def _parse_proc_params(params: str) -> list[str]:
 # evaluated through the same dialect front-end as every other statement
 # via a one-row ``SELECT CAST((cond) AS BOOLEAN)``.
 #
-# Out of scope (loud at CREATE PROCEDURE): variables/DECLARE, EXIT/
-# CONTINUE, bare LOOP (needs EXIT), FOR-over-query, RETURN, EXCEPTION
-# blocks, EXECUTE — the _PLPGSQL_CONTROL check above.
+# All of plpgsql's procedural statements are now handled at their own
+# execution sites (r6-r8); out-of-subset SPELLINGS of each construct
+# raise there, not at CREATE.
 
 
 class _IfNode:
@@ -2193,12 +2197,10 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                             "one script (runaway loop?)"
                         )
                     body_txt = raw[7:].strip()
-                    if re.search(r"(?i)(?:^|[^\w$])USING(?:[^\w$]|$)", _mask_quoted(body_txt)):
-                        raise ValueError(
-                            "EXECUTE ... USING is unsupported — concatenate "
-                            "QUOTE_LITERAL(value) into the command string"
-                        )
-                    expr, into_tail = _split_top_kw(body_txt, "INTO")
+                    # USING is the last clause (plpgsql: EXECUTE cmd
+                    # [INTO t,...] [USING e,...]); split it off before INTO
+                    head_txt, using_tail = _split_top_kw(body_txt, "USING")
+                    expr, into_tail = _split_top_kw(head_txt, "INTO")
                     if not expr:
                         raise ValueError("EXECUTE: empty command-string expression")
                     sql_text = _eval_script_scalar(
@@ -2207,6 +2209,50 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     if sql_text is None or not str(sql_text).strip():
                         raise ValueError("EXECUTE: command string is NULL/empty")
                     sql_text = str(sql_text).strip().rstrip(";").strip()
+                    if using_tail is not None:
+                        # EXECUTE ... USING (r8): $N placeholders bind the
+                        # N-th USING expression's VALUE (evaluated now, in
+                        # the current scope — one bounded one-row job per
+                        # argument) as a typed literal, outside quotes only
+                        # — plpgsql's value-not-text parameter contract.
+                        from sql_redshift_etl_spark.functions.redshift_sql import (
+                            _split_args,
+                        )
+
+                        rendered: list[str] = []
+                        for a in _split_args(using_tail):
+                            if not a.strip():
+                                raise ValueError("EXECUTE ... USING: empty argument")
+                            vdf = spark.sql(
+                                translate_redshift_sql(
+                                    _prep_stmt_sql(
+                                        state,
+                                        f"SELECT ({_scoped_sql(a)}) AS v",
+                                    )
+                                ).strip()
+                            )
+                            vrow = vdf.first()
+                            rendered.append(
+                                _sql_literal(
+                                    None if vrow is None else vrow[0],
+                                    vdf.schema.fields[0].dataType.simpleString(),
+                                )
+                            )
+                        used = {
+                            int(m.group(1))
+                            for m in re.finditer(r"\$(\d+)", _mask_quoted(sql_text))
+                        }
+                        if used and max(used) > len(rendered):
+                            raise ValueError(
+                                f"EXECUTE ... USING: ${max(used)} referenced but "
+                                f"only {len(rendered)} argument(s) supplied"
+                            )
+                        for i in sorted(range(1, len(rendered) + 1), reverse=True):
+                            sql_text = _sub_outside_quotes(
+                                sql_text,
+                                rf"\${i}(?!\d)",
+                                lambda _m, _lit=rendered[i - 1]: _lit,
+                            )
                     if into_tail is None:
                         pending.appendleft(sql_text)
                         continue
@@ -2228,6 +2274,25 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     for n, v in zip(names, vals):
                         scope[n][1] = v
                     state.last_dml = 1 if row is not None else 0
+                    continue
+                if isinstance(raw, str) and re.match(r"(?i)^PERFORM\b", raw):
+                    # plpgsql PERFORM (r8): run the query, discard the
+                    # rows. FOUND reflects whether it produced any row
+                    # (one bounded limit-1 job); ROW_COUNT is tracked as
+                    # the usual LAZY plan — the discarded row count is
+                    # computed only if GET DIAGNOSTICS actually reads it.
+                    tail = raw[7:].strip()
+                    if not tail:
+                        raise ValueError("PERFORM: empty query")
+                    qdf = spark.sql(
+                        translate_redshift_sql(
+                            _prep_stmt_sql(state, _scoped_sql(f"SELECT {tail}"))
+                        ).strip()
+                    )
+                    hit = qdf.first() is not None
+                    if scope is not None and "found" in scope:
+                        scope["found"][1] = hit
+                    state.last_dml = qdf
                     continue
                 if scope is not None:
                     if raw[:3].upper() == "GET":
@@ -2486,12 +2551,6 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         )
                     decls = _parse_proc_decls(bm.group(1) or "", hm.group(1))
                     body = bm.group(2)
-                    if cm := _PLPGSQL_CONTROL.search(_mask_quoted(body)):
-                        raise ValueError(
-                            f"CREATE PROCEDURE {hm.group(1)}: procedural "
-                            f"{cm.group(1).upper()} is outside the supported "
-                            "subset (plain SQL + IF/WHILE/FOR/RAISE/variables only)"
-                        )
                     if _toplevel_exception(_mask_quoted(body)):
                         # the common real-proc form puts the EXCEPTION
                         # section on the procedure's own outer block
@@ -2554,15 +2613,20 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                             )
                         )
                         scope[vname] = [vtyp, value]
-                    if any(t == "CURSOR" for t, _v in scope.values()) and (
-                        "found" not in scope
+                    if "found" not in scope and (
+                        any(t == "CURSOR" for t, _v in scope.values())
+                        or re.search(
+                            r"(?i)(?:^|[^\w$])PERFORM(?:[^\w$]|$)", _mask_quoted(body)
+                        )
                     ):
-                        # plpgsql's FOUND, maintained by FETCH only in
-                        # this subset (other statements leave it alone —
-                        # the cursor-loop idiom `EXIT WHEN NOT found` is
-                        # what it exists for). Auto-declared only when a
-                        # cursor exists, to bound the name-capture blast
-                        # radius plpgsql variables inherently carry.
+                        # plpgsql's FOUND, maintained by FETCH and
+                        # PERFORM only in this subset (other statements
+                        # leave it alone — the idioms `EXIT WHEN NOT
+                        # found` and `PERFORM ...; IF found` are what it
+                        # exists for). Auto-declared only when a cursor
+                        # or PERFORM exists, to bound the name-capture
+                        # blast radius plpgsql variables inherently
+                        # carry.
                         scope["found"] = ["BOOLEAN", False]
                     nodes = _parse_plpgsql_nodes(body)
                     if scope:

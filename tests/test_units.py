@@ -1809,23 +1809,12 @@ def test_script_stored_procedure_call(spark):
 
 
 def test_script_stored_procedure_loud_rejections(spark):
-    """Control flow, OUT params, arity mismatches, and CALL of an
-    undefined procedure each raise named errors."""
+    """OUT params, arity mismatches, and CALL of an undefined procedure
+    each raise named errors."""
     import pytest as _pytest
 
     from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
 
-    with _pytest.raises(ValueError, match="PERFORM"):
-        run_redshift_script(
-            spark,
-            """
-            CREATE PROCEDURE p1() AS $$
-            BEGIN
-                PERFORM pg_sleep(1);
-            END;
-            $$ LANGUAGE plpgsql;
-            """,
-        )
     with _pytest.raises(ValueError, match="OUT/INOUT"):
         run_redshift_script(
             spark,
@@ -2565,37 +2554,85 @@ def test_while_runaway_loop_capped(spark):
         )
 
 
-def test_unsupported_plpgsql_still_loud(spark):
-    """PERFORM (the remaining unsupported keyword list) still raises at
-    CREATE PROCEDURE; a RAISE message CONTAINING such a word does not
-    false-positive (the check runs on quote-masked text)."""
+def test_perform_sets_found_and_row_count(spark):
+    """PERFORM (r8) runs the query and discards the rows: FOUND reflects
+    whether any row came back, GET DIAGNOSTICS ROW_COUNT counts the
+    discarded rows (lazy plan), and procedural keywords inside a string
+    literal stay just words."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE src_pf (v INT);
+        INSERT INTO src_pf VALUES (1), (2), (3);
+        CREATE TEMP TABLE got_pf (tag VARCHAR(10), n BIGINT);
+        CREATE PROCEDURE p() AS $$
+        DECLARE k BIGINT;
+        BEGIN
+            PERFORM v FROM src_pf WHERE v >= 2;
+            IF found THEN
+                GET DIAGNOSTICS k := ROW_COUNT;
+                INSERT INTO got_pf VALUES ('hit', k);
+            END IF;
+            PERFORM v FROM src_pf WHERE v > 99;
+            IF NOT found THEN
+                GET DIAGNOSTICS k := ROW_COUNT;
+                INSERT INTO got_pf VALUES ('miss', k);
+            END IF;
+            RAISE NOTICE 'FETCH PERFORM EXECUTE are just words here';
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p();
+        SELECT * FROM got_pf ORDER BY tag;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [("hit", 2), ("miss", 0)]
+
+
+def test_execute_using_binds_values(spark):
+    """EXECUTE ... USING (r8): $N placeholders bind argument VALUES as
+    typed literals — a '$1' inside the command's own string literals is
+    data, INTO and USING compose, and referencing a $N past the
+    argument list is loud."""
     import pytest as _pytest
 
     from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
 
-    with _pytest.raises(ValueError, match="PERFORM"):
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE acct (k INT, label VARCHAR(20));
+        INSERT INTO acct VALUES (1, 'keep'), (2, 'drop'), (3, 'keep');
+        CREATE PROCEDURE p() AS $$
+        DECLARE lbl VARCHAR(20) := 'keep';
+                lo INT := 2;
+                n BIGINT;
+        BEGIN
+            EXECUTE 'SELECT COUNT(*) FROM acct WHERE label = $1 AND k >= $2'
+                INTO n USING lbl, lo;
+            EXECUTE 'CREATE TEMP TABLE exec_out AS SELECT ' || n
+                || ' AS matched, ''cost $1'' AS tag';
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p();
+        SELECT matched, tag FROM exec_out;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, "cost $1")]
+    with _pytest.raises(ValueError, match=r"\$2 referenced"):
         run_redshift_script(
             spark,
             """
-            CREATE PROCEDURE bad() AS $$
+            CREATE PROCEDURE p2() AS $$
+            DECLARE x INT := 1;
             BEGIN
-                PERFORM refresh_stats();
+                EXECUTE 'SELECT $1 + $2' USING x;
             END;
             $$ LANGUAGE plpgsql;
+            CALL p2();
             """,
         )
-    # the same word inside a string literal is fine
-    run_redshift_script(
-        spark,
-        """
-        CREATE PROCEDURE ok() AS $$
-        BEGIN
-            RAISE NOTICE 'FETCH PERFORM EXECUTE are just words here';
-        END;
-        $$ LANGUAGE plpgsql;
-        CALL ok();
-        """,
-    )
 
 
 def test_procedure_missing_end_if_loud(spark):
@@ -3497,8 +3534,8 @@ def test_execute_dynamic_sql_roundtrip(spark):
 
 
 def test_execute_loud_cases(spark):
-    """NULL command string, USING, and INTO an undeclared target are
-    each loud."""
+    """NULL command string, a $N past the USING argument list, and INTO
+    an undeclared target are each loud."""
     import pytest as _pytest
 
     from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
@@ -3514,9 +3551,9 @@ def test_execute_loud_cases(spark):
     """
     with _pytest.raises(ValueError, match="NULL/empty"):
         run_redshift_script(spark, proc.format(stmt="EXECUTE NULL;"))
-    with _pytest.raises(ValueError, match="USING"):
+    with _pytest.raises(ValueError, match=r"\$2 referenced"):
         run_redshift_script(
-            spark, proc.format(stmt="EXECUTE 'SELECT $1' USING 1;")
+            spark, proc.format(stmt="EXECUTE 'SELECT $2' USING 1;")
         )
     with _pytest.raises(ValueError, match="declared plpgsql variables"):
         run_redshift_script(

@@ -565,3 +565,87 @@ def test_exception_guard_matches_python_model(spark, prog):
         """,
     )
     assert sorted(r.k for r in out.collect()) == sorted(rows)
+
+
+# --- r8: CONNECT BY (pseudo-columns + NOCYCLE + LEVEL caps) vs a Python
+# reference walk. Random node/parent graphs — cycles included — with
+# random START WITH sets, an optional post-expansion LEVEL cap
+# (sometimes parenthesized, exercising the paren-tolerant pushdown), an
+# optional bare-LEVEL cap INSIDE the CONNECT BY condition (child-level
+# semantics, the r7-advice off-by-one), and NOCYCLE either on or backed
+# by a cap (an uncapped cyclic walk without NOCYCLE is the documented
+# loud recursion-limit stop, tested separately in test_units). The model
+# enumerates every walk: a row per (path from a start node), LEVEL =
+# path length, CONNECT_BY_ROOT = path head, SYS_CONNECT_BY_PATH = the
+# '/'-joined id path, NOCYCLE = skip a child already on its own path.
+
+
+@st.composite
+def _cb_case(draw):
+    n = draw(st.integers(3, 12))
+    parents = [draw(st.one_of(st.none(), st.integers(0, n - 1))) for _ in range(n)]
+    starts = draw(st.lists(st.integers(0, n - 1), min_size=1, max_size=3, unique=True))
+    nocycle = draw(st.booleans())
+    cap = draw(st.one_of(st.none(), st.integers(1, 4)))
+    cb_cap = draw(st.one_of(st.none(), st.integers(1, 4)))
+    if not nocycle and cap is None and cb_cap is None:
+        cap = 4  # keep cyclic graphs bounded
+    paren = draw(st.booleans())
+    return n, parents, starts, nocycle, cap, cb_cap, paren
+
+
+def _cb_model(n, parents, starts, nocycle, cap, cb_cap):
+    rows = []
+    kids: dict[int, list[int]] = {}
+    for c, p in enumerate(parents):
+        if p is not None:
+            kids.setdefault(p, []).append(c)
+
+    def walk(node, level, root, path):
+        if cap is None or level <= cap:
+            rows.append((node, level, root, "/" + "/".join(map(str, path))))
+        if cap is not None and level + 1 > cap:
+            return  # pushdown-pruned: descendants only get deeper
+        for c in kids.get(node, ()):
+            if nocycle and c in path:
+                continue
+            if cb_cap is not None and level + 1 > cb_cap:
+                continue
+            walk(c, level + 1, root, path + [c])
+
+    for s in sorted(starts):
+        walk(s, 1, s, [s])
+    return sorted(rows)
+
+
+@given(_cb_case())
+@settings(max_examples=8, deadline=None)
+def test_connect_by_matches_python_model(spark, case):
+    from sql_redshift_etl_spark.functions.redshift_sql import run_redshift_sql
+
+    n, parents, starts, nocycle, cap, cb_cap, paren = case
+    spark.createDataFrame(
+        [(i, parents[i]) for i in range(n)], "id INT, parent INT"
+    ).createOrReplaceTempView("cbf_t")
+    in_list = ", ".join(map(str, sorted(starts)))
+    cb = "CONNECT BY " + ("NOCYCLE " if nocycle else "") + "PRIOR id = parent"
+    if cb_cap is not None:
+        cb += f" AND LEVEL <= {cb_cap}"
+    where = ""
+    if cap is not None:
+        conj = f"(LEVEL <= {cap})" if paren else f"LEVEL <= {cap}"
+        where = f"WHERE {conj}"
+    out = run_redshift_sql(
+        spark,
+        f"""
+        SELECT id, CAST(LEVEL AS BIGINT) AS lvl,
+               CONNECT_BY_ROOT id AS root_id,
+               SYS_CONNECT_BY_PATH(id, '/') AS path
+        FROM cbf_t
+        {where}
+        START WITH id IN ({in_list})
+        {cb}
+        """,
+    )
+    got = sorted((r.id, r.lvl, r.root_id, r.path) for r in out.collect())
+    assert got == _cb_model(n, parents, starts, nocycle, cap, cb_cap)

@@ -823,6 +823,115 @@ def redshift_script_update_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SCRIPT_SCD2 = """
+    BEGIN;
+
+    CREATE TEMP TABLE dim AS
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS band,
+           '2020-01-01' AS valid_from,
+           '9999-12-31' AS valid_to,
+           TRUE AS is_current
+    FROM {customer};
+
+    CREATE TEMP TABLE staged AS
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 2500 THEN 'mid' ELSE 'high' END AS band
+    FROM {customer} WHERE MOD(c_custkey, 7) = 0;
+
+    -- close out current rows whose attribute actually changed
+    UPDATE dim SET valid_to = '2024-06-01', is_current = FALSE
+    FROM staged s
+    WHERE dim.c_custkey = s.c_custkey
+      AND dim.is_current = TRUE AND dim.band <> s.band;
+
+    -- open a new version for every staged key with no surviving
+    -- current row (changed rows were just closed; no-change rows keep
+    -- their current version and must NOT duplicate)
+    INSERT INTO dim
+    SELECT s.c_custkey, s.band, '2024-06-01', '9999-12-31', TRUE
+    FROM staged s
+    WHERE NOT EXISTS (
+        SELECT 1 FROM dim d
+        WHERE d.c_custkey = s.c_custkey AND d.is_current = TRUE
+    );
+
+    COMMIT;
+
+    SELECT band, is_current,
+           COUNT(*) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+           MIN(valid_to) AS min_valid_to
+    FROM dim
+    GROUP BY band, is_current;
+"""
+
+
+@register(
+    "redshift_script_scd2_dimension",
+    tags=("S6", "J1"),
+    oracle="""
+        WITH base AS (
+            SELECT c_custkey,
+                   CASE WHEN c_acctbal < 0 THEN 'neg'
+                        WHEN c_acctbal < 5000 THEN 'mid'
+                        ELSE 'high' END AS band0
+            FROM customer
+        ),
+        staged AS (
+            SELECT c_custkey,
+                   CASE WHEN c_acctbal < 2500 THEN 'mid' ELSE 'high' END AS band1
+            FROM customer WHERE c_custkey % 7 = 0
+        ),
+        changed AS (
+            SELECT b.c_custkey, b.band0, s.band1
+            FROM base b JOIN staged s USING (c_custkey)
+            WHERE s.band1 <> b.band0
+        ),
+        dim AS (
+            SELECT c_custkey, band0 AS band,
+                   c_custkey NOT IN (SELECT c_custkey FROM changed) AS is_current,
+                   CASE WHEN c_custkey IN (SELECT c_custkey FROM changed)
+                        THEN '2024-06-01' ELSE '9999-12-31' END AS valid_to
+            FROM base
+            UNION ALL
+            SELECT c_custkey, band1, TRUE, '9999-12-31' FROM changed
+        )
+        SELECT band, is_current,
+               COUNT(*) AS n_rows,
+               CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+               MIN(valid_to) AS min_valid_to
+        FROM dim
+        GROUP BY band, is_current
+    """,
+)
+def redshift_script_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 maintenance (r8) — the classic
+    warehouse ETL the reference class of repo exists for: staged
+    attribute changes close out the matching CURRENT dimension rows
+    (UPDATE ... FROM sets valid_to + clears the flag, only where the
+    attribute actually changed) and open new versions (INSERT ... WHERE
+    NOT EXISTS a surviving current row — no-change keys must not
+    duplicate). The verbatim-script end state hash-matches a DuckDB
+    oracle that derives the same dimension declaratively; version
+    counts, key membership, and the closed-row valid_to are all
+    load-bearing.
+
+    Scale: one broadcastable equi-join per step (staged is the small
+    delta side by construction); the anti-join NOT EXISTS plans as a
+    LeftAnti on the same key. No corpus-wide shuffle — per-ingest cost
+    scales with the delta, the same argument as events_incremental_load.
+    """
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("rs_scd_customer")
+    out = run_redshift_script(spark, _SCRIPT_SCD2.format(customer="rs_scd_customer"))
+    assert out is not None
+    return out
+
+
 _SCRIPT_MERGE_INTO = """
     BEGIN;
 
@@ -2031,6 +2140,58 @@ def redshift_script_get_diagnostics(spark: SparkSession, sf_dir: str) -> DataFra
 
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("rs_gd_orders")
     out = run_redshift_script(spark, _SCRIPT_GET_DIAGNOSTICS.format(orders="rs_gd_orders"))
+    assert out is not None
+    return out
+
+
+_SCRIPT_PROC_INOUT = """
+    CREATE PROCEDURE order_stats(IN status CHAR(1),
+                                 INOUT n_orders BIGINT,
+                                 INOUT total_price DOUBLE PRECISION,
+                                 INOUT tag VARCHAR(30)) AS $$
+    BEGIN
+        SELECT INTO n_orders COUNT(*) FROM {orders}
+        WHERE o_orderstatus = status;
+        SELECT INTO total_price
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE PRECISION)
+            + total_price
+        FROM {orders} WHERE o_orderstatus = status;
+        tag := tag || '-' || status;
+    END;
+    $$ LANGUAGE plpgsql;
+
+    CALL order_stats('F', 0, 0.0, 'audit');
+"""
+
+
+@register(
+    "redshift_script_proc_inout",
+    tags=("S6",),
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   + 0.0 AS total_price,
+               'audit-F' AS tag
+        FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def redshift_script_proc_inout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INOUT procedure parameters (r8, §2.9b R3): the CALL itself
+    returns the final INOUT values as a one-row result — Redshift's
+    contract (OUT args are forbidden in a SQL-level CALL there, and
+    stay loud here). All three outputs are load-bearing in the hash:
+    a count accumulated into a BIGINT INOUT, an exact-decimal sum
+    folded into a DOUBLE INOUT seeded by the caller, and a VARCHAR
+    INOUT mutated by := concatenation.
+
+    Scale: the aggregates run as ordinary distributed jobs; only the
+    three scalar INOUT values cross the driver (script_runner.py
+    _inout_result — a one-row literal SELECT, no data collected).
+    """
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rs_io_orders")
+    out = run_redshift_script(spark, _SCRIPT_PROC_INOUT.format(orders="rs_io_orders"))
     assert out is not None
     return out
 

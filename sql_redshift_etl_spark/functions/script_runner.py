@@ -170,6 +170,10 @@ Statement support:
   * ``PERFORM query`` (r8) — run-and-discard: sets ``found`` from a
     bounded limit-1 probe; the discarded row count feeds ROW_COUNT as
     the usual lazy plan.
+  * INOUT parameters (r8) — scoped variables initialized from the
+    CALL argument; the CALL returns their final values as a one-row
+    result (Redshift's contract). OUT stays loud because Redshift
+    itself forbids OUT arguments in a SQL-level CALL.
   Still loud: OUT params, RETURN with a value, GET DIAGNOSTICS of
   anything but ROW_COUNT.
   Cost model note (r6): WHILE/FOR loop conditions evaluate as one
@@ -593,26 +597,31 @@ _DROP_PROC = re.compile(
 # out-of-subset spellings raise at their own execution sites).
 
 
-def _parse_proc_params(params: str) -> list[str]:
-    """IN-parameter names from a procedure signature; OUT/INOUT and
-    defaults are outside the supported subset (loud)."""
-    names: list[str] = []
+def _parse_proc_params(params: str) -> list[tuple[str, str, str]]:
+    """(name, mode, type) triples from a procedure signature. IN params
+    substitute textually at CALL time (plpgsql's lexical model); INOUT
+    params (r8) become scoped variables initialized from the CALL
+    argument, and the CALL returns their final values as a one-row
+    result — Redshift's contract. OUT stays loud because Redshift
+    itself forbids OUT arguments in a SQL-level CALL."""
+    out: list[tuple[str, str, str]] = []
     for p in _split_top_commas(params):
         p = p.strip()
         if not p:
             continue
-        if re.match(r"(?i)^(OUT|INOUT)\b", p):
+        if re.match(r"(?i)^OUT\b", p):
             raise ValueError(
-                f"CREATE PROCEDURE: OUT/INOUT parameters unsupported ({p!r}); "
-                "return results via tables the caller reads"
+                f"CREATE PROCEDURE: OUT parameters cannot be passed in a "
+                f"SQL-level CALL (Redshift's own restriction) — use INOUT ({p!r})"
             )
         if "=" in p or re.search(r"(?i)\bDEFAULT\b", p):
             raise ValueError(f"CREATE PROCEDURE: parameter defaults unsupported ({p!r})")
-        pm = re.match(r"(?i)^(?:IN\s+)?([\w$]+)\s+\w", p)
+        pm = re.match(r"(?i)^(IN\s+|INOUT\s+)?([\w$]+)\s+(\w.*)$", p)
         if pm is None:
             raise ValueError(f"CREATE PROCEDURE: cannot parse parameter {p!r}")
-        names.append(pm.group(1))
-    return names
+        mode = (pm.group(1) or "IN").strip().upper()
+        out.append((pm.group(2), mode, pm.group(3).strip()))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -696,9 +705,31 @@ class _ForQueryNode:
 class _CallEnd:
     """Marks the end of a CALL expansion on the worklist: a no-op when
     popped normally, the unwind target for early RETURN, and the fence
-    EXIT/CONTINUE must not cross."""
+    EXIT/CONTINUE must not cross. When the CALL has INOUT parameters it
+    carries their (name, type) list plus the call scope, so the
+    fall-through and RETURN sites can materialize the one-row result a
+    Redshift CALL returns (a guard catching mid-proc drops the marker —
+    an aborted CALL returns nothing, also Redshift's behavior)."""
 
-    __slots__ = ()
+    __slots__ = ("inout", "scope")
+
+    def __init__(self, inout=(), scope=None):
+        self.inout = tuple(inout)
+        self.scope = scope
+
+
+def _inout_result(spark: SparkSession, ce: "_CallEnd"):
+    """The one-row DataFrame of a CALL's final INOUT values. Through the
+    dialect front-end so Redshift type spellings in the signature
+    (DOUBLE PRECISION, CHAR(n), ...) cast correctly."""
+    return spark.sql(
+        translate_redshift_sql(
+            "SELECT "
+            + ", ".join(
+                f"{_sql_literal(ce.scope[n][1], t)} AS {n}" for n, t in ce.inout
+            )
+        ).strip()
+    )
 
 
 def _mask_quoted(text: str) -> str:
@@ -2086,7 +2117,11 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         )
                     continue
                 if isinstance(raw, _CallEnd):
-                    continue  # normal fall-through off the end of a CALL
+                    # normal fall-through off the end of a CALL; an
+                    # INOUT-bearing CALL returns its final values as a row
+                    if raw.inout:
+                        result = _inout_result(spark, raw)
+                    continue
                 if isinstance(raw, _GuardNode):
                     if raw.handler is None:
                         # plain nested BEGIN/END: statement grouping only
@@ -2176,6 +2211,8 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                             guard_stack.pop()
                             state.guard_depth = len(guard_stack)
                         if isinstance(inner, _CallEnd):
+                            if inner.inout:  # early RETURN still reports
+                                result = _inout_result(spark, inner)
                             break
                     else:
                         raise ValueError("RETURN: not inside a procedure CALL")
@@ -2583,14 +2620,26 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     if len(args) != len(params):
                         raise ValueError(
                             f"CALL {name}: expected {len(params)} argument(s) "
-                            f"({', '.join(params)}), got {len(args)}"
+                            f"({', '.join(p[0] for p in params)}), got {len(args)}"
                         )
                     call_decls = decls
-                    for p, a in zip(params, args):
+                    scope: dict = {}
+                    inout: list[tuple[str, str]] = []
+                    for (pname, pmode, ptyp), a in zip(params, args):
+                        if pmode == "INOUT":
+                            # INOUT (r8): a scoped variable initialized
+                            # from the CALL argument (evaluated NOW); the
+                            # CALL returns its final value
+                            inout.append((pname.lower(), ptyp))
+                            scope[pname.lower()] = [
+                                ptyp,
+                                _eval_script_scalar(spark, state, a, ptyp),
+                            ]
+                            continue
                         # identifier-boundary textual substitution (plpgsql
                         # itself substitutes params lexically) — into the
                         # body AND into DECLARE default expressions
-                        p_pat = rf"(?i)(?<![\w$]){re.escape(p)}(?![\w$])"
+                        p_pat = rf"(?i)(?<![\w$]){re.escape(pname)}(?![\w$])"
                         body = re.sub(p_pat, a, body)
                         call_decls = [
                             (vn, vt, None if vd is None else re.sub(p_pat, a, vd))
@@ -2598,7 +2647,6 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         ]
                     # DECLAREd variables: defaults evaluate at block entry,
                     # in order (a later default may reference an earlier var)
-                    scope: dict = {}
                     for vname, vtyp, vdefault in call_decls:
                         if vtyp == "CURSOR":
                             # query text (param-substituted above) binds
@@ -2631,7 +2679,8 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     nodes = _parse_plpgsql_nodes(body)
                     if scope:
                         nodes = [_Scoped(nd, scope) for nd in nodes]
-                    nodes.append(_CallEnd())  # RETURN's unwind target
+                    # RETURN's unwind target; carries the INOUT spec
+                    nodes.append(_CallEnd(inout, scope))
                     pending.extendleft(reversed(nodes))
                     continue
                 if re.match(r"(?i)^RAISE\b", raw):

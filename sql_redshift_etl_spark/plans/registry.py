@@ -113,6 +113,8 @@ _VERIFY_FIRST: list[str] = [
     "redshift_script_stored_procedure",
     "sim_ann_lsh",
     "redshift_sql_connect_by_path",
+    "redshift_script_proc_inout",
+    "redshift_script_scd2_dimension",
     "redshift_script_merge_into",
     "redshift_script_materialized_view",
     "redshift_sql_misc3",
@@ -156,9 +158,9 @@ _VERIFY_FIRST: list[str] = [
     "source_external_table",
     "redshift_script_swap_publish",
     "redshift_script_update_from",
+    # --- 50-query driver boundary ---
     "redshift_script_etl_mart",
     "redshift_script_upsert_snapshot",
-    # --- 50-query driver boundary ---
     "redshift_script_copy_unload",
     # Below-boundary order = r9 priority: the r4/r5-era remainder
     # (oldest official rows after this round), then the 50-entry r7

@@ -1815,7 +1815,7 @@ def test_script_stored_procedure_loud_rejections(spark):
 
     from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
 
-    with _pytest.raises(ValueError, match="OUT/INOUT"):
+    with _pytest.raises(ValueError, match="OUT parameters"):
         run_redshift_script(
             spark,
             """
@@ -2588,6 +2588,48 @@ def test_perform_sets_found_and_row_count(spark):
         """,
     )
     assert [tuple(r) for r in out.collect()] == [("hit", 2), ("miss", 0)]
+
+
+def test_inout_params_returned_by_call(spark):
+    """INOUT parameters (r8): initialized from the CALL argument, usable
+    and assignable inside the body, and the CALL itself returns their
+    final values as a one-row result — Redshift's contract. Early
+    RETURN still reports; an IN param composes with INOUT in the same
+    signature."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE sales (amt INT);
+        INSERT INTO sales VALUES (10), (20), (30);
+        CREATE PROCEDURE roll(IN factor INT, INOUT total BIGINT,
+                              INOUT tag VARCHAR(20)) AS $$
+        BEGIN
+            SELECT INTO total SUM(amt) * factor + total FROM sales;
+            tag := tag || '-done';
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL roll(2, 5, 'run1');
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(125, "run1-done")]
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE PROCEDURE early(INOUT n INT) AS $$
+        BEGIN
+            n := n + 1;
+            IF n > 0 THEN
+                RETURN;
+            END IF;
+            n := 999;
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL early(41);
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(42,)]
 
 
 def test_execute_using_binds_values(spark):

@@ -1348,6 +1348,60 @@ def redshift_sql_misc4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REDSHIFT_MISC5 = """
+    SELECT doc_id,
+           CAST(JSON_ARRAY_LENGTH('[' || REPLICATE('1,', MOD(doc_id, 3)) || '9]')
+               AS BIGINT) AS arr_len,
+           JSON_EXTRACT_ARRAY_ELEMENT_TEXT(
+               '[' || REPLICATE('1,', MOD(doc_id, 3)) || '9]', 0) AS first_elem,
+           IS_VALID_JSON(CASE WHEN MOD(doc_id, 5) = 0 THEN '{{oops'
+                              ELSE '{{"n": ' || n_chars || '}}' END) AS obj_ok,
+           IS_VALID_JSON('[' || n_chars || ']') AS arr_as_obj,
+           IS_VALID_JSON_ARRAY('[' || n_chars || ']') AS arr_ok,
+           SPLIT_TO_ARRAY(source || '.' || lang, '.')[1] AS split_lang
+    FROM {documents}
+    WHERE doc_id <= 400
+"""
+
+
+@register(
+    "redshift_sql_misc5",
+    tags=("§2.7",),
+    oracle="""
+        SELECT doc_id,
+               CAST(1 + doc_id % 3 AS BIGINT) AS arr_len,
+               CASE WHEN doc_id % 3 = 0 THEN '9' ELSE '1' END AS first_elem,
+               (doc_id % 5 <> 0) AS obj_ok,
+               FALSE AS arr_as_obj,
+               TRUE AS arr_ok,
+               string_split(source || '.' || lang, '.')[2] AS split_lang
+        FROM documents
+        WHERE doc_id <= 400
+    """,
+)
+def redshift_sql_misc5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar surface round 8 — the Redshift JSON battery
+    (redshift_sql._rewrite_json_fns): JSON_ARRAY_LENGTH over arrays of
+    varying length (built per row with REPLICATE), 0-indexed
+    JSON_EXTRACT_ARRAY_ELEMENT_TEXT, IS_VALID_JSON (true objects, FALSE
+    for arrays and malformed text — Redshift splits array validation
+    into IS_VALID_JSON_ARRAY), and SPLIT_TO_ARRAY with a '.' delimiter —
+    load-bearing for the regex-quoting rewrite (an unquoted '.' would
+    split on every character). The oracle replays each definition
+    arithmetically, so every semantic is value-checked, not just
+    shape-checked.
+
+    Scale: all row-local projections inside whole-stage codegen; the
+    key filter pushes to the scan.
+    """
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("rs_m5_documents")
+    return spark.sql(
+        translate_redshift_sql(_REDSHIFT_MISC5.format(documents="rs_m5_documents"))
+    )
+
+
 _SCRIPT_TRANSACTIONS = """
     CREATE TEMP TABLE ledger (grp VARCHAR(32), n BIGINT, total DOUBLE PRECISION);
     INSERT INTO ledger

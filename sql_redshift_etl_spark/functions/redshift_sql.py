@@ -1245,6 +1245,99 @@ def _rewrite_to_hex(sql: str) -> str:
         sql = f"{sql[: m.start()]}lower(hex({arg})){sql[end:]}"
 
 
+def _rewrite_json_fns(sql: str) -> str:
+    """Redshift JSON battery (r8):
+    - JSON_ARRAY_LENGTH(j[, flag]) → json_array_length(j). Spark returns
+      NULL on malformed input — the null_if_invalid=true behavior; the
+      1-arg Redshift form errors there instead (documented divergence,
+      the lenient direction).
+    - JSON_EXTRACT_ARRAY_ELEMENT_TEXT(j, n[, flag]) → get_json_object(j,
+      '$[n]'). The position must be an integer LITERAL (get_json_object
+      paths are compile-time foldable) — anything else is loud.
+    - IS_VALID_JSON(j) → well-formed AND not a top-level array;
+      IS_VALID_JSON_ARRAY(j) → well-formed AND a top-level array
+      (Redshift splits array validation into its own function). Checked
+      via try_parse_json + a first-non-space-char probe.
+    - SPLIT_TO_ARRAY(s, d) → split(s, '\\\\Q' || d || '\\\\E') — Spark's
+      split takes a REGEX; the \\\\Q quoting keeps Redshift's literal-
+      delimiter contract for any delimiter (e.g. '.').
+    """
+    out = sql
+    while True:
+        # Spark's native json_array_length takes ONE arg; only the
+        # Redshift 2-arg (null_if_invalid) form needs the flag dropped —
+        # and the rewrite keeps the same function name, so the loop must
+        # skip already-1-arg calls or it never terminates.
+        hits = [
+            m
+            for m in re.finditer(r"\bJSON_ARRAY_LENGTH\s*\(", out, re.IGNORECASE)
+            if not _in_literal(out, m.start())
+            and len(_split_args(out[m.end() : _scan_balanced(out, m.end()) - 1])) > 1
+        ]
+        if not hits:
+            break
+        m = hits[-1]
+        end = _scan_balanced(out, m.end())
+        args = _split_args(out[m.end() : end - 1])
+        out = f"{out[: m.start()]}json_array_length({args[0]}){out[end:]}"
+    while True:
+        hits = [
+            m
+            for m in re.finditer(
+                r"\bJSON_EXTRACT_ARRAY_ELEMENT_TEXT\s*\(", out, re.IGNORECASE
+            )
+            if not _in_literal(out, m.start())
+        ]
+        if not hits:
+            break
+        m = hits[-1]
+        end = _scan_balanced(out, m.end())
+        args = _split_args(out[m.end() : end - 1])
+        if len(args) < 2 or not re.fullmatch(r"\d+", args[1].strip()):
+            raise ValueError(
+                "JSON_EXTRACT_ARRAY_ELEMENT_TEXT: position must be an integer "
+                f"literal (got {args[1].strip()[:30]!r})" if len(args) >= 2
+                else "JSON_EXTRACT_ARRAY_ELEMENT_TEXT needs (json, pos)"
+            )
+        out = (
+            f"{out[: m.start()]}get_json_object({args[0]}, "
+            f"'$[{args[1].strip()}]'){out[end:]}"
+        )
+    for kw, want_array in (("IS_VALID_JSON_ARRAY", True), ("IS_VALID_JSON", False)):
+        while True:
+            hits = [
+                m
+                for m in re.finditer(rf"\b{kw}\s*\(", out, re.IGNORECASE)
+                if not _in_literal(out, m.start())
+            ]
+            if not hits:
+                break
+            m = hits[-1]
+            end = _scan_balanced(out, m.end())
+            j = out[m.end() : end - 1]
+            probe = "LIKE" if want_array else "NOT LIKE"
+            out = (
+                f"{out[: m.start()]}(try_parse_json({j}) IS NOT NULL "
+                f"AND ltrim({j}) {probe} '[%'){out[end:]}"
+            )
+    while True:
+        hits = [
+            m
+            for m in re.finditer(r"\bSPLIT_TO_ARRAY\s*\(", out, re.IGNORECASE)
+            if not _in_literal(out, m.start())
+        ]
+        if not hits:
+            break
+        m = hits[-1]
+        end = _scan_balanced(out, m.end())
+        s, d = _split_two_args(out[m.end() : end - 1])
+        out = (
+            f"{out[: m.start()]}split({s}, concat('\\\\Q', {d}, '\\\\E'))"
+            f"{out[end:]}"
+        )
+    return out
+
+
 def _rewrite_strtol(sql: str) -> str:
     """STRTOL(str, base) → CAST(conv(str, base, 10) AS BIGINT)."""
     pat = re.compile(r"\bSTRTOL\s*\(", re.IGNORECASE)
@@ -1437,7 +1530,7 @@ def translate_redshift_sql(sql: str) -> str:
     _rewrite_top runs before _rewrite_qualify so TOP + QUALIFY composes
     (qualify keeps the appended LIMIT in its tail)."""
     sql = strip_sql_comments(sql)
-    for fn in (rewrite_temp_names, _rewrite_connect_by, _rewrite_partiql_unnest, _rewrite_top, _rewrite_qualify, _rewrite_convert, _rewrite_type_spellings, _rewrite_datediff, _rewrite_to_char, _rewrite_to_datetime, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_approx_count, _rewrite_similar_to, _rewrite_date_part_year, _rewrite_extract_epoch, _rewrite_at_time_zone, _rewrite_string_fns, _rewrite_trunc, _rewrite_math_aliases, _rewrite_replicate, _rewrite_log_base10, _rewrite_to_hex, _rewrite_strtol, _rewrite_cmp_fns, _rewrite_difference, _rewrite_get_byte, _rewrite_quote_fns, _rewrite_to_number, _rewrite_now, _strip_storage_clauses):
+    for fn in (rewrite_temp_names, _rewrite_connect_by, _rewrite_partiql_unnest, _rewrite_top, _rewrite_qualify, _rewrite_convert, _rewrite_type_spellings, _rewrite_datediff, _rewrite_to_char, _rewrite_to_datetime, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_approx_count, _rewrite_similar_to, _rewrite_date_part_year, _rewrite_extract_epoch, _rewrite_at_time_zone, _rewrite_string_fns, _rewrite_trunc, _rewrite_math_aliases, _rewrite_replicate, _rewrite_log_base10, _rewrite_to_hex, _rewrite_strtol, _rewrite_json_fns, _rewrite_cmp_fns, _rewrite_difference, _rewrite_get_byte, _rewrite_quote_fns, _rewrite_to_number, _rewrite_now, _strip_storage_clauses):
         sql = fn(sql)
     return sql
 

@@ -115,6 +115,7 @@ _VERIFY_FIRST: list[str] = [
     "redshift_sql_connect_by_path",
     "redshift_script_proc_inout",
     "redshift_script_scd2_dimension",
+    "redshift_sql_misc5",
     "redshift_script_merge_into",
     "redshift_script_materialized_view",
     "redshift_sql_misc3",
@@ -157,8 +158,8 @@ _VERIFY_FIRST: list[str] = [
     "cube_flag_status",
     "source_external_table",
     "redshift_script_swap_publish",
-    "redshift_script_update_from",
     # --- 50-query driver boundary ---
+    "redshift_script_update_from",
     "redshift_script_etl_mart",
     "redshift_script_upsert_snapshot",
     "redshift_script_copy_unload",

@@ -4227,3 +4227,37 @@ def test_execute_sets_row_count(spark):
         """,
     )
     assert [r.n for r in out.collect()] == [5]
+
+
+def test_json_battery_rewrites(spark):
+    """Redshift JSON battery (r8, _rewrite_json_fns): array length with
+    and without null_if_invalid, 0-indexed element extraction (literal
+    positions only — loud otherwise), the IS_VALID_JSON /
+    IS_VALID_JSON_ARRAY split (objects vs arrays), and SPLIT_TO_ARRAY's
+    literal-delimiter contract (a '.' must NOT act as a regex)."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.redshift_sql import (
+        run_redshift_sql,
+        translate_redshift_sql,
+    )
+
+    row = run_redshift_sql(
+        spark,
+        """
+        SELECT JSON_ARRAY_LENGTH('[1,2,3]') AS a,
+               JSON_ARRAY_LENGTH('broken', true) AS b,
+               JSON_EXTRACT_ARRAY_ELEMENT_TEXT('[10,20,30]', 1) AS c,
+               IS_VALID_JSON('{"k":1}') AS d,
+               IS_VALID_JSON('[1,2]') AS e,
+               IS_VALID_JSON('nope') AS f,
+               IS_VALID_JSON_ARRAY('[1,2]') AS g,
+               IS_VALID_JSON_ARRAY('{"k":1}') AS h,
+               SPLIT_TO_ARRAY('a.b.c', '.')[1] AS i
+        """,
+    ).first()
+    assert tuple(row) == (3, None, "20", True, False, False, True, False, "b")
+    with _pytest.raises(ValueError, match="integer\\s+literal"):
+        translate_redshift_sql(
+            "SELECT JSON_EXTRACT_ARRAY_ELEMENT_TEXT(j, n) FROM t"
+        )

@@ -437,3 +437,15 @@ def test_substring_spans_broadcasts_and_bounded_shuffles(spark):
         and "Reused" not in line
     )
     assert hash_exchanges <= 4, f"span pipeline grew extra shuffles: {hash_exchanges}"
+
+
+def test_scd2_broadcasts_delta_and_plans_leftanti(spark):
+    """SCD2 dimension maintenance (r8): both staged-delta matches plan
+    as BroadcastHashJoin (the delta side is small by construction —
+    broadcasting it is the 100 TB shape), the NOT EXISTS version guard
+    plans as a LeftAnti join, and no Python creeps onto the path —
+    mirrors the docs/PLANS.md bullet so the doc can't drift from CI."""
+    plan = plan_of(spark, "redshift_script_scd2_dimension")
+    assert "BatchEvalPython" not in plan, "Python UDF crept into the SCD2 path"
+    assert plan.count("BroadcastHashJoin") >= 2, "staged delta not broadcast"
+    assert "LeftAnti" in plan, "NOT EXISTS did not plan as an anti join"

@@ -54,6 +54,10 @@ R8_MUST_VERIFY = frozenset(
     {
         "redshift_script_case_stmt", "dedup_substring_spans",
         "redshift_script_stored_procedure", "sim_ann_lsh",
+        # the r8-new oracled queries (window rule: new queries displace
+        # already-rowed entries, never each other)
+        "redshift_sql_connect_by_path", "redshift_script_proc_inout",
+        "redshift_script_scd2_dimension", "redshift_sql_misc5",
         # the 13 r6-era first-session rotations
         "redshift_script_merge_into", "redshift_script_materialized_view",
         "redshift_sql_misc3", "events_gap_fill_locf",

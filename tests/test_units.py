@@ -3916,7 +3916,9 @@ def test_case_statement_forms(spark):
     assert [r[0] for r in out.collect()] == [
         "other", "other", "pos", "pos", "small", "zero", "zero2",
     ]
-    # case_not_found raises (P0001 via RAISE) and a guard catches it;
+    # case_not_found raises and a guard catches it with SQLSTATE 20000
+    # (the plpgsql case_not_found class — r8 advice fix; previously the
+    # RAISE transport's P0001 leaked through);
     # a CASE statement nested in an IF parses (END CASE tokenization)
     out2 = run_redshift_script(
         spark,
@@ -3938,7 +3940,7 @@ def test_case_statement_forms(spark):
         SELECT * FROM t2 ORDER BY tag;
         """,
     )
-    assert [r[0] for r in out2.collect()] == ["caught:P0001", "one"]
+    assert [r[0] for r in out2.collect()] == ["caught:20000", "one"]
     with _pytest.raises(Exception, match="case_not_found"):
         run_redshift_script(
             spark,

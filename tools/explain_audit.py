@@ -70,6 +70,12 @@ TARGETS: dict[str, str] = {
         "shard assignment row-local (md5-derived, no RNG/row-order); manifest "
         "shuffle carries O(shards) groups."
     ),
+    "redshift_script_scd2_dimension": (
+        "SCD2 close-out/insert: both staged-delta matches are "
+        "BroadcastHashJoins (the delta side broadcasts); the NOT EXISTS "
+        "version guard plans as a LeftAnti on the key — no corpus-wide "
+        "shuffle beyond the final 6-group aggregate."
+    ),
     "q5_local_supplier_volume": (
         "region→nation→supplier broadcast chain; date filter pushed to orders; "
         "only the fact tables exchange."

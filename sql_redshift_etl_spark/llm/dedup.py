@@ -1181,3 +1181,113 @@ def substring_spans_df(
         "dup_tokens",
         F.round(F.col("dup_tokens").cast("double") / F.col("n_tok"), 6).alias("dup_frac"),
     )
+
+
+@register(
+    "dedup_substring_cut",
+    tags=("L2",),
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE len(string_split(text, ' ')) >= {SUBSTR_K}
+        ),
+        wins AS (
+            SELECT doc_id, i - 1 AS pos,
+                   array_to_string(w[i:i+{SUBSTR_K - 1}], ' ') AS win
+            FROM (
+                SELECT doc_id, w,
+                       unnest(generate_series(1, len(w) - {SUBSTR_K - 1}))
+                           AS i
+                FROM w
+            )
+        ),
+        dup AS (
+            SELECT win FROM wins GROUP BY win
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (win)),
+        cov AS (
+            SELECT DISTINCT h.doc_id, h.pos + o.off AS ti
+            FROM hits h,
+                 (SELECT unnest(generate_series(0, {SUBSTR_K - 1})) AS off) o
+        ),
+        tok AS (
+            SELECT doc_id, i - 1 AS ti, w[i] AS t
+            FROM (
+                SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+                FROM w
+            )
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tok,
+               CAST(COUNT(*) FILTER (WHERE c.ti IS NULL) AS BIGINT)
+                   AS kept_tokens,
+               COALESCE(string_agg(t.t, ' ' ORDER BY t.ti)
+                            FILTER (WHERE c.ti IS NULL), '') AS cut_text
+        FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.ti = c.ti
+        GROUP BY t.doc_id
+    """,
+)
+def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span CUTTING (L2, r8) — the consumer of the span
+    signal: rebuild each document's text with every duplicated
+    {SUBSTR_K}-token region REMOVED (Lee et al. 2022 cut duplicated
+    passages out of otherwise-unique keepers; substring_spans_df only
+    reports the regions, this emits the cleaned corpus). Returns
+    (doc_id, n_tok, kept_tokens, cut_text) for every document with
+    >= {SUBSTR_K} tokens — unflagged docs pass through verbatim, fully
+    duplicated docs come back empty.
+
+    Scale: the covered-position derivation is the spans plan (ONE
+    shuffle on the window key); the cut itself is a ROW-LOCAL
+    higher-order filter over the pre-split token array against the
+    doc's sorted hit-position list (joined back per flagged doc — the
+    small side), so no token-level explode and no second corpus
+    shuffle. The 100 TB configuration is ``substring_cut_df(docs,
+    hashed=True)`` — same xxhash64 8-byte shuffle keys as the spans
+    operator, pytest-asserted identical on the fixtures.
+    """
+    return substring_cut_df(load_table(spark, sf_dir, "documents"))
+
+
+def substring_cut_df(
+    d: DataFrame, k: int = SUBSTR_K, hashed: bool = False
+) -> DataFrame:
+    """Cleaned-corpus projection over any (doc_id, text) frame: tokens
+    covered by any cross-document duplicated k-token window are dropped;
+    everything else survives in order. ``hashed=True`` swaps the window
+    shuffle key for xxhash64 (the spans operator's measured 100 TB
+    configuration)."""
+    toks = d.select("doc_id", F.split("text", " ").alias("w")).where(F.size("w") >= k)
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {k - 1}),"
+                f" i -> array_join(slice(w, i, {k}), ' '))"
+            )
+        ).alias("pos", "win"),
+    ).withColumn("key", F.xxhash64("win") if hashed else F.col("win"))
+    dup = (
+        wins.groupBy("key")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("key")
+    )
+    hits = wins.join(dup, "key").select("doc_id", "pos")
+    hp = hits.groupBy("doc_id").agg(F.sort_array(F.collect_list("pos")).alias("hp"))
+    # left join: unflagged docs carry hp = NULL and keep every token
+    kept = F.expr(
+        f"filter(w, (t, i) -> hp IS NULL OR "
+        f"NOT exists(hp, p -> p <= i AND i <= p + {k - 1}))"
+    )
+    return (
+        toks.join(hp, "doc_id", "left")
+        .select("doc_id", F.size("w").cast("long").alias("n_tok"), kept.alias("kept"))
+        .select(
+            "doc_id",
+            "n_tok",
+            F.size("kept").cast("long").alias("kept_tokens"),
+            F.array_join("kept", " ").alias("cut_text"),
+        )
+    )

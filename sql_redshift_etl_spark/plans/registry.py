@@ -116,6 +116,7 @@ _VERIFY_FIRST: list[str] = [
     "redshift_script_proc_inout",
     "redshift_script_scd2_dimension",
     "redshift_sql_misc5",
+    "dedup_substring_cut",
     "redshift_script_merge_into",
     "redshift_script_materialized_view",
     "redshift_sql_misc3",
@@ -157,8 +158,8 @@ _VERIFY_FIRST: list[str] = [
     "multimodal_binary_metadata",
     "cube_flag_status",
     "source_external_table",
-    "redshift_script_swap_publish",
     # --- 50-query driver boundary ---
+    "redshift_script_swap_publish",
     "redshift_script_update_from",
     "redshift_script_etl_mart",
     "redshift_script_upsert_snapshot",

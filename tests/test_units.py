@@ -4263,3 +4263,65 @@ def test_json_battery_rewrites(spark):
         translate_redshift_sql(
             "SELECT JSON_EXTRACT_ARRAY_ELEMENT_TEXT(j, n) FROM t"
         )
+
+
+def test_guard_catch_keeps_variable_assignments(spark):
+    """plpgsql does NOT roll back variable assignments when a handler
+    catches — only database state. The guard snapshot/restore covers
+    bindings; scope variables keep their pre-error values (including
+    ones assigned INSIDE the failed block, up to the failure point)."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE vg (tag VARCHAR(10), v INT);
+        CREATE PROCEDURE p() AS $$
+        DECLARE x INT := 1;
+        BEGIN
+            BEGIN
+                x := x + 10;
+                INSERT INTO vg VALUES ('gone', 0);
+                RAISE EXCEPTION 'boom';
+            EXCEPTION WHEN OTHERS THEN
+                INSERT INTO vg VALUES ('kept', x);
+            END;
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p();
+        SELECT tag, v FROM vg;
+        """,
+    )
+    # the INSERT rolled back; the x := 11 assignment did not
+    assert [tuple(r) for r in out.collect()] == [("kept", 11)]
+
+
+def test_substring_cut_semantics_and_hashed_parity(spark):
+    """Span cutting (r8): on a planted fixture the shared 9-token run
+    disappears from BOTH docs (both inclusive window extents), an
+    unflagged doc passes through verbatim, and a fully-duplicated doc
+    comes back empty; the xxhash64 scale path is byte-identical to the
+    text-key form on the real fixtures."""
+    from sql_redshift_etl_spark.catalog import load_table
+    from sql_redshift_etl_spark.llm.dedup import substring_cut_df
+
+    shared = " ".join(f"s{i}" for i in range(9))  # 9-token run: 2 windows at k=8
+    d = spark.createDataFrame(
+        [
+            (1, f"a0 a1 a2 {shared} z0 z1"),
+            (2, f"b0 {shared} y0 y1 y2 y3"),
+            (3, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"),  # unique, >= k tokens
+            (4, shared),  # nothing but the shared run
+            (5, shared),
+        ],
+        "doc_id INT, text STRING",
+    )
+    got = {r.doc_id: (r.n_tok, r.kept_tokens, r.cut_text) for r in substring_cut_df(d).collect()}
+    assert got[1] == (14, 5, "a0 a1 a2 z0 z1")
+    assert got[2] == (14, 5, "b0 y0 y1 y2 y3")
+    assert got[3] == (10, 10, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9")
+    assert got[4] == (9, 0, "") and got[5] == (9, 0, "")
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    t = sorted(map(tuple, substring_cut_df(docs, hashed=False).collect()))
+    h = sorted(map(tuple, substring_cut_df(docs, hashed=True).collect()))
+    assert t == h and len(t) > 0

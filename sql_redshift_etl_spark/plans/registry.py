@@ -117,6 +117,7 @@ _VERIFY_FIRST: list[str] = [
     "redshift_script_scd2_dimension",
     "redshift_sql_misc5",
     "dedup_substring_cut",
+    "dedup_substring_incremental",
     "redshift_script_merge_into",
     "redshift_script_materialized_view",
     "redshift_sql_misc3",
@@ -157,8 +158,8 @@ _VERIFY_FIRST: list[str] = [
     "multimodal_join",
     "multimodal_binary_metadata",
     "cube_flag_status",
-    "source_external_table",
     # --- 50-query driver boundary ---
+    "source_external_table",
     "redshift_script_swap_publish",
     "redshift_script_update_from",
     "redshift_script_etl_mart",

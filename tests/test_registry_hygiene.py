@@ -58,7 +58,7 @@ R8_MUST_VERIFY = frozenset(
         # already-rowed entries, never each other)
         "redshift_sql_connect_by_path", "redshift_script_proc_inout",
         "redshift_script_scd2_dimension", "redshift_sql_misc5",
-        "dedup_substring_cut",
+        "dedup_substring_cut", "dedup_substring_incremental",
         # the 13 r6-era first-session rotations
         "redshift_script_merge_into", "redshift_script_materialized_view",
         "redshift_sql_misc3", "events_gap_fill_locf",

@@ -4325,3 +4325,33 @@ def test_substring_cut_semantics_and_hashed_parity(spark):
     t = sorted(map(tuple, substring_cut_df(docs, hashed=False).collect()))
     h = sorted(map(tuple, substring_cut_df(docs, hashed=True).collect()))
     assert t == h and len(t) > 0
+
+
+def test_substring_incremental_matches_full_restricted(spark):
+    """Incremental span dedup ≡ the from-scratch run restricted to the
+    delta docs (the window-duplication predicate coincides for delta
+    rows by construction), in both the text-key and hashed-key forms."""
+    from sql_redshift_etl_spark.catalog import load_table
+    from sql_redshift_etl_spark.llm.dedup import (
+        substring_spans_df,
+        substring_spans_incremental_df,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    for hashed in (False, True):
+        inc = sorted(
+            map(tuple, substring_spans_incremental_df(corpus, delta, hashed=hashed).collect())
+        )
+        full = sorted(
+            map(
+                tuple,
+                substring_spans_df(docs, hashed=hashed)
+                .where(F.col("doc_id") % 10 == 0)
+                .select("doc_id", "n_dup_windows", "n_spans", "dup_tokens")
+                .collect(),
+            )
+        )
+        assert inc == full and len(inc) > 0

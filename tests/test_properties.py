@@ -649,3 +649,121 @@ def test_connect_by_matches_python_model(spark, case):
     )
     got = sorted((r.id, r.lvl, r.root_id, r.path) for r in out.collect())
     assert got == _cb_model(n, parents, starts, nocycle, cap, cb_cap)
+
+
+# --- r8: the exact-substring span family (report / cut / incremental)
+# vs ONE Python reference model. Tiny vocab + short docs + k=3 make
+# cross-document duplicated windows common; the model derives duplicated
+# window keys, per-doc hit positions, gaps-and-islands span metrics
+# (spans with start-gap 2..k-1 OVERLAP in token extent and double-count
+# dup_tokens — the r7-oracled semantics, replicated deliberately), the
+# cut as the UNION of covered token indices, and the incremental split
+# (delta window duplicated iff stored in the corpus or shared by >= 2
+# delta docs).
+
+_SPAN_K = 3
+
+
+@st.composite
+def _span_case(draw):
+    n_docs = draw(st.integers(2, 6))
+    docs = []
+    for i in range(n_docs):
+        toks = draw(
+            st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=3, max_size=14)
+        )
+        docs.append((i, " ".join(toks)))
+    return docs
+
+
+def _span_model(docs, k=_SPAN_K):
+    toks = {i: t.split(" ") for i, t in docs if len(t.split(" ")) >= k}
+    wins = {
+        i: [" ".join(w[p : p + k]) for p in range(len(w) - k + 1)]
+        for i, w in toks.items()
+    }
+    owners: dict[str, set] = {}
+    for i, ws in wins.items():
+        for key in ws:
+            owners.setdefault(key, set()).add(i)
+    dup = {key for key, o in owners.items() if len(o) >= 2}
+    spans_rows, cut_rows = [], []
+    for i, w in toks.items():
+        hits = [p for p, key in enumerate(wins[i]) if key in dup]
+        if hits:
+            groups, cur = [], [hits[0]]
+            for p in hits[1:]:
+                if p - cur[-1] > 1:
+                    groups.append(cur)
+                    cur = []
+                cur.append(p)
+            groups.append(cur)
+            spans_rows.append(
+                (
+                    i,
+                    len(hits),
+                    len(groups),
+                    sum((g[-1] + k - 1) - g[0] + 1 for g in groups),
+                )
+            )
+        covered = {t for p in hits for t in range(p, p + k)}
+        kept = [t for j, t in enumerate(w) if j not in covered]
+        cut_rows.append((i, len(w), len(kept), " ".join(kept)))
+    # incremental: even doc_ids = corpus, odd = delta
+    corpus_keys = {key for i, ws in wins.items() if i % 2 == 0 for key in ws}
+    inc_rows = []
+    for i, w in toks.items():
+        if i % 2 == 0:
+            continue
+        hits = [
+            p
+            for p, key in enumerate(wins[i])
+            if key in corpus_keys
+            or len({j for j in owners[key] if j % 2 == 1}) >= 2
+        ]
+        if not hits:
+            continue
+        groups, cur = [], [hits[0]]
+        for p in hits[1:]:
+            if p - cur[-1] > 1:
+                groups.append(cur)
+                cur = []
+            cur.append(p)
+        groups.append(cur)
+        inc_rows.append(
+            (i, len(hits), len(groups), sum((g[-1] + k - 1) - g[0] + 1 for g in groups))
+        )
+    return sorted(spans_rows), sorted(cut_rows), sorted(inc_rows)
+
+
+@given(_span_case())
+@settings(max_examples=8, deadline=None)
+def test_span_family_matches_python_model(spark, docs):
+    from pyspark.sql import functions as F
+
+    from sql_redshift_etl_spark.llm.dedup import (
+        substring_cut_df,
+        substring_spans_df,
+        substring_spans_incremental_df,
+    )
+
+    d = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    want_spans, want_cut, want_inc = _span_model(docs)
+    got_spans = sorted(
+        (r.doc_id, r.n_dup_windows, r.n_spans, r.dup_tokens)
+        for r in substring_spans_df(d, k=_SPAN_K).collect()
+    )
+    got_cut = sorted(map(tuple, substring_cut_df(d, k=_SPAN_K).collect()))
+    got_inc = sorted(
+        map(
+            tuple,
+            substring_spans_incremental_df(
+                d.where(F.col("doc_id") % 2 == 0),
+                d.where(F.col("doc_id") % 2 == 1),
+                k=_SPAN_K,
+            ).collect(),
+        )
+    )
+    assert got_spans == want_spans
+    assert got_cut == want_cut
+    assert got_inc == want_inc

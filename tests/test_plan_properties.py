@@ -449,3 +449,27 @@ def test_scd2_broadcasts_delta_and_plans_leftanti(spark):
     assert "BatchEvalPython" not in plan, "Python UDF crept into the SCD2 path"
     assert plan.count("BroadcastHashJoin") >= 2, "staged delta not broadcast"
     assert "LeftAnti" in plan, "NOT EXISTS did not plan as an anti join"
+
+
+def test_substring_cut_and_incremental_plan_shapes(spark):
+    """The r8 span-family additions keep the spans operator's plan
+    discipline: the small sides (dup window set; per-doc hit lists;
+    stored-key probe result) join back via BROADCAST, shuffles stay
+    bounded (cut: window-key groupBy + hit collect + nothing else;
+    incremental: one extra for the delta-key probe), and no Python
+    appears anywhere."""
+    for name, max_hash in (
+        ("dedup_substring_cut", 4),
+        ("dedup_substring_incremental", 5),
+    ):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, f"{name}: Python crept in"
+        assert plan.count("BroadcastExchange") >= 2, f"{name}: joins not broadcast"
+        hash_exchanges = sum(
+            1
+            for line in plan.splitlines()
+            if "Exchange hashpartitioning" in line and "Reused" not in line
+        )
+        assert hash_exchanges <= max_hash, (
+            f"{name}: pipeline grew extra shuffles ({hash_exchanges})"
+        )

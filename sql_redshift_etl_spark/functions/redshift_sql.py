@@ -1088,7 +1088,13 @@ def _rewrite_connect_by(sql: str) -> str:
                     "SYS_CONNECT_BY_PATH: first argument must be a simple "
                     f"base-table column, got {col[:40]!r}"
                 )
-            idx = paths.setdefault((col, sep.strip()), len(paths))
+            # dedup on the UNMASKED separator: two textually identical
+            # calls mask their literals to different sentinels, and a
+            # sentinel-keyed dict would carry duplicate path columns
+            # through every frontier row
+            idx = paths.setdefault(
+                (col, _unmask_literals(sep.strip(), lits)), len(paths)
+            )
             txt = f"{txt[: m.start()]}__cbp_{idx}{txt[end:]}"
         out: list[str] = []
         pos = 0
@@ -1279,6 +1285,14 @@ def _rewrite_json_fns(sql: str) -> str:
         m = hits[-1]
         end = _scan_balanced(out, m.end())
         args = _split_args(out[m.end() : end - 1])
+        if args[1].strip().lower() == "false":
+            # error-on-invalid is the semantics Spark's lenient
+            # json_array_length cannot express — loud, never silent
+            raise ValueError(
+                "JSON_ARRAY_LENGTH(json, false): the error-on-invalid form "
+                "is unsupported (Spark returns NULL on malformed input) — "
+                "drop the flag or pass true"
+            )
         out = f"{out[: m.start()]}json_array_length({args[0]}){out[end:]}"
     while True:
         hits = [
@@ -1315,10 +1329,13 @@ def _rewrite_json_fns(sql: str) -> str:
             m = hits[-1]
             end = _scan_balanced(out, m.end())
             j = out[m.end() : end - 1]
-            probe = "LIKE" if want_array else "NOT LIKE"
+            # first-NON-WHITESPACE-char probe: JSON permits leading
+            # tabs/newlines too, which Spark's ltrim (space-only) would
+            # leave in place — a regex anchor classifies correctly
+            probe = "" if want_array else "NOT "
             out = (
                 f"{out[: m.start()]}(try_parse_json({j}) IS NOT NULL "
-                f"AND ltrim({j}) {probe} '[%'){out[end:]}"
+                f"AND {probe}regexp_like({j}, '^\\\\s*\\\\[')){out[end:]}"
             )
     while True:
         hits = [

@@ -708,20 +708,35 @@ class _CallEnd:
     EXIT/CONTINUE must not cross. When the CALL has INOUT parameters it
     carries their (name, type) list plus the call scope, so the
     fall-through and RETURN sites can materialize the one-row result a
-    Redshift CALL returns (a guard catching mid-proc drops the marker —
-    an aborted CALL returns nothing, also Redshift's behavior)."""
+    TOP-LEVEL Redshift CALL returns (``nested`` suppresses it — an
+    inner CALL's INOUT row is not a script result in Redshift) and
+    apply ``writebacks``: a nested CALL that passed a caller VARIABLE
+    as an INOUT argument copies the final value back into it, plpgsql's
+    by-reference contract. A guard catching mid-proc drops the marker —
+    an aborted CALL returns nothing and writes nothing back, also
+    Redshift's behavior."""
 
-    __slots__ = ("inout", "scope")
+    __slots__ = ("inout", "scope", "nested", "writebacks")
 
-    def __init__(self, inout=(), scope=None):
+    def __init__(self, inout=(), scope=None, nested=False, writebacks=()):
         self.inout = tuple(inout)
         self.scope = scope
+        self.nested = nested
+        # (caller_scope, caller_var, param_name) triples
+        self.writebacks = tuple(writebacks)
 
 
 def _inout_result(spark: SparkSession, ce: "_CallEnd"):
-    """The one-row DataFrame of a CALL's final INOUT values. Through the
+    """Finish an INOUT-bearing CALL: apply variable write-backs into the
+    caller's scope, then return the one-row DataFrame of final INOUT
+    values for a top-level CALL (None for a nested one — Redshift only
+    surfaces the outermost CALL's row). The row goes through the
     dialect front-end so Redshift type spellings in the signature
     (DOUBLE PRECISION, CHAR(n), ...) cast correctly."""
+    for caller_scope, caller_var, pname in ce.writebacks:
+        caller_scope[caller_var][1] = ce.scope[pname][1]
+    if ce.nested:
+        return None
     return spark.sql(
         translate_redshift_sql(
             "SELECT "
@@ -1093,9 +1108,10 @@ def _classify_sqlstate(exc: BaseException) -> str:
     no ELSE — routed through the runner's own RAISE sentinel), P0001
     raise_exception, 22012 division_by_zero, 22P02 invalid text
     representation (a failed cast from a malformed string — Postgres/
-    Redshift report 22P02 there, NOT 22018), 22018 invalid character
-    value for cast (numeric-conversion overflow in a cast), 22003
-    numeric out of range; XX000 (internal_error) otherwise."""
+    Redshift report 22P02 there, NOT 22018), 22003 numeric out of range
+    (including a cast that overflows its target — Postgres raises
+    'integer out of range' 22003 there, so CAST_OVERFLOW maps here too,
+    not to 22018); XX000 (internal_error) otherwise."""
     msg = str(exc)
     if isinstance(exc, RuntimeError) and msg.startswith("RAISE EXCEPTION"):
         if msg == f"RAISE EXCEPTION: {_CASE_NOT_FOUND_MSG}":
@@ -1105,9 +1121,11 @@ def _classify_sqlstate(exc: BaseException) -> str:
         return "22012"
     if "CAST_INVALID_INPUT" in msg:
         return "22P02"
-    if "CAST_OVERFLOW" in msg:
-        return "22018"
-    if "NUMERIC_VALUE_OUT_OF_RANGE" in msg or "ARITHMETIC_OVERFLOW" in msg:
+    if (
+        "CAST_OVERFLOW" in msg
+        or "NUMERIC_VALUE_OUT_OF_RANGE" in msg
+        or "ARITHMETIC_OVERFLOW" in msg
+    ):
         return "22003"
     return "XX000"
 
@@ -2118,9 +2136,12 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     continue
                 if isinstance(raw, _CallEnd):
                     # normal fall-through off the end of a CALL; an
-                    # INOUT-bearing CALL returns its final values as a row
+                    # INOUT-bearing CALL writes caller variables back and,
+                    # when top-level, returns its final values as a row
                     if raw.inout:
-                        result = _inout_result(spark, raw)
+                        res = _inout_result(spark, raw)
+                        if res is not None:
+                            result = res
                     continue
                 if isinstance(raw, _GuardNode):
                     if raw.handler is None:
@@ -2137,12 +2158,15 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                             "scope": scope,
                             "end": end,
                             # cursors already open at guard entry survive a
-                            # catch; ones OPENed inside the block close on
-                            # rollback (plpgsql closes cursors opened inside
-                            # an aborted block — their buffered rows came
-                            # from undone state)
+                            # catch; ones OPENed (or CLOSEd-and-reOPENed)
+                            # inside the block close on rollback (plpgsql
+                            # closes portals opened inside an aborted
+                            # block — their buffered rows came from undone
+                            # state). Keyed on the BUFFER OBJECT, not the
+                            # name, so a re-OPEN behind the same name is
+                            # still detected.
                             "open_cursors": {
-                                n
+                                n: e[1].rows
                                 for n, e in (scope or {}).items()
                                 if e[0] == "CURSOR" and e[1].rows is not None
                             },
@@ -2212,7 +2236,9 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                             state.guard_depth = len(guard_stack)
                         if isinstance(inner, _CallEnd):
                             if inner.inout:  # early RETURN still reports
-                                result = _inout_result(spark, inner)
+                                res = _inout_result(spark, inner)
+                                if res is not None:
+                                    result = res
                             break
                     else:
                         raise ValueError("RETURN: not inside a procedure CALL")
@@ -2225,8 +2251,9 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     # statement. Dynamic SQL does NOT see plpgsql
                     # variables — plpgsql's own contract — so the built
                     # statement enqueues unscoped. `EXECUTE ... INTO
-                    # var[, ...]` assigns the single result row instead.
-                    # USING parameter binding is outside the subset.
+                    # var[, ...]` assigns the single result row instead;
+                    # `USING expr, ...` (r8) value-binds $N placeholders
+                    # below.
                     n_execs += 1
                     if n_execs > 1000:
                         raise ValueError(
@@ -2491,7 +2518,13 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                                     scope[n][1] = v
                                 state.last_dml = 1 if row is not None else 0
                                 continue
-                    raw = _subst_vars(scope, raw)
+                    # CALL keeps its raw argument text: the handler
+                    # substitutes caller variables per-argument so an
+                    # INOUT argument that IS a caller variable can be
+                    # recognized for write-back (pre-substituting the
+                    # whole statement would erase the name)
+                    if not _CALL.match(raw):
+                        raw = _subst_vars(scope, raw)
                 # Redshift #temp names → plain identifiers BEFORE statement
                 # classification (the CREATE/COPY/INSERT regexes match \w
                 # identifiers; '#stg' would silently fall through to
@@ -2623,26 +2656,55 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                             f"({', '.join(p[0] for p in params)}), got {len(args)}"
                         )
                     call_decls = decls
-                    scope: dict = {}
+                    caller_scope = scope  # the _Scoped wrapper's scope (or None)
+                    # a CALL expanded from inside another CALL still has
+                    # that CALL's end-marker queued — nested per Redshift
+                    nested_call = any(
+                        isinstance(x.item if isinstance(x, _Scoped) else x, _CallEnd)
+                        for x in pending
+                    )
+                    scope = {}
                     inout: list[tuple[str, str]] = []
+                    writebacks: list[tuple[dict, str, str]] = []
                     for (pname, pmode, ptyp), a in zip(params, args):
                         if pmode == "INOUT":
                             # INOUT (r8): a scoped variable initialized
-                            # from the CALL argument (evaluated NOW); the
-                            # CALL returns its final value
+                            # from the CALL argument (evaluated NOW, in
+                            # the CALLER's scope); the top-level CALL
+                            # returns its final value, a nested CALL
+                            # writes it back into the caller's variable
+                            # (plpgsql's by-reference contract)
                             inout.append((pname.lower(), ptyp))
-                            scope[pname.lower()] = [
-                                ptyp,
-                                _eval_script_scalar(spark, state, a, ptyp),
-                            ]
+                            a_var = a.strip().lower()
+                            if (
+                                caller_scope is not None
+                                and a_var in caller_scope
+                                and caller_scope[a_var][0] != "CURSOR"
+                            ):
+                                init = caller_scope[a_var][1]
+                                writebacks.append((caller_scope, a_var, pname.lower()))
+                            else:
+                                init = _eval_script_scalar(
+                                    spark,
+                                    state,
+                                    _subst_vars(caller_scope, a)
+                                    if caller_scope
+                                    else a,
+                                    ptyp,
+                                )
+                            scope[pname.lower()] = [ptyp, init]
                             continue
                         # identifier-boundary textual substitution (plpgsql
                         # itself substitutes params lexically) — into the
-                        # body AND into DECLARE default expressions
+                        # body AND into DECLARE default expressions; caller
+                        # variables in the argument render as typed
+                        # literals HERE (the statement-level pass skips
+                        # CALL so INOUT variable names survive above)
+                        a_lit = _subst_vars(caller_scope, a) if caller_scope else a
                         p_pat = rf"(?i)(?<![\w$]){re.escape(pname)}(?![\w$])"
-                        body = re.sub(p_pat, a, body)
+                        body = re.sub(p_pat, a_lit, body)
                         call_decls = [
-                            (vn, vt, None if vd is None else re.sub(p_pat, a, vd))
+                            (vn, vt, None if vd is None else re.sub(p_pat, a_lit, vd))
                             for vn, vt, vd in call_decls
                         ]
                     # DECLAREd variables: defaults evaluate at block entry,
@@ -2680,7 +2742,7 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     if scope:
                         nodes = [_Scoped(nd, scope) for nd in nodes]
                     # RETURN's unwind target; carries the INOUT spec
-                    nodes.append(_CallEnd(inout, scope))
+                    nodes.append(_CallEnd(inout, scope, nested_call, writebacks))
                     pending.extendleft(reversed(nodes))
                     continue
                 if re.match(r"(?i)^RAISE\b", raw):
@@ -3678,12 +3740,14 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 state.last_dml = None
                 # cursors OPENed after the snapshot buffered rows from the
                 # rolled-back bindings — close them (plpgsql closes cursors
-                # opened inside an aborted block)
+                # opened inside an aborted block). Identity check: a cursor
+                # CLOSEd and re-OPENed inside the block holds a NEW buffer
+                # object under the old name and must close too.
                 for n, e in (g["scope"] or {}).items():
                     if (
                         e[0] == "CURSOR"
                         and e[1].rows is not None
-                        and n not in g["open_cursors"]
+                        and e[1].rows is not g["open_cursors"].get(n)
                     ):
                         e[1].rows = None
                 handler = _sub_outside_quotes(

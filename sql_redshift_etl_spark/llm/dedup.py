@@ -1126,20 +1126,18 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_spans_df(load_table(spark, sf_dir, "documents"))
 
 
-def substring_spans_df(
-    d: DataFrame, k: int = SUBSTR_K, hashed: bool = False
-) -> DataFrame:
-    """Per-document duplicated-span metrics over any (doc_id, text)
-    frame. ``hashed=True`` is the 100 TB configuration: the shuffle key
-    becomes xxhash64(window) — 8 bytes instead of ~50 — accepting the
-    standard 2^-64 collision risk. Measured at sf10 (500 k docs, ~45 M
-    window rows): identical 47,700 flagged docs, steady 18-24 s hashed
-    vs a spill-noisy 25-164 s with text keys (docs/ROUND7.md); pytest
-    asserts hashed ≡ text on the fixtures."""
-    from pyspark.sql import Window
+def _substr_toks(d: DataFrame, k: int) -> DataFrame:
+    """(doc_id, token array) for every doc long enough to window."""
+    return d.select("doc_id", F.split("text", " ").alias("w")).where(F.size("w") >= k)
 
-    toks = d.select("doc_id", F.split("text", " ").alias("w")).where(F.size("w") >= k)
-    wins = toks.select(
+
+def _substr_wins(d: DataFrame, k: int, hashed: bool) -> DataFrame:
+    """ONE definition of the k-token windowing shared by the whole span
+    family (report/cut/incremental — a tweak here moves all three plus
+    their oracles' expectations together): row-local transform over the
+    pre-split token array, 0-based start position, shuffle key = window
+    text or its xxhash64 (the measured 100 TB configuration)."""
+    return _substr_toks(d, k).select(
         "doc_id",
         F.posexplode(
             F.expr(
@@ -1148,13 +1146,16 @@ def substring_spans_df(
             )
         ).alias("pos", "win"),
     ).withColumn("key", F.xxhash64("win") if hashed else F.col("win"))
-    dup = (
-        wins.groupBy("key")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("key")
-    )
-    hits = wins.join(dup, "key").select("doc_id", "pos")
+
+
+def _substr_span_metrics(hits: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated window START positions into
+    contiguous spans, then per-doc metrics — shared by the report and
+    the incremental form. Spans whose starts gap by 2..k-1 overlap in
+    token extent and double-count dup_tokens: the r7-oracled semantics,
+    kept deliberately (the CUT uses the coverage UNION instead)."""
+    from pyspark.sql import Window
+
     ow = Window.partitionBy("doc_id").orderBy("pos")
     isl = hits.withColumn(
         "g",
@@ -1167,11 +1168,32 @@ def substring_spans_df(
         F.min("pos").alias("s"),
         (F.max("pos") + F.lit(k - 1)).alias("e"),
     )
-    perdoc = spans.groupBy("doc_id").agg(
+    return spans.groupBy("doc_id").agg(
         F.sum("nw").cast("long").alias("n_dup_windows"),
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
     )
+
+
+def substring_spans_df(
+    d: DataFrame, k: int = SUBSTR_K, hashed: bool = False
+) -> DataFrame:
+    """Per-document duplicated-span metrics over any (doc_id, text)
+    frame. ``hashed=True`` is the 100 TB configuration: the shuffle key
+    becomes xxhash64(window) — 8 bytes instead of ~50 — accepting the
+    standard 2^-64 collision risk. Measured at sf10 (500 k docs, ~45 M
+    window rows): identical 47,700 flagged docs, steady 18-24 s hashed
+    vs a spill-noisy 25-164 s with text keys (docs/ROUND7.md); pytest
+    asserts hashed ≡ text on the fixtures."""
+    wins = _substr_wins(d, k, hashed)
+    dup = (
+        wins.groupBy("key")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("key")
+    )
+    hits = wins.join(dup, "key").select("doc_id", "pos")
+    perdoc = _substr_span_metrics(hits, k)
     return perdoc.join(
         d.select("doc_id", F.size(F.split("text", " ")).alias("n_tok")), "doc_id"
     ).select(
@@ -1258,16 +1280,8 @@ def substring_cut_df(
     everything else survives in order. ``hashed=True`` swaps the window
     shuffle key for xxhash64 (the spans operator's measured 100 TB
     configuration)."""
-    toks = d.select("doc_id", F.split("text", " ").alias("w")).where(F.size("w") >= k)
-    wins = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size(w) - {k - 1}),"
-                f" i -> array_join(slice(w, i, {k}), ' '))"
-            )
-        ).alias("pos", "win"),
-    ).withColumn("key", F.xxhash64("win") if hashed else F.col("win"))
+    toks = _substr_toks(d, k)
+    wins = _substr_wins(d, k, hashed)
     dup = (
         wins.groupBy("key")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -1384,27 +1398,11 @@ def substring_spans_incremental_df(
     query derives the relation from the corpus docs so it stays
     self-contained. Matches the from-scratch run on corpus ∪ delta
     restricted to delta docs (pytest-asserted)."""
-    kc = F.xxhash64("win") if hashed else F.col("win")
-
-    def _wins(d: DataFrame) -> DataFrame:
-        toks = d.select("doc_id", F.split("text", " ").alias("w")).where(
-            F.size("w") >= k
-        )
-        return toks.select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, size(w) - {k - 1}),"
-                    f" i -> array_join(slice(w, i, {k}), ' '))"
-                )
-            ).alias("pos", "win"),
-        ).withColumn("key", kc)
-
     if stored_keys is None:
         if corpus is None:
             raise ValueError("pass either corpus docs or a stored_keys relation")
-        stored_keys = _wins(corpus).select("key").distinct()
-    dw = _wins(delta)
+        stored_keys = _substr_wins(corpus, k, hashed).select("key").distinct()
+    dw = _substr_wins(delta, k, hashed)
     # duplicated for a delta doc: key known to the corpus, or shared by
     # >= 2 delta docs (intra-batch duplication)
     delta_dup = (
@@ -1415,22 +1413,4 @@ def substring_spans_incremental_df(
         .select("key")
     )
     hits = dw.join(delta_dup, "key").select("doc_id", "pos")
-    from pyspark.sql import Window
-
-    ow = Window.partitionBy("doc_id").orderBy("pos")
-    isl = hits.withColumn(
-        "g",
-        F.sum(
-            F.when(F.col("pos") - F.lag("pos", 1, -2).over(ow) > 1, 1).otherwise(0)
-        ).over(ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
-    spans = isl.groupBy("doc_id", "g").agg(
-        F.count(F.lit(1)).alias("nw"),
-        F.min("pos").alias("s"),
-        (F.max("pos") + F.lit(k - 1)).alias("e"),
-    )
-    return spans.groupBy("doc_id").agg(
-        F.sum("nw").cast("long").alias("n_dup_windows"),
-        F.count(F.lit(1)).cast("long").alias("n_spans"),
-        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
-    )
+    return _substr_span_metrics(hits, k)

@@ -4153,6 +4153,19 @@ def test_connect_by_pseudo_columns(spark):
     ).collect()
     assert sorted(map(tuple, in_cond)) == sorted(map(tuple, post))
     assert len(in_cond) == 11  # 1 + 10..19
+    # textually identical SYS_CONNECT_BY_PATH calls share ONE carried
+    # column (dedup keys on the unmasked literal, not the mask sentinel)
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql
+
+    two_calls = translate_redshift_sql(
+        """
+        SELECT emp_id, SYS_CONNECT_BY_PATH(name, '/') AS p1
+        FROM cbp_emp
+        WHERE SYS_CONNECT_BY_PATH(name, '/') LIKE '/ceo%'
+        START WITH mgr_id IS NULL CONNECT BY PRIOR emp_id = mgr_id
+        """
+    )
+    assert "__cbp_0" in two_calls and "__cbp_1" not in two_calls
 
 
 def test_substring_spans_hashed_equals_text(spark):
@@ -4255,14 +4268,23 @@ def test_json_battery_rewrites(spark):
                IS_VALID_JSON('nope') AS f,
                IS_VALID_JSON_ARRAY('[1,2]') AS g,
                IS_VALID_JSON_ARRAY('{"k":1}') AS h,
-               SPLIT_TO_ARRAY('a.b.c', '.')[1] AS i
+               SPLIT_TO_ARRAY('a.b.c', '.')[1] AS i,
+               IS_VALID_JSON_ARRAY('\t[1,2]') AS j,
+               IS_VALID_JSON('\n[1,2]') AS k
         """,
     ).first()
-    assert tuple(row) == (3, None, "20", True, False, False, True, False, "b")
+    # j/k: JSON permits leading tabs/newlines — the validity probe is a
+    # regex anchor, not Spark's space-only ltrim (r8 review fix)
+    assert tuple(row) == (
+        3, None, "20", True, False, False, True, False, "b", True, False,
+    )
     with _pytest.raises(ValueError, match="integer\\s+literal"):
         translate_redshift_sql(
             "SELECT JSON_EXTRACT_ARRAY_ELEMENT_TEXT(j, n) FROM t"
         )
+    # the error-on-invalid flavor cannot be expressed leniently — loud
+    with _pytest.raises(ValueError, match="error-on-invalid"):
+        translate_redshift_sql("SELECT JSON_ARRAY_LENGTH(j, false) FROM t")
 
 
 def test_guard_catch_keeps_variable_assignments(spark):
@@ -4355,3 +4377,99 @@ def test_substring_incremental_matches_full_restricted(spark):
             )
         )
         assert inc == full and len(inc) > 0
+
+
+def test_sqlstate_cast_overflow_is_22003(spark):
+    """A cast that overflows its target reports 22003 (numeric out of
+    range — what Postgres/Redshift raise for 'integer out of range'),
+    not 22018 (r8 review fix)."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE st_of (code VARCHAR(10));
+        CREATE PROCEDURE p() AS $$
+        DECLARE x INT;
+        BEGIN
+            BEGIN
+                SELECT INTO x CAST(3000000000 AS INT);
+            EXCEPTION WHEN OTHERS THEN
+                INSERT INTO st_of VALUES (SQLSTATE);
+            END;
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p();
+        SELECT * FROM st_of;
+        """,
+    )
+    assert [r[0] for r in out.collect()] == ["22003"]
+
+
+def test_nested_inout_call_writes_back_and_returns_nothing(spark):
+    """A nested CALL with an INOUT argument that is a caller variable
+    writes the final value back into it (plpgsql's by-reference
+    contract) and does NOT leak its row as the script result — only the
+    top-level CALL's INOUT row surfaces (r8 review fix)."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE got_nio (v INT);
+        CREATE PROCEDURE bump(INOUT n INT) AS $$
+        BEGIN
+            n := n + 10;
+        END;
+        $$ LANGUAGE plpgsql;
+        CREATE PROCEDURE outerp() AS $$
+        DECLARE x INT := 5;
+        BEGIN
+            CALL bump(x);
+            CALL bump(x);
+            INSERT INTO got_nio VALUES (x);
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL outerp();
+        SELECT * FROM got_nio;
+        """,
+    )
+    # write-back applied twice; the script result is the final SELECT,
+    # not bump's leaked INOUT row
+    assert [tuple(r) for r in out.collect()] == [(25,)]
+
+
+def test_guard_catch_closes_reopened_cursor(spark):
+    """A cursor open at guard entry that is CLOSEd and re-OPENed inside
+    the aborted block holds rows buffered from rolled-back state — the
+    catch must close it (identity check, not name check; r8 review
+    fix). The handler's FETCH is loud."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    with _pytest.raises(ValueError, match="not open"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE TEMP TABLE src_ro (v INT);
+            INSERT INTO src_ro VALUES (1);
+            CREATE PROCEDURE p() AS $$
+            DECLARE
+                c CURSOR FOR SELECT v FROM src_ro;
+                x INT;
+            BEGIN
+                OPEN c;
+                BEGIN
+                    CLOSE c;
+                    INSERT INTO src_ro VALUES (99);
+                    OPEN c;
+                    RAISE EXCEPTION 'boom';
+                EXCEPTION WHEN OTHERS THEN
+                    FETCH c INTO x;
+                END;
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL p();
+            """,
+        )

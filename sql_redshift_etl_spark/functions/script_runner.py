@@ -2683,15 +2683,17 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                             ):
                                 init = caller_scope[a_var][1]
                                 writebacks.append((caller_scope, a_var, pname.lower()))
-                            else:
-                                init = _eval_script_scalar(
-                                    spark,
-                                    state,
-                                    _subst_vars(caller_scope, a)
-                                    if caller_scope
-                                    else a,
-                                    ptyp,
+                            elif caller_scope is not None:
+                                # plpgsql: a writable argument in a
+                                # procedure-context CALL must be a
+                                # variable (the result has nowhere to go)
+                                raise ValueError(
+                                    f"CALL {name}: INOUT argument {pname!r} "
+                                    f"must be a declared variable inside a "
+                                    f"procedure, got expression {a[:40]!r}"
                                 )
+                            else:
+                                init = _eval_script_scalar(spark, state, a, ptyp)
                             scope[pname.lower()] = [ptyp, init]
                             continue
                         # identifier-boundary textual substitution (plpgsql

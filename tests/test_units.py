@@ -4473,3 +4473,30 @@ def test_guard_catch_closes_reopened_cursor(spark):
             CALL p();
             """,
         )
+
+
+def test_nested_inout_non_variable_argument_is_loud(spark):
+    """Inside a procedure, an INOUT argument that is not a declared
+    variable has nowhere to receive the result — plpgsql rejects it,
+    and so does the runner (top-level CALLs still accept constants:
+    Redshift surfaces their row as the CALL result)."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    with _pytest.raises(ValueError, match="must be a declared variable"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE PROCEDURE bump2(INOUT n INT) AS $$
+            BEGIN n := n + 1; END;
+            $$ LANGUAGE plpgsql;
+            CREATE PROCEDURE outer2() AS $$
+            DECLARE y INT := 1;
+            BEGIN
+                CALL bump2(y + 1);
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL outer2();
+            """,
+        )

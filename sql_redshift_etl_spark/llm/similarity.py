@@ -614,3 +614,98 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "label", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+def ann_incremental_topk_df(stored: DataFrame, delta: DataFrame) -> DataFrame:
+    """Ingest-time half of INCREMENTAL ANN registration (r9 — the L3
+    analog of dedup_minhash_incremental / substring_spans_incremental):
+    ``stored`` is the corpus's PERSISTED sign-LSH relation
+    (vec_id, label, embedding, bucket — written once, reused every
+    ingest; tools/ann_incremental_ab.py measures exactly that), and
+    ``delta`` is the batch of newly-registered embeddings. Only the
+    delta is signed (row-local, no shuffle); each new vector's Hamming≤2
+    probe set (37 bucket ids) explodes into a (q_id, bucket) relation
+    that equi-joins the stored buckets — |delta|-proportional probe
+    work, never a corpus re-sign or self-join. Exact cosine re-ranks,
+    rank-3 per new vector via WindowGroupLimit (_topk_per_query).
+
+    Scale: the probe relation broadcasts (37·|delta| short rows); for a
+    huge ingest batch it shuffles by bucket instead and the stored
+    relation, bucket-partitioned on write (sim_ann_lsh_pruned's layout),
+    co-locates the probe — the same stored-relation argument as the
+    incremental span ingest."""
+    if "norm" not in stored.columns:
+        # the registered-query path derives the store inline; a real
+        # ingest reads the norm back from parquet like the bucket
+        stored = stored.withColumn(
+            "norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        )
+    q = delta.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qvec"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("qnorm"),
+        lsh_bucket_col().alias("qbucket"),
+    )
+    probes = q.select(
+        "q_id",
+        "qvec",
+        "qnorm",
+        F.explode(probe_buckets_col(F.col("qbucket"))).alias("bucket"),
+    )
+    cand = stored.join(F.broadcast(probes), "bucket")
+    # cosine with PRECOMPUTED norms: norms are row-local per SIDE, so
+    # hoisting them out of the pair loop turns 3 dot products per
+    # candidate pair into 1 (measured 2.6-2.9× on the probe stage,
+    # tools/ann_incremental_ab.py) — and the stored norm column is one
+    # more thing the persisted relation pays ONCE. Bit-identical to
+    # _cosine: same sqrt(dot(u,u)) subexpressions, just evaluated
+    # earlier.
+    scored = cand.select(
+        "q_id",
+        "vec_id",
+        "label",
+        (
+            _dot(F.col("embedding"), F.col("qvec"))
+            / (F.col("norm") * F.col("qnorm"))
+        ).alias("cos_raw"),
+    )
+    return _topk_per_query(scored)
+
+
+def _ann_incremental_oracle() -> str:
+    """DuckDB twin: per-pair Hamming≤2 between the delta's and the
+    stored corpus's md5-derived sign buckets (⇔ probe-set membership —
+    a stored vector has ONE bucket and a query's 37 probe ids are
+    distinct), exact cosine, the shared rank-3 tail."""
+    return f"""
+        WITH b AS MATERIALIZED (
+            SELECT vec_id, label, embedding, {duck_plane_bits()} AS bucket
+            FROM embeddings WHERE vec_id % 10 != 0
+        ),
+        q AS (
+            SELECT vec_id AS q_id, embedding AS qvec, {duck_plane_bits()} AS qbucket
+            FROM embeddings WHERE vec_id % 10 = 0
+        ),
+        scored AS (
+            SELECT q.q_id, e.vec_id, e.label, {_DUCK_COSINE} AS cos_raw
+            FROM b e JOIN q ON ({duck_hamming("e.bucket", "q.qbucket")}) <= 2
+        )
+        {_BATCH_TOPK_TAIL}
+    """
+
+
+@register("sim_ann_incremental", tags=("L3", "L7"), oracle=_ann_incremental_oracle())
+def sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN registration (L3/L7): every tenth vector
+    (vec_id % 10 = 0) plays the ingest delta, the rest the standing
+    corpus whose band relation a production run keeps persisted — see
+    ann_incremental_topk_df for the sign-the-delta / probe-stored-
+    buckets plan and tools/ann_incremental_ab.py for the measured
+    delta-vs-from-scratch ratio. Both sides derive from the fixture in
+    one plan here (the driver contract has no cross-run store), but the
+    stored-relation subtree is exactly the parquet a production ingest
+    reads back."""
+    e = load_table(spark, sf_dir, "embeddings")
+    stored = e.where(F.col("vec_id") % 10 != 0).withColumn("bucket", lsh_bucket_col())
+    delta = e.where(F.col("vec_id") % 10 == 0)
+    return ann_incremental_topk_df(stored, delta)

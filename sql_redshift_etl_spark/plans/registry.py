@@ -94,9 +94,13 @@ def register(
 # (stored_procedure, sim_ann_lsh — retiring the last r3-era row);
 # (3) new r8 queries as they land (inserted after those four, displacing
 # the window tail); (4) the 13 r6-era first-session oracled queries;
-# (5) the front of the r5 cohort. All 50 slots are SQL-oracled this
-# round — the five rows-only-by-design queries got their official rows
-# in r7 and rotate out.
+# (5) the front of the r5 cohort — and came back 50/50 green, the
+# fourth consecutive fully green round. The ROUND-9 window (verdict r8
+# item 1): the two r9-new queries lead, then three of the four r6-era
+# leads the verdict named (etl_mart yields its slot to the second new
+# query), then the ENTIRE 45-query r4-era cohort — after r9 no official
+# row is older than r5, and the below-boundary front (46 r5-era +
+# 5 r6-era) fronts the r10 window. All 50 slots are SQL-oracled again.
 # Maintenance rules (CI-enforced in tests/test_registry_hygiene.py):
 #  - every SQL-oracled query must appear in this list OR carry a
 #    "sibling-coverage:" note in its docstring naming the in-list query
@@ -108,139 +112,32 @@ def register(
 #    columns throw; serialize with array_join/to_json).
 # Names not listed keep their module registration order after these.
 _VERIFY_FIRST: list[str] = [
-    "redshift_script_case_stmt",
-    "dedup_substring_spans",
-    "redshift_script_stored_procedure",
-    "sim_ann_lsh",
-    "redshift_sql_connect_by_path",
-    "redshift_script_proc_inout",
-    "redshift_script_scd2_dimension",
-    "redshift_sql_misc5",
-    "dedup_substring_cut",
-    "dedup_substring_incremental",
-    "redshift_script_merge_into",
-    "redshift_script_materialized_view",
-    "redshift_sql_misc3",
-    "events_gap_fill_locf",
-    "source_fixedwidth_copy_roundtrip",
-    "text_approx_topk_words",
-    "stream_hll_incremental",
-    "window_named_clause",
-    "partiql_unnest_embeddings",
-    "source_copy_conversion_params",
-    "redshift_script_schemas",
-    "redshift_script_sql_udf",
-    "redshift_script_merge_remove_dups",
-    "redshift_script_schema_evolution",
-    "string_functions",
-    "math_functions",
-    "array_functions",
-    "text_token_counts",
-    "redshift_sql_qualify",
-    "subquery_in_filter",
-    "redshift_sql_events",
-    "redshift_sql_recursive",
-    "udf_pandas_scalar_score",
-    "udtf_chunk_documents",
-    "source_csv_copy_roundtrip",
-    "source_json_copy_roundtrip",
-    "source_unload_partitioned",
-    "source_bucketed_distkey_join",
-    "stream_foreachbatch_upsert",
-    "stream_dedup_exactly_once",
-    "sample_train_val_test",
-    "sample_stratified_per_label",
-    "curation_repetition_scores",
-    "curation_contamination_check",
-    "curation_pack_sequences",
-    "curation_domain_cap",
-    "curation_pii_redaction",
-    "multimodal_join",
-    "multimodal_binary_metadata",
-    "cube_flag_status",
-    # --- 50-query driver boundary ---
+    # r9-new oracled queries (window rule: new queries lead)
+    "sim_ann_incremental",
+    "redshift_sql_connect_by_isleaf",
+    # the four r6-era leads the r8 verdict named (registry order)
     "source_external_table",
     "redshift_script_swap_publish",
     "redshift_script_update_from",
-    "redshift_script_etl_mart",
-    "redshift_script_upsert_snapshot",
-    "redshift_script_copy_unload",
-    # Below-boundary order = r9 priority: the r4/r5-era remainder
-    # (oldest official rows after this round), then the 50-entry r7
-    # head (all green r7 — freshest, lowest re-check priority).
-    "events_merge_upsert",
-    "redshift_sql_misc2",
+    # the full 45-query r4-era cohort — after this round no official
+    # driver row is older than r5 (verdict r8 item 1's done-bar)
     "flagship_pricing_summary",
-    "multimodal_image_resize",
-    "multimodal_png_roundtrip",
-    "multimodal_wav_roundtrip",
-    "dedup_minhash_lsh",
-    "dedup_embedding_ann_scaled",
-    "q12_late_shipment_priority",
-    "q3_shipping_priority",
-    "join_star_revenue",
-    "q6_forecast_revenue",
-    "sim_knn_bruteforce",
-    "text_doc_stats_by_lang",
-    "window_topk_per_group",
-    "events_tumbling_daily",
-    "events_sessionize",
-    "scan_project_expr",
-    "filter_predicates",
-    "case_when_decode",
-    "cast_conversions",
-    "distinct_projection",
-    "union_all_accounts",
-    "union_distinct_nations",
-    "intersect_nations",
-    "except_nations",
-    "orderby_limit_offset",
-    "join_left_outer",
-    "join_right_outer",
-    "join_cross",
-    "topk_global_revenue",
-    "window_moving_agg",
-    "window_running_total",
-    "events_funnel",
-    "events_sliding_window",
-    "events_tumbling_hourly_window",
-    "events_session_window_native",
-    "events_incremental_load",
-    "ctas_staging_chain",
-    "dedup_cluster_components",
-    "dedup_embedding_cosine",
-    "dedup_keep_canonical",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_codes",
-    "sim_centroid_per_label",
-    "sim_knn_per_label",
-    "text_fingerprints",
-    "text_lang_id_heuristic",
-    "text_quality_filter_kept",
-    "text_quality_scores",
-    "regex_functions",
-    "datetime_functions",
-    "datetime_tz_functions",
-    "json_super_access",
-    "to_char_formats",
-    "datediff_boundary_semantics",
-    "subquery_correlated_scalar",
-    "redshift_sql_report",
     "q2_min_cost_supplier",
+    "q3_shipping_priority",
     "q4_order_priority",
+    "q6_forecast_revenue",
     "q9_product_type_profit",
     "q11_important_value_share",
     "q16_supplier_variety",
     "q20_volume_suppliers",
     "q21_sole_late_supplier",
-    "etl_training_corpus_pipeline",
-    "redshift_sql_misc_functions",
-    "sim_ann_lsh_pruned",
-    "sim_knn_batch",
-    "sim_knn_batch_ann",
-    "dedup_embedding_ann",
-    "redshift_script_manifest_roundtrip",
-    "source_jdbc_roundtrip",
+    "join_star_revenue",
+    "join_inner_broadcast",
+    "join_full_outer",
+    "join_semi_exists",
+    "join_anti_not_exists",
+    "join_theta_range",
+    "join_asof_last_view",
     "agg_basic_supplier",
     "count_distinct_multi",
     "stats_moments",
@@ -252,16 +149,80 @@ _VERIFY_FIRST: list[str] = [
     "conditional_agg_filter",
     "pivot_status",
     "unpivot_part",
-    "join_inner_broadcast",
-    "join_full_outer",
-    "join_semi_exists",
-    "join_anti_not_exists",
-    "join_theta_range",
-    "join_asof_last_view",
     "window_ranks",
     "window_lag_lead",
     "window_first_last",
-    # --- r7 window (all green r7 rows) ---
+    "window_topk_per_group",
+    "events_tumbling_daily",
+    "events_sessionize",
+    "dedup_minhash_lsh",
+    "dedup_embedding_ann",
+    "sim_knn_bruteforce",
+    "sim_knn_batch",
+    "sim_knn_batch_ann",
+    "sim_ann_lsh_pruned",
+    "text_doc_stats_by_lang",
+    "etl_training_corpus_pipeline",
+    "redshift_script_manifest_roundtrip",
+    "redshift_sql_misc_functions",
+    "source_jdbc_roundtrip",
+    # --- 50-query driver boundary ---
+    # Below-boundary order = r10 priority: after this round the oldest
+    # official rows are the 46 r5-era queries plus the 5 remaining
+    # r6-era ones (etl_mart first — it yielded its r9 slot); then the
+    # r7 cohort, then the outgoing r8 window.
+    "case_when_decode",
+    "cast_conversions",
+    "ctas_staging_chain",
+    "datediff_boundary_semantics",
+    "datetime_functions",
+    "datetime_tz_functions",
+    "dedup_cluster_components",
+    "dedup_embedding_ann_scaled",
+    "dedup_embedding_cosine",
+    "dedup_keep_canonical",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_codes",
+    "distinct_projection",
+    "events_funnel",
+    "events_incremental_load",
+    "events_session_window_native",
+    "events_sliding_window",
+    "events_tumbling_hourly_window",
+    "except_nations",
+    "filter_predicates",
+    "intersect_nations",
+    "join_cross",
+    "join_left_outer",
+    "join_right_outer",
+    "json_super_access",
+    "multimodal_image_resize",
+    "multimodal_png_roundtrip",
+    "multimodal_wav_roundtrip",
+    "orderby_limit_offset",
+    "q12_late_shipment_priority",
+    "redshift_sql_report",
+    "regex_functions",
+    "scan_project_expr",
+    "sim_centroid_per_label",
+    "sim_knn_per_label",
+    "subquery_correlated_scalar",
+    "text_fingerprints",
+    "text_lang_id_heuristic",
+    "text_quality_filter_kept",
+    "text_quality_scores",
+    "to_char_formats",
+    "topk_global_revenue",
+    "union_all_accounts",
+    "union_distinct_nations",
+    "window_moving_agg",
+    "window_running_total",
+    "redshift_script_etl_mart",
+    "redshift_script_upsert_snapshot",
+    "redshift_script_copy_unload",
+    "events_merge_upsert",
+    "redshift_sql_misc2",
+    # --- r7 cohort (newest rows r7) ---
     "redshift_script_proc_exception",
     "redshift_script_execute_dynamic",
     "redshift_script_cursor_loop",
@@ -312,6 +273,57 @@ _VERIFY_FIRST: list[str] = [
     "udaf_weighted_mean",
     "window_ignore_nulls",
     "window_range_frame",
+    # --- outgoing r8 window (newest rows r8) ---
+    "redshift_script_case_stmt",
+    "dedup_substring_spans",
+    "redshift_script_stored_procedure",
+    "sim_ann_lsh",
+    "redshift_sql_connect_by_path",
+    "redshift_script_proc_inout",
+    "redshift_script_scd2_dimension",
+    "redshift_sql_misc5",
+    "dedup_substring_cut",
+    "dedup_substring_incremental",
+    "redshift_script_merge_into",
+    "redshift_script_materialized_view",
+    "redshift_sql_misc3",
+    "events_gap_fill_locf",
+    "source_fixedwidth_copy_roundtrip",
+    "text_approx_topk_words",
+    "stream_hll_incremental",
+    "window_named_clause",
+    "partiql_unnest_embeddings",
+    "source_copy_conversion_params",
+    "redshift_script_schemas",
+    "redshift_script_sql_udf",
+    "redshift_script_merge_remove_dups",
+    "redshift_script_schema_evolution",
+    "string_functions",
+    "math_functions",
+    "array_functions",
+    "text_token_counts",
+    "redshift_sql_qualify",
+    "subquery_in_filter",
+    "redshift_sql_events",
+    "redshift_sql_recursive",
+    "udf_pandas_scalar_score",
+    "udtf_chunk_documents",
+    "source_csv_copy_roundtrip",
+    "source_json_copy_roundtrip",
+    "source_unload_partitioned",
+    "source_bucketed_distkey_join",
+    "stream_foreachbatch_upsert",
+    "stream_dedup_exactly_once",
+    "sample_train_val_test",
+    "sample_stratified_per_label",
+    "curation_repetition_scores",
+    "curation_contamination_check",
+    "curation_pack_sequences",
+    "curation_domain_cap",
+    "curation_pii_redaction",
+    "multimodal_join",
+    "multimodal_binary_metadata",
+    "cube_flag_status",
 ]
 
 

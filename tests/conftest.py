@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import os
+import signal
 import sys
 
 import duckdb
@@ -11,6 +12,52 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+# Hypothesis: deterministic example generation (derandomize pins the
+# search path, so a generation-phase pathology reproduces every run
+# instead of wedging one gate run in N), and the too_slow health check
+# suppressed because Spark-job examples legitimately take seconds.
+# Individual @settings keep their own max_examples/deadline.
+try:
+    from hypothesis import HealthCheck, settings as _hyp_settings
+
+    _hyp_settings.register_profile(
+        "spark_graft",
+        derandomize=True,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    _hyp_settings.load_profile("spark_graft")
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+# Hard per-test wall-clock ceiling (r8 verdict item 2: a one-shot full
+# suite once wedged >40 min inside hypothesis example generation with
+# the JVM idle — a hung gate is indistinguishable from a broken tree).
+# SIGALRM fires in the main thread even during pure-Python spins, which
+# is exactly the observed pathology; the TimeoutError fails the test
+# loudly instead of hanging the battery. Override via env if a scaled
+# fixture run genuinely needs longer.
+_TEST_CEILING_S = int(os.environ.get("SPARK_GRAFT_TEST_TIMEOUT", "600"))
+
+
+@pytest.hookimpl(wrapper=True)
+def pytest_runtest_call(item):
+    if _TEST_CEILING_S <= 0 or not hasattr(signal, "SIGALRM"):
+        return (yield)
+
+    def _fire(signum, frame):
+        raise TimeoutError(
+            f"{item.nodeid} exceeded the {_TEST_CEILING_S}s hard test "
+            "ceiling (SPARK_GRAFT_TEST_TIMEOUT)"
+        )
+
+    prev = signal.signal(signal.SIGALRM, _fire)
+    signal.setitimer(signal.ITIMER_REAL, _TEST_CEILING_S)
+    try:
+        return (yield)
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0)
+        signal.signal(signal.SIGALRM, prev)
 
 
 @pytest.fixture(scope="session")

@@ -473,3 +473,18 @@ def test_substring_cut_and_incremental_plan_shapes(spark):
         assert hash_exchanges <= max_hash, (
             f"{name}: pipeline grew extra shuffles ({hash_exchanges})"
         )
+
+
+def test_ann_incremental_probe_is_broadcast_equi_join(spark):
+    """r9 incremental ANN: only the DELTA is signed (the stored corpus
+    relation contributes its persisted bucket column), the 37-probe
+    relation joins the stored buckets as a BROADCAST EQUI join — never a
+    nested-loop Hamming filter — and per-new-vector top-k stays a
+    WindowGroupLimit. Zero Python anywhere."""
+    plan = plan_of(spark, "sim_ann_incremental")
+    assert "BroadcastHashJoin" in plan, "stored-bucket probe not an equi hash join"
+    assert "BroadcastNestedLoopJoin" not in plan, "incremental ANN degraded to a nested loop"
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, f"Python on the incremental ANN path ({marker})"

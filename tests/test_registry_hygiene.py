@@ -39,53 +39,58 @@ def test_verify_first_has_no_duplicates():
     assert len(vf) == len(set(vf)), "duplicate names in _VERIFY_FIRST"
 
 
-# Round-8 window strategy (VERDICT r7 item 1): clear the late-addition
-# driver-row debt and keep the freshness rotation running. Must-haves in
-# the first-50 window this round:
-#  - the two late-r7 additions that never got an official driver row
-#    (case_stmt, dedup_substring_spans);
-#  - the two r7 displacements (stored_procedure, sim_ann_lsh — retiring
-#    the last r3-era row);
-#  - the 13 r6-era first-session oracled queries (oldest official rows
-#    in the registry after the above).
-# The rest of the window is the front of the r5 cohort in the documented
-# below-boundary order. New r8 queries insert after the first four.
-R8_MUST_VERIFY = frozenset(
+# Round-9 window strategy (VERDICT r8 item 1): rotate the official-row
+# tail. Must-haves in the first-50 window this round:
+#  - the r9-new oracled queries (sim_ann_incremental,
+#    redshift_sql_connect_by_isleaf);
+#  - three of the four r6-era leads the verdict named (etl_mart yields
+#    its slot to the second r9-new query and fronts the r10 window);
+#  - the ENTIRE 45-query r4-era cohort — the done-bar is "no official
+#    row older than r5 after this round".
+R9_MUST_VERIFY = frozenset(
     {
-        "redshift_script_case_stmt", "dedup_substring_spans",
-        "redshift_script_stored_procedure", "sim_ann_lsh",
-        # the r8-new oracled queries (window rule: new queries displace
-        # already-rowed entries, never each other)
-        "redshift_sql_connect_by_path", "redshift_script_proc_inout",
-        "redshift_script_scd2_dimension", "redshift_sql_misc5",
-        "dedup_substring_cut", "dedup_substring_incremental",
-        # the 13 r6-era first-session rotations
-        "redshift_script_merge_into", "redshift_script_materialized_view",
-        "redshift_sql_misc3", "events_gap_fill_locf",
-        "source_fixedwidth_copy_roundtrip", "text_approx_topk_words",
-        "stream_hll_incremental", "window_named_clause",
-        "partiql_unnest_embeddings", "source_copy_conversion_params",
-        "redshift_script_schemas", "redshift_script_sql_udf",
-        "redshift_script_merge_remove_dups",
+        "sim_ann_incremental", "redshift_sql_connect_by_isleaf",
+        "source_external_table", "redshift_script_swap_publish",
+        "redshift_script_update_from",
+        # the 45 r4-era rotations
+        "flagship_pricing_summary", "q2_min_cost_supplier",
+        "q3_shipping_priority", "q4_order_priority", "q6_forecast_revenue",
+        "q9_product_type_profit", "q11_important_value_share",
+        "q16_supplier_variety", "q20_volume_suppliers",
+        "q21_sole_late_supplier", "join_star_revenue",
+        "join_inner_broadcast", "join_full_outer", "join_semi_exists",
+        "join_anti_not_exists", "join_theta_range", "join_asof_last_view",
+        "agg_basic_supplier", "count_distinct_multi", "stats_moments",
+        "listagg_nations", "percentiles_price", "grouping_sets_mixed",
+        "rollup_region_nation", "bool_aggregates",
+        "conditional_agg_filter", "pivot_status", "unpivot_part",
+        "window_ranks", "window_lag_lead", "window_first_last",
+        "window_topk_per_group", "events_tumbling_daily",
+        "events_sessionize", "dedup_minhash_lsh", "dedup_embedding_ann",
+        "sim_knn_bruteforce", "sim_knn_batch", "sim_knn_batch_ann",
+        "sim_ann_lsh_pruned", "text_doc_stats_by_lang",
+        "etl_training_corpus_pipeline",
+        "redshift_script_manifest_roundtrip",
+        "redshift_sql_misc_functions", "source_jdbc_roundtrip",
     }
 )
 
-# Every r8 window slot is SQL-oracled: the five rows-only-by-design
-# queries got their official driver rows in r7 and rotate out.
-R8_PLANNED_ROWS_ONLY: frozenset[str] = frozenset()
+# Every r9 window slot is SQL-oracled: the five rows-only-by-design
+# queries keep their official r7 rows.
+R9_PLANNED_ROWS_ONLY: frozenset[str] = frozenset()
 
 
-def test_driver_window_contains_round8_must_verify():
+def test_driver_window_contains_round9_must_verify():
     window = set(list(all_queries())[:50])
-    missing = sorted(R8_MUST_VERIFY - window)
-    assert not missing, f"planned round-8 window members displaced: {missing}"
+    missing = sorted(R9_MUST_VERIFY - window)
+    assert not missing, f"planned round-9 window members displaced: {missing}"
     # a window slot on a name with no oracle gets only the weak rows-only
     # check — none are planned this round
     qs = all_queries()
     weak = [
         n
         for n in list(qs)[:50]
-        if qs[n].oracle is None and n not in R8_PLANNED_ROWS_ONLY
+        if qs[n].oracle is None and n not in R9_PLANNED_ROWS_ONLY
     ]
     assert not weak, f"unplanned rows-only queries occupy driver-window slots: {weak}"
 

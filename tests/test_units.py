@@ -3775,8 +3775,18 @@ def test_connect_by_rewrite_and_loud_cases(spark):
         ("SELECT * FROM cb_t START WITH k=1 CONNECT BY PRIOR k = k-1", "LEVEL pseudocolumn"),
         ("SELECT k FROM cb_t START WITH k=1 CONNECT BY k = k-1", "PRIOR"),
         (
-            "SELECT CONNECT_BY_ISLEAF FROM cb_t START WITH k=1 CONNECT BY PRIOR k = k-1",
-            "CONNECT_BY_ISLEAF",
+            "SELECT CONNECT_BY_ISCYCLE FROM cb_t START WITH k=1 CONNECT BY PRIOR k = k-1",
+            "CONNECT_BY_ISCYCLE",
+        ),
+        (
+            "SELECT CONNECT_BY_ISLEAF FROM cb_t START WITH k=1 "
+            "CONNECT BY NOCYCLE PRIOR k = k-1",
+            "ISLEAF with NOCYCLE",
+        ),
+        (
+            "SELECT k FROM cb_t START WITH k=1 "
+            "CONNECT BY PRIOR k = k-1 AND CONNECT_BY_ISLEAF = 1",
+            "not supported inside START WITH",
         ),
         (
             "SELECT CONNECT_BY_ROOT UPPER(k) FROM cb_t START WITH k=1 "
@@ -4500,3 +4510,194 @@ def test_nested_inout_non_variable_argument_is_loud(spark):
             CALL outer2();
             """,
         )
+
+
+def test_sql_literal_backslash_roundtrip(spark):
+    """r8-advice fix: _sql_literal doubles backslashes — Spark's default
+    parser processes escape sequences in string literals, so a variable
+    holding 'C:\\temp' must NOT gain a tab when substituted into a
+    statement (the EXECUTE ... USING and INOUT paths widened this
+    exposure to arbitrary runtime values)."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        r"""
+        CREATE PROCEDURE p() AS $$
+        DECLARE path VARCHAR(40) := 'C:\\temp';
+                twice VARCHAR(80);
+        BEGIN
+            twice := path || '|' || path;
+            EXECUTE 'CREATE TEMP TABLE bs_out AS SELECT $1 AS a, $2 AS b'
+                USING path, twice;
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p();
+        SELECT a, b FROM bs_out;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("C:\\temp", "C:\\temp|C:\\temp")
+    ]
+
+
+def test_execute_using_dollar_zero_is_loud(spark):
+    """r8-advice fix: $0 is collected by the placeholder scan but binds
+    are 1-based — reject with the clear arity message instead of leaking
+    '$0' into the final SQL."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    with _pytest.raises(ValueError, match=r"numbered from \$1"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE PROCEDURE pz() AS $$
+            DECLARE x INT := 1;
+            BEGIN
+                EXECUTE 'SELECT $0' USING x;
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL pz();
+            """,
+        )
+
+
+def test_json_extract_array_element_strict_flag_is_loud():
+    """r8-advice fix: the explicit error-on-invalid form (third arg
+    false) raises like JSON_ARRAY_LENGTH's instead of silently becoming
+    lenient; the true spelling stays accepted."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql
+
+    with _pytest.raises(ValueError, match="error-on-invalid"):
+        translate_redshift_sql(
+            "SELECT JSON_EXTRACT_ARRAY_ELEMENT_TEXT(j, 1, false) FROM t"
+        )
+    assert "get_json_object" in translate_redshift_sql(
+        "SELECT JSON_EXTRACT_ARRAY_ELEMENT_TEXT(j, 1, true) FROM t"
+    )
+
+
+def test_nocycle_delimiter_in_key_values(spark):
+    """r8-advice fix: NOCYCLE's ancestor-path probe escapes '|'/'~'
+    inside key VALUES, so an ancestor keyed 'q|a|r' no longer fabricates
+    a '|a|' frame that would mis-prune an unrelated child keyed 'a' —
+    while a genuine cycle over delimiter-bearing keys still terminates."""
+    from sql_redshift_etl_spark.functions.redshift_sql import run_redshift_sql
+
+    spark.createDataFrame(
+        [("q|a|r", None), ("a", "q|a|r"), ("x", "a")],
+        "node STRING, parent STRING",
+    ).createOrReplaceTempView("cbp_pipe")
+    rows = run_redshift_sql(
+        spark,
+        """
+        SELECT node, CAST(LEVEL AS BIGINT) AS lvl FROM cbp_pipe
+        START WITH parent IS NULL CONNECT BY NOCYCLE PRIOR node = parent
+        """,
+    ).collect()
+    assert sorted((r.node, r.lvl) for r in rows) == [
+        ("a", 2), ("q|a|r", 1), ("x", 3)
+    ]
+    # a real cycle between delimiter-bearing keys still stops
+    spark.createDataFrame(
+        [("p|q", "a~b"), ("a~b", "p|q")], "node STRING, parent STRING"
+    ).createOrReplaceTempView("cbp_pipe_cyc")
+    rows = run_redshift_sql(
+        spark,
+        """
+        SELECT node, CAST(LEVEL AS BIGINT) AS lvl FROM cbp_pipe_cyc
+        START WITH node = 'p|q' CONNECT BY NOCYCLE PRIOR node = parent
+        """,
+    ).collect()
+    assert sorted((r.node, r.lvl) for r in rows) == [("a~b", 2), ("p|q", 1)]
+
+
+def test_nested_for_same_variable_shadows(spark):
+    """r9 (found by the derandomized property battery): a nested
+    ``FOR i`` REBINDS the name plpgsql-style — the inner body sees the
+    inner i, the inner RANGE BOUNDS see the outer i (they evaluate in
+    the enclosing scope), and a quoted 'i' is data, not a variable."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE nfor_out (x BIGINT, y BIGINT, tag VARCHAR(20));
+        CREATE PROCEDURE prog() AS $$
+        DECLARE v0 BIGINT := 0; acc BIGINT := 0; lbl VARCHAR(20) := '';
+        BEGIN
+            FOR i IN 1..2 LOOP
+                v0 := v0 + i;
+                FOR i IN 1..1 LOOP
+                    v0 := v0 + i;
+                    v0 := v0 + 2;
+                END LOOP;
+            END LOOP;
+            FOR i IN 1..3 LOOP
+                FOR i IN 1..i LOOP
+                    acc := acc + i;
+                END LOOP;
+                lbl := lbl || 'i';
+            END LOOP;
+            INSERT INTO nfor_out VALUES (v0, acc, lbl);
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL prog();
+        SELECT x, y, tag FROM nfor_out;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(9, 10, "iii")]
+
+
+def test_connect_by_isleaf_semantics(spark):
+    """CONNECT_BY_ISLEAF (r9): leaf-ness of the CONDITION-defined tree.
+    A post-expansion WHERE LEVEL cap does NOT make capped rows leaves
+    (Oracle's WHERE is a post-filter; the probe is walk-independent),
+    while an IN-CONDITION LEVEL cap prunes the tree and DOES; composes
+    with ROOT/PATH; ISLEAF+NOCYCLE is loud (tested in the subset
+    battery)."""
+    from sql_redshift_etl_spark.functions.redshift_sql import run_redshift_sql
+
+    spark.createDataFrame(
+        [(1, None), (2, 1), (3, 1), (4, 2), (5, 4)],
+        "emp_id INT, mgr_id INT",
+    ).createOrReplaceTempView("ilf_emp")
+    rows = run_redshift_sql(
+        spark,
+        """
+        SELECT emp_id, CAST(LEVEL AS BIGINT) AS lvl,
+               CONNECT_BY_ISLEAF AS leaf,
+               SYS_CONNECT_BY_PATH(emp_id, '/') AS path
+        FROM ilf_emp START WITH mgr_id IS NULL
+        CONNECT BY PRIOR emp_id = mgr_id
+        """,
+    ).collect()
+    got = {r.emp_id: (r.lvl, r.leaf, r.path) for r in rows}
+    assert got[1] == (1, 0, "/1")
+    assert got[3] == (2, 1, "/1/3")
+    assert got[4] == (3, 0, "/1/2/4")
+    assert got[5] == (4, 1, "/1/2/4/5")
+    # WHERE cap: emp 4 (level 3) still has a child in the TREE -> leaf 0
+    rows = run_redshift_sql(
+        spark,
+        """
+        SELECT emp_id, CONNECT_BY_ISLEAF AS leaf FROM ilf_emp
+        START WITH mgr_id IS NULL CONNECT BY PRIOR emp_id = mgr_id
+        WHERE LEVEL <= 3
+        """,
+    ).collect()
+    assert {r.emp_id: r.leaf for r in rows} == {1: 0, 2: 0, 3: 1, 4: 0}
+    # in-condition cap: the tree itself stops at level 2 -> 2,3 leaves
+    rows = run_redshift_sql(
+        spark,
+        """
+        SELECT emp_id, CONNECT_BY_ISLEAF AS leaf FROM ilf_emp
+        START WITH mgr_id IS NULL
+        CONNECT BY PRIOR emp_id = mgr_id AND LEVEL <= 2
+        """,
+    ).collect()
+    assert {r.emp_id: r.leaf for r in rows} == {1: 0, 2: 1, 3: 1}

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""A/B: incremental ANN registration vs from-scratch (r9 — verdict item 4).
+
+The production claim behind llm/similarity.py's ann_incremental_topk_df
+is twofold:
+
+1. **Ingest cost scales with the delta, not the corpus.** A standing
+   corpus persists its sign-LSH band relation once; registering new
+   vectors pays |delta| probe work. The from-scratch comparator is FULL
+   re-registration (every vector re-queried — what a store-less system
+   re-runs to keep every vector's neighbors current). Measured via
+   delta fractions 1% / 10% / 100%(--full) of the same corpus.
+2. **The store amortizes the corpus-side row-local work** (sign bits +
+   the precomputed norm column — cosine needs 1 dot/pair instead of 3
+   when norms are stored). Measured as the same-output split:
+   inline-signed corpus vs parquet-read store.
+
+Values are engine-verified elsewhere (driver oracle at sf0.01,
+test_plan_properties plan shape); this tool measures WALL only, warm
+best-of-N to a noop sink.
+
+Usage: python tools/ann_incremental_ab.py [sf_dir ...] [--runs=N] [--full]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sql_redshift_etl_spark.llm.similarity import (  # noqa: E402
+    _dot,
+    ann_incremental_topk_df,
+    lsh_bucket_col,
+)
+from sql_redshift_etl_spark.session import get_spark  # noqa: E402
+
+
+def _timed(df, runs: int) -> float:
+    df.write.format("noop").mode("overwrite").save()  # warm
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    runs, full = 1, False
+    dirs = [a for a in sys.argv[1:] if not a.startswith("--")]
+    for a in sys.argv[1:]:
+        if a.startswith("--runs="):
+            runs = int(a.split("=", 1)[1])
+        if a == "--full":
+            full = True
+    if not dirs:
+        dirs = [os.path.join(REPO_ROOT, "_scratch", "sf10")]
+    spark = get_spark("ann-incremental-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    store = os.path.join(REPO_ROOT, "_scratch", "io", "ann_store")
+    for d in dirs:
+        emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+        corpus = emb.where(F.col("vec_id") % 10 != 0)
+        with_store_cols = corpus.withColumn("bucket", lsh_bucket_col()).withColumn(
+            "norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        )
+
+        t0 = time.perf_counter()
+        with_store_cols.write.mode("overwrite").parquet(store)
+        t_store = time.perf_counter() - t0
+        stored = spark.read.parquet(store)
+
+        out = {
+            "sf_dir": d,
+            "n_vecs": emb.count(),
+            "store_build_s": round(t_store, 2),
+            "runs": runs,
+        }
+        # 1% and 10% ingest deltas against the SAME stored corpus
+        delta10 = emb.where(F.col("vec_id") % 10 == 0)
+        delta1 = emb.where(F.col("vec_id") % 100 == 0)
+        out["ingest_1pct_s"] = round(
+            _timed(ann_incremental_topk_df(stored, delta1), runs), 2
+        )
+        out["ingest_10pct_s"] = round(
+            _timed(ann_incremental_topk_df(stored, delta10), runs), 2
+        )
+        # store-vs-inline split: same output, corpus signed/normed inline
+        out["ingest_10pct_inline_sign_s"] = round(
+            _timed(
+                ann_incremental_topk_df(
+                    corpus.withColumn("bucket", lsh_bucket_col()), delta10
+                ),
+                runs,
+            ),
+            2,
+        )
+        if full:
+            # full re-registration: every vector re-queried (store-less
+            # steady state). Quadratic in n — gate behind --full.
+            out["full_reregister_s"] = round(
+                _timed(ann_incremental_topk_df(stored, emb), runs), 2
+            )
+            out["ingest10_over_full"] = round(
+                out["ingest_10pct_s"] / out["full_reregister_s"], 3
+            )
+        print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

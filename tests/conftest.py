@@ -35,9 +35,11 @@ except ImportError:  # pragma: no cover - hypothesis is baked in
 # the JVM idle — a hung gate is indistinguishable from a broken tree).
 # SIGALRM fires in the main thread even during pure-Python spins, which
 # is exactly the observed pathology; the TimeoutError fails the test
-# loudly instead of hanging the battery. Override via env if a scaled
-# fixture run genuinely needs longer.
-_TEST_CEILING_S = int(os.environ.get("SPARK_GRAFT_TEST_TIMEOUT", "600"))
+# loudly instead of hanging the battery. 900 s = ~4.5x the slowest
+# healthy test (~200 s) with headroom for box contention (the documented
+# 3x pytest slowdown) while still killing a 40-minute wedge. Override
+# via env if a scaled fixture run genuinely needs longer.
+_TEST_CEILING_S = int(os.environ.get("SPARK_GRAFT_TEST_TIMEOUT", "900"))
 
 
 @pytest.hookimpl(wrapper=True)

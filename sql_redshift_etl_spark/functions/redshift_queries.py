@@ -2075,6 +2075,56 @@ def redshift_sql_connect_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_redshift_sql(spark, _REDSHIFT_CONNECT_BY.format(customer="rs_cb_customer"))
 
 
+_REDSHIFT_ORDER_SIBLINGS = """
+    SELECT c_custkey, CAST(LEVEL AS BIGINT) AS lvl,
+           SYS_CONNECT_BY_PATH(c_custkey, '/') AS key_path
+    FROM {customer}
+    START WITH c_custkey IN (1, 2, 3)
+    CONNECT BY PRIOR c_custkey = FLOOR(c_custkey / 10) AND LEVEL <= 3
+    ORDER SIBLINGS BY c_custkey
+"""
+
+
+@register(
+    "redshift_sql_order_siblings",
+    tags=("F2",),
+    oracle="""
+        WITH RECURSIVE cb AS (
+            SELECT c_custkey, 1 AS lvl,
+                   '/' || CAST(c_custkey AS VARCHAR) AS key_path
+            FROM customer WHERE c_custkey IN (1, 2, 3)
+            UNION ALL
+            SELECT c.c_custkey, p.lvl + 1,
+                   p.key_path || '/' || CAST(c.c_custkey AS VARCHAR)
+            FROM customer c
+            JOIN cb p ON FLOOR(c.c_custkey / 10) = p.c_custkey
+            WHERE p.lvl + 1 <= 3
+        )
+        SELECT c_custkey, CAST(lvl AS BIGINT) AS lvl, key_path FROM cb
+    """,
+)
+def redshift_sql_order_siblings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER SIBLINGS BY (r9 — closes another line of the CONNECT BY
+    remainder): depth-first output with siblings key-ordered, carried
+    as an ARRAY of the sibling key along the root-to-row path (arrays
+    compare lexicographically in Spark — parent-prefix before children,
+    siblings on their last element; redshift_sql.py _rewrite_connect_by).
+    The driver's value hash is order-insensitive by design, so the
+    oracle pins the ROW SET (the three interleaved trees, depth-capped
+    in-condition) and the SEQUENCE is pinned by
+    tests/test_units.py::test_connect_by_order_siblings (exact DFS
+    order asserted on a fixed fixture and on this customer walk).
+
+    Scale: one more carried column (the key array grows with depth,
+    like the PATH column — bytes per frontier row, not jobs), plus the
+    final global sort the ORDER BY was always going to pay.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("rs_os_customer")
+    return run_redshift_sql(
+        spark, _REDSHIFT_ORDER_SIBLINGS.format(customer="rs_os_customer")
+    )
+
+
 _REDSHIFT_CONNECT_BY_ISLEAF = """
     SELECT c_custkey, CAST(LEVEL AS BIGINT) AS lvl,
            CAST(CONNECT_BY_ISLEAF AS BIGINT) AS isleaf

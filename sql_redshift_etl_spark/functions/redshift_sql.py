@@ -920,7 +920,9 @@ def _rewrite_partiql_unnest(sql: str) -> str:
 _START_WITH_KW = re.compile(r"\bSTART\s+WITH\b", re.IGNORECASE)
 _CONNECT_BY_KW = re.compile(r"\bCONNECT\s+BY\b", re.IGNORECASE)
 _WHERE_KW = re.compile(r"\bWHERE\b", re.IGNORECASE)
-_CB_TAIL_KW = re.compile(r"\b(ORDER\s+BY|LIMIT|OFFSET)\b", re.IGNORECASE)
+_CB_TAIL_KW = re.compile(
+    r"\b(ORDER\s+SIBLINGS\s+BY|ORDER\s+BY|LIMIT|OFFSET)\b", re.IGNORECASE
+)
 _PRIOR_REF = re.compile(r"\bPRIOR\s+([\w$]+)\b", re.IGNORECASE)
 _CBR_REF = re.compile(
     r"(?is)\bCONNECT_BY_ROOT\s*(?:\(\s*([\w$]+)\s*\)|([\w$]+))"
@@ -995,13 +997,9 @@ def _rewrite_connect_by(sql: str) -> str:
     cbs = _depth0_matches(masked, _CONNECT_BY_KW)
     if not cbs:
         return sql
-    if re.search(
-        r"(?i)\bCONNECT_BY_ISCYCLE\b|\bORDER\s+SIBLINGS\s+BY\b",
-        masked,
-    ):
+    if re.search(r"(?i)\bCONNECT_BY_ISCYCLE\b", masked):
         raise ValueError(
-            "CONNECT BY: CONNECT_BY_ISCYCLE / ORDER SIBLINGS BY are "
-            "outside the supported subset"
+            "CONNECT BY: CONNECT_BY_ISCYCLE is outside the supported subset"
         )
     sws = _depth0_matches(masked, _START_WITH_KW)
     selects = _depth0_matches(masked, _SELECT_KW)
@@ -1052,6 +1050,42 @@ def _rewrite_connect_by(sql: str) -> str:
         w2 = (rest[: sub[0].start()] if sub else rest).strip().rstrip(";").strip()
         tail = rest[sub[0].start() :].strip() if sub else ""
         where_part = f"({where_part}) AND ({w2})" if where_part else w2
+    # ORDER SIBLINGS BY (r9): depth-first output with siblings ordered —
+    # implemented as a CARRIED array of the sibling key along the
+    # root-to-row path. Arrays compare lexicographically (element-wise,
+    # then by length), which IS depth-first-with-ordered-siblings: a
+    # parent's array is a proper prefix of its children's (parent
+    # first), siblings differ exactly in their last element (the key),
+    # and cross-subtree rows differ at the first divergent ancestor.
+    # Subset, loud otherwise: ONE simple base-table column, ASC (a DESC
+    # array sort would also reverse the parent-before-child order);
+    # NULL keys sort first among siblings (the array comparator's
+    # element rule).
+    siblings_col = None
+    if sm := re.match(r"(?is)^ORDER\s+SIBLINGS\s+BY\s+(.*)$", tail):
+        spec = sm.group(1).strip().rstrip(";").strip()
+        sm2 = re.match(r"(?is)^([\w$]+)(\s+ASC\b)?\s*(.*)$", spec)
+        rest2 = (sm2.group(3) or "").strip() if sm2 else ""
+        if (
+            sm2 is None
+            or rest2.startswith(",")
+            or re.match(r"(?is)^DESC\b", rest2)
+        ):
+            raise ValueError(
+                "ORDER SIBLINGS BY: one simple base-table column, ASC "
+                f"only (got {spec[:40]!r})"
+            )
+        if rest2 and not re.match(r"(?is)^(LIMIT|OFFSET)\b", rest2):
+            raise ValueError(
+                f"ORDER SIBLINGS BY: unexpected trailing clause {rest2[:40]!r}"
+            )
+        siblings_col = sm2.group(1).lower()
+        if siblings_col == "level":
+            raise ValueError(
+                "ORDER SIBLINGS BY LEVEL is meaningless — siblings share "
+                "their level"
+            )
+        tail = "ORDER BY __cbs" + (f" {rest2}" if rest2 else "")
     start_cond = cond1 if first is sw else cond2
     cb_cond = cond2 if first is sw else cond1
     if not start_cond or not cb_cond:
@@ -1181,6 +1215,10 @@ def _rewrite_connect_by(sql: str) -> str:
             f"coalesce(CAST(__c.{c} AS STRING), '')) AS __cbp_{idx}"
         )
         carried.append(f"__cbp_{idx}")
+    if siblings_col:
+        base_extra.append(f"array(__c.{siblings_col}) AS __cbs")
+        rec_extra.append(f"concat(__p.__cbs, array(__c.{siblings_col})) AS __cbs")
+        carried.append("__cbs")
     cycle_guard = ""
     if nocycle:
         # NOCYCLE: stop expanding when the child row is already its own

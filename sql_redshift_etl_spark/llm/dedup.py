@@ -1370,10 +1370,14 @@ def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered to the delta).
 
     Scale: windows are computed for the DELTA only; the stored key
-    relation is probed with one join (bucket it on the key at 100 TB
-    and the probe co-locates — the same argument as the adopted DISTKEY
-    layout). Ingest cost scales with the delta, not the corpus — the
-    span analog of dedup_minhash_incremental's measured 0.176×.
+    relation is probed with one join. Bucket it on the key and the
+    probe co-locates — MEASURED and adopted in r9
+    (tools/span_bucketed_probe_ab.py: bucketBy(32, key) removes the
+    stored-side exchange, 5 → 4 live shuffles, probe 0.92× at sf10 →
+    0.752× at sf30 with a wash store-build cost — the DISTKEY argument,
+    saving growing with corpus size). Ingest cost scales with the
+    delta, not the corpus — the span analog of
+    dedup_minhash_incremental's measured 0.176×.
     """
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 10 != 0)

@@ -616,7 +616,9 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_incremental_topk_df(stored: DataFrame, delta: DataFrame) -> DataFrame:
+def ann_incremental_topk_df(
+    stored: DataFrame, delta: DataFrame, broadcast_probes: bool = True
+) -> DataFrame:
     """Ingest-time half of INCREMENTAL ANN registration (r9 — the L3
     analog of dedup_minhash_incremental / substring_spans_incremental):
     ``stored`` is the corpus's PERSISTED sign-LSH relation
@@ -652,7 +654,15 @@ def ann_incremental_topk_df(stored: DataFrame, delta: DataFrame) -> DataFrame:
         "qnorm",
         F.explode(probe_buckets_col(F.col("qbucket"))).alias("bucket"),
     )
-    cand = stored.join(F.broadcast(probes), "bucket")
+    # small-delta default: broadcast the 37·|delta| probe relation; a
+    # HUGE batch (the full-re-registration comparator in the A/B tool)
+    # must pass broadcast_probes=False — 200 k queries × 37 probes ×
+    # 64-double qvec ≈ 4.4 GB exceeds a modest driver heap (measured
+    # failure at sf10/8g), which is exactly why the docstring prescribes
+    # the shuffle-by-bucket path for bulk loads.
+    cand = stored.join(
+        F.broadcast(probes) if broadcast_probes else probes, "bucket"
+    )
     # cosine with PRECOMPUTED norms: norms are row-local per SIDE, so
     # hoisting them out of the pair loop turns 3 dot products per
     # candidate pair into 1 (measured 2.6-2.9× on the probe stage,

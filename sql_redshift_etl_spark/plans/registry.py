@@ -96,11 +96,12 @@ def register(
 # the window tail); (4) the 13 r6-era first-session oracled queries;
 # (5) the front of the r5 cohort — and came back 50/50 green, the
 # fourth consecutive fully green round. The ROUND-9 window (verdict r8
-# item 1): the two r9-new queries lead, then three of the four r6-era
-# leads the verdict named (etl_mart yields its slot to the second new
-# query), then the ENTIRE 45-query r4-era cohort — after r9 no official
-# row is older than r5, and the below-boundary front (46 r5-era +
-# 5 r6-era) fronts the r10 window. All 50 slots are SQL-oracled again.
+# item 1): the three r9-new queries lead, then two of the four r6-era
+# leads the verdict named (swap_publish and etl_mart yield their slots
+# to the new queries — a no-row query beats re-rowing an r6 row), then
+# the ENTIRE 45-query r4-era cohort — after r9 no official row is older
+# than r5, and the below-boundary front (46 r5-era + 6 r6-era) fronts
+# the r10 window. All 50 slots are SQL-oracled again.
 # Maintenance rules (CI-enforced in tests/test_registry_hygiene.py):
 #  - every SQL-oracled query must appear in this list OR carry a
 #    "sibling-coverage:" note in its docstring naming the in-list query
@@ -115,9 +116,10 @@ _VERIFY_FIRST: list[str] = [
     # r9-new oracled queries (window rule: new queries lead)
     "sim_ann_incremental",
     "redshift_sql_connect_by_isleaf",
-    # the four r6-era leads the r8 verdict named (registry order)
+    "redshift_sql_order_siblings",
+    # two of the four r6-era leads the r8 verdict named (swap_publish
+    # and etl_mart yielded their slots to the new queries)
     "source_external_table",
-    "redshift_script_swap_publish",
     "redshift_script_update_from",
     # the full 45-query r4-era cohort — after this round no official
     # driver row is older than r5 (verdict r8 item 1's done-bar)
@@ -168,9 +170,9 @@ _VERIFY_FIRST: list[str] = [
     "source_jdbc_roundtrip",
     # --- 50-query driver boundary ---
     # Below-boundary order = r10 priority: after this round the oldest
-    # official rows are the 46 r5-era queries plus the 5 remaining
-    # r6-era ones (etl_mart first — it yielded its r9 slot); then the
-    # r7 cohort, then the outgoing r8 window.
+    # official rows are the 46 r5-era queries plus the 6 remaining
+    # r6-era ones (swap_publish/etl_mart first — they yielded their r9
+    # slots); then the r7 cohort, then the outgoing r8 window.
     "case_when_decode",
     "cast_conversions",
     "ctas_staging_chain",
@@ -217,6 +219,7 @@ _VERIFY_FIRST: list[str] = [
     "union_distinct_nations",
     "window_moving_agg",
     "window_running_total",
+    "redshift_script_swap_publish",
     "redshift_script_etl_mart",
     "redshift_script_upsert_snapshot",
     "redshift_script_copy_unload",

@@ -42,16 +42,17 @@ def test_verify_first_has_no_duplicates():
 # Round-9 window strategy (VERDICT r8 item 1): rotate the official-row
 # tail. Must-haves in the first-50 window this round:
 #  - the r9-new oracled queries (sim_ann_incremental,
-#    redshift_sql_connect_by_isleaf);
-#  - three of the four r6-era leads the verdict named (etl_mart yields
-#    its slot to the second r9-new query and fronts the r10 window);
+#    redshift_sql_connect_by_isleaf, redshift_sql_order_siblings);
+#  - two of the four r6-era leads the verdict named (swap_publish and
+#    etl_mart yield their slots to the new queries — a no-row query
+#    beats re-rowing an r6 row — and front the r10 window);
 #  - the ENTIRE 45-query r4-era cohort — the done-bar is "no official
 #    row older than r5 after this round".
 R9_MUST_VERIFY = frozenset(
     {
         "sim_ann_incremental", "redshift_sql_connect_by_isleaf",
-        "source_external_table", "redshift_script_swap_publish",
-        "redshift_script_update_from",
+        "redshift_sql_order_siblings",
+        "source_external_table", "redshift_script_update_from",
         # the 45 r4-era rotations
         "flagship_pricing_summary", "q2_min_cost_supplier",
         "q3_shipping_priority", "q4_order_priority", "q6_forecast_revenue",

@@ -4701,3 +4701,80 @@ def test_connect_by_isleaf_semantics(spark):
         """,
     ).collect()
     assert {r.emp_id: r.leaf for r in rows} == {1: 0, 2: 1, 3: 1}
+
+
+def test_connect_by_order_siblings(spark):
+    """ORDER SIBLINGS BY (r9): exact depth-first sequence with siblings
+    key-ordered — parent immediately before its (ordered) subtrees;
+    composes with ISLEAF + a WHERE LEVEL cap + LIMIT passthrough; the
+    loud subset rejects DESC, column lists, expressions, and LEVEL."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.redshift_sql import run_redshift_sql
+
+    spark.createDataFrame(
+        [(1, None, "m"), (2, 1, "zz"), (3, 1, "aa"), (4, 2, "k"),
+         (5, 2, "b"), (6, 3, "x")],
+        "emp_id INT, mgr_id INT, nm STRING",
+    ).createOrReplaceTempView("os_emp")
+    rows = run_redshift_sql(
+        spark,
+        """
+        SELECT emp_id, CAST(LEVEL AS BIGINT) AS lvl
+        FROM os_emp START WITH mgr_id IS NULL
+        CONNECT BY PRIOR emp_id = mgr_id
+        ORDER SIBLINGS BY nm
+        """,
+    ).collect()
+    assert [r.emp_id for r in rows] == [1, 3, 6, 2, 5, 4]
+    rows = run_redshift_sql(
+        spark,
+        """
+        SELECT emp_id, CONNECT_BY_ISLEAF AS leaf
+        FROM os_emp START WITH mgr_id IS NULL
+        CONNECT BY PRIOR emp_id = mgr_id
+        WHERE LEVEL <= 2
+        ORDER SIBLINGS BY nm LIMIT 2
+        """,
+    ).collect()
+    assert [(r.emp_id, r.leaf) for r in rows] == [(1, 0), (3, 0)]
+    # the registered customer walk's sequence: within each of the three
+    # interleaved trees, children follow their parent in key order
+    from sql_redshift_etl_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    load_table(spark, SF_DIR, "customer").createOrReplaceTempView("os_cust")
+    rows = run_redshift_sql(
+        spark,
+        """
+        SELECT c_custkey, CAST(LEVEL AS BIGINT) AS lvl
+        FROM os_cust
+        START WITH c_custkey IN (1, 2, 3)
+        CONNECT BY PRIOR c_custkey = FLOOR(c_custkey / 10) AND LEVEL <= 3
+        ORDER SIBLINGS BY c_custkey
+        """,
+    ).collect()
+    seq = [r.c_custkey for r in rows]
+    assert seq == sorted(seq, key=lambda k: tuple(_cb_key_path(k)))
+    assert seq[0] == 1  # tree 1 first, then its subtree, then tree 2's
+    for bad, msg in [
+        ("ORDER SIBLINGS BY nm DESC", "ASC only"),
+        ("ORDER SIBLINGS BY nm, emp_id", "ASC only"),
+        ("ORDER SIBLINGS BY LEVEL", "share"),
+        ("ORDER SIBLINGS BY UPPER(nm)", "trailing clause"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            run_redshift_sql(
+                spark,
+                "SELECT emp_id FROM os_emp START WITH mgr_id IS NULL "
+                f"CONNECT BY PRIOR emp_id = mgr_id {bad}",
+            )
+
+
+def _cb_key_path(k: int) -> list[int]:
+    """Root-to-row key chain for the FLOOR(k/10) = PRIOR k hierarchy —
+    the independent Python model of the carried sort array."""
+    path = [k]
+    while path[0] > 9:
+        path.insert(0, path[0] // 10)
+    return path

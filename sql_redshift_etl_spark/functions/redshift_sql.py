@@ -1059,8 +1059,8 @@ def _rewrite_connect_by(sql: str) -> str:
     # and cross-subtree rows differ at the first divergent ancestor.
     # Subset, loud otherwise: ONE simple base-table column, ASC (a DESC
     # array sort would also reverse the parent-before-child order);
-    # NULL keys sort first among siblings (the array comparator's
-    # element rule).
+    # NULL keys sort LAST among siblings — Oracle/Redshift's ASC
+    # default — via a (null-flag, value) struct element.
     siblings_col = None
     if sm := re.match(r"(?is)^ORDER\s+SIBLINGS\s+BY\s+(.*)$", tail):
         spec = sm.group(1).strip().rstrip(";").strip()
@@ -1216,22 +1216,35 @@ def _rewrite_connect_by(sql: str) -> str:
         )
         carried.append(f"__cbp_{idx}")
     if siblings_col:
-        base_extra.append(f"array(__c.{siblings_col}) AS __cbs")
-        rec_extra.append(f"concat(__p.__cbs, array(__c.{siblings_col})) AS __cbs")
+        # element = (null-flag, value) struct so NULL keys sort LAST
+        # among siblings (Oracle/Redshift's ASC default is NULLS LAST;
+        # a bare array element would silently sort them first — r9
+        # review). Spark orders array<struct> element-wise, struct
+        # field-wise, so the flag dominates only within a sibling slot.
+        elem = (
+            f"named_struct('n', CASE WHEN __c.{siblings_col} IS NULL "
+            f"THEN 1 ELSE 0 END, 'v', __c.{siblings_col})"
+        )
+        base_extra.append(f"array({elem}) AS __cbs")
+        rec_extra.append(f"concat(__p.__cbs, array({elem})) AS __cbs")
         carried.append("__cbs")
     cycle_guard = ""
     if nocycle:
         # NOCYCLE: stop expanding when the child row is already its own
         # ancestor. Row identity = the PRIOR-referenced column tuple (the
         # parent-key pattern; a loud documented subset — values render as
-        # strings, '|'-delimited, NULL as '<null>'). Delimiter chars
-        # INSIDE a key value are escaped ('!'→'!!' first, then '|'→'!p',
-        # '~'→'!t') so a value like 'q|a|r' cannot fabricate a '|a|'
-        # frame and mis-prune an unrelated child keyed 'a'.
+        # strings, '|'-delimited). Delimiter chars INSIDE a key value are
+        # escaped ('!'→'!!' first, then '|'→'!p', '~'→'!t') so a value
+        # like 'q|a|r' cannot fabricate a '|a|' frame; NULL renders as
+        # '!n' and '' as '!e' — both unreachable from real values after
+        # '!'-doubling (a literal '!n' becomes '!!n'), so neither a NULL
+        # sentinel collision nor an empty frame component ('||' would
+        # match every frame junction) can mis-prune (r9 review).
         key_parts = ", '~', ".join(
-            "coalesce(replace(replace(replace("
-            f"CAST(__c.{k} AS STRING), '!', '!!'), '|', '!p'), '~', '!t'), "
-            "'<null>')"
+            f"CASE WHEN __c.{k} IS NULL THEN '!n' "
+            f"WHEN CAST(__c.{k} AS STRING) = '' THEN '!e' "
+            "ELSE replace(replace(replace("
+            f"CAST(__c.{k} AS STRING), '!', '!!'), '|', '!p'), '~', '!t') END"
             for k in prior_cols
         )
         child_key = f"concat('|', {key_parts}, '|')"
@@ -1384,13 +1397,17 @@ def _rewrite_json_fns(sql: str) -> str:
         m = hits[-1]
         end = _scan_balanced(out, m.end())
         args = _split_args(out[m.end() : end - 1])
-        if args[1].strip().lower() == "false":
+        flag = args[1].strip().lower()
+        if flag != "true":
             # error-on-invalid is the semantics Spark's lenient
-            # json_array_length cannot express — loud, never silent
+            # json_array_length cannot express — loud, never silent;
+            # and a NON-LITERAL flag (variable/column) cannot be
+            # resolved at rewrite time, so dropping it would silently
+            # pick the lenient branch (r9 review) — also loud
             raise ValueError(
-                "JSON_ARRAY_LENGTH(json, false): the error-on-invalid form "
-                "is unsupported (Spark returns NULL on malformed input) — "
-                "drop the flag or pass true"
+                "JSON_ARRAY_LENGTH: null_if_invalid must be the literal "
+                "true (the error-on-invalid form is unsupported — Spark "
+                f"returns NULL on malformed input); got {flag[:30]!r}"
             )
         out = f"{out[: m.start()]}json_array_length({args[0]}){out[end:]}"
     while True:
@@ -1412,14 +1429,16 @@ def _rewrite_json_fns(sql: str) -> str:
                 f"literal (got {args[1].strip()[:30]!r})" if len(args) >= 2
                 else "JSON_EXTRACT_ARRAY_ELEMENT_TEXT needs (json, pos)"
             )
-        if len(args) >= 3 and args[2].strip().lower() == "false":
+        if len(args) >= 3 and args[2].strip().lower() != "true":
             # mirror JSON_ARRAY_LENGTH: the error-on-invalid form cannot
-            # be expressed over Spark's lenient get_json_object — loud,
-            # never silently downgraded to the lenient behavior
+            # be expressed over Spark's lenient get_json_object, and a
+            # non-literal flag cannot be resolved at rewrite time — loud
+            # either way, never silently downgraded (r9 review)
             raise ValueError(
-                "JSON_EXTRACT_ARRAY_ELEMENT_TEXT(json, pos, false): the "
-                "error-on-invalid form is unsupported (Spark returns NULL "
-                "on malformed input) — drop the flag or pass true"
+                "JSON_EXTRACT_ARRAY_ELEMENT_TEXT: null_if_invalid must be "
+                "the literal true (the error-on-invalid form is "
+                "unsupported — Spark returns NULL on malformed input); "
+                f"got {args[2].strip()[:30]!r}"
             )
         out = (
             f"{out[: m.start()]}get_json_object({args[0]}, "

@@ -851,24 +851,22 @@ def _find_block_close(masked: str, pos: int, want: str, what: str) -> re.Match:
     raise ValueError(f"{what}: missing END LOOP")
 
 
-def _sub_loop_var(body: str, var: str, val: str) -> str:
-    """Substitute a range-FOR loop variable into its body as an integer
-    literal — plpgsql-scoped: a nested ``FOR <same-name> IN`` REBINDS the
-    name, so the nested loop's BODY is skipped (the inner variable
-    shadows the outer there), while the nested loop's range-bound
-    expressions still substitute (bounds evaluate in the enclosing
-    scope, where the name is the outer variable). Found by the
-    derandomized r9 property battery: the flat re.sub also mangled the
-    nested header into ``FOR 2 IN ...``, whose digit "variable" then
-    rewrote integer literals inside the inner body. Quoted literals are
-    never touched (same discipline as _subst_vars)."""
+def _sub_skip_shadowed(body: str, var: str, pattern: str, repl) -> str:
+    """``_sub_outside_quotes`` applied plpgsql-SCOPED for a loop
+    variable *var*: a nested ``FOR <same-name> IN`` REBINDS the name, so
+    the nested loop's BODY is skipped (the inner variable shadows the
+    outer there), while the nested loop's range-bound / control-query
+    text still substitutes (both evaluate in the enclosing scope, where
+    the name is the outer variable). Shared by the integer range-FOR
+    substitution and the record-FOR ``var.field`` substitution — the r9
+    review found the shadowing bug existed identically in both paths.
+    Quoted literals are never touched (same discipline as _subst_vars)."""
     masked = _mask_quoted(body)
-    var_pat = rf"(?i)(?<![\w$]){re.escape(var)}(?![\w$])"
     shadow = re.compile(rf"(?is)\bFOR\s+{re.escape(var)}\s+IN\b")
     loop_tok = re.compile(r"(?is)\bLOOP\b")
 
     def _sub(seg: str) -> str:
-        return _sub_outside_quotes(seg, var_pat, lambda _m, _v=val: _v)
+        return _sub_outside_quotes(seg, pattern, repl)
 
     out, pos = [], 0
     while m := shadow.search(masked, pos):
@@ -878,11 +876,25 @@ def _sub_loop_var(body: str, var: str, val: str) -> str:
         em = _find_block_close(masked, lm.end(), "endloop", "FOR")
         out.append(_sub(body[pos : m.start()]))  # text before the nested loop
         out.append(body[m.start() : m.end()])  # 'FOR var IN' — name rebinds
-        out.append(_sub(body[m.end() : lm.end()]))  # range bounds + LOOP
+        out.append(_sub(body[m.end() : lm.end()]))  # bounds/query + LOOP
         out.append(body[lm.end() : em.end()])  # shadowed body, verbatim
         pos = em.end()
     out.append(_sub(body[pos:]))
     return "".join(out)
+
+
+def _sub_loop_var(body: str, var: str, val: str) -> str:
+    """Substitute a range-FOR loop variable into its body as an integer
+    literal, shadow-aware (_sub_skip_shadowed). Found by the
+    derandomized r9 property battery: the flat re.sub also mangled the
+    nested header into ``FOR 2 IN ...``, whose digit "variable" then
+    rewrote integer literals inside the inner body."""
+    return _sub_skip_shadowed(
+        body,
+        var,
+        rf"(?i)(?<![\w$]){re.escape(var)}(?![\w$])",
+        lambda _m, _v=val: _v,
+    )
 
 
 def _parse_while(text: str, masked: str, start: int) -> tuple[_WhileNode, int]:
@@ -2165,8 +2177,11 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         body = raw.body
                         for (fname, ftyp), val in zip(raw.fields, row):
                             lit = _sql_literal(val, ftyp)
-                            body = _sub_outside_quotes(
+                            # shadow-aware: a nested FOR rebinding the
+                            # record name owns var.field inside its body
+                            body = _sub_skip_shadowed(
                                 body,
+                                raw.var,
                                 rf"(?i)(?<![\w$]){re.escape(raw.var)}\s*\.\s*"
                                 rf"{re.escape(fname)}(?![\w$])",
                                 lambda _m, _lit=lit: _lit,

@@ -42,19 +42,31 @@ except ImportError:  # pragma: no cover - hypothesis is baked in
 _TEST_CEILING_S = int(os.environ.get("SPARK_GRAFT_TEST_TIMEOUT", "900"))
 
 
+class _TestCeilingTimeout(BaseException):
+    """BaseException, NOT Exception (r9 review): hypothesis records a
+    failing Exception and RE-RUNS the example for shrinking — with a
+    one-shot alarm already disarmed, the motivating generation-wedge
+    would hang unbounded on the re-run. Hypothesis re-raises
+    BaseExceptions immediately without shrinking, and pytest records
+    them as ordinary test failures."""
+
+
 @pytest.hookimpl(wrapper=True)
 def pytest_runtest_call(item):
     if _TEST_CEILING_S <= 0 or not hasattr(signal, "SIGALRM"):
         return (yield)
 
     def _fire(signum, frame):
-        raise TimeoutError(
+        raise _TestCeilingTimeout(
             f"{item.nodeid} exceeded the {_TEST_CEILING_S}s hard test "
             "ceiling (SPARK_GRAFT_TEST_TIMEOUT)"
         )
 
     prev = signal.signal(signal.SIGALRM, _fire)
-    signal.setitimer(signal.ITIMER_REAL, _TEST_CEILING_S)
+    # repeating interval (belt over the BaseException braces): if any
+    # layer swallows the first raise, the alarm fires again every 60 s
+    # instead of never
+    signal.setitimer(signal.ITIMER_REAL, _TEST_CEILING_S, min(_TEST_CEILING_S, 60))
     try:
         return (yield)
     finally:

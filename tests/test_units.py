@@ -4778,3 +4778,119 @@ def _cb_key_path(k: int) -> list[int]:
     while path[0] > 9:
         path.insert(0, path[0] // 10)
     return path
+
+
+def test_nested_record_for_same_variable_shadows(spark):
+    """r9 review: the record-FOR (``FOR r IN <query>``) substitution is
+    shadow-aware like the range-FOR's — a nested same-name loop owns
+    ``r.field`` inside its body, while the nested loop's CONTROL QUERY
+    still sees the outer record (enclosing scope)."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE rf_src (k INT, v INT);
+        INSERT INTO rf_src VALUES (1, 10), (2, 20);
+        CREATE TEMP TABLE rf_out (outer_k INT, inner_k INT, inner_v INT);
+        CREATE PROCEDURE walk() AS $$
+        BEGIN
+            FOR r IN SELECT k, v FROM rf_src ORDER BY k LOOP
+                FOR r IN SELECT k AS k, v + r.k AS v FROM rf_src
+                         WHERE k != r.k ORDER BY k LOOP
+                    INSERT INTO rf_out VALUES (0, r.k, r.v);
+                END LOOP;
+            END LOOP;
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL walk();
+        SELECT outer_k, inner_k, inner_v FROM rf_out ORDER BY inner_k, inner_v;
+        """,
+    )
+    # outer r=(1,10): inner query (k!=1, v+1) -> row (2,21); outer
+    # r=(2,20): inner query (k!=2, v+2) -> row (1,12). The inner body's
+    # r.k/r.v must be the INNER rows — the pre-fix engine substituted
+    # the outer record's values there.
+    assert [tuple(r) for r in out.collect()] == [(0, 1, 12), (0, 2, 21)]
+
+
+def test_nocycle_empty_and_sentinel_key_values(spark):
+    """r9 review: a '' key renders as '!e' (never an empty frame
+    component whose '||' would match every frame junction) and NULL as
+    '!n' (no literal-'<null>' collision) — a 3-deep chain through an
+    empty-keyed node walks fully, and a value that IS the old sentinel
+    text is not treated as NULL."""
+    from sql_redshift_etl_spark.functions.redshift_sql import run_redshift_sql
+
+    spark.createDataFrame(
+        [("r1", None), ("", "r1"), ("leaf", "")],
+        "node STRING, parent STRING",
+    ).createOrReplaceTempView("cbp_empty")
+    rows = run_redshift_sql(
+        spark,
+        """
+        SELECT node, CAST(LEVEL AS BIGINT) AS lvl FROM cbp_empty
+        START WITH parent IS NULL CONNECT BY NOCYCLE PRIOR node = parent
+        """,
+    ).collect()
+    assert sorted((r.node, r.lvl) for r in rows) == [("", 2), ("leaf", 3), ("r1", 1)]
+    spark.createDataFrame(
+        [("<null>", None), ("kid", "<null>")],
+        "node STRING, parent STRING",
+    ).createOrReplaceTempView("cbp_sentinel")
+    rows = run_redshift_sql(
+        spark,
+        """
+        SELECT node, CAST(LEVEL AS BIGINT) AS lvl FROM cbp_sentinel
+        START WITH parent IS NULL CONNECT BY NOCYCLE PRIOR node = parent
+        """,
+    ).collect()
+    assert sorted((r.node, r.lvl) for r in rows) == [("<null>", 1), ("kid", 2)]
+
+
+def test_order_siblings_null_keys_sort_last(spark):
+    """r9 review: NULL sibling keys order LAST among their siblings
+    (Oracle/Redshift ASC default), and the NULL-keyed sibling's subtree
+    stays attached behind it."""
+    from sql_redshift_etl_spark.functions.redshift_sql import run_redshift_sql
+
+    spark.createDataFrame(
+        [(1, None, "m"), (2, 1, None), (3, 1, "aa"), (4, 2, "x")],
+        "emp_id INT, mgr_id INT, nm STRING",
+    ).createOrReplaceTempView("osn_emp")
+    rows = run_redshift_sql(
+        spark,
+        """
+        SELECT emp_id FROM osn_emp START WITH mgr_id IS NULL
+        CONNECT BY PRIOR emp_id = mgr_id
+        ORDER SIBLINGS BY nm
+        """,
+    ).collect()
+    assert [r.emp_id for r in rows] == [1, 3, 2, 4]
+
+
+def test_json_flag_must_be_literal_true(spark):
+    """r9 review: a NON-LITERAL null_if_invalid flag cannot be resolved
+    at rewrite time — dropping it would silently pick the lenient
+    branch, so anything but the literal true is loud for BOTH JSON
+    functions; the true spelling still works end-to-end."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.redshift_sql import (
+        run_redshift_sql,
+        translate_redshift_sql,
+    )
+
+    for bad in (
+        "SELECT JSON_ARRAY_LENGTH(j, flagcol) FROM t",
+        "SELECT JSON_ARRAY_LENGTH(j, CAST(FALSE AS BOOLEAN)) FROM t",
+        "SELECT JSON_EXTRACT_ARRAY_ELEMENT_TEXT(j, 1, flagcol) FROM t",
+    ):
+        with _pytest.raises(ValueError, match="literal\\s+true"):
+            translate_redshift_sql(bad)
+    row = run_redshift_sql(
+        spark,
+        "SELECT JSON_ARRAY_LENGTH('broken', true) AS a,"
+        " JSON_EXTRACT_ARRAY_ELEMENT_TEXT('[5,6]', 1, true) AS b",
+    ).first()
+    assert tuple(row) == (None, "6")

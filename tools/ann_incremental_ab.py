@@ -90,7 +90,7 @@ def main() -> None:
         # 1% and 10% ingest deltas against the SAME stored corpus
         delta10 = emb.where(F.col("vec_id") % 10 == 0)
         delta1 = emb.where(F.col("vec_id") % 100 == 0)
-        big = emb.count() > 50_000  # multi-minute probe sides: single-shot
+        big = out["n_vecs"] > 50_000  # multi-minute probe sides: single-shot
         out["single_shot"] = big
 
         def _bcast_ok(n_queries: int) -> bool:

@@ -2230,6 +2230,141 @@ def redshift_sql_connect_by_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REDSHIFT_CONNECT_BY_ISCYCLE = """
+    SELECT id, CAST(LEVEL AS BIGINT) AS lvl,
+           CAST(CONNECT_BY_ISCYCLE AS BIGINT) AS iscycle,
+           CAST(CONNECT_BY_ISLEAF AS BIGINT) AS isleaf,
+           SYS_CONNECT_BY_PATH(id, '/') AS key_path
+    FROM rs_icy_edges
+    START WITH id IN (15, 25, 35, 45, 55)
+    CONNECT BY NOCYCLE PRIOR id = pid
+"""
+
+
+@register(
+    "redshift_sql_connect_by_iscycle",
+    tags=("F2",),
+    oracle="""
+        WITH RECURSIVE edges AS (
+            SELECT c_custkey AS id,
+                   CASE WHEN c_custkey % 10 = 0 THEN c_custkey + 9
+                        ELSE c_custkey - 1 END AS pid
+            FROM customer WHERE c_custkey BETWEEN 10 AND 59
+        ),
+        cb AS (
+            SELECT id, 1 AS lvl, [id] AS pathkeys,
+                   '/' || CAST(id AS VARCHAR) AS key_path
+            FROM edges WHERE id IN (15, 25, 35, 45, 55)
+            UNION ALL
+            SELECT c.id, p.lvl + 1, list_append(p.pathkeys, c.id),
+                   p.key_path || '/' || CAST(c.id AS VARCHAR)
+            FROM edges c JOIN cb p ON c.pid = p.id
+            WHERE NOT list_contains(p.pathkeys, c.id)
+        )
+        SELECT cb.id, CAST(lvl AS BIGINT) AS lvl,
+               CAST(CASE WHEN EXISTS (
+                   SELECT 1 FROM edges k
+                   WHERE k.pid = cb.id AND list_contains(cb.pathkeys, k.id)
+               ) THEN 1 ELSE 0 END AS BIGINT) AS iscycle,
+               CAST(CASE WHEN NOT EXISTS (
+                   SELECT 1 FROM edges k
+                   WHERE k.pid = cb.id AND NOT list_contains(cb.pathkeys, k.id)
+               ) THEN 1 ELSE 0 END AS BIGINT) AS isleaf,
+               key_path
+        FROM cb
+    """,
+)
+def redshift_sql_connect_by_iscycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONNECT_BY_ISCYCLE + CONNECT_BY_ISLEAF under NOCYCLE (r9 — closes
+    the CONNECT BY pseudo-column surface). The fixture derives a CYCLIC
+    graph from customer keys 10-59: each decade is a directed ring
+    (pid = id-1, wrapping at the decade boundary), so every walk from a
+    mid-ring start traverses its 10-node ring and stops where NOCYCLE
+    prunes the start key — that row flags iscycle = 1 AND isleaf = 1
+    (its only child is an ancestor, so it cannot be further expanded;
+    both semantics are load-bearing in the hash). Rewritten as ONE
+    post-CTE probe that classifies every condition-child by the
+    recursive arm's own instr() ancestor-path guard (redshift_sql.py
+    _rewrite_connect_by): pruned child ⇒ ISCYCLE, no expanded child ⇒
+    ISLEAF. ISCYCLE without NOCYCLE stays loud — Oracle's ORA-30007
+    contract. The oracle is an independent DuckDB walk carrying the key
+    path as a LIST, with EXISTS probes split by list_contains.
+
+    Scale: the probe joins the distinct (parent-key, level, path) rows —
+    bounded by the result set — against the base table once; the carried
+    path adds bytes per frontier row, never jobs or shuffles.
+    """
+    edges = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey").between(10, 59))
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.when(
+                F.col("c_custkey") % 10 == 0, F.col("c_custkey") + 9
+            ).otherwise(F.col("c_custkey") - 1).alias("pid"),
+        )
+    )
+    edges.createOrReplaceTempView("rs_icy_edges")
+    return run_redshift_sql(spark, _REDSHIFT_CONNECT_BY_ISCYCLE)
+
+
+_REDSHIFT_CONNECT_BY_EXPR = """
+    SELECT c_custkey, CAST(LEVEL AS BIGINT) AS lvl,
+           CONNECT_BY_ROOT(UPPER(SUBSTRING(c_name, 1, 12))) AS root_tag,
+           CONNECT_BY_ROOT(c_custkey * 100 + c_nationkey) AS root_code,
+           SYS_CONNECT_BY_PATH(CONCAT(c_custkey, '@', c_nationkey), '/') AS code_path
+    FROM rs_cbx_customer
+    WHERE (LEVEL <= 3)
+    START WITH c_custkey IN (1, 2, 3)
+    CONNECT BY PRIOR c_custkey = FLOOR(c_custkey / 10)
+"""
+
+
+@register(
+    "redshift_sql_connect_by_expr",
+    tags=("F2",),
+    oracle="""
+        WITH RECURSIVE cb AS (
+            SELECT c_custkey, 1 AS lvl,
+                   UPPER(SUBSTRING(c_name, 1, 12)) AS root_tag,
+                   c_custkey * 100 + c_nationkey AS root_code,
+                   '/' || CAST(c_custkey AS VARCHAR) || '@'
+                       || CAST(c_nationkey AS VARCHAR) AS code_path
+            FROM customer WHERE c_custkey IN (1, 2, 3)
+            UNION ALL
+            SELECT c.c_custkey, p.lvl + 1, p.root_tag, p.root_code,
+                   p.code_path || '/' || CAST(c.c_custkey AS VARCHAR) || '@'
+                       || CAST(c.c_nationkey AS VARCHAR)
+            FROM customer c
+            JOIN cb p ON FLOOR(c.c_custkey / 10) = p.c_custkey
+            WHERE p.lvl + 1 <= 3
+        )
+        SELECT c_custkey, CAST(lvl AS BIGINT) AS lvl, root_tag, root_code,
+               code_path
+        FROM cb
+    """,
+)
+def redshift_sql_connect_by_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression pseudo-column arguments (r9 — the last line of the
+    CONNECT BY remainder): CONNECT_BY_ROOT(expr) evaluates the
+    expression AT THE ROOT ROW and tags every descendant with it (two
+    distinct expressions here — a string tag and an arithmetic code,
+    both load-bearing in the hash across the three interleaved trees);
+    SYS_CONNECT_BY_PATH(expr, sep) evaluates it per row along the walk.
+    The rewrite precomputes each distinct expression ROW-LOCALLY in a
+    derived base CTE (__cbb) and then carries it exactly like a simple
+    column (redshift_sql.py _rewrite_connect_by) — expressions may
+    reference base-table columns only; PRIOR / LEVEL / nested
+    pseudo-columns inside are loud.
+
+    Scale: the derived projection folds into the base scan (row-local,
+    no shuffle); the carry itself is the r8 pseudo-column argument —
+    bytes per frontier row, measured free (0.98-1.06×, docs/ROUND8.md).
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("rs_cbx_customer")
+    return run_redshift_sql(spark, _REDSHIFT_CONNECT_BY_EXPR)
+
+
 _SCRIPT_GET_DIAGNOSTICS = """
     CREATE TEMP TABLE stage AS
     SELECT * FROM {orders} WHERE o_orderstatus = 'O' AND o_custkey <= 300;

@@ -906,17 +906,22 @@ def _rewrite_partiql_unnest(sql: str) -> str:
 
 
 # Redshift hierarchical queries: SELECT ... FROM t [WHERE w]
-# START WITH cond CONNECT BY [NOCYCLE] PRIOR-cond [ORDER BY/LIMIT].
+# START WITH cond CONNECT BY [NOCYCLE] PRIOR-cond
+# [ORDER SIBLINGS BY col | ORDER BY/LIMIT].
 # Rewritten to a recursive CTE (Spark 4 executes those natively via
 # UnionLoop — same engine path as redshift_sql_recursive). LEVEL is
-# exposed as the CTE's `level` column; CONNECT_BY_ROOT col and
-# SYS_CONNECT_BY_PATH(col, 'sep') become columns carried through both
-# CTE arms (r8); NOCYCLE guards the recursive join on a carried
-# ancestor-key path. Subset (loud otherwise): one top-level clause pair,
-# a single unaliased table, at least one PRIOR reference, simple-column
-# pseudo-column arguments, no CONNECT_BY_ISCYCLE / CONNECT_BY_ISLEAF /
-# ORDER SIBLINGS BY, no bare `SELECT *` (Redshift's * excludes the
-# LEVEL pseudocolumn; the CTE's cannot).
+# exposed as the CTE's `level` column; CONNECT_BY_ROOT arg and
+# SYS_CONNECT_BY_PATH(arg, 'sep') become columns carried through both
+# CTE arms (r8; an EXPRESSION arg is precomputed row-locally in a
+# derived base CTE — r9); NOCYCLE guards the recursive join on a
+# carried ancestor-key path; CONNECT_BY_ISLEAF and (under NOCYCLE)
+# CONNECT_BY_ISCYCLE are post-CTE lookahead probes (r9). Subset (loud
+# otherwise): one top-level clause pair, a single unaliased table, at
+# least one PRIOR reference, base-column-only pseudo-column expression
+# arguments, ISCYCLE only with NOCYCLE (Oracle's ORA-30007 contract),
+# no pseudo-columns inside START WITH / CONNECT BY conditions, no bare
+# `SELECT *` (Redshift's * excludes the LEVEL pseudocolumn; the CTE's
+# cannot).
 _START_WITH_KW = re.compile(r"\bSTART\s+WITH\b", re.IGNORECASE)
 _CONNECT_BY_KW = re.compile(r"\bCONNECT\s+BY\b", re.IGNORECASE)
 _WHERE_KW = re.compile(r"\bWHERE\b", re.IGNORECASE)
@@ -924,9 +929,7 @@ _CB_TAIL_KW = re.compile(
     r"\b(ORDER\s+SIBLINGS\s+BY|ORDER\s+BY|LIMIT|OFFSET)\b", re.IGNORECASE
 )
 _PRIOR_REF = re.compile(r"\bPRIOR\s+([\w$]+)\b", re.IGNORECASE)
-_CBR_REF = re.compile(
-    r"(?is)\bCONNECT_BY_ROOT\s*(?:\(\s*([\w$]+)\s*\)|([\w$]+))"
-)
+_CBR_KW = re.compile(r"(?i)\bCONNECT_BY_ROOT\b")
 _SCBP_KW = re.compile(r"(?i)\bSYS_CONNECT_BY_PATH\s*\(")
 # bare LEVEL (not a qualified __p.level) — in the CONNECT BY condition it
 # means the CHILD row's level, i.e. parent + 1 (Oracle/Redshift evaluate
@@ -978,7 +981,18 @@ def _rewrite_connect_by(sql: str) -> str:
     ``instr(path, child_key) = 0`` — the walk stops at a row that is its
     own ancestor instead of erroring at the recursion limit. Row
     identity for cycle detection = the PRIOR-referenced columns (the
-    parent-key pattern), a documented subset. A WHERE clause
+    parent-key pattern), a documented subset.
+
+    r9 additions: EXPRESSION arguments to ROOT/PATH (parenthesized,
+    base-table columns only) precompute in a derived base CTE and carry
+    like simple columns; CONNECT_BY_ISLEAF is a post-CTE lookahead probe
+    of the distinct parent tuples against the base table on the same
+    connect condition; CONNECT_BY_ISCYCLE (NOCYCLE required — Oracle's
+    ORA-30007 contract) and ISLEAF-under-NOCYCLE share one probe that
+    classifies each condition-child by the recursive arm's own instr()
+    guard: ISCYCLE = some child pruned as an ancestor-or-self; ISLEAF =
+    no child expanded (a row whose every child is cycle-pruned cannot be
+    further expanded, so it IS a leaf of the returned tree). A WHERE clause
     (Oracle position before START WITH, or trailing after the clause
     pair) filters AFTER hierarchy expansion (Redshift's semantics), so
     it lands on the outer SELECT — except a top-level ``LEVEL <= n``
@@ -997,10 +1011,6 @@ def _rewrite_connect_by(sql: str) -> str:
     cbs = _depth0_matches(masked, _CONNECT_BY_KW)
     if not cbs:
         return sql
-    if re.search(r"(?i)\bCONNECT_BY_ISCYCLE\b", masked):
-        raise ValueError(
-            "CONNECT BY: CONNECT_BY_ISCYCLE is outside the supported subset"
-        )
     sws = _depth0_matches(masked, _START_WITH_KW)
     selects = _depth0_matches(masked, _SELECT_KW)
     froms = _depth0_matches(masked, _FROM_KW)
@@ -1104,10 +1114,39 @@ def _rewrite_connect_by(sql: str) -> str:
     # CONNECT_BY_ROOT col / SYS_CONNECT_BY_PATH(col, sep) in the select
     # list, post-expansion WHERE, or ORDER BY tail become columns CARRIED
     # through both CTE arms: the base arm seeds them from the root row,
-    # the recursive arm propagates (ROOT) or appends (PATH). Simple
-    # column arguments only — an expression argument is loud.
+    # the recursive arm propagates (ROOT) or appends (PATH). An
+    # EXPRESSION argument (r9 — Oracle requires it parenthesized:
+    # CONNECT_BY_ROOT(expr) / SYS_CONNECT_BY_PATH(expr, sep)) is
+    # precomputed ROW-LOCALLY in a derived base CTE (__cbb) and then
+    # carried exactly like a simple column — the expression may
+    # reference base-table columns only (PRIOR / LEVEL / pseudo-columns
+    # inside it are loud; they would need per-walk evaluation, which the
+    # carry model cannot see).
     roots: dict[str, None] = {}
     paths: dict[tuple[str, str], int] = {}
+    exprs: dict[str, str] = {}  # unmasked expr text -> derived column
+    expr_defs: list[tuple[str, str]] = []  # (masked expr, derived column)
+
+    def _expr_col(masked_expr: str) -> str:
+        e = masked_expr.strip()
+        if (
+            re.search(r"(?i)\b(PRIOR|CONNECT_BY_\w+|SYS_CONNECT_BY_PATH)\b", e)
+            or _BARE_LEVEL.search(e)
+        ):
+            raise ValueError(
+                "CONNECT BY: a pseudo-column expression argument may "
+                "reference base-table columns only — no PRIOR, LEVEL, or "
+                f"nested pseudo-columns: {_unmask_literals(e, lits)[:60]!r}"
+            )
+        # dedup on the UNMASKED text (sentinel-keyed dedup would carry
+        # duplicate derived columns for textually identical expressions)
+        key = _unmask_literals(e, lits)
+        col = exprs.get(key)
+        if col is None:
+            col = f"__cbx_{len(exprs)}"
+            exprs[key] = col
+            expr_defs.append((e, col))
+        return col
 
     def _subst_pseudo(txt: str | None) -> str | None:
         if txt is None:
@@ -1115,12 +1154,15 @@ def _rewrite_connect_by(sql: str) -> str:
         while m := _SCBP_KW.search(txt):
             end = _scan_balanced(txt, m.end())
             col, sep = _split_two_args(txt[m.end() : end - 1])
-            col = col.strip().lower()
-            if not re.fullmatch(r"[\w$]+", col) or col == "level":
-                raise ValueError(
-                    "SYS_CONNECT_BY_PATH: first argument must be a simple "
-                    f"base-table column, got {col[:40]!r}"
-                )
+            col = col.strip()
+            if re.fullmatch(r"[\w$]+", col):
+                col = col.lower()
+                if col == "level":
+                    raise ValueError(
+                        "SYS_CONNECT_BY_PATH: LEVEL is not a base-table column"
+                    )
+            else:
+                col = _expr_col(col)
             # dedup on the UNMASKED separator: two textually identical
             # calls mask their literals to different sentinels, and a
             # sentinel-keyed dict would carry duplicate path columns
@@ -1129,24 +1171,39 @@ def _rewrite_connect_by(sql: str) -> str:
                 (col, _unmask_literals(sep.strip(), lits)), len(paths)
             )
             txt = f"{txt[: m.start()]}__cbp_{idx}{txt[end:]}"
-        out: list[str] = []
-        pos = 0
-        for m in _CBR_REF.finditer(txt):
-            col = (m.group(1) or m.group(2)).lower()
-            nxt = txt[m.end() :].lstrip()[:1]
-            if m.group(2) and nxt in ("(", "."):
+        while m := _CBR_KW.search(txt):
+            after = txt[m.end() :].lstrip()
+            if after.startswith("("):
+                popen = m.end() + (len(txt) - m.end() - len(after))
+                end = _scan_balanced(txt, popen + 1)
+                inner = txt[popen + 1 : end - 1].strip()
+                if re.fullmatch(r"[\w$]+", inner):
+                    col = inner.lower()
+                    if col == "level":
+                        raise ValueError(
+                            "CONNECT_BY_ROOT LEVEL is always 1 — write 1"
+                        )
+                    roots.setdefault(col)
+                else:
+                    col = _expr_col(inner)
+                    roots.setdefault(col)
+                txt = f"{txt[: m.start()]}__cbr_{col}{txt[end:]}"
+                continue
+            bm = re.match(r"([\w$]+)", after)
+            nxt = after[bm.end() :].lstrip()[:1] if bm else ""
+            if bm is None or nxt in ("(", "."):
                 raise ValueError(
                     "CONNECT_BY_ROOT: argument must be a simple unqualified "
-                    f"base-table column, got {txt[m.start(): m.end() + 20]!r}"
+                    "base-table column (parenthesize an expression), got "
+                    f"{txt[m.start(): m.end() + 20]!r}"
                 )
+            col = bm.group(1).lower()
             if col == "level":
                 raise ValueError("CONNECT_BY_ROOT LEVEL is always 1 — write 1")
             roots.setdefault(col)
-            out.append(txt[pos : m.start()])
-            out.append(f"__cbr_{col}")
-            pos = m.end()
-        out.append(txt[pos:])
-        return "".join(out)
+            cut = m.end() + (len(txt) - m.end() - len(after)) + bm.end()
+            txt = f"{txt[: m.start()]}__cbr_{col}{txt[cut:]}"
+        return txt
 
     select_list = _subst_pseudo(select_list)
     where_part = _subst_pseudo(where_part)
@@ -1157,27 +1214,24 @@ def _rewrite_connect_by(sql: str) -> str:
     # capped rows leaves, while an IN-CONDITION "AND LEVEL <= k" does).
     # Rewritten as a post-CTE probe, not a carried column (leaf-ness
     # needs one step of lookahead the recursion cannot see).
-    isleaf = False
     _ISLEAF = re.compile(r"(?i)\bCONNECT_BY_ISLEAF\b")
-    for _part in ("select_list", "where_part", "tail"):
-        _txt = locals()[_part]
-        if _txt and _ISLEAF.search(_txt):
-            isleaf = True
-    if isleaf:
-        if nocycle:
-            # Under NOCYCLE a row's children can be cycle-pruned; whether
-            # such a row is a "leaf" is ambiguous (Oracle pairs it with
-            # ISCYCLE, which is outside the subset) — loud, never a guess.
-            raise ValueError(
-                "CONNECT BY: CONNECT_BY_ISLEAF with NOCYCLE is outside the "
-                "supported subset (leaf-ness of cycle-pruned rows is "
-                "ambiguous without CONNECT_BY_ISCYCLE)"
-            )
-        select_list = _ISLEAF.sub("__cbleaf", select_list)
-        where_part = _ISLEAF.sub("__cbleaf", where_part) if where_part else where_part
-        tail = _ISLEAF.sub("__cbleaf", tail) if tail else tail
+    _ISCYCLE = re.compile(r"(?i)\bCONNECT_BY_ISCYCLE\b")
+    isleaf = any(t and _ISLEAF.search(t) for t in (select_list, where_part, tail))
+    iscycle = any(t and _ISCYCLE.search(t) for t in (select_list, where_part, tail))
+    if iscycle and not nocycle:
+        # Oracle's own contract (ORA-30007): without NOCYCLE a cycle is
+        # an ERROR, not a flag — CONNECT_BY_ISCYCLE is meaningless there.
+        raise ValueError(
+            "CONNECT BY: CONNECT_BY_ISCYCLE requires the NOCYCLE keyword "
+            "(without NOCYCLE a cycle is an error, not a flag)"
+        )
+    for _pat, _col in ((_ISLEAF, "__cbleaf"), (_ISCYCLE, "__cbcyc")):
+        select_list = _pat.sub(_col, select_list)
+        where_part = _pat.sub(_col, where_part) if where_part else where_part
+        tail = _pat.sub(_col, tail) if tail else tail
     if re.search(
-        r"(?i)\b(CONNECT_BY_ROOT|SYS_CONNECT_BY_PATH|CONNECT_BY_ISLEAF)\b",
+        r"(?i)\b(CONNECT_BY_ROOT|SYS_CONNECT_BY_PATH|CONNECT_BY_ISLEAF"
+        r"|CONNECT_BY_ISCYCLE)\b",
         f"{start_cond} {cb_cond}",
     ):
         raise ValueError(
@@ -1199,6 +1253,17 @@ def _rewrite_connect_by(sql: str) -> str:
                 r"(?is)^LEVEL\s*(<=|<)\s*(\d+)\s*$", _strip_outer_parens(conj)
             ):
                 level_cap = f" AND __p.level + 1 {lm.group(1)} {lm.group(2)}"
+    # expression pseudo-column arguments: precompute each expression
+    # ROW-LOCALLY in a derived base CTE so the carry logic (and the
+    # leaf/cycle probes) see it as just another base column — no extra
+    # shuffle, the projection folds into the base scan. Skipped entirely
+    # when no expressions appear (existing plans stay byte-identical).
+    base_src = from_part
+    pre_cte = ""
+    if expr_defs:
+        xcols = ", ".join(f"({e}) AS {c}" for e, c in expr_defs)
+        pre_cte = f"__cbb AS (SELECT *, {xcols} FROM {from_part}), "
+        base_src = "__cbb"
     # carried-column expressions per arm
     base_extra, rec_extra, carried = [], [], []
     for c in roots:
@@ -1240,14 +1305,7 @@ def _rewrite_connect_by(sql: str) -> str:
         # '!'-doubling (a literal '!n' becomes '!!n'), so neither a NULL
         # sentinel collision nor an empty frame component ('||' would
         # match every frame junction) can mis-prune (r9 review).
-        key_parts = ", '~', ".join(
-            f"CASE WHEN __c.{k} IS NULL THEN '!n' "
-            f"WHEN CAST(__c.{k} AS STRING) = '' THEN '!e' "
-            "ELSE replace(replace(replace("
-            f"CAST(__c.{k} AS STRING), '!', '!!'), '|', '!p'), '~', '!t') END"
-            for k in prior_cols
-        )
-        child_key = f"concat('|', {key_parts}, '|')"
+        child_key = _cyc_key("__c.", prior_cols)
         base_extra.append(f"{child_key} AS __cyc")
         rec_extra.append(f"concat(__p.__cyc, {child_key}) AS __cyc")
         carried.append("__cyc")
@@ -1259,7 +1317,56 @@ def _rewrite_connect_by(sql: str) -> str:
     rec_sel = ", ".join(["__c.*", "__p.level + 1 AS level"] + rec_extra)
     src = "__cb"
     leaf_ctes = ""
-    if isleaf:
+    if (isleaf or iscycle) and nocycle:
+        # NOCYCLE probe (r9): leaf-ness and cycle-ness both need one
+        # step of LOOKAHEAD the recursion cannot see, and under NOCYCLE
+        # both depend on which condition-children the walk PRUNED — so
+        # the probe carries each row's ancestor path (__cyc) and
+        # classifies every condition-child by the SAME instr() guard the
+        # recursive arm used: pruned (instr > 0, the child is already an
+        # ancestor-or-self) vs expanded. CONNECT_BY_ISCYCLE = 1 iff some
+        # child was pruned (exactly the rows where NOCYCLE stopped —
+        # Oracle's flag); CONNECT_BY_ISLEAF = 1 iff NO child was
+        # EXPANDED (a row whose every child is cycle-pruned is a leaf of
+        # the returned tree — it "cannot be further expanded", Oracle's
+        # ISLEAF contract). The probe joins the distinct (PRIOR tuple,
+        # level, path) rows — bounded by the result set — against the
+        # base table once; the path adds bytes per probe row, not jobs.
+        leaf_cond = join_cond.replace("__p.level", "__p.__prior_level")
+        dcols = ", ".join(f"{c} AS __prior_{c}" for c in prior_cols)
+        gcols = ", ".join(
+            [f"__p.__prior_{c}" for c in prior_cols]
+            + ["__p.__prior_level", "__p.__prior_cyc"]
+        )
+        back = " AND ".join(
+            [f"__cb.{c} <=> __cbl.__prior_{c}" for c in prior_cols]
+            + ["__cb.level = __cbl.__prior_level", "__cb.__cyc = __cbl.__prior_cyc"]
+        )
+        flags = []
+        if isleaf:
+            flags.append(
+                " CAST(CASE WHEN COUNT(CASE WHEN instr(__p.__prior_cyc,"
+                " __c.__ck) = 0 THEN 1 END) = 0 THEN 1 ELSE 0 END AS INT)"
+                " AS __cbleaf"
+            )
+        if iscycle:
+            flags.append(
+                " CAST(CASE WHEN COUNT(CASE WHEN instr(__p.__prior_cyc,"
+                " __c.__ck) > 0 THEN 1 END) > 0 THEN 1 ELSE 0 END AS INT)"
+                " AS __cbcyc"
+            )
+        leaf_ctes = (
+            f", __cbd AS (SELECT DISTINCT {dcols}, level AS __prior_level,"
+            f" __cyc AS __prior_cyc FROM __cb)"
+            f", __cbl AS ("
+            f" SELECT {gcols},{','.join(flags)}"
+            f" FROM __cbd __p"
+            f" LEFT JOIN (SELECT *, {_cyc_key('', prior_cols)} AS __ck"
+            f" FROM {base_src}) __c ON ({leaf_cond})"
+            f" GROUP BY {gcols})"
+        )
+        src = f"__cb JOIN __cbl ON ({back})"
+    elif isleaf:
         # Leaf probe: one step of lookahead the recursion cannot see.
         # Leaf-ness depends ONLY on the parent-side PRIOR tuple (+ the
         # child level when the condition references LEVEL), so the probe
@@ -1281,17 +1388,17 @@ def _rewrite_connect_by(sql: str) -> str:
             f" SELECT {gcols},"
             f" CAST(CASE WHEN COUNT(__c.__one) = 0 THEN 1 ELSE 0 END AS INT) AS __cbleaf"
             f" FROM __cbd __p"
-            f" LEFT JOIN (SELECT *, 1 AS __one FROM {from_part}) __c ON ({leaf_cond})"
+            f" LEFT JOIN (SELECT *, 1 AS __one FROM {base_src}) __c ON ({leaf_cond})"
             f" GROUP BY {gcols})"
         )
         src = f"__cb JOIN __cbl ON ({back})"
     rewritten = (
-        f"WITH RECURSIVE __cb AS ("
-        f" SELECT {base_sel} FROM {from_part} __c"
+        f"WITH RECURSIVE {pre_cte}__cb AS ("
+        f" SELECT {base_sel} FROM {base_src} __c"
         f" WHERE {start_cond}"
         f" UNION ALL"
         f" SELECT {rec_sel}"
-        f" FROM {from_part} __c"
+        f" FROM {base_src} __c"
         f" JOIN (SELECT {proj_prior} FROM __cb) __p"
         f" ON ({join_cond}){level_cap}{cycle_guard}"
         f"){leaf_ctes} SELECT {select_list} FROM {src}"
@@ -1299,6 +1406,26 @@ def _rewrite_connect_by(sql: str) -> str:
         + (f" {tail}" if tail else "")
     )
     return _unmask_literals(rewritten, lits)
+
+
+def _cyc_key(q: str, prior_cols: list[str]) -> str:
+    """Render the NOCYCLE row-identity key (the PRIOR-referenced column
+    tuple) as one string frame ``|k1~k2~...|``, with delimiter chars
+    INSIDE a value escaped ('!'→'!!' first, then '|'→'!p', '~'→'!t') so
+    a value like 'q|a|r' cannot fabricate a '|a|' frame; NULL renders as
+    '!n' and '' as '!e' — both unreachable from real values after
+    '!'-doubling, so neither a NULL-sentinel collision nor an empty
+    frame component can mis-prune (r9 review). ``q`` is the column
+    qualifier prefix ('__c.' in the CTE arms, '' inside the probe's
+    base-table subselect)."""
+    key_parts = ", '~', ".join(
+        f"CASE WHEN {q}{k} IS NULL THEN '!n' "
+        f"WHEN CAST({q}{k} AS STRING) = '' THEN '!e' "
+        "ELSE replace(replace(replace("
+        f"CAST({q}{k} AS STRING), '!', '!!'), '|', '!p'), '~', '!t') END"
+        for k in prior_cols
+    )
+    return f"concat('|', {key_parts}, '|')"
 
 
 def _split_depth0_and(cond: str) -> list[str]:

@@ -96,12 +96,12 @@ def register(
 # the window tail); (4) the 13 r6-era first-session oracled queries;
 # (5) the front of the r5 cohort — and came back 50/50 green, the
 # fourth consecutive fully green round. The ROUND-9 window (verdict r8
-# item 1): the three r9-new queries lead, then two of the four r6-era
-# leads the verdict named (swap_publish and etl_mart yield their slots
-# to the new queries — a no-row query beats re-rowing an r6 row), then
-# the ENTIRE 45-query r4-era cohort — after r9 no official row is older
-# than r5, and the below-boundary front (46 r5-era + 6 r6-era) fronts
-# the r10 window. All 50 slots are SQL-oracled again.
+# item 1): the five r9-new queries lead (all four r6-era leads the
+# verdict named yield their slots — a no-row query beats re-rowing an
+# r6 row), then the ENTIRE 45-query r4-era cohort — after r9 no
+# official row is older than r5, and the below-boundary front
+# (46 r5-era + 8 r6-era) fronts the r10 window. All 50 slots are
+# SQL-oracled again.
 # Maintenance rules (CI-enforced in tests/test_registry_hygiene.py):
 #  - every SQL-oracled query must appear in this list OR carry a
 #    "sibling-coverage:" note in its docstring naming the in-list query
@@ -113,14 +113,15 @@ def register(
 #    columns throw; serialize with array_join/to_json).
 # Names not listed keep their module registration order after these.
 _VERIFY_FIRST: list[str] = [
-    # r9-new oracled queries (window rule: new queries lead)
+    # r9-new oracled queries (window rule: new queries lead; the
+    # late-round ISCYCLE/expression-args additions displace the two
+    # remaining r6-era leads — a no-row query beats re-rowing an r6
+    # row, the same rule that had swap_publish and etl_mart yield)
     "sim_ann_incremental",
     "redshift_sql_connect_by_isleaf",
     "redshift_sql_order_siblings",
-    # two of the four r6-era leads the r8 verdict named (swap_publish
-    # and etl_mart yielded their slots to the new queries)
-    "source_external_table",
-    "redshift_script_update_from",
+    "redshift_sql_connect_by_iscycle",
+    "redshift_sql_connect_by_expr",
     # the full 45-query r4-era cohort — after this round no official
     # driver row is older than r5 (verdict r8 item 1's done-bar)
     "flagship_pricing_summary",
@@ -170,9 +171,12 @@ _VERIFY_FIRST: list[str] = [
     "source_jdbc_roundtrip",
     # --- 50-query driver boundary ---
     # Below-boundary order = r10 priority: after this round the oldest
-    # official rows are the 46 r5-era queries plus the 6 remaining
-    # r6-era ones (swap_publish/etl_mart first — they yielded their r9
-    # slots); then the r7 cohort, then the outgoing r8 window.
+    # official rows are the 46 r5-era queries plus the 8 r6-era ones
+    # (external_table/update_from first — they yielded their r9 slots
+    # to the late-round ISCYCLE/expr queries, as swap_publish/etl_mart
+    # did earlier); then the r7 cohort, then the outgoing r8 window.
+    "source_external_table",
+    "redshift_script_update_from",
     "case_when_decode",
     "cast_conversions",
     "ctas_staging_chain",

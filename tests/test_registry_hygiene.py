@@ -52,7 +52,7 @@ R9_MUST_VERIFY = frozenset(
     {
         "sim_ann_incremental", "redshift_sql_connect_by_isleaf",
         "redshift_sql_order_siblings",
-        "source_external_table", "redshift_script_update_from",
+        "redshift_sql_connect_by_iscycle", "redshift_sql_connect_by_expr",
         # the 45 r4-era rotations
         "flagship_pricing_summary", "q2_min_cost_supplier",
         "q3_shipping_priority", "q4_order_priority", "q6_forecast_revenue",

@@ -3775,13 +3775,9 @@ def test_connect_by_rewrite_and_loud_cases(spark):
         ("SELECT * FROM cb_t START WITH k=1 CONNECT BY PRIOR k = k-1", "LEVEL pseudocolumn"),
         ("SELECT k FROM cb_t START WITH k=1 CONNECT BY k = k-1", "PRIOR"),
         (
+            # ISCYCLE without NOCYCLE is Oracle's ORA-30007 — an error
             "SELECT CONNECT_BY_ISCYCLE FROM cb_t START WITH k=1 CONNECT BY PRIOR k = k-1",
-            "CONNECT_BY_ISCYCLE",
-        ),
-        (
-            "SELECT CONNECT_BY_ISLEAF FROM cb_t START WITH k=1 "
-            "CONNECT BY NOCYCLE PRIOR k = k-1",
-            "ISLEAF with NOCYCLE",
+            "requires the NOCYCLE keyword",
         ),
         (
             "SELECT k FROM cb_t START WITH k=1 "
@@ -3799,9 +3795,20 @@ def test_connect_by_rewrite_and_loud_cases(spark):
             "simple unqualified",
         ),
         (
-            "SELECT SYS_CONNECT_BY_PATH(k + 1, '/') FROM cb_t START WITH k=1 "
+            # expression args may reference base columns only
+            "SELECT SYS_CONNECT_BY_PATH(k + PRIOR k, '/') FROM cb_t "
+            "START WITH k=1 CONNECT BY PRIOR k = k-1",
+            "base-table columns only",
+        ),
+        (
+            "SELECT CONNECT_BY_ROOT(LEVEL * 2) FROM cb_t START WITH k=1 "
             "CONNECT BY PRIOR k = k-1",
-            "simple base-table column",
+            "base-table columns only",
+        ),
+        (
+            "SELECT SYS_CONNECT_BY_PATH(LEVEL, '/') FROM cb_t START WITH k=1 "
+            "CONNECT BY PRIOR k = k-1",
+            "LEVEL is not a base-table column",
         ),
         (
             "SELECT k FROM cb_t START WITH CONNECT_BY_ROOT k = 1 "
@@ -4769,6 +4776,117 @@ def test_connect_by_order_siblings(spark):
                 "SELECT emp_id FROM os_emp START WITH mgr_id IS NULL "
                 f"CONNECT BY PRIOR emp_id = mgr_id {bad}",
             )
+
+
+def test_connect_by_iscycle_semantics(spark):
+    """CONNECT_BY_ISCYCLE (r9 — the last CONNECT BY pseudo-column):
+    requires NOCYCLE (Oracle's ORA-30007 contract, tested in the loud
+    battery); = 1 exactly where the walk pruned a child as its own
+    ancestor-or-self. Composes with ISLEAF under NOCYCLE: a row whose
+    every condition-child was cycle-pruned cannot be further expanded,
+    so it IS a leaf of the returned tree — while a pruned-child row
+    with another live child is neither leaf nor done."""
+    from sql_redshift_etl_spark.functions.redshift_sql import run_redshift_sql
+
+    # ring 1->2->3->1 (children of p = rows with pid = p), tail 4->5
+    # under 1, and a SELF-loop at 6 (child of 6 is 6)
+    spark.createDataFrame(
+        [(1, 3), (2, 1), (3, 2), (4, 1), (5, 4), (6, 6)],
+        "id INT, pid INT",
+    ).createOrReplaceTempView("icy_t")
+    rows = run_redshift_sql(
+        spark,
+        """
+        SELECT id, CAST(LEVEL AS BIGINT) AS lvl,
+               CAST(CONNECT_BY_ISCYCLE AS BIGINT) AS cyc,
+               CAST(CONNECT_BY_ISLEAF AS BIGINT) AS leaf,
+               SYS_CONNECT_BY_PATH(id, '/') AS p
+        FROM icy_t
+        START WITH id = 1
+        CONNECT BY NOCYCLE PRIOR id = pid
+        """,
+    ).collect()
+    got = {r.p: (r.id, r.lvl, r.cyc, r.leaf) for r in rows}
+    assert got == {
+        "/1": (1, 1, 0, 0),
+        "/1/2": (2, 2, 0, 0),
+        "/1/2/3": (3, 3, 1, 1),  # only child (1) is an ancestor: cycle+leaf
+        "/1/4": (4, 2, 0, 0),
+        "/1/4/5": (5, 3, 0, 1),  # genuine leaf, no cycle
+    }
+    # self-loop: the root itself is its own pruned child (instr sees the
+    # row's own key frame) — ISCYCLE=1, ISLEAF=1 at level 1
+    rows = run_redshift_sql(
+        spark,
+        """
+        SELECT id, CAST(CONNECT_BY_ISCYCLE AS BIGINT) AS cyc,
+               CAST(CONNECT_BY_ISLEAF AS BIGINT) AS leaf
+        FROM icy_t START WITH id = 6 CONNECT BY NOCYCLE PRIOR id = pid
+        """,
+    ).collect()
+    assert [(r.id, r.cyc, r.leaf) for r in rows] == [(6, 1, 1)]
+    # a pruned child does NOT make the parent a leaf when a live sibling
+    # child exists: 1's children are {2 (live), 4 (live)}; walk from 2:
+    # 2 -> ... -> 1 has children {2: pruned, 4: live} -> cyc=1, leaf=0
+    rows = run_redshift_sql(
+        spark,
+        """
+        SELECT id, CAST(LEVEL AS BIGINT) AS lvl,
+               CAST(CONNECT_BY_ISCYCLE AS BIGINT) AS cyc,
+               CAST(CONNECT_BY_ISLEAF AS BIGINT) AS leaf
+        FROM icy_t START WITH id = 2 CONNECT BY NOCYCLE PRIOR id = pid
+        """,
+    ).collect()
+    got2 = {r.id: (r.lvl, r.cyc, r.leaf) for r in rows}
+    assert got2[2] == (1, 0, 0) and got2[3] == (2, 0, 0)
+    assert got2[1] == (3, 1, 0)  # pruned child 2, live child 4
+    assert got2[4] == (4, 0, 0) and got2[5] == (5, 0, 1)
+
+
+def test_connect_by_expression_pseudo_args(spark):
+    """Expression arguments to CONNECT_BY_ROOT / SYS_CONNECT_BY_PATH
+    (r9): parenthesized expressions over base-table columns precompute
+    row-locally in a derived base CTE and carry like simple columns —
+    ROOT evaluates at the tree's root row, PATH per row along the walk;
+    textually identical expressions share one derived column; PRIOR /
+    LEVEL / nested pseudo-columns inside are loud (loud battery)."""
+    from sql_redshift_etl_spark.functions.redshift_sql import run_redshift_sql
+
+    spark.createDataFrame(
+        [(1, None, "ceo"), (2, 1, "cfo"), (3, 1, "cto"), (4, 3, "eng")],
+        "emp_id INT, mgr_id INT, nm STRING",
+    ).createOrReplaceTempView("xpr_emp")
+    rows = run_redshift_sql(
+        spark,
+        """
+        SELECT emp_id, CAST(LEVEL AS BIGINT) AS lvl,
+               CONNECT_BY_ROOT(UPPER(nm)) AS root_nm,
+               CONNECT_BY_ROOT(emp_id * 10 + LENGTH(nm)) AS root_code,
+               SYS_CONNECT_BY_PATH(CONCAT(nm, ':', emp_id), '>') AS np
+        FROM xpr_emp
+        START WITH mgr_id IS NULL
+        CONNECT BY PRIOR emp_id = mgr_id
+        """,
+    ).collect()
+    got = {r.emp_id: (r.lvl, r.root_nm, r.root_code, r.np) for r in rows}
+    assert got[1] == (1, "CEO", 13, ">ceo:1")
+    assert got[2] == (2, "CEO", 13, ">ceo:1>cfo:2")
+    assert got[4] == (3, "CEO", 13, ">ceo:1>cto:3>eng:4")
+    # identical expression in ROOT and PATH shares ONE derived column;
+    # the mixed simple-column form still works alongside
+    sql = """
+        SELECT emp_id, CONNECT_BY_ROOT(UPPER(nm)) AS a,
+               SYS_CONNECT_BY_PATH(UPPER(nm), '/') AS b,
+               CONNECT_BY_ROOT nm AS c
+        FROM xpr_emp START WITH mgr_id IS NULL
+        CONNECT BY PRIOR emp_id = mgr_id
+    """
+    from sql_redshift_etl_spark.functions.redshift_sql import (
+        translate_redshift_sql,
+    )
+    assert translate_redshift_sql(sql).count("AS __cbx_") == 1
+    got = {r.emp_id: (r.a, r.b, r.c) for r in run_redshift_sql(spark, sql).collect()}
+    assert got[4] == ("CEO", "/CEO/CTO/ENG", "ceo")
 
 
 def _cb_key_path(k: int) -> list[int]:

@@ -185,8 +185,9 @@ Statement support:
   SQL UDFs inlined textually at every call site ($N positional or
   named params; UDFs may call UDFs, depth-capped), so Catalyst sees
   plain expressions — zero UDF overhead, exactly how Redshift inlines
-  them. ``LANGUAGE plpythonu`` raises (Python logic belongs in the
-  vectorized pandas-UDF path).
+  them. ``LANGUAGE plpythonu`` (r9) compiles the Python body once at
+  CREATE and registers it as an Arrow-batched pandas UDF (NULL ↔ None,
+  Redshift's contract); DROP tombstones it loudly.
 - ``SET knob = value`` (r6) — warehouse session knobs are accepted
   no-ops; ``SET search_path`` resolves unqualified names against the
   declared schemas in path order (read-side; a plain binding shadows
@@ -306,13 +307,19 @@ _INSERT = re.compile(
 # ($1/$2 positional or named), inlined textually at every call site
 # (Redshift itself inlines scalar SQL UDFs into the plan; here that
 # means Catalyst sees plain expressions — zero UDF overhead).
-# plpythonu bodies raise (arbitrary Python needs the pandas-UDF path,
-# functions/udfs.py).
+# plpythonu bodies register as Arrow-batched pandas UDFs (see
+# _register_python_udf below).
 _CREATE_FUNC_HEAD = re.compile(
     r"^CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+([\w.]+)\s*\(", re.IGNORECASE
 )
+# Redshift Lambda UDFs (CREATE EXTERNAL FUNCTION ... LAMBDA '...') call
+# an AWS Lambda endpoint per batch — an environment exclusion here (no
+# network, no AWS), seamed loudly like the JDBC-to-real-Redshift path.
+_CREATE_EXT_FUNC = re.compile(
+    r"^CREATE\s+(?:OR\s+REPLACE\s+)?EXTERNAL\s+FUNCTION\b", re.IGNORECASE
+)
 _CREATE_FUNC_TAIL = re.compile(
-    r"^\s*RETURNS\s+\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?\s*"
+    r"^\s*RETURNS\s+(\w+)(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?\s*"
     r"(?:STABLE|IMMUTABLE|VOLATILE)?\s*AS\s+\$\$(.*)\$\$\s*"
     r"LANGUAGE\s+(\w+)\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -373,6 +380,94 @@ def _inline_sql_udfs(sql: str, funcs: dict[str, tuple[list[str], str]]) -> str:
 
 def _in_lit(sql: str, pos: int) -> bool:
     return sql.count("'", 0, pos) % 2 == 1
+
+
+# Redshift scalar Python UDFs: `CREATE FUNCTION f(a type, ...) RETURNS
+# type AS $$ <python body> $$ LANGUAGE plpythonu` (r9). The body is a
+# Python FUNCTION BODY over the named parameters (Redshift's contract:
+# NULL arrives as None, returning None yields NULL). Spark-first
+# execution: the body compiles ONCE at CREATE time into a plain Python
+# function, registered as an Arrow-batched pandas UDF that applies it
+# per element — the per-row Python step is inherent to an arbitrary
+# Python body (Redshift itself runs plpythonu row-at-a-time in its
+# sandbox); what Spark buys is the Arrow columnar transfer instead of
+# per-row IPC, the same reason functions/udfs.py bans row-at-a-time
+# @udf but allows pandas UDFs.
+_PY_UDF_TYPES: dict[str, str] = {
+    "smallint": "bigint", "int2": "bigint", "integer": "bigint",
+    "int": "bigint", "int4": "bigint", "bigint": "bigint", "int8": "bigint",
+    "real": "double", "float4": "double", "float": "double",
+    "float8": "double", "double": "double",
+    # Redshift converts decimal args to float for plpythonu anyway
+    "decimal": "double", "numeric": "double",
+    "varchar": "string", "char": "string", "bpchar": "string",
+    "nvarchar": "string", "text": "string", "character": "string",
+    "boolean": "boolean", "bool": "boolean",
+    "date": "date", "timestamp": "timestamp",
+}
+
+
+def _py_udf_spark_type(rtype: str, fname: str) -> str:
+    t = _PY_UDF_TYPES.get(rtype.lower())
+    if t is None:
+        raise ValueError(
+            f"CREATE FUNCTION {fname}: plpythonu RETURNS {rtype} is outside "
+            f"the supported subset ({', '.join(sorted(set(_PY_UDF_TYPES)))})"
+        )
+    return t
+
+
+def _compile_py_udf(fname: str, params: list[str], body: str):
+    """Compile the $$ body $$ into a scalar Python function of the named
+    parameters. Loud on syntax errors at CREATE time (Redshift validates
+    at CREATE too)."""
+    import textwrap
+
+    inner = textwrap.dedent(body).strip("\n") or "pass"
+    src = f"def _rs_py_udf({', '.join(params)}):\n" + textwrap.indent(inner, "    ")
+    ns: dict = {}
+    try:
+        exec(compile(src, f"<plpythonu:{fname}>", "exec"), ns)
+    except SyntaxError as ex:
+        raise ValueError(
+            f"CREATE FUNCTION {fname}: plpythonu body does not compile: {ex}"
+        ) from None
+    return ns["_rs_py_udf"]
+
+
+def _register_python_udf(
+    spark: SparkSession, fname: str, params: list[str], rtype: str, body: str
+) -> None:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    fn = _compile_py_udf(fname, params, body)
+
+    # no type hints: the *cols variadic shape is the legacy pandas_udf
+    # signature (hint inference rejects it; functionType defaults SCALAR)
+    def _batch(*cols):
+        # NULL -> None exactly like Redshift's sandbox (NaN/NaT from the
+        # Arrow transfer normalize to None before the body sees them)
+        pyrows = zip(
+            *([None if pd.isna(v) else v for v in c.tolist()] for c in cols)
+        )
+        return pd.Series([fn(*row) for row in pyrows], dtype=object)
+
+    _batch.__name__ = f"rs_py_{fname}"
+    spark.udf.register(fname, pandas_udf(_batch, _py_udf_spark_type(rtype, fname)))
+
+
+def _register_py_udf_tombstone(spark: SparkSession, fname: str) -> None:
+    """Spark has no udf-unregister, so DROP FUNCTION re-registers a stub
+    that raises on evaluation — a call after DROP is loud, never a
+    stale-result footgun."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _gone(*cols):
+        raise ValueError(f"function {fname} does not exist (dropped by the script)")
+
+    _gone.__name__ = f"rs_py_dropped_{fname}"
+    spark.udf.register(fname, pandas_udf(_gone, "string"))
 
 
 # Script-scoped schemas: Spark temp views are single-part names, so
@@ -1590,6 +1685,10 @@ class _ScriptState:
         self.schemas: set[str] = set()
         # SQL UDFs: function -> (param names, scalar expression text)
         self.funcs: dict[str, tuple[list[str], str]] = {}
+        # plpythonu UDFs: function -> (param names, returns type, body)
+        # — registered with Spark at CREATE; tracked here so DROP and
+        # transaction rollback can tombstone/re-register faithfully
+        self.py_funcs: dict[str, tuple[list[str], str, str]] = {}
         # SET search_path schema order; unqualified references that are
         # not bound plain resolve to the first path schema that has a
         # binding of that name (read-side resolution — see
@@ -1635,6 +1734,7 @@ class _ScriptState:
             "procs": dict(self.procs),
             "schemas": set(self.schemas),
             "funcs": dict(self.funcs),
+            "py_funcs": dict(self.py_funcs),
             "search_path": list(self.search_path),
             "txn_snap": self.txn_snap,
         }
@@ -1680,6 +1780,14 @@ class _ScriptState:
         self.procs = snap["procs"]
         self.schemas = snap["schemas"]
         self.funcs = snap["funcs"]
+        # re-sync Spark's UDF registry with the snapshot: functions
+        # created since then tombstone; dropped/replaced ones come back
+        for name in set(self.py_funcs) - set(snap["py_funcs"]):
+            _register_py_udf_tombstone(self.spark, name)
+        for name, spec in snap["py_funcs"].items():
+            if self.py_funcs.get(name) != spec:
+                _register_python_udf(self.spark, name, *spec)
+        self.py_funcs = snap["py_funcs"]
         self.search_path = snap["search_path"]
         if "txn_snap" in snap:
             self.txn_snap = snap["txn_snap"]
@@ -2640,24 +2748,53 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         r"(?i)\s+ON\s+COMMIT\s+(?:PRESERVE\s+ROWS|DELETE\s+ROWS|DROP)",
                         " ",
                     )
+                if _CREATE_EXT_FUNC.match(raw):
+                    raise ValueError(
+                        "CREATE EXTERNAL FUNCTION (Lambda UDF) calls an AWS "
+                        "Lambda endpoint — unavailable in this environment; "
+                        "port the logic to LANGUAGE plpythonu (same Python, "
+                        "runs in-engine as an Arrow-batched pandas UDF)"
+                    )
                 if hm := _CREATE_FUNC_HEAD.match(raw):
                     sig_end = _scan_balanced_fwd(raw, hm.end())
                     if tm := _CREATE_FUNC_TAIL.match(raw[sig_end:]):
                         fname = hm.group(1)
-                        if tm.group(2).lower() != "sql":
+                        lang = tm.group(3).lower()
+                        if lang == "plpythonu":
+                            params = _parse_func_params(raw[hm.end() : sig_end - 1])
+                            if not params or any(p.startswith("$") for p in params):
+                                raise ValueError(
+                                    f"CREATE FUNCTION {fname}: plpythonu "
+                                    "parameters must be NAMED (the body "
+                                    "references them by name) and at least "
+                                    "one is required"
+                                )
+                            spec = (params, tm.group(1), tm.group(2))
+                            _register_python_udf(spark, fname, *spec)
+                            # OR REPLACE across languages: one name, one fn
+                            state.funcs.pop(fname, None)
+                            state.py_funcs[fname] = spec
+                            continue
+                        if lang != "sql":
                             raise ValueError(
-                                f"CREATE FUNCTION {fname}: LANGUAGE {tm.group(2)} "
-                                "unsupported — scalar SQL UDFs inline; Python "
-                                "logic belongs in the vectorized pandas-UDF path"
+                                f"CREATE FUNCTION {fname}: LANGUAGE {tm.group(3)} "
+                                "unsupported — scalar SQL UDFs inline, "
+                                "plpythonu registers as an Arrow-batched "
+                                "pandas UDF; nothing else exists in Redshift"
                             )
-                        body = tm.group(1).strip().rstrip(";").strip()
+                        body = tm.group(2).strip().rstrip(";").strip()
                         body = re.sub(r"(?is)^SELECT\s+", "", body)
+                        state.py_funcs.pop(fname, None)
                         state.funcs[fname] = (
                             _parse_func_params(raw[hm.end() : sig_end - 1]),
                             body,
                         )
                         continue
                 if m := _DROP_FUNC.match(raw):
+                    if m.group(1) in state.py_funcs:
+                        state.py_funcs.pop(m.group(1))
+                        _register_py_udf_tombstone(spark, m.group(1))
+                        continue
                     if m.group(1) in state.funcs or "IF EXISTS" in raw.upper():
                         state.funcs.pop(m.group(1), None)
                         continue

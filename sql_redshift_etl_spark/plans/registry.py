@@ -175,6 +175,9 @@ _VERIFY_FIRST: list[str] = [
     # (external_table/update_from first — they yielded their r9 slots
     # to the late-round ISCYCLE/expr queries, as swap_publish/etl_mart
     # did earlier); then the r7 cohort, then the outgoing r8 window.
+    # newest-first among the no-row queries (registered after the r9
+    # window froze; leads the r10 window ahead of the r6-era re-rows)
+    "redshift_script_python_udf",
     "source_external_table",
     "redshift_script_update_from",
     "case_when_decode",

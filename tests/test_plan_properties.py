@@ -75,6 +75,17 @@ def test_no_python_udf_in_hot_paths(spark, name):
         assert marker not in plan, f"{name}: Python on the hot path ({marker})"
 
 
+def test_plpythonu_udf_is_arrow_batched(spark):
+    # plpythonu registers as a pandas UDF: the plan must show the
+    # Arrow-batched evaluator (ArrowEvalPython), never the row-at-a-time
+    # pickling path (BatchEvalPython — the banned @udf evaluator), and
+    # the aggregation above it stays JVM-side.
+    plan = plan_of(spark, "redshift_script_python_udf")
+    assert "ArrowEvalPython" in plan, f"pandas-UDF evaluator missing:\n{plan[:1500]}"
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python evaluator in plan"
+    assert "HashAggregate" in plan
+
+
 def test_flagship_decimal_products_stay_long_backed(spark):
     # dialect.money/rate contract: no product in the flagship exceeds
     # precision 18, so Tungsten sums longs, not java.math.BigDecimal.

@@ -2263,9 +2263,9 @@ def test_alter_column_type_and_no_schema_binding_view(spark):
 
 def test_script_sql_udfs(spark):
     """CREATE FUNCTION ... LANGUAGE sql inlines at call sites (named
-    and $N positional params, UDF-calls-UDF); plpythonu raises; DROP
-    FUNCTION removes; SET knobs no-op but search_path raises; EXPLAIN
-    returns plan text."""
+    and $N positional params, UDF-calls-UDF); unknown languages raise;
+    DROP FUNCTION removes; SET knobs no-op but search_path raises;
+    EXPLAIN returns plan text."""
     import pytest as _pytest
 
     from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
@@ -2289,13 +2289,15 @@ def test_script_sql_udfs(spark):
     )
     assert [r.pct for r in out.collect()] == [25.0, 60.0]
 
-    with _pytest.raises(ValueError, match="plpythonu"):
+    # plpythonu is supported since r9 (test_plpythonu_udf_semantics);
+    # only never-existed languages stay loud
+    with _pytest.raises(ValueError, match="LANGUAGE plperl unsupported"):
         run_redshift_script(
             spark,
             """
             CREATE FUNCTION py(x INT) RETURNS INT AS $$
             return x + 1
-            $$ LANGUAGE plpythonu;
+            $$ LANGUAGE plperl;
             """,
         )
     with _pytest.raises(ValueError, match="search_path"):
@@ -4776,6 +4778,107 @@ def test_connect_by_order_siblings(spark):
                 "SELECT emp_id FROM os_emp START WITH mgr_id IS NULL "
                 f"CONNECT BY PRIOR emp_id = mgr_id {bad}",
             )
+
+
+def test_plpythonu_udf_semantics(spark):
+    """LANGUAGE plpythonu (r9): the $$ body compiles once at CREATE into
+    a scalar Python function registered as an Arrow-batched pandas UDF.
+    Pins Redshift's data contract (NULL -> None in, None -> NULL out),
+    within-script DROP (tombstone raises at evaluation), transaction
+    ROLLBACK (a function created in the txn disappears; a REPLACED one
+    reverts to its BEGIN-time body), and the loud subset (unnamed
+    params, unsupported types/languages, syntax errors at CREATE)."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    spark.createDataFrame(
+        [(1.0, "a"), (2.0, None), (None, "c")], "x DOUBLE, s STRING"
+    ).createOrReplaceTempView("pyu_t")
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE OR REPLACE FUNCTION f_probe(x FLOAT, s VARCHAR)
+        RETURNS VARCHAR AS $$
+            if x is None:
+                return None
+            return ('?' if s is None else s) + str(int(x))
+        $$ LANGUAGE plpythonu;
+        SELECT f_probe(x, s) AS y FROM pyu_t;
+        """,
+    )
+    assert sorted(r.y for r in out.collect() if r.y is not None) == ["?2", "a1"]
+    assert sum(1 for r in out.collect() if r.y is None) == 1
+    # within-script DROP -> calls are loud at evaluation, never stale
+    with _pytest.raises(Exception, match="does not exist"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE FUNCTION f_gone(x FLOAT) RETURNS BIGINT AS $$
+                return int(x)
+            $$ LANGUAGE plpythonu;
+            DROP FUNCTION f_gone;
+            SELECT f_gone(x) AS y FROM pyu_t;
+            """,
+        ).collect()
+    # ROLLBACK: created-in-txn disappears; replaced-in-txn reverts
+    with _pytest.raises(Exception, match="does not exist"):
+        run_redshift_script(
+            spark,
+            """
+            BEGIN;
+            CREATE FUNCTION f_txn(x FLOAT) RETURNS BIGINT AS $$
+                return int(x) * 7
+            $$ LANGUAGE plpythonu;
+            ROLLBACK;
+            SELECT f_txn(x) AS y FROM pyu_t;
+            """,
+        ).collect()
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE FUNCTION f_keep(x FLOAT) RETURNS BIGINT AS $$
+            return int(x) + 100
+        $$ LANGUAGE plpythonu;
+        BEGIN;
+        CREATE OR REPLACE FUNCTION f_keep(x FLOAT) RETURNS BIGINT AS $$
+            return int(x) + 900
+        $$ LANGUAGE plpythonu;
+        ROLLBACK;
+        SELECT f_keep(x) AS y FROM pyu_t WHERE x IS NOT NULL;
+        """,
+    )
+    assert sorted(r.y for r in out.collect()) == [101, 102]
+    for script, frag in [
+        (
+            "CREATE FUNCTION f_bad(FLOAT) RETURNS BIGINT AS $$\n"
+            " return 1\n$$ LANGUAGE plpythonu;",
+            "must be NAMED",
+        ),
+        (
+            "CREATE FUNCTION f_bad(x SUPER) RETURNS SUPER AS $$\n"
+            " return x\n$$ LANGUAGE plpythonu;",
+            "outside the supported subset",
+        ),
+        (
+            "CREATE FUNCTION f_bad(x FLOAT) RETURNS BIGINT AS $$\n"
+            " return (\n$$ LANGUAGE plpythonu;",
+            "does not compile",
+        ),
+        (
+            "CREATE FUNCTION f_bad(x FLOAT) RETURNS BIGINT AS "
+            "$$ return 1 $$ LANGUAGE plperl;",
+            "unsupported",
+        ),
+        (
+            # Lambda UDFs call AWS Lambda — environment exclusion, seamed
+            "CREATE EXTERNAL FUNCTION f_ext(a INT) RETURNS INT "
+            "LAMBDA 'fn' IAM_ROLE 'r';",
+            "Lambda",
+        ),
+    ]:
+        with _pytest.raises(ValueError, match=frag):
+            run_redshift_script(spark, script)
 
 
 def test_connect_by_iscycle_semantics(spark):

@@ -1132,6 +1132,10 @@ def _rewrite_connect_by(sql: str) -> str:
         if (
             re.search(r"(?i)\b(PRIOR|CONNECT_BY_\w+|SYS_CONNECT_BY_PATH)\b", e)
             or _BARE_LEVEL.search(e)
+            # an already-substituted carry column (__cbp_N from a nested
+            # SYS_CONNECT_BY_PATH processed first) is a pseudo-column in
+            # disguise — same loud rule, not an unresolved-column leak
+            or re.search(r"(?i)__cb[a-z]*_", e)
         ):
             raise ValueError(
                 "CONNECT BY: a pseudo-column expression argument may "
@@ -1161,6 +1165,8 @@ def _rewrite_connect_by(sql: str) -> str:
                     raise ValueError(
                         "SYS_CONNECT_BY_PATH: LEVEL is not a base-table column"
                     )
+                if col.startswith("__cb"):
+                    _expr_col(col)  # reserved carry prefix — loud
             else:
                 col = _expr_col(col)
             # dedup on the UNMASKED separator: two textually identical
@@ -1183,6 +1189,10 @@ def _rewrite_connect_by(sql: str) -> str:
                         raise ValueError(
                             "CONNECT_BY_ROOT LEVEL is always 1 — write 1"
                         )
+                    if col.startswith("__cb"):
+                        # a substituted SYS_CONNECT_BY_PATH carry column:
+                        # nested pseudo-columns are loud, not a leak
+                        _expr_col(inner)
                     roots.setdefault(col)
                 else:
                     col = _expr_col(inner)
@@ -1317,81 +1327,65 @@ def _rewrite_connect_by(sql: str) -> str:
     rec_sel = ", ".join(["__c.*", "__p.level + 1 AS level"] + rec_extra)
     src = "__cb"
     leaf_ctes = ""
-    if (isleaf or iscycle) and nocycle:
-        # NOCYCLE probe (r9): leaf-ness and cycle-ness both need one
-        # step of LOOKAHEAD the recursion cannot see, and under NOCYCLE
-        # both depend on which condition-children the walk PRUNED — so
-        # the probe carries each row's ancestor path (__cyc) and
-        # classifies every condition-child by the SAME instr() guard the
-        # recursive arm used: pruned (instr > 0, the child is already an
-        # ancestor-or-self) vs expanded. CONNECT_BY_ISCYCLE = 1 iff some
-        # child was pruned (exactly the rows where NOCYCLE stopped —
-        # Oracle's flag); CONNECT_BY_ISLEAF = 1 iff NO child was
-        # EXPANDED (a row whose every child is cycle-pruned is a leaf of
-        # the returned tree — it "cannot be further expanded", Oracle's
-        # ISLEAF contract). The probe joins the distinct (PRIOR tuple,
-        # level, path) rows — bounded by the result set — against the
-        # base table once; the path adds bytes per probe row, not jobs.
+    if isleaf or iscycle:
+        # Lookahead probe (r9): leaf-ness (and under NOCYCLE cycle-ness)
+        # needs one step the recursion cannot see, so the DISTINCT parent
+        # tuples — bounded by the result set — LEFT JOIN the base table
+        # once on the SAME connect condition (minus the pushed WHERE cap:
+        # Oracle's WHERE is a post-filter and does not make capped rows
+        # leaves; an in-condition "AND LEVEL <= k" is part of join_cond
+        # and DOES). Without NOCYCLE: ISLEAF = no condition-child exists.
+        # With NOCYCLE, both flags depend on which children the walk
+        # PRUNED, so the probe also carries each row's ancestor path
+        # (__cyc) and classifies every child by the SAME instr() guard
+        # the recursive arm used: CONNECT_BY_ISCYCLE = 1 iff some child
+        # was pruned as an ancestor-or-self (exactly where NOCYCLE
+        # stopped — Oracle's flag); CONNECT_BY_ISLEAF = 1 iff NO child
+        # was EXPANDED (a row whose every child is cycle-pruned "cannot
+        # be further expanded" — Oracle's ISLEAF contract). The carried
+        # path adds bytes per probe row, never jobs.
         leaf_cond = join_cond.replace("__p.level", "__p.__prior_level")
-        dcols = ", ".join(f"{c} AS __prior_{c}" for c in prior_cols)
-        gcols = ", ".join(
-            [f"__p.__prior_{c}" for c in prior_cols]
-            + ["__p.__prior_level", "__p.__prior_cyc"]
-        )
-        back = " AND ".join(
-            [f"__cb.{c} <=> __cbl.__prior_{c}" for c in prior_cols]
-            + ["__cb.level = __cbl.__prior_level", "__cb.__cyc = __cbl.__prior_cyc"]
-        )
-        flags = []
-        if isleaf:
-            flags.append(
-                " CAST(CASE WHEN COUNT(CASE WHEN instr(__p.__prior_cyc,"
-                " __c.__ck) = 0 THEN 1 END) = 0 THEN 1 ELSE 0 END AS INT)"
-                " AS __cbleaf"
-            )
-        if iscycle:
-            flags.append(
-                " CAST(CASE WHEN COUNT(CASE WHEN instr(__p.__prior_cyc,"
-                " __c.__ck) > 0 THEN 1 END) > 0 THEN 1 ELSE 0 END AS INT)"
-                " AS __cbcyc"
-            )
+        dist = [f"{c} AS __prior_{c}" for c in prior_cols] + [
+            "level AS __prior_level"
+        ]
+        group = [f"__p.__prior_{c}" for c in prior_cols] + ["__p.__prior_level"]
+        back_eq = [f"__cb.{c} <=> __cbl.__prior_{c}" for c in prior_cols] + [
+            "__cb.level = __cbl.__prior_level"
+        ]
+        if nocycle:
+            dist.append("__cyc AS __prior_cyc")
+            group.append("__p.__prior_cyc")
+            back_eq.append("__cb.__cyc = __cbl.__prior_cyc")
+            child_cols = f"*, {_cyc_key('', prior_cols)} AS __ck"
+            pruned = "instr(__p.__prior_cyc, __c.__ck) > 0"
+            flags = []
+            if isleaf:
+                flags.append(
+                    f" CAST(CASE WHEN COUNT(CASE WHEN NOT ({pruned}) THEN 1"
+                    " END) = 0 THEN 1 ELSE 0 END AS INT) AS __cbleaf"
+                )
+            if iscycle:
+                flags.append(
+                    f" CAST(CASE WHEN COUNT(CASE WHEN {pruned} THEN 1 END)"
+                    " > 0 THEN 1 ELSE 0 END AS INT) AS __cbcyc"
+                )
+        else:
+            child_cols = "*, 1 AS __one"
+            flags = [
+                " CAST(CASE WHEN COUNT(__c.__one) = 0 THEN 1 ELSE 0 END"
+                " AS INT) AS __cbleaf"
+            ]
+        gcols = ", ".join(group)
         leaf_ctes = (
-            f", __cbd AS (SELECT DISTINCT {dcols}, level AS __prior_level,"
-            f" __cyc AS __prior_cyc FROM __cb)"
+            f", __cbd AS (SELECT DISTINCT {', '.join(dist)} FROM __cb)"
             f", __cbl AS ("
             f" SELECT {gcols},{','.join(flags)}"
             f" FROM __cbd __p"
-            f" LEFT JOIN (SELECT *, {_cyc_key('', prior_cols)} AS __ck"
-            f" FROM {base_src}) __c ON ({leaf_cond})"
+            f" LEFT JOIN (SELECT {child_cols} FROM {base_src}) __c"
+            f" ON ({leaf_cond})"
             f" GROUP BY {gcols})"
         )
-        src = f"__cb JOIN __cbl ON ({back})"
-    elif isleaf:
-        # Leaf probe: one step of lookahead the recursion cannot see.
-        # Leaf-ness depends ONLY on the parent-side PRIOR tuple (+ the
-        # child level when the condition references LEVEL), so the probe
-        # runs over the DISTINCT parent tuples — bounded by the result
-        # set, joined once against the base table on the SAME connect
-        # condition (minus the pushed WHERE cap: Oracle's WHERE is a
-        # post-filter and does not make capped rows leaves; an
-        # in-condition "AND LEVEL <= k" is part of join_cond and DOES).
-        leaf_cond = join_cond.replace("__p.level", "__p.__prior_level")
-        dcols = ", ".join(f"{c} AS __prior_{c}" for c in prior_cols)
-        gcols = ", ".join([f"__p.__prior_{c}" for c in prior_cols] + ["__p.__prior_level"])
-        back = " AND ".join(
-            [f"__cb.{c} <=> __cbl.__prior_{c}" for c in prior_cols]
-            + ["__cb.level = __cbl.__prior_level"]
-        )
-        leaf_ctes = (
-            f", __cbd AS (SELECT DISTINCT {dcols}, level AS __prior_level FROM __cb)"
-            f", __cbl AS ("
-            f" SELECT {gcols},"
-            f" CAST(CASE WHEN COUNT(__c.__one) = 0 THEN 1 ELSE 0 END AS INT) AS __cbleaf"
-            f" FROM __cbd __p"
-            f" LEFT JOIN (SELECT *, 1 AS __one FROM {base_src}) __c ON ({leaf_cond})"
-            f" GROUP BY {gcols})"
-        )
-        src = f"__cb JOIN __cbl ON ({back})"
+        src = f"__cb JOIN __cbl ON ({' AND '.join(back_eq)})"
     rewritten = (
         f"WITH RECURSIVE {pre_cte}__cb AS ("
         f" SELECT {base_sel} FROM {base_src} __c"

@@ -435,21 +435,55 @@ def _compile_py_udf(fname: str, params: list[str], body: str):
     return ns["_rs_py_udf"]
 
 
+def _parse_func_param_types(params: str) -> list[str]:
+    """Parameter TYPE names from a function signature ('bal FLOAT8, seg
+    VARCHAR(10)' -> ['FLOAT8', 'VARCHAR']); a bare type (unnamed param)
+    passes through as itself."""
+    types: list[str] = []
+    for p in _split_top_commas(params):
+        p = p.strip()
+        if not p:
+            continue
+        pm = re.match(r"(?i)^[\w$]+\s+(\w+)", p)
+        types.append(pm.group(1) if pm else p.split("(")[0].strip())
+    return types
+
+
+# declared-type coercers for argument batches: pandas coerces a nullable
+# int64 Arrow batch to float64 (NaN has no int), so without this an
+# integer argument would reach the body as 1.0 in NULL-bearing batches
+# and 1 in others — a data/partitioning-dependent contract break (r9
+# review). Exact for |v| < 2^53, i.e. every SQL bigint the float64
+# transfer itself can carry.
+_PY_ARG_COERCE = {"bigint": int, "double": float, "boolean": bool}
+
+
 def _register_python_udf(
-    spark: SparkSession, fname: str, params: list[str], rtype: str, body: str
+    spark: SparkSession,
+    fname: str,
+    params: list[str],
+    ptypes: list[str],
+    rtype: str,
+    body: str,
 ) -> None:
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     fn = _compile_py_udf(fname, params, body)
+    # validates every declared type at CREATE time, like RETURNS
+    coercers = [_PY_ARG_COERCE.get(_py_udf_spark_type(t, fname)) for t in ptypes]
 
     # no type hints: the *cols variadic shape is the legacy pandas_udf
     # signature (hint inference rejects it; functionType defaults SCALAR)
     def _batch(*cols):
         # NULL -> None exactly like Redshift's sandbox (NaN/NaT from the
-        # Arrow transfer normalize to None before the body sees them)
+        # Arrow transfer normalize to None, ints regain their declared
+        # integer-ness, before the body sees them)
         pyrows = zip(
-            *([None if pd.isna(v) else v for v in c.tolist()] for c in cols)
+            *(
+                [None if pd.isna(v) else (co(v) if co else v) for v in c.tolist()]
+                for c, co in zip(cols, coercers)
+            )
         )
         return pd.Series([fn(*row) for row in pyrows], dtype=object)
 
@@ -2758,10 +2792,15 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 if hm := _CREATE_FUNC_HEAD.match(raw):
                     sig_end = _scan_balanced_fwd(raw, hm.end())
                     if tm := _CREATE_FUNC_TAIL.match(raw[sig_end:]):
-                        fname = hm.group(1)
+                        # SQL identifiers are case-insensitive (so is
+                        # Spark's UDF registry) — one lowercase key per
+                        # function, or DROP/REPLACE under another case
+                        # would desync the dicts from the registry
+                        fname = hm.group(1).lower()
                         lang = tm.group(3).lower()
                         if lang == "plpythonu":
-                            params = _parse_func_params(raw[hm.end() : sig_end - 1])
+                            sig = raw[hm.end() : sig_end - 1]
+                            params = _parse_func_params(sig)
                             if not params or any(p.startswith("$") for p in params):
                                 raise ValueError(
                                     f"CREATE FUNCTION {fname}: plpythonu "
@@ -2769,7 +2808,12 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                                     "references them by name) and at least "
                                     "one is required"
                                 )
-                            spec = (params, tm.group(1), tm.group(2))
+                            spec = (
+                                params,
+                                _parse_func_param_types(sig),
+                                tm.group(1),
+                                tm.group(2),
+                            )
                             _register_python_udf(spark, fname, *spec)
                             # OR REPLACE across languages: one name, one fn
                             state.funcs.pop(fname, None)
@@ -2784,19 +2828,25 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                             )
                         body = tm.group(2).strip().rstrip(";").strip()
                         body = re.sub(r"(?is)^SELECT\s+", "", body)
-                        state.py_funcs.pop(fname, None)
+                        if state.py_funcs.pop(fname, None) is not None:
+                            # replaced ACROSS languages: calls now inline,
+                            # but tombstone the Spark registration so a
+                            # later DROP + call can't resolve the stale
+                            # Python body through the registry
+                            _register_py_udf_tombstone(spark, fname)
                         state.funcs[fname] = (
                             _parse_func_params(raw[hm.end() : sig_end - 1]),
                             body,
                         )
                         continue
                 if m := _DROP_FUNC.match(raw):
-                    if m.group(1) in state.py_funcs:
-                        state.py_funcs.pop(m.group(1))
-                        _register_py_udf_tombstone(spark, m.group(1))
+                    dname = m.group(1).lower()
+                    if dname in state.py_funcs:
+                        state.py_funcs.pop(dname)
+                        _register_py_udf_tombstone(spark, dname)
                         continue
-                    if m.group(1) in state.funcs or "IF EXISTS" in raw.upper():
-                        state.funcs.pop(m.group(1), None)
+                    if dname in state.funcs or "IF EXISTS" in raw.upper():
+                        state.funcs.pop(dname, None)
                         continue
                     raise ValueError(f"DROP FUNCTION: no SQL UDF {m.group(1)!r}")
                 if state.funcs:

@@ -3813,6 +3813,19 @@ def test_connect_by_rewrite_and_loud_cases(spark):
             "LEVEL is not a base-table column",
         ),
         (
+            # r9 review: SCBP nested inside ROOT is substituted first, so
+            # the ROOT argument arrives as a __cbp_N carry column — still
+            # a pseudo-column, still loud (not an unresolved-column leak)
+            "SELECT CONNECT_BY_ROOT(SYS_CONNECT_BY_PATH(k, '/')) FROM cb_t "
+            "START WITH k=1 CONNECT BY PRIOR k = k-1",
+            "base-table columns only",
+        ),
+        (
+            "SELECT CONNECT_BY_ROOT(UPPER(SYS_CONNECT_BY_PATH(k, '/'))) "
+            "FROM cb_t START WITH k=1 CONNECT BY PRIOR k = k-1",
+            "base-table columns only",
+        ),
+        (
             "SELECT k FROM cb_t START WITH CONNECT_BY_ROOT k = 1 "
             "CONNECT BY PRIOR k = k-1",
             "not supported inside START WITH",
@@ -4849,11 +4862,63 @@ def test_plpythonu_udf_semantics(spark):
         """,
     )
     assert sorted(r.y for r in out.collect()) == [101, 102]
+    # r9 review: a plpythonu fn REPLACED by a SQL UDF and then DROPped
+    # must not leave the stale Python registration reachable
+    with _pytest.raises(Exception, match="does not exist"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE FUNCTION f_swap(x FLOAT) RETURNS DOUBLE AS $$
+                return x * 2
+            $$ LANGUAGE plpythonu;
+            CREATE OR REPLACE FUNCTION f_swap(x FLOAT) RETURNS FLOAT8 AS $$
+                SELECT x * 3
+            $$ LANGUAGE sql;
+            DROP FUNCTION f_swap;
+            SELECT f_swap(x) AS y FROM pyu_t;
+            """,
+        ).collect()
+    # r9 review: integer args keep integer-ness even in NULL-bearing
+    # Arrow batches (pandas coerces nullable int64 to float64; the
+    # declared-type coercer undoes it before the body runs)
+    spark.createDataFrame(
+        [(1,), (2,), (None,)], "k BIGINT"
+    ).coalesce(1).createOrReplaceTempView("pyu_int")
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE FUNCTION f_repr(k BIGINT) RETURNS VARCHAR AS $$
+            return None if k is None else repr(k)
+        $$ LANGUAGE plpythonu;
+        SELECT f_repr(k) AS y FROM pyu_int;
+        """,
+    )
+    assert sorted(r.y for r in out.collect() if r.y is not None) == ["1", "2"]
+    # r9 review: SQL identifiers are case-insensitive — DROP under a
+    # different case finds the function and tombstones it
+    with _pytest.raises(Exception, match="does not exist"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE FUNCTION F_Case(x FLOAT) RETURNS BIGINT AS $$
+                return int(x)
+            $$ LANGUAGE plpythonu;
+            DROP FUNCTION f_case;
+            SELECT F_CASE(x) AS y FROM pyu_t;
+            """,
+        ).collect()
     for script, frag in [
         (
             "CREATE FUNCTION f_bad(FLOAT) RETURNS BIGINT AS $$\n"
             " return 1\n$$ LANGUAGE plpythonu;",
             "must be NAMED",
+        ),
+        (
+            # r9 review: an unsupported PARAMETER type is as loud as an
+            # unsupported RETURNS type
+            "CREATE FUNCTION f_bad(x SUPER) RETURNS BIGINT AS $$\n"
+            " return 1\n$$ LANGUAGE plpythonu;",
+            "outside the supported subset",
         ),
         (
             "CREATE FUNCTION f_bad(x SUPER) RETURNS SUPER AS $$\n"

@@ -23,36 +23,22 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO_ROOT)
 
 from sql_redshift_etl_spark.catalog import load_table  # noqa: E402
+from sql_redshift_etl_spark.functions.redshift_queries import (  # noqa: E402
+    _SCRIPT_PYTHON_UDF,
+)
 from sql_redshift_etl_spark.functions.script_runner import (  # noqa: E402
     run_redshift_script,
 )
 from sql_redshift_etl_spark.session import get_spark  # noqa: E402
 
-_PY_SCRIPT = """
-    CREATE OR REPLACE FUNCTION f_py_tier(bal FLOAT8, seg VARCHAR)
-    RETURNS VARCHAR STABLE AS $$
-        if bal is None or seg is None:
-            return None
-        tier = 'gold' if bal > 7500 else ('silver' if bal > 2500 else 'bronze')
-        if seg.strip() == 'AUTOMOBILE' and tier != 'gold':
-            tier = tier + '+'
-        return tier
-    $$ LANGUAGE plpythonu;
-
-    CREATE OR REPLACE FUNCTION f_py_keynum(s VARCHAR) RETURNS BIGINT IMMUTABLE AS $$
-        total = 0
-        for ch in s or '':
-            if ch.isdigit():
-                total = total * 10 + int(ch)
-        return total
-    $$ LANGUAGE plpythonu;
-
-    SELECT f_py_tier(CAST(c_acctbal AS FLOAT8), c_mktsegment) AS tier,
-           COUNT(*) AS n_cust,
-           CAST(SUM(f_py_keynum(c_name)) AS BIGINT) AS key_sum
-    FROM ab_customer
-    GROUP BY 1;
-"""
+# the Python side IS the registered query's script (imported, not copied
+# — an edit to the registered rollup cannot silently invalidate the
+# published overhead numbers); each run_redshift_script call starts a
+# fresh script state, so the template's plain CREATE re-runs cleanly.
+# The Catalyst twin below must stay logic-identical — the runtime assert
+# compares the two result sets every run, so drift fails loudly instead
+# of measuring two different queries.
+_PY_SCRIPT = _SCRIPT_PYTHON_UDF.format(customer="ab_customer")
 
 _SQL_TWIN = """
     SELECT CASE

@@ -1000,7 +1000,13 @@ def _rewrite_connect_by(sql: str) -> str:
     depth, so pruning is exact) and bounds the recursion (measured 4.9×
     at sf10, docs/ROUND7.md). Cyclic data without a LEVEL cap stops
     LOUDLY at Spark's RECURSION_LEVEL_LIMIT_EXCEEDED (both behaviors
-    unit-tested) — never a silent hang. Scale note: the formatted plan
+    unit-tested) — never a silent hang. Capacity knob (r9, measured):
+    Spark also guards recursive CTEs with a total ROW limit
+    (spark.sql.cteRecursionRowLimit, default 1M) — a legitimate
+    hierarchy above that stops loudly with RECURSION_ROW_LIMIT_EXCEEDED;
+    raise the conf for big trees (a 1.5M-row walk runs fine at a 50M
+    cap, tools/connectby_probe_ab.py) — the DEPTH guard stays in force
+    and still bounds cyclic runaway. Scale note: the formatted plan
     shows a bare Join over UnionLoopRef — UnionLoop plans each
     iteration's frontier join AT RUNTIME with the materialized
     frontier's actual size, which is exactly right (a small frontier

@@ -124,6 +124,19 @@ TARGETS: dict[str, str] = {
         "approx_top_k partials merge through one single-row exchange — the "
         "explode never shuffles tokens (r6)."
     ),
+    "redshift_sql_connect_by_iscycle": (
+        "ISCYCLE/ISLEAF come from ONE post-CTE lookahead probe (distinct "
+        "parent tuples LEFT JOIN the base table, classified by the same "
+        "instr() guard the recursive arm used) plus the back-join — never "
+        "a per-row subquery; the ancestor path rides as a carried column "
+        "through the UnionLoop (r9)."
+    ),
+    "redshift_script_python_udf": (
+        "both plpythonu calls evaluate in Arrow-batched Python inside the "
+        "scan stage (ArrowEvalPython, never BatchEvalPython — the banned "
+        "row-at-a-time evaluator); the rollup above stays JVM "
+        "HashAggregate (r9)."
+    ),
 }
 
 

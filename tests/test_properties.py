@@ -601,9 +601,39 @@ def _cb_model(n, parents, starts, nocycle, cap, cb_cap):
         if p is not None:
             kids.setdefault(p, []).append(c)
 
+    def flags(node, level, path):
+        # r9: lookahead flags. The condition tree at this row includes a
+        # child iff the in-condition cap admits its level (the pushed
+        # post-expansion WHERE cap does NOT participate — the probe is
+        # walk-independent). Under NOCYCLE a child already on the row's
+        # own root path (ancestor-or-self) is PRUNED: ISCYCLE = some
+        # pruned child; ISLEAF = no EXPANDED child.
+        cond = [
+            c
+            for c in kids.get(node, ())
+            if cb_cap is None or level + 1 <= cb_cap
+        ]
+        if not nocycle:
+            return (0 if cond else 1, None)
+        live = [c for c in cond if c not in path]
+        pruned = [c for c in cond if c in path]
+        return (0 if live else 1, 1 if pruned else 0)
+
     def walk(node, level, root, path):
         if cap is None or level <= cap:
-            rows.append((node, level, root, "/" + "/".join(map(str, path))))
+            leaf, cyc = flags(node, level, path)
+            rows.append(
+                (
+                    node,
+                    level,
+                    root,
+                    "/" + "/".join(map(str, path)),
+                    leaf,
+                    root * 10 + 1,
+                    "-" + "-".join(f"n{x}" for x in path),
+                )
+                + ((cyc,) if nocycle else ())
+            )
         if cap is not None and level + 1 > cap:
             return  # pushdown-pruned: descendants only get deeper
         for c in kids.get(node, ()):
@@ -635,19 +665,25 @@ def test_connect_by_matches_python_model(spark, case):
     if cap is not None:
         conj = f"(LEVEL <= {cap})" if paren else f"LEVEL <= {cap}"
         where = f"WHERE {conj}"
+    # r9: ISLEAF always; ISCYCLE only under NOCYCLE (loud otherwise);
+    # expression arguments to ROOT (arithmetic) and PATH (CONCAT)
+    cyc_col = ", CAST(CONNECT_BY_ISCYCLE AS INT) AS iscycle" if nocycle else ""
     out = run_redshift_sql(
         spark,
         f"""
         SELECT id, CAST(LEVEL AS BIGINT) AS lvl,
                CONNECT_BY_ROOT id AS root_id,
-               SYS_CONNECT_BY_PATH(id, '/') AS path
+               SYS_CONNECT_BY_PATH(id, '/') AS path,
+               CAST(CONNECT_BY_ISLEAF AS INT) AS isleaf,
+               CONNECT_BY_ROOT(id * 10 + 1) AS root_code,
+               SYS_CONNECT_BY_PATH(CONCAT('n', id), '-') AS npath{cyc_col}
         FROM cbf_t
         {where}
         START WITH id IN ({in_list})
         {cb}
         """,
     )
-    got = sorted((r.id, r.lvl, r.root_id, r.path) for r in out.collect())
+    got = sorted(tuple(r) for r in out.collect())
     assert got == _cb_model(n, parents, starts, nocycle, cap, cb_cap)
 
 

@@ -1882,6 +1882,88 @@ def redshift_script_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SCRIPT_DECL_BLOCK = """
+    CREATE TEMP TABLE seg_stats (
+        seg VARCHAR(12), hi DOUBLE PRECISION, lo DOUBLE PRECISION,
+        spread DOUBLE PRECISION
+    );
+
+    CREATE PROCEDURE load_seg_stats() AS $$
+    DECLARE v_scale DOUBLE PRECISION := 1; v_total BIGINT := 0;
+            v_hi DOUBLE PRECISION; v_lo DOUBLE PRECISION;
+    BEGIN
+        FOR r IN SELECT DISTINCT c_mktsegment AS seg
+                 FROM {customer} ORDER BY seg LOOP
+            DECLARE v_scale DOUBLE PRECISION :=
+                        CASE WHEN r.seg = 'AUTOMOBILE'
+                             THEN v_scale * 2 ELSE v_scale END;
+                    v_spread DOUBLE PRECISION;
+            BEGIN
+                SELECT MAX(c_acctbal), MIN(c_acctbal) INTO v_hi, v_lo
+                FROM {customer} WHERE c_mktsegment = r.seg;
+                v_spread := (v_hi - v_lo) * v_scale;
+                INSERT INTO seg_stats VALUES (r.seg, v_hi, v_lo, v_spread);
+                v_total := v_total + CAST(FLOOR(v_spread) AS BIGINT);
+            END;
+        END LOOP;
+        INSERT INTO seg_stats
+        VALUES ('__total', NULL, NULL, CAST(v_total AS DOUBLE PRECISION));
+    END;
+    $$ LANGUAGE plpgsql;
+
+    CALL load_seg_stats();
+    SELECT seg, hi, lo, spread FROM seg_stats;
+"""
+
+
+@register(
+    "redshift_script_decl_block",
+    tags=("§2.9b",),
+    oracle="""
+        WITH seg AS (
+            SELECT c_mktsegment AS seg,
+                   MAX(c_acctbal) AS hi, MIN(c_acctbal) AS lo,
+                   (MAX(c_acctbal) - MIN(c_acctbal))
+                     * (CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                             THEN 2 ELSE 1 END) AS spread
+            FROM customer GROUP BY c_mktsegment
+        )
+        SELECT seg, hi, lo, spread FROM seg
+        UNION ALL
+        SELECT '__total', NULL, NULL,
+               CAST(SUM(CAST(FLOOR(spread) AS BIGINT)) AS DOUBLE)
+        FROM seg
+    """,
+)
+def redshift_script_decl_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """plpgsql nested ``DECLARE ... BEGIN ... END`` sub-blocks (r9 —
+    closes the last named plpgsql structural seam): inner scalars SHADOW
+    same-name outer variables for the block's extent and un-shadow on
+    every exit path; defaults re-evaluate at EACH entry. Load-bearing in
+    the hash: the inner ``v_scale`` default reads the OUTER ``v_scale``
+    (so AUTOMOBILE's spread doubles while every re-entry re-derives from
+    1, never compounding), and the outer ``v_total`` accumulates across
+    iterations THROUGH the block (assignments to non-declared outer
+    variables persist — plpgsql's scoping). Exit-path coverage
+    (EXIT/RETURN/caught-error un-shadowing) is pinned by
+    tests/test_units.py::test_plpgsql_nested_declare_blocks. The oracle
+    spells the same math declaratively (grouped MAX/MIN + CASE scale +
+    integer-exact FLOOR total, so float summation order cannot differ).
+
+    Scale: the record-FOR iterates the 5 SEGMENTS (a bounded control
+    table — the module's loop-over-control-rows-never-facts rule); each
+    iteration's aggregate is one distributed job over the fact table.
+    """
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("rs_declblk_customer")
+    out = run_redshift_script(
+        spark, _SCRIPT_DECL_BLOCK.format(customer="rs_declblk_customer")
+    )
+    assert out is not None
+    return out
+
+
 _SCRIPT_PROC_EXCEPTION = """
     CREATE TEMP TABLE results (grp VARCHAR(20), n BIGINT, total DOUBLE PRECISION);
     CREATE TEMP TABLE errlog (grp VARCHAR(10), code VARCHAR(10));

@@ -133,7 +133,11 @@ Statement support:
   <query> LOOP (bounded control-table iteration), bare LOOP, EXIT/
   CONTINUE [WHEN], bare RETURN, RAISE, and DECLAREd scalar variables
   with ``var := expr`` and ``SELECT ... INTO var`` (values substitute
-  as typed literals at each use site). Round 7 adds the remaining
+  as typed literals at each use site). Round 9 adds nested
+  ``DECLARE ... BEGIN ... END`` sub-blocks: the inner scalars shadow
+  same-name outer variables for the block's extent and un-shadow on any
+  exit path (normal, EXIT/CONTINUE, RETURN, or a caught error); defaults
+  re-evaluate at each entry. Round 7 adds the remaining
   procedural core:
   * ``BEGIN ... EXCEPTION WHEN OTHERS THEN handler END`` blocks (the
     nightly-load error-wrapper idiom) — on entry the script state
@@ -1097,6 +1101,50 @@ class _GuardEnd:
     __slots__ = ()
 
 
+class _DeclBlockNode:
+    """``DECLARE ... BEGIN ... END`` sub-block (r9): the declared
+    scalars enter the enclosing scope at block entry — shadowing
+    same-name outer variables — and leave at block exit (the shadowed
+    outer value reappears; assignments to NON-declared outer variables
+    persist, plpgsql's scoping). Defaults evaluate at EACH entry, in
+    order (a loop-contained block re-initializes per iteration, and a
+    later default may reference an earlier inner variable; the default
+    of a variable that shadows an outer one still sees the OUTER value —
+    the inner binding exists only after its own declaration). The BEGIN
+    part may carry its own EXCEPTION section (it parses as the same
+    _GuardNode). Scalar variables only — a nested CURSOR declaration is
+    loud (declare cursors in the procedure's own DECLARE section)."""
+
+    __slots__ = ("decls", "block")
+
+    def __init__(self, decls: list, block: "_GuardNode"):
+        self.decls = decls
+        self.block = block
+
+
+_DECL_MISSING = object()
+
+
+class _DeclEnd:
+    """End-of-DECLARE-block marker: restores the shadow-saved scope
+    entries. Restore also runs when an unwind (EXIT/CONTINUE/RETURN or
+    an exception caught by an OUTER guard) skips past the marker — the
+    inner names must not leak into code outside the block."""
+
+    __slots__ = ("saved", "scope")
+
+    def __init__(self, saved: dict, scope: dict):
+        self.saved = saved
+        self.scope = scope
+
+    def restore(self) -> None:
+        for name, old in self.saved.items():
+            if old is _DECL_MISSING:
+                self.scope.pop(name, None)
+            else:
+                self.scope[name] = old
+
+
 # Block scanner for BEGIN ... END: unlike _CTRL_TOKEN it also tracks
 # nested BEGIN blocks and the EXCEPTION divider. The lookahead on
 # EXCEPTION keeps `RAISE EXCEPTION 'msg'` (string follows, not WHEN)
@@ -1320,10 +1368,25 @@ def _parse_plpgsql_nodes(text: str) -> list:
         m = re.match(r"(?i)(IF|WHILE|FOR|LOOP|BEGIN|DECLARE|CASE)\b", masked[i:])
         kw = m.group(1).upper() if m else None
         if kw == "DECLARE":
-            raise ValueError(
-                "plpgsql: nested-block DECLARE is unsupported — declare "
-                "all variables in the procedure's own DECLARE section"
-            )
+            # r9: DECLARE ... BEGIN ... END sub-block. The declarations
+            # run from DECLARE to the block's BEGIN; the block itself
+            # (including an optional EXCEPTION section) parses as the
+            # ordinary _GuardNode.
+            bm = re.compile(r"(?i)\bBEGIN\b").search(masked, i + 7)
+            if bm is None:
+                raise ValueError(
+                    "plpgsql: DECLARE without a following BEGIN block"
+                )
+            decls = _parse_proc_decls(text[i + 7 : bm.start()], "nested block")
+            if any(t == "CURSOR" for _n, t, _d in decls):
+                raise ValueError(
+                    "plpgsql: a nested-block DECLARE supports scalar "
+                    "variables only — declare cursors in the procedure's "
+                    "own DECLARE section"
+                )
+            node, i = _parse_begin_block(text, masked, bm.start())
+            nodes.append(_DeclBlockNode(decls, node))
+            continue
         if kw == "BEGIN":
             node, i = _parse_begin_block(text, masked, i)
             nodes.append(node)
@@ -1411,7 +1474,9 @@ def _parse_proc_decls(decls: str, proc: str) -> list[tuple[str, str, str | None]
     """DECLARE entries as (name, normalized type, default expr | None).
     A ``name CURSOR FOR <query>`` entry comes back as (name, "CURSOR",
     query). Records/aliases/SCROLL/parameterized cursors are outside the
-    subset (loud)."""
+    subset (loud). *proc* is the error-message context (the procedure
+    name, or "nested block" for a r9 DECLARE sub-block)."""
+    ctx = proc if proc == "nested block" else f"CREATE PROCEDURE {proc}"
     out: list[tuple[str, str, str | None]] = []
     for d in _split_top_semis(decls):
         d = d.strip()
@@ -1422,14 +1487,14 @@ def _parse_proc_decls(decls: str, proc: str) -> list[tuple[str, str, str | None]
             continue
         if re.search(r"(?i)\b(CURSOR|RECORD|REFCURSOR|CONSTANT|ALIAS)\b", _mask_quoted(d)):
             raise ValueError(
-                f"CREATE PROCEDURE {proc}: DECLARE supports scalar variables "
+                f"{ctx}: DECLARE supports scalar variables "
                 f"and 'name CURSOR FOR <query>' only, not {d[:50]!r}"
             )
         parts = re.split(r"(?i):=|\bDEFAULT\b", d, maxsplit=1)
         default = parts[1].strip() if len(parts) > 1 else None
         hm = re.match(r"(?s)^([\w$]+)\s+(.+)$", parts[0].strip())
         if hm is None:
-            raise ValueError(f"CREATE PROCEDURE {proc}: cannot parse DECLARE {d!r}")
+            raise ValueError(f"{ctx}: cannot parse DECLARE {d!r}")
         out.append((hm.group(1).lower(), _normalize_ddl_types(hm.group(2).strip()), default))
     return out
 
@@ -2342,6 +2407,32 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         if res is not None:
                             result = res
                     continue
+                if isinstance(raw, _DeclBlockNode):
+                    # r9: enter the DECLARE sub-block — shadow-save every
+                    # declared name, evaluate defaults in order (each sees
+                    # earlier inner vars; a shadowing default still sees
+                    # the outer value), then run the BEGIN block under the
+                    # (possibly fresh) scope with a restore marker after.
+                    eff = scope if scope is not None else {}
+                    saved: dict = {}
+                    for vname, vtyp, vdefault in raw.decls:
+                        if vname not in saved:
+                            saved[vname] = eff.get(vname, _DECL_MISSING)
+                        value = (
+                            None
+                            if vdefault is None
+                            else _eval_script_scalar(
+                                spark, state, _subst_vars(eff, vdefault), vtyp
+                            )
+                        )
+                        eff[vname] = [vtyp, value]
+                    end = _DeclEnd(saved, eff)
+                    pending.appendleft(_Scoped(end, eff))
+                    pending.appendleft(_Scoped(raw.block, eff))
+                    continue
+                if isinstance(raw, _DeclEnd):
+                    raw.restore()
+                    continue
                 if isinstance(raw, _GuardNode):
                     if raw.handler is None:
                         # plain nested BEGIN/END: statement grouping only
@@ -2413,6 +2504,10 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                             # guard (clean exit — snapshot discarded)
                             guard_stack.pop()
                             state.guard_depth = len(guard_stack)
+                        if isinstance(inner, _DeclEnd):
+                            # leaving a DECLARE sub-block early still
+                            # un-shadows its variables
+                            inner.restore()
                         pending.popleft()
                     else:
                         raise ValueError(f"{kw}: no enclosing loop")
@@ -2433,6 +2528,8 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                             # snapshot discarded
                             guard_stack.pop()
                             state.guard_depth = len(guard_stack)
+                        if isinstance(inner, _DeclEnd):
+                            inner.restore()
                         if isinstance(inner, _CallEnd):
                             if inner.inout:  # early RETURN still reports
                                 res = _inout_result(spark, inner)
@@ -3984,7 +4081,13 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                 g = guard_stack.pop()
                 state.guard_depth = len(guard_stack)
                 while pending:
-                    if pending.popleft() is g["end"]:
+                    nxt = pending.popleft()
+                    inner = nxt.item if isinstance(nxt, _Scoped) else nxt
+                    if isinstance(inner, _DeclEnd):
+                        # the catch unwinds past an inner DECLARE block:
+                        # its names must not leak into the handler
+                        inner.restore()
+                    if nxt is g["end"]:
                         break
                 else:
                     raise  # end marker lost — internal error, stay loud

@@ -178,6 +178,7 @@ _VERIFY_FIRST: list[str] = [
     # newest-first among the no-row queries (registered after the r9
     # window froze; leads the r10 window ahead of the r6-era re-rows)
     "redshift_script_python_udf",
+    "redshift_script_decl_block",
     "source_external_table",
     "redshift_script_update_from",
     "case_when_decode",

@@ -4793,6 +4793,139 @@ def test_connect_by_order_siblings(spark):
             )
 
 
+def test_plpgsql_nested_declare_blocks(spark):
+    """Nested DECLARE ... BEGIN ... END sub-blocks (r9): inner scalars
+    shadow same-name outer variables and un-shadow on EVERY exit path
+    (normal, EXIT, caught error); defaults re-evaluate at each entry
+    with earlier inner vars visible and a shadowing default seeing the
+    OUTER value; assignments to non-declared outer variables persist;
+    a block's own handler sees its variables; nested cursors stay loud."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE blk_out (tag VARCHAR(12), v BIGINT);
+        CREATE PROCEDURE p1() AS $$
+        DECLARE x BIGINT := 1; y BIGINT := 10;
+        BEGIN
+            DECLARE x BIGINT := 100; z BIGINT := x + 7;
+            BEGIN
+                INSERT INTO blk_out VALUES ('inner_x', x);
+                INSERT INTO blk_out VALUES ('inner_z', z);
+                y := y + x;
+            END;
+            INSERT INTO blk_out VALUES ('outer_x', x);
+            INSERT INTO blk_out VALUES ('outer_y', y);
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p1();
+        SELECT tag, v FROM blk_out;
+        """,
+    )
+    # z's default saw the INNER x (declared just before it); y's
+    # assignment inside the block targeted the outer variable
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("inner_x", 100), ("inner_z", 107), ("outer_x", 1), ("outer_y", 110),
+    ]
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE blk2 (i BIGINT, v BIGINT);
+        CREATE PROCEDURE p2() AS $$
+        DECLARE a BIGINT := 5;
+        BEGIN
+            FOR i IN 1..3 LOOP
+                DECLARE a BIGINT := a * 10;
+                BEGIN
+                    a := a + i;
+                    INSERT INTO blk2 VALUES (i, a);
+                END;
+            END LOOP;
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p2();
+        SELECT i, v FROM blk2;
+        """,
+    )
+    # the shadowing default reads the OUTER a (5) at EACH entry — the
+    # per-iteration a never compounds (51, 52, 53; not 51, 521, ...)
+    assert sorted(tuple(r) for r in out.collect()) == [(1, 51), (2, 52), (3, 53)]
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE blk3 (tag VARCHAR(12), v BIGINT);
+        CREATE PROCEDURE p3() AS $$
+        DECLARE w BIGINT := 7;
+        BEGIN
+            WHILE TRUE LOOP
+                DECLARE w BIGINT := 99;
+                BEGIN
+                    EXIT;
+                END;
+            END LOOP;
+            INSERT INTO blk3 VALUES ('after_exit', w);
+            BEGIN
+                DECLARE w BIGINT := 55;
+                BEGIN
+                    INSERT INTO blk3 VALUES ('pre_err', w);
+                    RAISE EXCEPTION 'boom';
+                END;
+            EXCEPTION WHEN OTHERS THEN
+                INSERT INTO blk3 VALUES ('handler', w);
+            END;
+            DECLARE w BIGINT := 42;
+            BEGIN
+                RAISE EXCEPTION 'x';
+            EXCEPTION WHEN OTHERS THEN
+                INSERT INTO blk3 VALUES ('own_handler', w);
+            END;
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p3();
+        SELECT tag, v FROM blk3;
+        """,
+    )
+    # EXIT un-shadows; a caught error rolls the block's INSERT back
+    # (plpgsql's aborted-block contract — no 'pre_err' row) and the
+    # OUTER handler sees the un-shadowed w; a block's OWN handler still
+    # sees its variables (42)
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("after_exit", 7), ("handler", 7), ("own_handler", 42),
+    ]
+    with _pytest.raises(ValueError, match="scalar variables only"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE TEMP TABLE blk4 (v BIGINT);
+            CREATE PROCEDURE p4() AS $$
+            BEGIN
+                DECLARE c CURSOR FOR SELECT 1;
+                BEGIN
+                    INSERT INTO blk4 VALUES (1);
+                END;
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL p4();
+            """,
+        )
+    with _pytest.raises(ValueError, match="DECLARE without a following BEGIN"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE PROCEDURE p5() AS $$
+            BEGIN
+                DECLARE q BIGINT := 1;
+                SELECT 1;
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL p5();
+            """,
+        )
+
+
 def test_plpythonu_udf_semantics(spark):
     """LANGUAGE plpythonu (r9): the $$ body compiles once at CREATE into
     a scalar Python function registered as an Arrow-batched pandas UDF.

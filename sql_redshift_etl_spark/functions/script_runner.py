@@ -1478,11 +1478,33 @@ def _parse_proc_decls(decls: str, proc: str) -> list[tuple[str, str, str | None]
     name, or "nested block" for a r9 DECLARE sub-block)."""
     ctx = proc if proc == "nested block" else f"CREATE PROCEDURE {proc}"
     out: list[tuple[str, str, str | None]] = []
+    seen: set[str] = set()
     for d in _split_top_semis(decls):
         d = d.strip()
         if not d:
             continue
+        # an executable statement in the DECLARE section means the
+        # DECLARE/BEGIN split mis-scoped (e.g. statements between a
+        # nested DECLARE and a LATER BEGIN) — swallowing it as a
+        # "declaration" would silently drop DML (r9 review; loud-never-
+        # silent policy). Variable names can't be these reserved words.
+        if re.match(
+            r"(?i)^(INSERT|UPDATE|DELETE|SELECT|CREATE|DROP|CALL|SET|COPY"
+            r"|UNLOAD|MERGE|TRUNCATE|RAISE|IF|WHILE|FOR|LOOP|EXIT|CONTINUE"
+            r"|RETURN|PERFORM|OPEN|FETCH|CLOSE|EXECUTE|GET|BEGIN|ALTER"
+            r"|GRANT|REVOKE|COMMENT|LOCK|VACUUM|ANALYZE)\b",
+            d,
+        ):
+            raise ValueError(
+                f"{ctx}: only declarations may appear between DECLARE and "
+                f"BEGIN, found statement {d[:50]!r}"
+            )
         if cm := _CURSOR_DECL.match(d):
+            if cm.group(1).lower() in seen:
+                raise ValueError(
+                    f"{ctx}: duplicate declaration of {cm.group(1).lower()!r}"
+                )
+            seen.add(cm.group(1).lower())
             out.append((cm.group(1).lower(), "CURSOR", cm.group(2).strip()))
             continue
         if re.search(r"(?i)\b(CURSOR|RECORD|REFCURSOR|CONSTANT|ALIAS)\b", _mask_quoted(d)):
@@ -1495,6 +1517,13 @@ def _parse_proc_decls(decls: str, proc: str) -> list[tuple[str, str, str | None]
         hm = re.match(r"(?s)^([\w$]+)\s+(.+)$", parts[0].strip())
         if hm is None:
             raise ValueError(f"{ctx}: cannot parse DECLARE {d!r}")
+        if hm.group(1).lower() in seen:
+            # plpgsql raises on a duplicate declaration in one section —
+            # last-wins would silently mask the authoring error (r9 review)
+            raise ValueError(
+                f"{ctx}: duplicate declaration of {hm.group(1).lower()!r}"
+            )
+        seen.add(hm.group(1).lower())
         out.append((hm.group(1).lower(), _normalize_ddl_types(hm.group(2).strip()), default))
     return out
 
@@ -2413,11 +2442,17 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     # earlier inner vars; a shadowing default still sees
                     # the outer value), then run the BEGIN block under the
                     # (possibly fresh) scope with a restore marker after.
+                    # The marker enqueues BEFORE default evaluation and its
+                    # saved-dict fills incrementally: a default that raises
+                    # mid-section leaves the marker live, so an OUTER
+                    # guard's unwind un-shadows exactly the already-applied
+                    # names instead of leaking them (r9 review).
                     eff = scope if scope is not None else {}
                     saved: dict = {}
+                    end = _DeclEnd(saved, eff)
+                    pending.appendleft(_Scoped(end, eff))
                     for vname, vtyp, vdefault in raw.decls:
-                        if vname not in saved:
-                            saved[vname] = eff.get(vname, _DECL_MISSING)
+                        saved[vname] = eff.get(vname, _DECL_MISSING)
                         value = (
                             None
                             if vdefault is None
@@ -2426,8 +2461,6 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                             )
                         )
                         eff[vname] = [vtyp, value]
-                    end = _DeclEnd(saved, eff)
-                    pending.appendleft(_Scoped(end, eff))
                     pending.appendleft(_Scoped(raw.block, eff))
                     continue
                 if isinstance(raw, _DeclEnd):

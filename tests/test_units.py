@@ -4924,6 +4924,67 @@ def test_plpgsql_nested_declare_blocks(spark):
             CALL p5();
             """,
         )
+    # r9 review: a default that raises mid-section must NOT leak the
+    # already-applied shadows past an outer catch
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE blk5 (tag VARCHAR(12), v BIGINT);
+        CREATE PROCEDURE p6() AS $$
+        DECLARE x BIGINT := 1;
+        BEGIN
+            BEGIN
+                DECLARE x BIGINT := 100; y BIGINT := CAST('boom' AS BIGINT);
+                BEGIN
+                    INSERT INTO blk5 VALUES ('unreached', x);
+                END;
+            EXCEPTION WHEN OTHERS THEN
+                INSERT INTO blk5 VALUES ('handler_x', x);
+            END;
+            INSERT INTO blk5 VALUES ('after_x', x);
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p6();
+        SELECT tag, v FROM blk5;
+        """,
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("after_x", 1), ("handler_x", 1),
+    ]
+    # r9 review: a statement between DECLARE and a LATER BEGIN is loud,
+    # never silently swallowed as a "declaration"
+    with _pytest.raises(ValueError, match="only declarations may appear"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE TEMP TABLE blk6 (v BIGINT);
+            CREATE PROCEDURE p7() AS $$
+            BEGIN
+                DECLARE q BIGINT := 1;
+                INSERT INTO blk6 VALUES (41);
+                BEGIN
+                    INSERT INTO blk6 VALUES (q);
+                END;
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL p7();
+            """,
+        )
+    # r9 review: duplicate declarations in one section are loud
+    # (plpgsql's own rule — last-wins would mask the authoring error)
+    with _pytest.raises(ValueError, match="duplicate declaration"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE PROCEDURE p8() AS $$
+            DECLARE a BIGINT := 1; a BIGINT := 2;
+            BEGIN
+                RETURN;
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL p8();
+            """,
+        )
 
 
 def test_plpythonu_udf_semantics(spark):

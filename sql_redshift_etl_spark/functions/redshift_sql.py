@@ -1216,6 +1216,13 @@ def _rewrite_connect_by(sql: str) -> str:
             col = bm.group(1).lower()
             if col == "level":
                 raise ValueError("CONNECT_BY_ROOT LEVEL is always 1 — write 1")
+            if col.startswith("__cb"):
+                # mirror the paren branch: a substituted SYS_CONNECT_BY_PATH
+                # carry column (CONNECT_BY_ROOT SYS_CONNECT_BY_PATH(...) with
+                # SCBP substituted first) is a nested pseudo-column — raise
+                # the clean base-table-columns-only error, not a downstream
+                # Spark unresolved-column failure (ADVICE r9)
+                _expr_col(col)
             roots.setdefault(col)
             cut = m.end() + (len(txt) - m.end() - len(after)) + bm.end()
             txt = f"{txt[: m.start()]}__cbr_{col}{txt[cut:]}"

@@ -453,15 +453,6 @@ def _parse_func_param_types(params: str) -> list[str]:
     return types
 
 
-# declared-type coercers for argument batches: pandas coerces a nullable
-# int64 Arrow batch to float64 (NaN has no int), so without this an
-# integer argument would reach the body as 1.0 in NULL-bearing batches
-# and 1 in others — a data/partitioning-dependent contract break (r9
-# review). Exact for |v| < 2^53, i.e. every SQL bigint the float64
-# transfer itself can carry.
-_PY_ARG_COERCE = {"bigint": int, "double": float, "boolean": bool}
-
-
 def _register_python_udf(
     spark: SparkSession,
     fname: str,
@@ -470,42 +461,38 @@ def _register_python_udf(
     rtype: str,
     body: str,
 ) -> None:
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.functions import udf
 
     fn = _compile_py_udf(fname, params, body)
     # validates every declared type at CREATE time, like RETURNS
-    coercers = [_PY_ARG_COERCE.get(_py_udf_spark_type(t, fname)) for t in ptypes]
+    for t in ptypes:
+        _py_udf_spark_type(t, fname)
 
-    # no type hints: the *cols variadic shape is the legacy pandas_udf
-    # signature (hint inference rejects it; functionType defaults SCALAR)
-    def _batch(*cols):
-        # NULL -> None exactly like Redshift's sandbox (NaN/NaT from the
-        # Arrow transfer normalize to None, ints regain their declared
-        # integer-ness, before the body sees them)
-        pyrows = zip(
-            *(
-                [None if pd.isna(v) else (co(v) if co else v) for v in c.tolist()]
-                for c, co in zip(cols, coercers)
-            )
-        )
-        return pd.Series([fn(*row) for row in pyrows], dtype=object)
-
-    _batch.__name__ = f"rs_py_{fname}"
-    spark.udf.register(fname, pandas_udf(_batch, _py_udf_spark_type(rtype, fname)))
+    # Arrow-OPTIMIZED udf (useArrow=True → ArrowEvalPython, never the
+    # banned pickling BatchEvalPython): the Arrow validity bitmap
+    # reaches Python intact, so the body sees exactly Redshift's sandbox
+    # contract — SQL NULL is None while a genuine FLOAT8 NaN stays
+    # float('nan') (a pandas_udf float64 batch conflates the two — r9
+    # ADVICE), integers stay int even in NULL-bearing batches (no
+    # float64 coercion, the r9 coercer workaround this replaces), and
+    # DATE/TIMESTAMP arrive as datetime.date/datetime.datetime.
+    fn.__name__ = f"rs_py_{fname}"
+    spark.udf.register(fname, udf(fn, _py_udf_spark_type(rtype, fname), useArrow=True))
 
 
 def _register_py_udf_tombstone(spark: SparkSession, fname: str) -> None:
-    """Spark has no udf-unregister, so DROP FUNCTION re-registers a stub
-    that raises on evaluation — a call after DROP is loud, never a
-    stale-result footgun."""
-    from pyspark.sql.functions import pandas_udf
+    """Spark has no udf-unregister, so DROP FUNCTION (and end-of-script
+    descoping) re-registers a stub that raises on evaluation — a call
+    after DROP is loud, never a stale-result footgun."""
+    from pyspark.sql.functions import udf
 
     def _gone(*cols):
-        raise ValueError(f"function {fname} does not exist (dropped by the script)")
+        raise ValueError(
+            f"function {fname} does not exist (dropped or script-scoped)"
+        )
 
     _gone.__name__ = f"rs_py_dropped_{fname}"
-    spark.udf.register(fname, pandas_udf(_gone, "string"))
+    spark.udf.register(fname, udf(_gone, "string", useArrow=True))
 
 
 # Script-scoped schemas: Spark temp views are single-part names, so
@@ -1813,10 +1800,11 @@ class _ScriptState:
         self.schemas: set[str] = set()
         # SQL UDFs: function -> (param names, scalar expression text)
         self.funcs: dict[str, tuple[list[str], str]] = {}
-        # plpythonu UDFs: function -> (param names, returns type, body)
-        # — registered with Spark at CREATE; tracked here so DROP and
-        # transaction rollback can tombstone/re-register faithfully
-        self.py_funcs: dict[str, tuple[list[str], str, str]] = {}
+        # plpythonu UDFs: function -> (param names, declared param types,
+        # returns type, body) — registered with Spark at CREATE; tracked
+        # here so DROP, transaction rollback, and end-of-script descoping
+        # can tombstone/re-register faithfully
+        self.py_funcs: dict[str, tuple[list[str], list[str], str, str]] = {}
         # SET search_path schema order; unqualified references that are
         # not bound plain resolve to the first path schema that has a
         # binding of that name (read-side resolution — see
@@ -1957,6 +1945,15 @@ class _ScriptState:
             self.spark.catalog.dropTempView(name)
         for name, df in self.shadowed.items():
             df.createOrReplaceTempView(name)
+        # plpythonu functions are SCRIPT-scoped, like SQL UDFs (r9 ADVICE:
+        # Spark's udf registry is session-global, so without this a
+        # function CREATEd here stays callable from later scripts and
+        # plain spark.sql). Tombstoning is safe for this script's own
+        # returned result: eager analysis already captured the real
+        # function in the resolved plan; a later out-of-scope call is
+        # loud instead of silently succeeding.
+        for name in self.py_funcs:
+            _register_py_udf_tombstone(self.spark, name)
 
 
 def _cast_positional(sel: DataFrame, target: DataFrame, table: str) -> DataFrame:

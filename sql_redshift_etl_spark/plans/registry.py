@@ -101,7 +101,16 @@ def register(
 # r6 row), then the ENTIRE 45-query r4-era cohort — after r9 no
 # official row is older than r5, and the below-boundary front
 # (46 r5-era + 8 r6-era) fronts the r10 window. All 50 slots are
-# SQL-oracled again.
+# SQL-oracled again — and came back 50/50 green, the fifth consecutive
+# fully green round. The ROUND-10 window (verdict r9 item 1, the
+# documented below-boundary order): (1) the only two queries with no
+# official row (redshift_script_python_udf, redshift_script_decl_block —
+# registered after the r9 window froze); (2) the two r6-era leads that
+# yielded their r9 slots (source_external_table, update_from); (3) the
+# full 46-query r5-era cohort — exactly 50 slots, all SQL-oracled. New
+# r10 oracled queries insert at the TOP as they land, displacing the
+# window tail into the r11 front (a never-rowed query beats re-rowing
+# an r5 row; an r5 re-row beats an r6 re-row).
 # Maintenance rules (CI-enforced in tests/test_registry_hygiene.py):
 #  - every SQL-oracled query must appear in this list OR carry a
 #    "sibling-coverage:" note in its docstring naming the in-list query
@@ -113,74 +122,17 @@ def register(
 #    columns throw; serialize with array_join/to_json).
 # Names not listed keep their module registration order after these.
 _VERIFY_FIRST: list[str] = [
-    # r9-new oracled queries (window rule: new queries lead; the
-    # late-round ISCYCLE/expression-args additions displace the two
-    # remaining r6-era leads — a no-row query beats re-rowing an r6
-    # row, the same rule that had swap_publish and etl_mart yield)
-    "sim_ann_incremental",
-    "redshift_sql_connect_by_isleaf",
-    "redshift_sql_order_siblings",
-    "redshift_sql_connect_by_iscycle",
-    "redshift_sql_connect_by_expr",
-    # the full 45-query r4-era cohort — after this round no official
-    # driver row is older than r5 (verdict r8 item 1's done-bar)
-    "flagship_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q9_product_type_profit",
-    "q11_important_value_share",
-    "q16_supplier_variety",
-    "q20_volume_suppliers",
-    "q21_sole_late_supplier",
-    "join_star_revenue",
-    "join_inner_broadcast",
-    "join_full_outer",
-    "join_semi_exists",
-    "join_anti_not_exists",
-    "join_theta_range",
-    "join_asof_last_view",
-    "agg_basic_supplier",
-    "count_distinct_multi",
-    "stats_moments",
-    "listagg_nations",
-    "percentiles_price",
-    "grouping_sets_mixed",
-    "rollup_region_nation",
-    "bool_aggregates",
-    "conditional_agg_filter",
-    "pivot_status",
-    "unpivot_part",
-    "window_ranks",
-    "window_lag_lead",
-    "window_first_last",
-    "window_topk_per_group",
-    "events_tumbling_daily",
-    "events_sessionize",
-    "dedup_minhash_lsh",
-    "dedup_embedding_ann",
-    "sim_knn_bruteforce",
-    "sim_knn_batch",
-    "sim_knn_batch_ann",
-    "sim_ann_lsh_pruned",
-    "text_doc_stats_by_lang",
-    "etl_training_corpus_pipeline",
-    "redshift_script_manifest_roundtrip",
-    "redshift_sql_misc_functions",
-    "source_jdbc_roundtrip",
-    # --- 50-query driver boundary ---
-    # Below-boundary order = r10 priority: after this round the oldest
-    # official rows are the 46 r5-era queries plus the 8 r6-era ones
-    # (external_table/update_from first — they yielded their r9 slots
-    # to the late-round ISCYCLE/expr queries, as swap_publish/etl_mart
-    # did earlier); then the r7 cohort, then the outgoing r8 window.
-    # newest-first among the no-row queries (registered after the r9
-    # window froze; leads the r10 window ahead of the r6-era re-rows)
+    # --- ROUND-10 window (50 slots, all SQL-oracled) ---
+    # New r10 oracled queries insert HERE, at the top, as they land
+    # (never-rowed beats re-rowing), displacing the window tail.
+    # The only two registered queries with no official driver row
+    # (registered after the r9 window froze):
     "redshift_script_python_udf",
     "redshift_script_decl_block",
+    # the two r6-era leads that yielded their r9 slots:
     "source_external_table",
     "redshift_script_update_from",
+    # the full 46-query r5-era cohort (the oldest official rows):
     "case_when_decode",
     "cast_conversions",
     "ctas_staging_chain",
@@ -227,8 +179,14 @@ _VERIFY_FIRST: list[str] = [
     "union_distinct_nations",
     "window_moving_agg",
     "window_running_total",
+    # --- 50-query driver boundary ---
+    # Below-boundary order = r11 priority: whatever the r10 window
+    # displaced (the r5-cohort tail), then the six remaining r6-era
+    # rows, then the r7 cohort, the r8 window, and the outgoing r9
+    # window (the freshest rows last).
     "redshift_script_swap_publish",
     "redshift_script_etl_mart",
+    # remaining r6-era rows:
     "redshift_script_upsert_snapshot",
     "redshift_script_copy_unload",
     "events_merge_upsert",
@@ -335,6 +293,57 @@ _VERIFY_FIRST: list[str] = [
     "multimodal_join",
     "multimodal_binary_metadata",
     "cube_flag_status",
+    # --- outgoing r9 window (newest rows r9) ---
+    "sim_ann_incremental",
+    "redshift_sql_connect_by_isleaf",
+    "redshift_sql_order_siblings",
+    "redshift_sql_connect_by_iscycle",
+    "redshift_sql_connect_by_expr",
+    "flagship_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "q11_important_value_share",
+    "q16_supplier_variety",
+    "q20_volume_suppliers",
+    "q21_sole_late_supplier",
+    "join_star_revenue",
+    "join_inner_broadcast",
+    "join_full_outer",
+    "join_semi_exists",
+    "join_anti_not_exists",
+    "join_theta_range",
+    "join_asof_last_view",
+    "agg_basic_supplier",
+    "count_distinct_multi",
+    "stats_moments",
+    "listagg_nations",
+    "percentiles_price",
+    "grouping_sets_mixed",
+    "rollup_region_nation",
+    "bool_aggregates",
+    "conditional_agg_filter",
+    "pivot_status",
+    "unpivot_part",
+    "window_ranks",
+    "window_lag_lead",
+    "window_first_last",
+    "window_topk_per_group",
+    "events_tumbling_daily",
+    "events_sessionize",
+    "dedup_minhash_lsh",
+    "dedup_embedding_ann",
+    "sim_knn_bruteforce",
+    "sim_knn_batch",
+    "sim_knn_batch_ann",
+    "sim_ann_lsh_pruned",
+    "text_doc_stats_by_lang",
+    "etl_training_corpus_pipeline",
+    "redshift_script_manifest_roundtrip",
+    "redshift_sql_misc_functions",
+    "source_jdbc_roundtrip",
 ]
 
 

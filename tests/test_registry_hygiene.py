@@ -39,59 +39,84 @@ def test_verify_first_has_no_duplicates():
     assert len(vf) == len(set(vf)), "duplicate names in _VERIFY_FIRST"
 
 
-# Round-9 window strategy (VERDICT r8 item 1): rotate the official-row
-# tail. Must-haves in the first-50 window this round:
-#  - the r9-new oracled queries (sim_ann_incremental,
-#    redshift_sql_connect_by_isleaf, redshift_sql_order_siblings);
-#  - two of the four r6-era leads the verdict named (swap_publish and
-#    etl_mart yield their slots to the new queries — a no-row query
-#    beats re-rowing an r6 row — and front the r10 window);
-#  - the ENTIRE 45-query r4-era cohort — the done-bar is "no official
-#    row older than r5 after this round".
-R9_MUST_VERIFY = frozenset(
-    {
-        "sim_ann_incremental", "redshift_sql_connect_by_isleaf",
-        "redshift_sql_order_siblings",
-        "redshift_sql_connect_by_iscycle", "redshift_sql_connect_by_expr",
-        # the 45 r4-era rotations
-        "flagship_pricing_summary", "q2_min_cost_supplier",
-        "q3_shipping_priority", "q4_order_priority", "q6_forecast_revenue",
-        "q9_product_type_profit", "q11_important_value_share",
-        "q16_supplier_variety", "q20_volume_suppliers",
-        "q21_sole_late_supplier", "join_star_revenue",
-        "join_inner_broadcast", "join_full_outer", "join_semi_exists",
-        "join_anti_not_exists", "join_theta_range", "join_asof_last_view",
-        "agg_basic_supplier", "count_distinct_multi", "stats_moments",
-        "listagg_nations", "percentiles_price", "grouping_sets_mixed",
-        "rollup_region_nation", "bool_aggregates",
-        "conditional_agg_filter", "pivot_status", "unpivot_part",
-        "window_ranks", "window_lag_lead", "window_first_last",
-        "window_topk_per_group", "events_tumbling_daily",
-        "events_sessionize", "dedup_minhash_lsh", "dedup_embedding_ann",
-        "sim_knn_bruteforce", "sim_knn_batch", "sim_knn_batch_ann",
-        "sim_ann_lsh_pruned", "text_doc_stats_by_lang",
-        "etl_training_corpus_pipeline",
-        "redshift_script_manifest_roundtrip",
-        "redshift_sql_misc_functions", "source_jdbc_roundtrip",
-    }
+# Round-10 window strategy (VERDICT r9 item 1): the freshness ratchet.
+# Must-haves in the first-50 window this round:
+#  - the only two registered queries with NO official driver row
+#    (redshift_script_python_udf, redshift_script_decl_block —
+#    registered after the r9 window froze);
+#  - the two r6-era leads that yielded their r9 slots
+#    (source_external_table, redshift_script_update_from);
+#  - the full 46-query r5-era cohort (the oldest official rows) —
+#    less any tail slots displaced by r10-new oracled queries, which
+#    take priority (never-rowed beats re-rowing an r5 row).
+R10_NEVER_ROWED = frozenset(
+    {"redshift_script_python_udf", "redshift_script_decl_block"}
+)
+R10_R6_LEADS = frozenset(
+    {"source_external_table", "redshift_script_update_from"}
+)
+R10_R5_COHORT = (
+    "case_when_decode", "cast_conversions", "ctas_staging_chain",
+    "datediff_boundary_semantics", "datetime_functions",
+    "datetime_tz_functions", "dedup_cluster_components",
+    "dedup_embedding_ann_scaled", "dedup_embedding_cosine",
+    "dedup_keep_canonical", "dedup_ngram_jaccard", "dedup_simhash_codes",
+    "distinct_projection", "events_funnel", "events_incremental_load",
+    "events_session_window_native", "events_sliding_window",
+    "events_tumbling_hourly_window", "except_nations",
+    "filter_predicates", "intersect_nations", "join_cross",
+    "join_left_outer", "join_right_outer", "json_super_access",
+    "multimodal_image_resize", "multimodal_png_roundtrip",
+    "multimodal_wav_roundtrip", "orderby_limit_offset",
+    "q12_late_shipment_priority", "redshift_sql_report",
+    "regex_functions", "scan_project_expr", "sim_centroid_per_label",
+    "sim_knn_per_label", "subquery_correlated_scalar",
+    "text_fingerprints", "text_lang_id_heuristic",
+    "text_quality_filter_kept", "text_quality_scores",
+    "to_char_formats", "topk_global_revenue", "union_all_accounts",
+    "union_distinct_nations", "window_moving_agg",
+    "window_running_total",
 )
 
-# Every r9 window slot is SQL-oracled: the five rows-only-by-design
+# Every r10 window slot is SQL-oracled: the five rows-only-by-design
 # queries keep their official r7 rows.
-R9_PLANNED_ROWS_ONLY: frozenset[str] = frozenset()
+R10_PLANNED_ROWS_ONLY: frozenset[str] = frozenset()
 
 
-def test_driver_window_contains_round9_must_verify():
-    window = set(list(all_queries())[:50])
-    missing = sorted(R9_MUST_VERIFY - window)
-    assert not missing, f"planned round-9 window members displaced: {missing}"
+def test_driver_window_contains_round10_must_verify():
+    window_names = list(all_queries())[:50]
+    window = set(window_names)
+    # hard must-haves: the never-rowed pair and the r6-era leads
+    missing = sorted((R10_NEVER_ROWED | R10_R6_LEADS) - window)
+    assert not missing, f"planned round-10 window members displaced: {missing}"
+    # the r5 cohort fills the remaining slots IN ORDER — only the tail
+    # may be displaced, and only by r10-new oracled queries above them
+    in_window = [n for n in R10_R5_COHORT if n in window]
+    assert in_window == list(R10_R5_COHORT[: len(in_window)]), (
+        "r5-era cohort displaced out of order (displace the TAIL only): "
+        f"{in_window}"
+    )
+    n_new = 50 - len(R10_NEVER_ROWED) - len(R10_R6_LEADS) - len(in_window)
+    assert n_new >= 0
+    displacers = [
+        n
+        for n in window_names
+        if n not in R10_NEVER_ROWED
+        and n not in R10_R6_LEADS
+        and n not in R10_R5_COHORT
+    ]
+    qs = all_queries()
+    bad_displacers = [n for n in displacers if qs[n].oracle is None]
+    assert not bad_displacers, (
+        "window slots taken from the r5 cohort by non-oracled queries: "
+        f"{bad_displacers}"
+    )
     # a window slot on a name with no oracle gets only the weak rows-only
     # check — none are planned this round
-    qs = all_queries()
     weak = [
         n
-        for n in list(qs)[:50]
-        if qs[n].oracle is None and n not in R9_PLANNED_ROWS_ONLY
+        for n in window_names
+        if qs[n].oracle is None and n not in R10_PLANNED_ROWS_ONLY
     ]
     assert not weak, f"unplanned rows-only queries occupy driver-window slots: {weak}"
 

@@ -3826,6 +3826,15 @@ def test_connect_by_rewrite_and_loud_cases(spark):
             "base-table columns only",
         ),
         (
+            # r9 ADVICE: the BARE form of the same nesting (no parens) —
+            # SCBP substitutes first, so the ROOT argument arrives as a
+            # __cbp_N carry column; must raise the same clean error, not
+            # carry `__c.__cbp_0` into a Spark unresolved-column failure
+            "SELECT CONNECT_BY_ROOT SYS_CONNECT_BY_PATH(k, '/') FROM cb_t "
+            "START WITH k=1 CONNECT BY PRIOR k = k-1",
+            "base-table columns only",
+        ),
+        (
             "SELECT k FROM cb_t START WITH CONNECT_BY_ROOT k = 1 "
             "CONNECT BY PRIOR k = k-1",
             "not supported inside START WITH",
@@ -5138,6 +5147,54 @@ def test_plpythonu_udf_semantics(spark):
     ]:
         with _pytest.raises(ValueError, match=frag):
             run_redshift_script(spark, script)
+
+
+def test_plpythonu_nan_vs_null_and_script_scope(spark):
+    """r9 ADVICE fixes, pinned fails-before:
+
+    (1) NaN != NULL — a FLOAT8 column holding a genuine NaN (a distinct
+    value from NULL in both Spark and Redshift) reaches the body as
+    float('nan'), NOT None; only SQL NULL arrives as None. The Arrow
+    validity bitmap carries the distinction (the earlier pandas_udf
+    float64 batch conflated the two via pd.isna).
+
+    (2) plpythonu functions are SCRIPT-scoped like SQL UDFs: after
+    run_redshift_script returns, a later plain spark.sql call of the
+    name is loud (Spark's udf registry is session-global; the
+    end-of-script tombstone closes the leak), while the script's OWN
+    returned DataFrame still evaluates (eager analysis captured the
+    real function before descoping)."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    spark.createDataFrame(
+        [(1, 2.5), (2, float("nan")), (3, None)], "id BIGINT, x DOUBLE"
+    ).createOrReplaceTempView("pyu_nan")
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE FUNCTION f_kind(x FLOAT8) RETURNS VARCHAR AS $$
+            if x is None:
+                return 'null'
+            if x != x:
+                return 'nan'
+            return 'val'
+        $$ LANGUAGE plpythonu;
+        SELECT id, f_kind(x) AS kind FROM pyu_nan;
+        """,
+    )
+    # collect AFTER the script ended — (2)'s capture guarantee
+    got = {r.id: r.kind for r in out.collect()}
+    assert got == {1: "val", 2: "nan", 3: "null"}
+    # (2) the name is descoped for everything after the script
+    with _pytest.raises(Exception, match="does not exist"):
+        spark.sql("SELECT f_kind(CAST(1.0 AS DOUBLE)) AS y").collect()
+    # a LATER script that never created it must not see it either
+    with _pytest.raises(Exception, match="does not exist"):
+        run_redshift_script(
+            spark, "SELECT f_kind(CAST(1.0 AS DOUBLE)) AS y;"
+        ).collect()
 
 
 def test_connect_by_iscycle_semantics(spark):

@@ -125,6 +125,7 @@ _VERIFY_FIRST: list[str] = [
     # --- ROUND-10 window (50 slots, all SQL-oracled) ---
     # New r10 oracled queries insert HERE, at the top, as they land
     # (never-rowed beats re-rowing), displacing the window tail.
+    "sim_ivf_kmeans_pinned",
     # The only two registered queries with no official driver row
     # (registered after the r9 window froze):
     "redshift_script_python_udf",

@@ -136,6 +136,54 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark):
     assert len({r["cell"] for r in rows}) <= 2
 
 
+def test_ivf_kmeans_pinned_trains_and_prunes(spark):
+    """The SQL-oracled Lloyd twin (r10): the oracle hash-compare covers
+    value parity; this pins that the pinned training is REAL — the
+    leftover labels (8/9, outside the 8 init cells) get absorbed into
+    nearest cells, the absorption moves the centroids off the init
+    means (so the unrolled iterations in the oracle are load-bearing),
+    and the search still prunes to nprobe cells with above-floor
+    recall."""
+    from pyspark.sql import functions as F
+
+    from sql_redshift_etl_spark.catalog import load_table
+    from sql_redshift_etl_spark.llm import ml_ivf
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("u"),
+        ml_ivf._pinned_quantize(F.col("embedding")).alias("uq"),
+    )
+    init = vecs.where(F.col("label") < ml_ivf.N_CELLS).withColumn(
+        "cell", F.col("label").cast("int")
+    )
+    cent0 = ml_ivf._pinned_centroids(init)
+    a1 = ml_ivf._pinned_assign(vecs, cent0)
+    leftovers = a1.where(F.col("label") >= ml_ivf.N_CELLS)
+    assert leftovers.where(F.col("cell").isNull()).count() == 0
+    assert leftovers.count() > 0, "fixture should have labels beyond the init cells"
+    cent1 = ml_ivf._pinned_centroids(a1)
+    moved = (
+        cent0.alias("x")
+        .join(cent1.alias("y"), "cell")
+        .where(F.col("x.cvec") != F.col("y.cvec"))
+        .count()
+    )
+    assert moved > 0, "Lloyd iteration did not move any centroid"
+    # end-to-end: same pruning/recall contract as the MLlib twin
+    exact = [
+        r["vec_id"]
+        for r in QUERIES["sim_knn_bruteforce"].builder(spark, SF_DIR).collect()
+    ]
+    rows = QUERIES["sim_ivf_kmeans_pinned"].builder(spark, SF_DIR).collect()
+    approx = [r["vec_id"] for r in rows]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.2, f"pinned-KMeans-IVF top-10 recall {recall}"
+    assert len({r["cell"] for r in rows}) <= ml_ivf.N_PROBE
+
+
 def test_pca_matches_numpy_reference(spark):
     """embedding_pca_project's distributed covariance + driver eigh
     must agree with numpy's reference PCA computed on the collected

@@ -239,25 +239,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs_df(load_table(spark, sf_dir, "documents"))
 
 
-def _minhash_signatures(d: DataFrame) -> DataFrame:
+def _shingle_sets(d: DataFrame) -> DataFrame:
+    """(doc_id, n_sh, sh_set) — the distinct 3-gram shingle set, derived
+    ROW-LOCALLY (split + transform + array_distinct; no md5, no
+    shuffle). Shared by the signature derivation below and the verify
+    branch of minhash_lsh_pairs_df, which re-derives it per consumer
+    instead of shuffling the sets (see its Perf notes)."""
+    shingles = F.array_distinct(F.expr(_SPARK_SHINGLES))
+    return (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 3)
+        .select("doc_id", shingles.alias("sh_set"))
+        .select("doc_id", F.size("sh_set").alias("n_sh"), "sh_set")
+    )
+
+
+def _minhash_signatures(d: DataFrame, repartition: bool = True) -> DataFrame:
     """(doc_id, sh_set, n_sh, m0..m7): row-local signing, no shuffle.
+
+    ``repartition=False`` skips the materialization exchange — for
+    single-consumer callers, the stage decomposition in
+    tools/residual_profile.py, and the r10 pipeline callers that drop
+    the set columns BEFORE adding their own slim repartition (see
+    minhash_lsh_pairs_df); multi-consumer callers that keep the default
+    get the exchange as their shared materialization point.
 
     Perf notes (all measured at sf0.1, staged layout): the r1 shape
     exploded shingles and aggregated MIN/collect_set per doc_id — a
     600k-row shuffle; this shape signs row-locally and shuffles ONE
     compact row per doc. The explicit repartition is load-bearing: it
-    is the materialization point the four downstream consumers (band
-    self-join sides, verify set lookups) reuse — without it Catalyst
-    inlines the md5 transforms into every consumer (measured 5.8 s at
-    sf0.01 vs 0.3 s with the exchange). Also measured: the md5 wrap
-    around band values added nothing (equality on m_i pairs is equality
-    either way — plain concat keys now)."""
-    shingles = F.array_distinct(F.expr(_SPARK_SHINGLES))
-    base = (
-        d.select("doc_id", F.split("text", " ").alias("w"))
-        .where(F.size("w") >= 3)
-        .select("doc_id", shingles.alias("sh_set"))
-    )
+    is the materialization point the downstream consumers (band
+    self-join sides; pre-r10, also the verify set lookups) reuse —
+    without it Catalyst inlines the md5 transforms into every consumer
+    (measured 5.8 s at sf0.01 vs 0.3 s with the exchange). Also
+    measured: the md5 wrap around band values added nothing (equality
+    on m_i pairs is equality either way — plain concat keys now)."""
+    base = _shingle_sets(d).drop("n_sh")
 
     def _md5_arr(seed: int) -> F.Column:
         if seed == 0:
@@ -274,7 +291,7 @@ def _minhash_signatures(d: DataFrame) -> DataFrame:
     with_digests = base.select(
         "doc_id", "sh_set", *[_md5_arr(seed).alias(f"dig{seed}") for seed in range(n_digests)]
     )
-    return with_digests.select(
+    signed = with_digests.select(
         "doc_id",
         "sh_set",
         F.size("sh_set").alias("n_sh"),
@@ -282,14 +299,20 @@ def _minhash_signatures(d: DataFrame) -> DataFrame:
             _slice_min(_digest_seed(s), _slice_start(s)).alias(f"m{s}")
             for s in range(N_MINHASH)
         ],
-    ).repartition(F.col("doc_id"))
+    )
+    return signed.repartition(F.col("doc_id")) if repartition else signed
 
 
 def lsh_band_buckets(d: DataFrame) -> DataFrame:
     """(doc_id, band_idx, band_val) — the LSH band relation on its own,
     for bucket-size audits (tools/lsh_band_audit.py) and the hot-band
-    cap measurements in docs/SCALE.md."""
-    sig = _minhash_signatures(d)
+    cap measurements in docs/SCALE.md. Same r10 projection rule as
+    minhash_lsh_pairs_df: the shingle sets never ride the exchange."""
+    sig = (
+        _minhash_signatures(d, repartition=False)
+        .drop("sh_set", "n_sh")
+        .repartition(F.col("doc_id"))
+    )
     band_vals = F.array(
         *[F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")) for b in range(N_BANDS)]
     )
@@ -374,7 +397,24 @@ def minhash_lsh_pairs_df(d: DataFrame, band_cap: int | None = None) -> DataFrame
     near-dup verifier through its OTHER 3 bands unless those are
     equally hot — the recall loss is confined to pairs whose every
     other band misses, P = (1-J²)³ per excluded band."""
-    sig = _minhash_signatures(d)
+    # r10 (the bench-drift profile, tools/residual_profile.py): the
+    # signature exchange now carries ONLY (doc_id, m0..m7) — ~100 B/doc
+    # — instead of riding the full shingle sets (the corpus-dominant
+    # bytes) through the shuffle; the verify branch re-derives the sets
+    # row-locally per consumer (_shingle_sets — md5-free, no shuffle).
+    # Measured at sf0.1 staged: 0.83-0.96 s → 0.75-0.76 s steady, 5 → 4
+    # jobs, identical rows. At 100 TB the exchange shrinks ~10× always;
+    # the sets move over the network ONLY if AQE shuffle-joins the
+    # verify (candidate-heavy corpora — where they'd shuffle once per
+    # verify side vs once total for the old fat exchange; that regime
+    # is exactly where upstream exact dedup + band_cap are prescribed,
+    # and the common post-filter corpus keeps candidates broadcast-small
+    # so the sets never shuffle at all).
+    sig = (
+        _minhash_signatures(d, repartition=False)
+        .drop("sh_set", "n_sh")
+        .repartition(F.col("doc_id"))
+    )
     band_vals = F.array(
         *[F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")) for b in range(N_BANDS)]
     )
@@ -387,7 +427,7 @@ def minhash_lsh_pairs_df(d: DataFrame, band_cap: int | None = None) -> DataFrame
     # while it is actually small (verified: identical executed plan at
     # sf0.1 with and without the hint) and falls back to a shuffle join
     # on doc id when it is not — which is the right plan at that size.
-    sets_ = sig.select("doc_id", "n_sh", "sh_set")
+    sets_ = _shingle_sets(d)
     verified = (
         cand
         .join(

@@ -66,7 +66,10 @@ def stages(spark, sf: str) -> dict[str, dict[str, DataFrame]]:
     ev = load_table(spark, sf, "events").select("ts", "event_type", "value")
     li = load_table(spark, sf, "lineitem")
     docs = load_table(spark, sf, "documents").select("lang", "n_chars", "text")
+    docs_mh = load_table(spark, sf, "documents").select("doc_id", "text")
     emb = load_table(spark, sf, "embeddings")
+
+    from sql_redshift_etl_spark.llm import dedup as dd
 
     q1_cols = li.select(
         "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
@@ -161,6 +164,30 @@ def stages(spark, sf: str) -> dict[str, dict[str, DataFrame]]:
             "scan+split_words": docs.select("lang", "n_chars", F.size(words).alias("nw")),
             "full": all_queries()["text_doc_stats_by_lang"].builder(spark, sf),
         },
+        # r10 (verdict r9 item 2): the three-round steady drift
+        # 0.69→0.76→0.89-0.95 s at sf0.1 with an untouched plan — name
+        # the stage carrying it. Prefix order mirrors the plan: row-local
+        # signing (md5 transforms, no shuffle) → the load-bearing
+        # repartition(doc_id) exchange → band explode → band self-join →
+        # full (adds the verify join + jaccard filter).
+        "dedup_minhash_lsh": {
+            "scan": docs_mh,
+            "sign_rowlocal": dd._minhash_signatures(docs_mh, repartition=False),
+            # fat = the pre-r10 exchange (shingle sets ride the shuffle);
+            # slim = the adopted shape (doc_id + m0..m7 only) — the delta
+            # between these two rows is what the r10 fix reclaimed
+            "sign+repartition_fat": dd._minhash_signatures(docs_mh),
+            "sign+repartition_slim": dd._minhash_signatures(
+                docs_mh, repartition=False
+            )
+            .drop("sh_set", "n_sh")
+            .repartition(F.col("doc_id")),
+            "sign+bands": dd.lsh_band_buckets(docs_mh),
+            "sign+bands+selfjoin": dd.banded_candidates(
+                dd.lsh_band_buckets(docs_mh), "doc_id", "doc_a", "doc_b"
+            ),
+            "full": all_queries()["dedup_minhash_lsh"].builder(spark, sf),
+        },
     }
 
 
@@ -177,6 +204,7 @@ DUCK_SCAN_PROBES = {
     "join_star_revenue": "SELECT sum(l_extendedprice), sum(l_discount), max(l_orderkey) FROM lineitem",
     "sim_knn_bruteforce": "SELECT max(len(embedding)) FROM embeddings",
     "text_doc_stats_by_lang": "SELECT max(len(string_split(text, ' '))) FROM documents",
+    "dedup_minhash_lsh": "SELECT max(doc_id), max(len(text)) FROM documents",
 }
 
 

@@ -408,6 +408,11 @@ _PY_UDF_TYPES: dict[str, str] = {
     "nvarchar": "string", "text": "string", "character": "string",
     "boolean": "boolean", "bool": "boolean",
     "date": "date", "timestamp": "timestamp",
+    # Redshift's TIMESTAMPTZ: instant semantics — Spark's TIMESTAMP
+    # (TIMESTAMP_LTZ) is the matching instant type; the body sees a
+    # tz-naive datetime in session time, like Redshift's UTC-normalized
+    # sandbox value
+    "timestamptz": "timestamp",
 }
 
 

@@ -5197,6 +5197,54 @@ def test_plpythonu_nan_vs_null_and_script_scope(spark):
         ).collect()
 
 
+def test_plpythonu_date_timestamp_types(spark):
+    """plpythonu temporal types (r10, verdict r9 item 5b): DATE and
+    TIMESTAMP[TZ] work as BOTH parameter and RETURNS types — arguments
+    arrive as datetime.date / datetime.datetime (the Arrow-optimized
+    evaluator's native conversion), returned Python temporals become
+    SQL values, and None round-trips as NULL."""
+    import datetime as _dt
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    spark.createDataFrame(
+        [
+            (1, _dt.date(2024, 2, 28), _dt.datetime(2024, 2, 28, 23, 30, 0)),
+            (2, _dt.date(2024, 12, 31), _dt.datetime(2024, 12, 31, 1, 2, 3)),
+            (3, None, None),
+        ],
+        "id BIGINT, d DATE, ts TIMESTAMP",
+    ).createOrReplaceTempView("pyu_dt")
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE FUNCTION f_next_day(d DATE) RETURNS DATE AS $$
+            import datetime
+            return None if d is None else d + datetime.timedelta(days=1)
+        $$ LANGUAGE plpythonu;
+        CREATE FUNCTION f_trunc_hour(ts TIMESTAMP) RETURNS TIMESTAMP AS $$
+            return None if ts is None else ts.replace(minute=0, second=0)
+        $$ LANGUAGE plpythonu;
+        CREATE FUNCTION f_dt_kind(d DATE, ts TIMESTAMPTZ) RETURNS VARCHAR AS $$
+            if d is None:
+                return 'null'
+            return type(d).__name__ + '/' + type(ts).__name__
+        $$ LANGUAGE plpythonu;
+        SELECT id, f_next_day(d) AS d1, f_trunc_hour(ts) AS ts1,
+               f_dt_kind(d, ts) AS kind
+        FROM pyu_dt;
+        """,
+    )
+    got = {r.id: (r.d1, r.ts1, r.kind) for r in out.collect()}
+    assert got[1] == (
+        _dt.date(2024, 2, 29),  # leap-day rollover, computed in Python
+        _dt.datetime(2024, 2, 28, 23, 0, 0),
+        "date/datetime",
+    )
+    assert got[2][0] == _dt.date(2025, 1, 1)
+    assert got[3] == (None, None, "null")
+
+
 def test_connect_by_iscycle_semantics(spark):
     """CONNECT_BY_ISCYCLE (r9 — the last CONNECT BY pseudo-column):
     requires NOCYCLE (Oracle's ORA-30007 contract, tested in the loud

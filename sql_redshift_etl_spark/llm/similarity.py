@@ -632,10 +632,18 @@ def ann_incremental_topk_df(
     rank-3 per new vector via WindowGroupLimit (_topk_per_query).
 
     Scale: the probe relation broadcasts (37·|delta| short rows); for a
-    huge ingest batch it shuffles by bucket instead and the stored
-    relation, bucket-partitioned on write (sim_ann_lsh_pruned's layout),
-    co-locates the probe — the same stored-relation argument as the
-    incremental span ingest."""
+    huge ingest batch it shuffles by bucket instead, and there the
+    PRESCRIBED store layout is ``bucketBy(32, "bucket")`` (measured,
+    tools/ann_incremental_ab.py --bulk-only at sf10/sf30: the bucketed
+    store feeds the probe join at its own partitioning — one live
+    exchange removed at every tier, 3 → 2, the DISTKEY argument the
+    span stored-keys relation adopted in r9 — with bulk wall
+    0.87-1.01× plain because a bulk probe is pair-scoring-dominated,
+    so the deleted exchange is a bounded fraction of wall even though
+    the bytes it saves grow linearly with the stored corpus; see
+    BASELINE.md "ANN band-relation store layout" for the honest
+    single-shot table. Irrelevant by construction on the broadcast
+    path, where the store side never shuffles at all)."""
     if "norm" not in stored.columns:
         # the registered-query path derives the store inline; a real
         # ingest reads the norm back from parquet like the bucket

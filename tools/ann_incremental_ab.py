@@ -42,6 +42,15 @@ from sql_redshift_etl_spark.llm.similarity import (  # noqa: E402
 from sql_redshift_etl_spark.session import get_spark  # noqa: E402
 
 
+def _live_exchanges(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line and "Reused" not in line
+    )
+
+
 def _timed(df, runs: int, warm: bool = True) -> float:
     """Warm best-of-N for cheap measures; for the multi-minute sides
     pass warm=False/runs=1 — a single execution on a hot JVM with the
@@ -57,13 +66,17 @@ def _timed(df, runs: int, warm: bool = True) -> float:
 
 
 def main() -> None:
-    runs, full = 1, False
+    runs, full, bulk_only, bulk_delta_pct = 1, False, False, 10
     dirs = [a for a in sys.argv[1:] if not a.startswith("--")]
     for a in sys.argv[1:]:
         if a.startswith("--runs="):
             runs = int(a.split("=", 1)[1])
         if a == "--full":
             full = True
+        if a == "--bulk-only":
+            bulk_only = True
+        if a.startswith("--bulk-delta="):
+            bulk_delta_pct = int(a.split("=", 1)[1])
     if not dirs:
         dirs = [os.path.join(REPO_ROOT, "_scratch", "sf10")]
     spark = get_spark("ann-incremental-ab")
@@ -102,23 +115,70 @@ def main() -> None:
             return n_queries * 37 * 550 < 500_000_000
 
         n10 = delta10.count()
-        out["ingest_1pct_s"] = round(
-            _timed(ann_incremental_topk_df(stored, delta1), runs), 2
-        )
-        print(json.dumps(out), flush=True)
-        out["ingest_10pct_path"] = "broadcast" if _bcast_ok(n10) else "shuffle"
-        out["ingest_10pct_s"] = round(
-            _timed(
-                ann_incremental_topk_df(
-                    stored, delta10, broadcast_probes=_bcast_ok(n10)
+        if not bulk_only:  # --bulk-only: skip the r9-characterized phases
+            out["ingest_1pct_s"] = round(
+                _timed(ann_incremental_topk_df(stored, delta1), runs), 2
+            )
+            print(json.dumps(out), flush=True)
+            out["ingest_10pct_path"] = "broadcast" if _bcast_ok(n10) else "shuffle"
+            out["ingest_10pct_s"] = round(
+                _timed(
+                    ann_incremental_topk_df(
+                        stored, delta10, broadcast_probes=_bcast_ok(n10)
+                    ),
+                    1 if big else runs,
+                    warm=not big,
                 ),
-                1 if big else runs,
-                warm=not big,
-            ),
-            2,
+                2,
+            )
+            print(json.dumps(out), flush=True)
+        # Bucketed-store A/B (r10 — verdict r9 item 4, the
+        # span_bucketed_probe_ab methodology transplanted): the layout
+        # matters on the SHUFFLE-BY-BUCKET bulk path (the broadcast path
+        # never shuffles the store side at all), so both probes below
+        # force broadcast_probes=False. The claim to verify is the
+        # DISTKEY one: a band relation persisted bucketBy(bucket) feeds
+        # the probe join at its own partitioning — one fewer live
+        # exchange, a saving that grows with the stored corpus.
+        # a previous killed run can leave the warehouse dir orphaned
+        # (dir present, table absent) — Spark then refuses even
+        # mode("overwrite"); drop both forms before writing
+        import shutil
+
+        spark.sql("DROP TABLE IF EXISTS ann_store_bucketed")
+        shutil.rmtree(
+            os.path.join(REPO_ROOT, "spark-warehouse", "ann_store_bucketed"),
+            ignore_errors=True,
         )
+        t0 = time.perf_counter()
+        (
+            with_store_cols.write.mode("overwrite")
+            .bucketBy(32, "bucket")
+            .sortBy("bucket")
+            .saveAsTable("ann_store_bucketed")
+        )
+        out["store_build_bucketed_s"] = round(time.perf_counter() - t0, 2)
+        stored_b = spark.table("ann_store_bucketed")
+        # --bulk-delta=1 probes with the 1% batch instead: holds probe
+        # work roughly fixed across corpus tiers so the growth of the
+        # store-side saving is what the sf10→sf30 comparison isolates
+        bulk_delta = delta1 if bulk_delta_pct == 1 else delta10
+        out["bulk_delta_pct"] = bulk_delta_pct
+        plain_bulk = ann_incremental_topk_df(stored, bulk_delta, broadcast_probes=False)
+        buck_bulk = ann_incremental_topk_df(stored_b, bulk_delta, broadcast_probes=False)
+        out["bulk_plain_s"] = round(_timed(plain_bulk, 1 if big else runs, warm=not big), 2)
+        out["bulk_bucketed_s"] = round(_timed(buck_bulk, 1 if big else runs, warm=not big), 2)
+        out["bulk_bucketed_over_plain"] = round(
+            out["bulk_bucketed_s"] / out["bulk_plain_s"], 3
+        )
+        # exchange counts read AFTER execution — the FINAL adaptive plan
+        # (AQE may broadcast the probe side at small tiers, where the
+        # store layout is irrelevant by construction; the bulk claim is
+        # about the tiers where it cannot)
+        out["bulk_plain_exchanges"] = _live_exchanges(plain_bulk)
+        out["bulk_bucketed_exchanges"] = _live_exchanges(buck_bulk)
         print(json.dumps(out), flush=True)
-        if not big:
+        if not big and not bulk_only:
             # store-vs-inline split: same output, corpus signed inline.
             # Signing is two orders below the probe (sf1: identical
             # walls), so the big tiers skip the duplicate run.
@@ -155,6 +215,7 @@ def main() -> None:
                 out["ingest_10pct_s"] / out["full_reregister_s"], 3
             )
         print(json.dumps(out), flush=True)
+    spark.sql("DROP TABLE IF EXISTS ann_store_bucketed")
     spark.stop()
 
 

@@ -458,6 +458,15 @@ def _parse_func_param_types(params: str) -> list[str]:
     return types
 
 
+# declared-type argument casters: Spark does not coerce a UDF's inputs
+# to any declared type (the call site passes the column's own Python
+# value — decimal.Decimal for DECIMAL, int for BIGINT), but Redshift's
+# plpythonu contract does: decimal arguments convert to float (the
+# _PY_UDF_TYPES mapping above), and a body declared FLOAT8 must see
+# float. Applied per non-None value, after the Arrow conversion.
+_PY_ARG_COERCE = {"bigint": int, "double": float, "boolean": bool}
+
+
 def _register_python_udf(
     spark: SparkSession,
     fname: str,
@@ -470,17 +479,29 @@ def _register_python_udf(
 
     fn = _compile_py_udf(fname, params, body)
     # validates every declared type at CREATE time, like RETURNS
-    for t in ptypes:
-        _py_udf_spark_type(t, fname)
+    coercers = [_PY_ARG_COERCE.get(_py_udf_spark_type(t, fname)) for t in ptypes]
 
     # Arrow-OPTIMIZED udf (useArrow=True → ArrowEvalPython, never the
     # banned pickling BatchEvalPython): the Arrow validity bitmap
     # reaches Python intact, so the body sees exactly Redshift's sandbox
     # contract — SQL NULL is None while a genuine FLOAT8 NaN stays
     # float('nan') (a pandas_udf float64 batch conflates the two — r9
-    # ADVICE), integers stay int even in NULL-bearing batches (no
-    # float64 coercion, the r9 coercer workaround this replaces), and
-    # DATE/TIMESTAMP arrive as datetime.date/datetime.datetime.
+    # ADVICE), and DATE/TIMESTAMP arrive as datetime.date/datetime.
+    # The declared-type casters then apply (r10 review: a DECIMAL column
+    # bound to a FLOAT8 parameter must reach the body as float, not
+    # decimal.Decimal — Redshift converts; float('nan') survives
+    # float() unchanged, so the NaN≠NULL fix is unaffected).
+    if any(coercers):
+        inner = fn
+
+        def fn(*args):  # noqa: F811 — deliberate wrap of the compiled body
+            return inner(
+                *(
+                    a if a is None or co is None else co(a)
+                    for a, co in zip(args, coercers)
+                )
+            )
+
     fn.__name__ = f"rs_py_{fname}"
     spark.udf.register(fname, udf(fn, _py_udf_spark_type(rtype, fname), useArrow=True))
 

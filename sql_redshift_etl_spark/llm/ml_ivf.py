@@ -143,26 +143,24 @@ _DUCK_ASSIGN = (
 
 _DUCK_CDIMS = """
     SELECT {src}.cell, t.i,
-           (CAST(SUM({src}.uq[t.i]) AS DOUBLE) / COUNT(*)) / 1000000.0 AS c
+           (CAST(SUM({src}.uq[t.i]) AS DOUBLE) / COUNT(*)) / {scale} AS c
     FROM {frm}, generate_series(1, 64) t(i)
     GROUP BY {src}.cell, t.i
 """
 
 
 def _pinned_kmeans_oracle() -> str:
-    from sql_redshift_etl_spark.llm.similarity import QUERY_VEC_ID
-
     parts = [
         f"""
         WITH base AS MATERIALIZED (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS u,
                    list_transform(embedding, x ->
-                       CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                       CAST(FLOOR(CAST(x AS DOUBLE) * {_QSCALE} + 0.5) AS BIGINT)
                    ) AS uq
             FROM embeddings
         ),
         cdims0 AS (
-            {_DUCK_CDIMS.format(src="e", frm=f"(SELECT label AS cell, uq FROM base WHERE label < {N_CELLS}) e")}
+            {_DUCK_CDIMS.format(src="e", scale=_QSCALE, frm=f"(SELECT label AS cell, uq FROM base WHERE label < {N_CELLS}) e")}
         ),
         cent0 AS (SELECT cell, list(c ORDER BY i) AS cvec FROM cdims0 GROUP BY cell)
         """
@@ -177,7 +175,7 @@ def _pinned_kmeans_oracle() -> str:
             ) WHERE rn = 1
         ),
         cdims{it} AS (
-            {_DUCK_CDIMS.format(src="a", frm=f"a{it} a")}
+            {_DUCK_CDIMS.format(src="a", scale=_QSCALE, frm=f"a{it} a")}
         ),
         cent{it} AS (SELECT cell, list(c ORDER BY i) AS cvec FROM cdims{it} GROUP BY cell)
             """
@@ -313,8 +311,6 @@ def sim_ivf_kmeans_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(N_PINNED_ITERS):
         cent = _pinned_centroids(_pinned_assign(vecs, cent))
     assigned = _pinned_assign(vecs, cent)
-
-    from sql_redshift_etl_spark.llm.similarity import _cosine
 
     qrow = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").cast("array<double>").alias("qvec")

@@ -179,12 +179,15 @@ _VERIFY_FIRST: list[str] = [
     "union_all_accounts",
     "union_distinct_nations",
     "window_moving_agg",
-    "window_running_total",
     # --- 50-query driver boundary ---
+    # (sim_ivf_kmeans_pinned displaced the r5-cohort tail by one slot:
+    # window_running_total now fronts the r11 window, per the
+    # displace-the-tail-only rule the hygiene test enforces.)
     # Below-boundary order = r11 priority: whatever the r10 window
     # displaced (the r5-cohort tail), then the six remaining r6-era
     # rows, then the r7 cohort, the r8 window, and the outgoing r9
     # window (the freshest rows last).
+    "window_running_total",
     "redshift_script_swap_publish",
     "redshift_script_etl_mart",
     # remaining r6-era rows:

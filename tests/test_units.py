@@ -5197,6 +5197,43 @@ def test_plpythonu_nan_vs_null_and_script_scope(spark):
         ).collect()
 
 
+def test_plpythonu_declared_type_coercion(spark):
+    """r10 review (fails-before): Spark passes a UDF the column's own
+    Python value — decimal.Decimal for DECIMAL, int for BIGINT — but
+    Redshift's plpythonu contract converts arguments to the DECLARED
+    type (decimal → float). A DECIMAL column bound to a FLOAT8
+    parameter must reach the body as float (the Arrow rewrite briefly
+    dropped this and `x * 0.1` crashed on Decimal); an INT column bound
+    to FLOAT8 arrives as float; NULL still passes as None and a real
+    NaN still survives (float(nan) is nan — the coercion cannot undo
+    the NaN≠NULL fix)."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, CAST(12.50 AS DECIMAL(10,2)), 7), "
+        "(2, CAST(0.25 AS DECIMAL(10,2)), 8), "
+        "(3, CAST(NULL AS DECIMAL(10,2)), NULL) "
+        "AS t(id, dec_val, int_val)"
+    ).createOrReplaceTempView("pyu_dec")
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE FUNCTION f_scale(x FLOAT8, y FLOAT8) RETURNS VARCHAR AS $$
+            if x is None:
+                return 'null'
+            return type(x).__name__ + ':' + str(x * 0.1) \
+                + '/' + type(y).__name__
+        $$ LANGUAGE plpythonu;
+        SELECT id, f_scale(dec_val, int_val) AS r FROM pyu_dec;
+        """,
+    )
+    got = {r.id: r.r for r in out.collect()}
+    assert got[1] == "float:1.25/float"
+    assert got[2] == "float:0.025/float"
+    assert got[3] == "null"
+
+
 def test_plpythonu_date_timestamp_types(spark):
     """plpythonu temporal types (r10, verdict r9 item 5b): DATE and
     TIMESTAMP[TZ] work as BOTH parameter and RETURNS types — arguments

@@ -77,6 +77,8 @@ def main() -> None:
             bulk_only = True
         if a.startswith("--bulk-delta="):
             bulk_delta_pct = int(a.split("=", 1)[1])
+            if bulk_delta_pct not in (1, 10):
+                raise SystemExit("--bulk-delta accepts 1 or 10 (the two fixture deltas)")
     if not dirs:
         dirs = [os.path.join(REPO_ROOT, "_scratch", "sf10")]
     spark = get_spark("ann-incremental-ab")
@@ -211,9 +213,10 @@ def main() -> None:
                 ),
                 2,
             )
-            out["ingest10_over_full"] = round(
-                out["ingest_10pct_s"] / out["full_reregister_s"], 3
-            )
+            if "ingest_10pct_s" in out:  # absent under --bulk-only
+                out["ingest10_over_full"] = round(
+                    out["ingest_10pct_s"] / out["full_reregister_s"], 3
+                )
         print(json.dumps(out), flush=True)
     spark.sql("DROP TABLE IF EXISTS ann_store_bucketed")
     spark.stop()

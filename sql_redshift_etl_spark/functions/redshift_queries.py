@@ -2234,6 +2234,55 @@ def redshift_sql_connect_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_redshift_sql(spark, _REDSHIFT_CONNECT_BY.format(customer="rs_cb_customer"))
 
 
+_REDSHIFT_ORDER_SIBLINGS_MULTI = """
+    SELECT c_custkey, CAST(LEVEL AS BIGINT) AS lvl, trim(c_mktsegment) AS seg
+    FROM {customer}
+    WHERE (LEVEL <= 3)
+    START WITH c_custkey IN (1, 2, 3)
+    CONNECT BY PRIOR c_custkey = FLOOR(c_custkey / 10)
+    ORDER SIBLINGS BY c_mktsegment, c_custkey DESC
+"""
+
+
+@register(
+    "redshift_sql_order_siblings_multi",
+    tags=("F2",),
+    oracle="""
+        WITH RECURSIVE cb AS (
+            SELECT c_custkey, 1 AS lvl, trim(c_mktsegment) AS seg
+            FROM customer WHERE c_custkey IN (1, 2, 3)
+            UNION ALL
+            SELECT c.c_custkey, p.lvl + 1, trim(c.c_mktsegment)
+            FROM customer c JOIN cb p ON FLOOR(c.c_custkey / 10) = p.c_custkey
+            WHERE p.lvl + 1 <= 3
+        )
+        SELECT c_custkey, CAST(lvl AS BIGINT) AS lvl, seg FROM cb
+    """,
+)
+def redshift_sql_order_siblings_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER SIBLINGS BY, widened surface (r10): MULTIPLE keys with
+    per-key direction — here segment ASC then custkey DESC within equal
+    segments — carried as an array of multi-field (null-flag, value)
+    structs whose field order IS the key-major comparison; DESC keys
+    order by the negated value (numeric only — loud under ANSI
+    otherwise, never a silent missort), with Oracle's NULLS defaults
+    (ASC→LAST, DESC→FIRST) and explicit NULLS FIRST|LAST accepted
+    (redshift_sql.py _rewrite_connect_by). The driver's value hash is
+    order-insensitive by design, so the oracle pins the ROW SET and the
+    exact multi-key DFS sequence is pinned by
+    tests/test_units.py::test_connect_by_order_siblings_widened plus
+    the sibling-pair ordering property asserted on this very walk.
+
+    Scale: identical to the single-key form — the carried key tuple
+    adds bytes per frontier row (two fields instead of one), never
+    jobs; the final global sort was always the ORDER BY's cost.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("rs_osm_customer")
+    return run_redshift_sql(
+        spark, _REDSHIFT_ORDER_SIBLINGS_MULTI.format(customer="rs_osm_customer")
+    )
+
+
 _REDSHIFT_ORDER_SIBLINGS = """
     SELECT c_custkey, CAST(LEVEL AS BIGINT) AS lvl,
            SYS_CONNECT_BY_PATH(c_custkey, '/') AS key_path

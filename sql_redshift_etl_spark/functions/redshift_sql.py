@@ -1066,42 +1066,67 @@ def _rewrite_connect_by(sql: str) -> str:
         w2 = (rest[: sub[0].start()] if sub else rest).strip().rstrip(";").strip()
         tail = rest[sub[0].start() :].strip() if sub else ""
         where_part = f"({where_part}) AND ({w2})" if where_part else w2
-    # ORDER SIBLINGS BY (r9): depth-first output with siblings ordered —
-    # implemented as a CARRIED array of the sibling key along the
-    # root-to-row path. Arrays compare lexicographically (element-wise,
-    # then by length), which IS depth-first-with-ordered-siblings: a
-    # parent's array is a proper prefix of its children's (parent
-    # first), siblings differ exactly in their last element (the key),
-    # and cross-subtree rows differ at the first divergent ancestor.
-    # Subset, loud otherwise: ONE simple base-table column, ASC (a DESC
-    # array sort would also reverse the parent-before-child order);
-    # NULL keys sort LAST among siblings — Oracle/Redshift's ASC
-    # default — via a (null-flag, value) struct element.
-    siblings_col = None
+    # ORDER SIBLINGS BY (r9; widened r10): depth-first output with
+    # siblings ordered — implemented as a CARRIED array of the sibling
+    # key tuple along the root-to-row path. Arrays compare
+    # lexicographically (element-wise, then by length), which IS
+    # depth-first-with-ordered-siblings: a parent's array is a proper
+    # prefix of its children's (parent first), siblings differ exactly
+    # in their last element (the key tuple), and cross-subtree rows
+    # differ at the first divergent ancestor. A prefix sorts before its
+    # extensions REGARDLESS of element values, so per-key direction
+    # never disturbs parent-before-child.
+    # r10 subset: MULTIPLE keys (key-major via struct field order);
+    # per-key ASC|DESC and NULLS FIRST|LAST (Oracle defaults: ASC →
+    # NULLS LAST, DESC → NULLS FIRST); parenthesized EXPRESSION keys
+    # (precomputed row-locally in the derived base CTE, base-table
+    # columns only — the CONNECT_BY_ROOT(expr) machinery). DESC orders
+    # by the NEGATED value, so it requires a numeric key — a
+    # string/date DESC key fails loudly under ANSI (no silent
+    # missort: ANSI unary minus rejects non-numerics). LEVEL stays
+    # loud (siblings share their level).
+    siblings_keys: list[tuple[str, bool, bool]] = []  # (key, desc, nulls_first)
     if sm := re.match(r"(?is)^ORDER\s+SIBLINGS\s+BY\s+(.*)$", tail):
         spec = sm.group(1).strip().rstrip(";").strip()
-        sm2 = re.match(r"(?is)^([\w$]+)(\s+ASC\b)?\s*(.*)$", spec)
-        rest2 = (sm2.group(3) or "").strip() if sm2 else ""
-        if (
-            sm2 is None
-            or rest2.startswith(",")
-            or re.match(r"(?is)^DESC\b", rest2)
-        ):
-            raise ValueError(
-                "ORDER SIBLINGS BY: one simple base-table column, ASC "
-                f"only (got {spec[:40]!r})"
+        # split a trailing LIMIT/OFFSET at paren depth 0
+        keys_text, tail_rest = spec, ""
+        depth = 0
+        for i, ch in enumerate(spec):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and i > 0 and spec[i - 1].isspace():
+                if re.match(r"(?i)(LIMIT|OFFSET)\b", spec[i:]):
+                    keys_text, tail_rest = spec[:i].strip(), spec[i:].strip()
+                    break
+        for part in _split_args(keys_text):
+            pm = re.match(
+                r"(?is)^\s*(?P<key>\(.*\)|[\w$]+)"
+                r"(?:\s+(?P<dir>ASC|DESC))?"
+                r"(?:\s+NULLS\s+(?P<nf>FIRST|LAST))?\s*$",
+                part,
             )
-        if rest2 and not re.match(r"(?is)^(LIMIT|OFFSET)\b", rest2):
-            raise ValueError(
-                f"ORDER SIBLINGS BY: unexpected trailing clause {rest2[:40]!r}"
-            )
-        siblings_col = sm2.group(1).lower()
-        if siblings_col == "level":
-            raise ValueError(
-                "ORDER SIBLINGS BY LEVEL is meaningless — siblings share "
-                "their level"
-            )
-        tail = "ORDER BY __cbs" + (f" {rest2}" if rest2 else "")
+            if pm is None:
+                raise ValueError(
+                    "ORDER SIBLINGS BY: each key must be a base-table "
+                    "column or a parenthesized expression, optionally "
+                    "ASC|DESC and NULLS FIRST|LAST "
+                    f"(got {part.strip()[:40]!r})"
+                )
+            key = pm.group("key")
+            if key.lower() == "level":
+                raise ValueError(
+                    "ORDER SIBLINGS BY LEVEL is meaningless — siblings "
+                    "share their level"
+                )
+            desc = (pm.group("dir") or "").upper() == "DESC"
+            nf = pm.group("nf")
+            nulls_first = desc if nf is None else nf.upper() == "FIRST"
+            siblings_keys.append((key, desc, nulls_first))
+        if not siblings_keys:
+            raise ValueError("ORDER SIBLINGS BY: empty key list")
+        tail = "ORDER BY __cbs" + (f" {tail_rest}" if tail_rest else "")
     start_cond = cond1 if first is sw else cond2
     cb_cond = cond2 if first is sw else cond1
     if not start_cond or not cb_cond:
@@ -1261,6 +1286,20 @@ def _rewrite_connect_by(sql: str) -> str:
             "CONNECT BY: pseudo-columns are not supported inside START WITH "
             "or the CONNECT BY condition"
         )
+    # resolve ORDER SIBLINGS BY keys HERE — before the derived base CTE
+    # renders — so a parenthesized expression key's _expr_col
+    # registration lands in expr_defs in time (r10)
+    siblings_resolved: list[tuple[str, bool, bool]] = []
+    for key, desc, nulls_first in siblings_keys:
+        if key.startswith("("):
+            col = _expr_col(key[1:-1].strip())
+        else:
+            col = key.lower()
+            if col.startswith("__cb"):
+                # a substituted pseudo-column in key position — the same
+                # clean error as pseudo-column expression args
+                _expr_col(col)
+        siblings_resolved.append((col, desc, nulls_first))
     # A top-level `LEVEL <= n` / `LEVEL < n` WHERE conjunct is monotone in
     # the walk depth, so it also PUSHES into the recursive arm: descendants
     # of a max-depth node can only be deeper, so pruning them is
@@ -1303,16 +1342,21 @@ def _rewrite_connect_by(sql: str) -> str:
             f"coalesce(CAST(__c.{c} AS STRING), '')) AS __cbp_{idx}"
         )
         carried.append(f"__cbp_{idx}")
-    if siblings_col:
-        # element = (null-flag, value) struct so NULL keys sort LAST
-        # among siblings (Oracle/Redshift's ASC default is NULLS LAST;
-        # a bare array element would silently sort them first — r9
-        # review). Spark orders array<struct> element-wise, struct
-        # field-wise, so the flag dominates only within a sibling slot.
-        elem = (
-            f"named_struct('n', CASE WHEN __c.{siblings_col} IS NULL "
-            f"THEN 1 ELSE 0 END, 'v', __c.{siblings_col})"
-        )
+    if siblings_keys:
+        # element = one struct of (null-flag, value) PAIRS, key-major in
+        # declaration order (struct comparison is field-wise, so 'n0'
+        # settles key 0's NULL placement before 'v0' compares, before
+        # key 1 is consulted). The flag encodes the requested NULL end
+        # (FIRST → null sorts as 0 < 1, LAST → 1 > 0); a bare element
+        # would silently sort NULLs first (r9 review). DESC negates the
+        # value — loud for non-numeric keys under ANSI.
+        fields: list[str] = []
+        for i, (col, desc, nulls_first) in enumerate(siblings_resolved):
+            v = f"__c.{col}"
+            nf_case = "0 ELSE 1" if nulls_first else "1 ELSE 0"
+            fields.append(f"'n{i}', CASE WHEN {v} IS NULL THEN {nf_case} END")
+            fields.append(f"'v{i}', " + (f"-({v})" if desc else v))
+        elem = f"named_struct({', '.join(fields)})"
         base_extra.append(f"array({elem}) AS __cbs")
         rec_extra.append(f"concat(__p.__cbs, array({elem})) AS __cbs")
         carried.append("__cbs")

@@ -126,6 +126,7 @@ _VERIFY_FIRST: list[str] = [
     # New r10 oracled queries insert HERE, at the top, as they land
     # (never-rowed beats re-rowing), displacing the window tail.
     "sim_ivf_kmeans_pinned",
+    "redshift_sql_order_siblings_multi",
     # The only two registered queries with no official driver row
     # (registered after the r9 window froze):
     "redshift_script_python_udf",
@@ -178,15 +179,16 @@ _VERIFY_FIRST: list[str] = [
     "topk_global_revenue",
     "union_all_accounts",
     "union_distinct_nations",
-    "window_moving_agg",
     # --- 50-query driver boundary ---
-    # (sim_ivf_kmeans_pinned displaced the r5-cohort tail by one slot:
-    # window_running_total now fronts the r11 window, per the
-    # displace-the-tail-only rule the hygiene test enforces.)
+    # (the two r10-new queries displaced the r5-cohort tail by two
+    # slots: window_moving_agg and window_running_total front the r11
+    # window, per the displace-the-tail-only rule the hygiene test
+    # enforces.)
     # Below-boundary order = r11 priority: whatever the r10 window
     # displaced (the r5-cohort tail), then the six remaining r6-era
     # rows, then the r7 cohort, the r8 window, and the outgoing r9
     # window (the freshest rows last).
+    "window_moving_agg",
     "window_running_total",
     "redshift_script_swap_publish",
     "redshift_script_etl_mart",

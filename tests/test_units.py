@@ -4789,10 +4789,12 @@ def test_connect_by_order_siblings(spark):
     assert seq == sorted(seq, key=lambda k: tuple(_cb_key_path(k)))
     assert seq[0] == 1  # tree 1 first, then its subtree, then tree 2's
     for bad, msg in [
-        ("ORDER SIBLINGS BY nm DESC", "ASC only"),
-        ("ORDER SIBLINGS BY nm, emp_id", "ASC only"),
         ("ORDER SIBLINGS BY LEVEL", "share"),
-        ("ORDER SIBLINGS BY UPPER(nm)", "trailing clause"),
+        # an expression key must be parenthesized (the CONNECT_BY_ROOT
+        # convention) — the bare call does not parse as a key
+        ("ORDER SIBLINGS BY UPPER(nm)", "parenthesized"),
+        ("ORDER SIBLINGS BY nm SIDEWAYS", "parenthesized"),
+        ("ORDER SIBLINGS BY (PRIOR nm)", "base-table columns only"),
     ]:
         with _pytest.raises(ValueError, match=msg):
             run_redshift_sql(
@@ -4800,6 +4802,114 @@ def test_connect_by_order_siblings(spark):
                 "SELECT emp_id FROM os_emp START WITH mgr_id IS NULL "
                 f"CONNECT BY PRIOR emp_id = mgr_id {bad}",
             )
+
+
+def test_connect_by_order_siblings_widened(spark):
+    """ORDER SIBLINGS BY widened (r10): multiple keys (key-major),
+    per-key DESC (numeric — negated value; non-numeric DESC is loud
+    under ANSI, never silently missorted), NULLS FIRST/LAST with
+    Oracle's defaults (ASC→LAST, DESC→FIRST), and parenthesized
+    expression keys via the derived-base-CTE machinery."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.redshift_sql import run_redshift_sql
+
+    spark.createDataFrame(
+        [
+            (1, None, "m", 1),
+            (2, 1, "b", 2),
+            (3, 1, "b", 5),
+            (4, 1, "a", 9),
+            (5, 2, "x", 1),
+            (6, 1, None, 3),
+        ],
+        "emp_id INT, mgr_id INT, nm STRING, rk INT",
+    ).createOrReplaceTempView("osw_emp")
+    # multi-key: nm ASC then rk DESC within equal nm; NULL nm last (ASC
+    # default); parent immediately before its subtree
+    rows = run_redshift_sql(
+        spark,
+        """
+        SELECT emp_id FROM osw_emp START WITH mgr_id IS NULL
+        CONNECT BY PRIOR emp_id = mgr_id
+        ORDER SIBLINGS BY nm, rk DESC
+        """,
+    ).collect()
+    # root 1; children by (nm asc, rk desc): 4(a,9), 3(b,5), 2(b,2)
+    # [2's child 5 follows 2], 6(NULL nm → last)
+    assert [r.emp_id for r in rows] == [1, 4, 3, 2, 5, 6]
+    # DESC numeric + its NULLS FIRST default vs explicit NULLS LAST
+    spark.createDataFrame(
+        [(1, None, 10), (2, 1, 1), (3, 1, 7), (4, 1, None)],
+        "emp_id INT, mgr_id INT, rk INT",
+    ).createOrReplaceTempView("osw_rk")
+    base = (
+        "SELECT emp_id FROM osw_rk START WITH mgr_id IS NULL "
+        "CONNECT BY PRIOR emp_id = mgr_id ORDER SIBLINGS BY rk DESC"
+    )
+    assert [r.emp_id for r in run_redshift_sql(spark, base).collect()] == [1, 4, 3, 2]
+    assert [
+        r.emp_id for r in run_redshift_sql(spark, base + " NULLS LAST").collect()
+    ] == [1, 3, 2, 4]
+    # ASC NULLS FIRST override
+    assert [
+        r.emp_id
+        for r in run_redshift_sql(
+            spark,
+            "SELECT emp_id FROM osw_rk START WITH mgr_id IS NULL "
+            "CONNECT BY PRIOR emp_id = mgr_id "
+            "ORDER SIBLINGS BY rk ASC NULLS FIRST",
+        ).collect()
+    ] == [1, 4, 2, 3]
+    # parenthesized expression key + LIMIT passthrough
+    assert [
+        r.emp_id
+        for r in run_redshift_sql(
+            spark,
+            "SELECT emp_id FROM osw_rk START WITH mgr_id IS NULL "
+            "CONNECT BY PRIOR emp_id = mgr_id "
+            "ORDER SIBLINGS BY (10 - rk) LIMIT 3",
+        ).collect()
+    ] == [1, 3, 2]  # (10-rk) asc = rk desc, NULL (10-rk) last, cap 3
+    # DESC on a STRING key: loud (ANSI rejects the negation), not a
+    # silent missort
+    with _pytest.raises(Exception, match="(?i)cast|double|minus"):
+        run_redshift_sql(
+            spark,
+            "SELECT emp_id FROM osw_emp START WITH mgr_id IS NULL "
+            "CONNECT BY PRIOR emp_id = mgr_id ORDER SIBLINGS BY nm DESC",
+        ).collect()
+    # the REGISTERED multi-key walk (segment ASC, custkey DESC): every
+    # parent precedes its children, and any two siblings appear in
+    # multi-key order — the sequence property the order-insensitive
+    # driver hash cannot see
+    from sql_redshift_etl_spark.plans.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    rows = (
+        all_queries()["redshift_sql_order_siblings_multi"]
+        .builder(spark, SF_DIR)
+        .collect()
+    )
+    pos = {r.c_custkey: i for i, r in enumerate(rows)}
+    seg = {r.c_custkey: r.seg for r in rows}
+    assert len(pos) == len(rows) > 3
+    by_parent: dict[int, list[int]] = {}
+    for k in pos:
+        parent = k // 10
+        if parent in pos and parent != k:
+            assert pos[parent] < pos[k], f"parent {parent} after child {k}"
+            by_parent.setdefault(parent, []).append(k)
+    checked = 0
+    for kids in by_parent.values():
+        for a in kids:
+            for b in kids:
+                if a != b and pos[a] < pos[b]:
+                    assert (seg[a], -a) <= (seg[b], -b), (
+                        f"siblings misordered: {a}({seg[a]}) before {b}({seg[b]})"
+                    )
+                    checked += 1
+    assert checked > 0, "walk produced no sibling pairs to check"
 
 
 def test_plpgsql_nested_declare_blocks(spark):

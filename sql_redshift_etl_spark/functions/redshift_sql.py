@@ -537,6 +537,65 @@ def _rewrite_approx_count(sql: str) -> str:
         search_from = 0
 
 
+_APPROX_PCT_ACCURACY = 1_000_000
+
+
+def _rewrite_approx_percentile(sql: str) -> str:
+    """``APPROXIMATE PERCENTILE_DISC(p) WITHIN GROUP (ORDER BY expr)``
+    → ``approx_percentile(expr, p, 1e6)`` (r10).
+
+    Redshift's one approximate-percentile spelling; Spark's
+    Greenwald-Khanna ``approx_percentile`` is its engine twin. The
+    pinned accuracy makes the estimate EXACT for groups under 1 M rows
+    (GK stores every sample until the budget compresses — so the DuckDB
+    exact-quantile oracle matches at the driver scales) and rank-error
+    ≤ 1/accuracy beyond, which is Redshift's approximate contract.
+    Subset, loud otherwise: p a numeric literal, a single ASC ORDER BY
+    expression (DESC would need the 1-p flip under a convention this
+    rewrite does not guarantee)."""
+    pat = re.compile(r"(?i)\bAPPROXIMATE\s+PERCENTILE_DISC\s*\(")
+    search_from = 0
+    while True:
+        m = pat.search(sql, search_from)
+        if not m:
+            return sql
+        if _in_literal(sql, m.start()):
+            search_from = m.end()
+            continue
+        open_paren = sql.index("(", m.start())
+        p_end = _scan_balanced(sql, open_paren + 1)
+        p_lit = sql[open_paren + 1 : p_end - 1].strip()
+        if not re.fullmatch(r"[0-9]*\.?[0-9]+", p_lit):
+            raise ValueError(
+                "APPROXIMATE PERCENTILE_DISC: the percentile must be a "
+                f"numeric literal (got {p_lit[:30]!r})"
+            )
+        wm = re.match(
+            r"(?is)\s*WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\b", sql[p_end:]
+        )
+        if not wm:
+            raise ValueError(
+                "APPROXIMATE PERCENTILE_DISC requires WITHIN GROUP "
+                "(ORDER BY <expr>)"
+            )
+        wg_open = sql.index("(", p_end + wm.start())
+        wg_end = _scan_balanced(sql, wg_open + 1)
+        inner = sql[wg_open + 1 : wg_end - 1].strip()
+        expr = re.sub(r"(?is)^ORDER\s+BY\s+", "", inner).strip()
+        if re.search(r"(?i)\bDESC\b\s*$", expr) or "," in _mask_literals(expr)[0]:
+            raise ValueError(
+                "APPROXIMATE PERCENTILE_DISC: a single ASC ORDER BY "
+                f"expression only (got {expr[:40]!r})"
+            )
+        expr = re.sub(r"(?i)\s+ASC\s*$", "", expr)
+        sql = (
+            sql[: m.start()]
+            + f"approx_percentile({expr}, {p_lit}, {_APPROX_PCT_ACCURACY})"
+            + sql[wg_end:]
+        )
+        search_from = 0
+
+
 _TOP_KW = re.compile(r"\bSELECT\s+TOP\s+(\d+)\b", re.IGNORECASE)
 
 
@@ -1852,7 +1911,7 @@ def translate_redshift_sql(sql: str) -> str:
     _rewrite_top runs before _rewrite_qualify so TOP + QUALIFY composes
     (qualify keeps the appended LIMIT in its tail)."""
     sql = strip_sql_comments(sql)
-    for fn in (rewrite_temp_names, _rewrite_connect_by, _rewrite_partiql_unnest, _rewrite_top, _rewrite_qualify, _rewrite_convert, _rewrite_type_spellings, _rewrite_datediff, _rewrite_to_char, _rewrite_to_datetime, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_approx_count, _rewrite_similar_to, _rewrite_date_part_year, _rewrite_extract_epoch, _rewrite_at_time_zone, _rewrite_string_fns, _rewrite_trunc, _rewrite_math_aliases, _rewrite_replicate, _rewrite_log_base10, _rewrite_to_hex, _rewrite_strtol, _rewrite_json_fns, _rewrite_cmp_fns, _rewrite_difference, _rewrite_get_byte, _rewrite_quote_fns, _rewrite_to_number, _rewrite_now, _strip_storage_clauses):
+    for fn in (rewrite_temp_names, _rewrite_connect_by, _rewrite_partiql_unnest, _rewrite_top, _rewrite_qualify, _rewrite_convert, _rewrite_type_spellings, _rewrite_datediff, _rewrite_to_char, _rewrite_to_datetime, _rewrite_json_extract, _rewrite_listagg, _rewrite_ratio_to_report, _rewrite_approx_count, _rewrite_approx_percentile, _rewrite_similar_to, _rewrite_date_part_year, _rewrite_extract_epoch, _rewrite_at_time_zone, _rewrite_string_fns, _rewrite_trunc, _rewrite_math_aliases, _rewrite_replicate, _rewrite_log_base10, _rewrite_to_hex, _rewrite_strtol, _rewrite_json_fns, _rewrite_cmp_fns, _rewrite_difference, _rewrite_get_byte, _rewrite_quote_fns, _rewrite_to_number, _rewrite_now, _strip_storage_clauses):
         sql = fn(sql)
     return sql
 

@@ -127,6 +127,7 @@ _VERIFY_FIRST: list[str] = [
     # (never-rowed beats re-rowing), displacing the window tail.
     "sim_ivf_kmeans_pinned",
     "redshift_sql_order_siblings_multi",
+    "redshift_sql_approx_percentile",
     # The only two registered queries with no official driver row
     # (registered after the r9 window froze):
     "redshift_script_python_udf",
@@ -178,16 +179,16 @@ _VERIFY_FIRST: list[str] = [
     "to_char_formats",
     "topk_global_revenue",
     "union_all_accounts",
-    "union_distinct_nations",
     # --- 50-query driver boundary ---
-    # (the two r10-new queries displaced the r5-cohort tail by two
-    # slots: window_moving_agg and window_running_total front the r11
-    # window, per the displace-the-tail-only rule the hygiene test
-    # enforces.)
+    # (the three r10-new queries displaced the r5-cohort tail by three
+    # slots: union_distinct_nations, window_moving_agg, and
+    # window_running_total front the r11 window, per the
+    # displace-the-tail-only rule the hygiene test enforces.)
     # Below-boundary order = r11 priority: whatever the r10 window
     # displaced (the r5-cohort tail), then the six remaining r6-era
     # rows, then the r7 cohort, the r8 window, and the outgoing r9
     # window (the freshest rows last).
+    "union_distinct_nations",
     "window_moving_agg",
     "window_running_total",
     "redshift_script_swap_publish",

@@ -5626,3 +5626,55 @@ def test_json_flag_must_be_literal_true(spark):
         " JSON_EXTRACT_ARRAY_ELEMENT_TEXT('[5,6]', 1, true) AS b",
     ).first()
     assert tuple(row) == (None, "6")
+
+
+def test_approx_percentile_disc_rewrite(spark):
+    """APPROXIMATE PERCENTILE_DISC (r10): Redshift's spelling rewrites
+    to Spark's GK approx_percentile at accuracy 1e6 — exact below 1e6
+    rows/group (the oracle is the exact discrete quantile), loud
+    outside the subset (non-literal p, missing WITHIN GROUP, DESC or
+    multi-column ORDER BY)."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.redshift_sql import (
+        run_redshift_sql,
+        translate_redshift_sql,
+    )
+
+    spark.createDataFrame(
+        [(g, float(v)) for g in ("a", "b") for v in range(1, 12)],
+        "g STRING, x DOUBLE",
+    ).createOrReplaceTempView("apct_t")
+    out = run_redshift_sql(
+        spark,
+        """
+        SELECT g,
+               APPROXIMATE PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY x) AS med,
+               APPROXIMATE PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY x ASC) AS q1
+        FROM apct_t GROUP BY g
+        """,
+    )
+    got = {r.g: (r.med, r.q1) for r in out.collect()}
+    # 11 values 1..11: exact disc median = 6, q1 = value at ceil(.25*11)=3
+    assert got == {"a": (6.0, 3.0), "b": (6.0, 3.0)}
+    for bad, msg in [
+        (
+            "SELECT APPROXIMATE PERCENTILE_DISC(x) WITHIN GROUP (ORDER BY x) FROM apct_t",
+            "numeric literal",
+        ),
+        ("SELECT APPROXIMATE PERCENTILE_DISC(0.5) FROM apct_t", "WITHIN GROUP"),
+        (
+            "SELECT APPROXIMATE PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY x DESC) FROM apct_t",
+            "single ASC",
+        ),
+        (
+            "SELECT APPROXIMATE PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY x, g) FROM apct_t",
+            "single ASC",
+        ),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            translate_redshift_sql(bad)
+    # a literal containing the spelling survives untouched
+    assert "APPROXIMATE PERCENTILE_DISC(" in translate_redshift_sql(
+        "SELECT 'APPROXIMATE PERCENTILE_DISC(' AS s FROM apct_t"
+    )

@@ -499,3 +499,22 @@ def test_ann_incremental_probe_is_broadcast_equi_join(spark):
     assert "WindowGroupLimit" in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan, f"Python on the incremental ANN path ({marker})"
+
+
+def test_pinned_kmeans_plan_shape(spark):
+    """sim_ivf_kmeans_pinned (r10): Lloyd must stay distributed-cheap —
+    assignment is a row-local projection against ONE broadcast centroid
+    row (BroadcastNestedLoopJoin of a singleton — the deliberate
+    broadcast-singleton crossJoin pattern, never a CartesianProduct),
+    the mean update's shuffles emit k×dim rows with map-side partials,
+    and no Python evaluator appears anywhere (pure Catalyst end to
+    end)."""
+    plan = plan_of(spark, "sim_ivf_kmeans_pinned")
+    assert "CartesianProduct" not in plan, "non-broadcast cartesian in Lloyd plan"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        "Python evaluator in a pure-Catalyst plan"
+    )
+    assert "partial_sum" in plan, "centroid mean update lost map-side partials"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        "centroid set not broadcast to the assignment projection"
+    )

@@ -582,7 +582,10 @@ def _rewrite_approx_percentile(sql: str) -> str:
         wg_end = _scan_balanced(sql, wg_open + 1)
         inner = sql[wg_open + 1 : wg_end - 1].strip()
         expr = re.sub(r"(?is)^ORDER\s+BY\s+", "", inner).strip()
-        if re.search(r"(?i)\bDESC\b\s*$", expr) or "," in _mask_literals(expr)[0]:
+        # multi-key check must be paren/quote-aware (ADVICE r10): a
+        # function-call comma inside the one expression — e.g.
+        # ORDER BY COALESCE(x, 0) — is NOT a second sort key.
+        if re.search(r"(?i)\bDESC\b\s*$", expr) or len(_split_args(expr)) > 1:
             raise ValueError(
                 "APPROXIMATE PERCENTILE_DISC: a single ASC ORDER BY "
                 f"expression only (got {expr[:40]!r})"
@@ -1140,10 +1143,23 @@ def _rewrite_connect_by(sql: str) -> str:
     # NULLS LAST, DESC → NULLS FIRST); parenthesized EXPRESSION keys
     # (precomputed row-locally in the derived base CTE, base-table
     # columns only — the CONNECT_BY_ROOT(expr) machinery). DESC orders
-    # by the NEGATED value, so it requires a numeric key — a
-    # string/date DESC key fails loudly under ANSI (no silent
-    # missort: ANSI unary minus rejects non-numerics). LEVEL stays
-    # loud (siblings share their level).
+    # by the NEGATED value (float NaN handled via a flag band — ADVICE
+    # r10), so it requires a numeric key — a string/date DESC key fails
+    # loudly under ANSI (no silent missort: ANSI unary minus rejects
+    # non-numerics). The loud non-numeric-DESC subset is the right
+    # stopping point for a TEXT rewrite: it cannot see column types, so
+    # any automatic proxy would either mis-analyze for some type or need
+    # a rank window (a single-partition shuffle — a scale-killer).
+    # Expression keys already give a zero-shuffle, collation-safe
+    # spelling the error message names: DATE → (DATEDIFF(day, col,
+    # DATE '1970-01-01')) ASC is descending-by-date; TIMESTAMP →
+    # (-unix_micros(col)); STRING → the order-reversing hex-complement
+    # (TRANSLATE(hex(encode(col,'utf-8')),'0123456789ABCDEF',
+    # 'FEDCBA9876543210') || 'G') ASC — complemented hex digits reverse
+    # byte order and the 'G' terminator (> any hex digit) makes every
+    # proper prefix sort AFTER its extensions, i.e. exact UTF8_BINARY
+    # DESC (fuzz-verified vs the Python DFS model). LEVEL stays loud
+    # (siblings share their level).
     siblings_keys: list[tuple[str, bool, bool]] = []  # (key, desc, nulls_first)
     if sm := re.match(r"(?is)^ORDER\s+SIBLINGS\s+BY\s+(.*)$", tail):
         spec = sm.group(1).strip().rstrip(";").strip()
@@ -1402,19 +1418,41 @@ def _rewrite_connect_by(sql: str) -> str:
         )
         carried.append(f"__cbp_{idx}")
     if siblings_keys:
-        # element = one struct of (null-flag, value) PAIRS, key-major in
+        # element = one struct of (flag, value) PAIRS, key-major in
         # declaration order (struct comparison is field-wise, so 'n0'
-        # settles key 0's NULL placement before 'v0' compares, before
-        # key 1 is consulted). The flag encodes the requested NULL end
-        # (FIRST → null sorts as 0 < 1, LAST → 1 > 0); a bare element
-        # would silently sort NULLs first (r9 review). DESC negates the
-        # value — loud for non-numeric keys under ANSI.
+        # settles key 0's NULL/NaN placement before 'v0' compares,
+        # before key 1 is consulted). The flag encodes the requested
+        # NULL end (FIRST → null sorts as 0 < rest, LAST → greatest);
+        # a bare element would silently sort NULLs first (r9 review).
+        # DESC negates the value — loud for non-numeric keys under ANSI
+        # — and adds a NaN flag band (ADVICE r10, see below).
         fields: list[str] = []
         for i, (col, desc, nulls_first) in enumerate(siblings_resolved):
             v = f"__c.{col}"
-            nf_case = "0 ELSE 1" if nulls_first else "1 ELSE 0"
-            fields.append(f"'n{i}', CASE WHEN {v} IS NULL THEN {nf_case} END")
-            fields.append(f"'v{i}', " + (f"-({v})" if desc else v))
+            if desc:
+                # DESC folds NaN into the flag (ADVICE r10): negation
+                # leaves NaN unchanged and NaN compares greatest, so a
+                # bare -(v) would sort a float NaN LAST where descending
+                # semantics (NaN is the greatest value — Oracle
+                # BINARY_DOUBLE and Spark agree) put it FIRST among
+                # non-NULL siblings. Three flag bands: NULL at the
+                # requested end, NaN, then numbers. The CAST to DOUBLE is
+                # flag-only (never the sort value, so BIGINT precision
+                # loss cannot missort) and stays as loud as the negation
+                # for non-numeric keys.
+                null_f, nan_f, num_f = ("0", "1", "2") if nulls_first else ("2", "0", "1")
+                fields.append(
+                    f"'n{i}', CASE WHEN {v} IS NULL THEN {null_f} "
+                    f"WHEN isnan(CAST({v} AS DOUBLE)) THEN {nan_f} "
+                    f"ELSE {num_f} END"
+                )
+                fields.append(f"'v{i}', -({v})")
+            else:
+                # ASC needs no NaN band: NaN natively compares greatest,
+                # which IS its ascending place among non-NULL values.
+                nf_case = "0 ELSE 1" if nulls_first else "1 ELSE 0"
+                fields.append(f"'n{i}', CASE WHEN {v} IS NULL THEN {nf_case} END")
+                fields.append(f"'v{i}', {v}")
         elem = f"named_struct({', '.join(fields)})"
         base_extra.append(f"array({elem}) AS __cbs")
         rec_extra.append(f"concat(__p.__cbs, array({elem})) AS __cbs")

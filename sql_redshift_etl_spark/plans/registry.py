@@ -107,10 +107,14 @@ def register(
 # official row (redshift_script_python_udf, redshift_script_decl_block —
 # registered after the r9 window froze); (2) the two r6-era leads that
 # yielded their r9 slots (source_external_table, update_from); (3) the
-# full 46-query r5-era cohort — exactly 50 slots, all SQL-oracled. New
-# r10 oracled queries insert at the TOP as they land, displacing the
-# window tail into the r11 front (a never-rowed query beats re-rowing
-# an r5 row; an r5 re-row beats an r6 re-row).
+# full 46-query r5-era cohort — exactly 50 slots, all SQL-oracled —
+# and came back 50/50 green, the sixth consecutive fully green round;
+# after r10 every registered query had an official row. The ROUND-11
+# window (verdict r10 item 1, the LAST freshness-ratchet turn): the 9
+# remaining pre-r7 rows (3 r5-era + 6 r6-era) lead, then the oldest
+# r7-era SQL-oracled rows in cohort order; r11-new oracled queries
+# insert at the TOP, displacing the r7 tail into the r12 front. After
+# r11 no official row is older than r8.
 # Maintenance rules (CI-enforced in tests/test_registry_hygiene.py):
 #  - every SQL-oracled query must appear in this list OR carry a
 #    "sibling-coverage:" note in its docstring naming the in-list query
@@ -122,83 +126,24 @@ def register(
 #    columns throw; serialize with array_join/to_json).
 # Names not listed keep their module registration order after these.
 _VERIFY_FIRST: list[str] = [
-    # --- ROUND-10 window (50 slots, all SQL-oracled) ---
-    # New r10 oracled queries insert HERE, at the top, as they land
+    # --- ROUND-11 window (50 slots, all SQL-oracled) ---
+    # New r11 oracled queries insert HERE, at the top, as they land
     # (never-rowed beats re-rowing), displacing the window tail.
-    "sim_ivf_kmeans_pinned",
-    "redshift_sql_order_siblings_multi",
-    "redshift_sql_approx_percentile",
-    # The only two registered queries with no official driver row
-    # (registered after the r9 window froze):
-    "redshift_script_python_udf",
-    "redshift_script_decl_block",
-    # the two r6-era leads that yielded their r9 slots:
-    "source_external_table",
-    "redshift_script_update_from",
-    # the full 46-query r5-era cohort (the oldest official rows):
-    "case_when_decode",
-    "cast_conversions",
-    "ctas_staging_chain",
-    "datediff_boundary_semantics",
-    "datetime_functions",
-    "datetime_tz_functions",
-    "dedup_cluster_components",
-    "dedup_embedding_ann_scaled",
-    "dedup_embedding_cosine",
-    "dedup_keep_canonical",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_codes",
-    "distinct_projection",
-    "events_funnel",
-    "events_incremental_load",
-    "events_session_window_native",
-    "events_sliding_window",
-    "events_tumbling_hourly_window",
-    "except_nations",
-    "filter_predicates",
-    "intersect_nations",
-    "join_cross",
-    "join_left_outer",
-    "join_right_outer",
-    "json_super_access",
-    "multimodal_image_resize",
-    "multimodal_png_roundtrip",
-    "multimodal_wav_roundtrip",
-    "orderby_limit_offset",
-    "q12_late_shipment_priority",
-    "redshift_sql_report",
-    "regex_functions",
-    "scan_project_expr",
-    "sim_centroid_per_label",
-    "sim_knn_per_label",
-    "subquery_correlated_scalar",
-    "text_fingerprints",
-    "text_lang_id_heuristic",
-    "text_quality_filter_kept",
-    "text_quality_scores",
-    "to_char_formats",
-    "topk_global_revenue",
-    "union_all_accounts",
-    # --- 50-query driver boundary ---
-    # (the three r10-new queries displaced the r5-cohort tail by three
-    # slots: union_distinct_nations, window_moving_agg, and
-    # window_running_total front the r11 window, per the
-    # displace-the-tail-only rule the hygiene test enforces.)
-    # Below-boundary order = r11 priority: whatever the r10 window
-    # displaced (the r5-cohort tail), then the six remaining r6-era
-    # rows, then the r7 cohort, the r8 window, and the outgoing r9
-    # window (the freshest rows last).
+    "redshift_sql_order_siblings_strdesc",
+    # the 9 pre-r7 official rows (3 r5-era + 6 r6-era) — VERDICT r10
+    # item 1, the last freshness-ratchet turn:
     "union_distinct_nations",
     "window_moving_agg",
     "window_running_total",
     "redshift_script_swap_publish",
     "redshift_script_etl_mart",
-    # remaining r6-era rows:
     "redshift_script_upsert_snapshot",
     "redshift_script_copy_unload",
     "events_merge_upsert",
     "redshift_sql_misc2",
-    # --- r7 cohort (newest rows r7) ---
+    # the oldest r7-era SQL-oracled rows, in their r7 order (the five
+    # rows-only-by-design queries keep their official r7 rows — a
+    # window slot would only re-buy the weak rows-only check):
     "redshift_script_proc_exception",
     "redshift_script_execute_dynamic",
     "redshift_script_cursor_loop",
@@ -207,13 +152,9 @@ _VERIFY_FIRST: list[str] = [
     "redshift_script_transactions",
     "redshift_sql_misc4",
     "dedup_minhash_incremental",
-    "hll_sketch_partition_merge",
-    "embedding_pca_project",
     "redshift_script_proc_control_flow",
-    "approx_count_distinct",
     "curation_shard_export",
     "dedup_exact_groups",
-    "dedup_minhash_ml",
     "dedup_survivor_corpus",
     "embedding_quantize_int8",
     "etl_star_mart_publish",
@@ -236,7 +177,6 @@ _VERIFY_FIRST: list[str] = [
     "sample_domain_temperature",
     "sample_hash_fraction",
     "sample_salted_hot_agg",
-    "sim_ivf_kmeans",
     "sim_ivf_search",
     "stream_stateful_sessions",
     "stream_stream_interval_join",
@@ -244,11 +184,24 @@ _VERIFY_FIRST: list[str] = [
     "stream_tumbling_watermark",
     "subquery_scalar_uncorrelated",
     "text_bigram_lm_score",
+    # --- 50-query driver boundary ---
+    # (the r11-new query displaced the r7 cohort tail by one slot.)
+    # Below-boundary order = r12 priority: the r7-era oracled tail the
+    # r11 window could not reach, then the five rows-only r7 rows, the
+    # outgoing r8 and r9 windows, and the outgoing r10 window (the
+    # freshest rows last). After r11 nothing oracled is older than r8.
     "text_tfidf_top_terms",
     "text_word_freq_topk",
     "udaf_weighted_mean",
     "window_ignore_nulls",
     "window_range_frame",
+    # rows-only by design (official r7 rows; impossibility documented
+    # per query):
+    "hll_sketch_partition_merge",
+    "embedding_pca_project",
+    "approx_count_distinct",
+    "dedup_minhash_ml",
+    "sim_ivf_kmeans",
     # --- outgoing r8 window (newest rows r8) ---
     "redshift_script_case_stmt",
     "dedup_substring_spans",
@@ -351,6 +304,57 @@ _VERIFY_FIRST: list[str] = [
     "redshift_script_manifest_roundtrip",
     "redshift_sql_misc_functions",
     "source_jdbc_roundtrip",
+    # --- outgoing r10 window (newest rows r10) ---
+    "sim_ivf_kmeans_pinned",
+    "redshift_sql_order_siblings_multi",
+    "redshift_sql_approx_percentile",
+    "redshift_script_python_udf",
+    "redshift_script_decl_block",
+    "source_external_table",
+    "redshift_script_update_from",
+    "case_when_decode",
+    "cast_conversions",
+    "ctas_staging_chain",
+    "datediff_boundary_semantics",
+    "datetime_functions",
+    "datetime_tz_functions",
+    "dedup_cluster_components",
+    "dedup_embedding_ann_scaled",
+    "dedup_embedding_cosine",
+    "dedup_keep_canonical",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_codes",
+    "distinct_projection",
+    "events_funnel",
+    "events_incremental_load",
+    "events_session_window_native",
+    "events_sliding_window",
+    "events_tumbling_hourly_window",
+    "except_nations",
+    "filter_predicates",
+    "intersect_nations",
+    "join_cross",
+    "join_left_outer",
+    "join_right_outer",
+    "json_super_access",
+    "multimodal_image_resize",
+    "multimodal_png_roundtrip",
+    "multimodal_wav_roundtrip",
+    "orderby_limit_offset",
+    "q12_late_shipment_priority",
+    "redshift_sql_report",
+    "regex_functions",
+    "scan_project_expr",
+    "sim_centroid_per_label",
+    "sim_knn_per_label",
+    "subquery_correlated_scalar",
+    "text_fingerprints",
+    "text_lang_id_heuristic",
+    "text_quality_filter_kept",
+    "text_quality_scores",
+    "to_char_formats",
+    "topk_global_revenue",
+    "union_all_accounts",
 ]
 
 

@@ -891,3 +891,70 @@ def test_order_siblings_matches_python_model(spark, case):
     assert [r.id for r in out.collect()] == _os_fuzz_model(
         n, parents, k1, k2, d1, nf1, two, d2
     )
+
+
+# --- r11: the collation-safe STRING DESC sibling spelling (the
+# hex-complement expression key the DESC docstring names) vs the Python
+# DFS model. Strings are drawn WITH prefix pairs ('a'/'ab'), the empty
+# string, and a multi-byte char — exactly the cases where a naive
+# encoding missorts — and the model sorts descending on raw UTF-8 bytes.
+
+
+_STRDESC_POOL = ["", "a", "ab", "b", "ba", "é", "e", "aa", "z"]
+
+_STRDESC_KEY = (
+    "(TRANSLATE(hex(encode(nm, 'utf-8')),"
+    " '0123456789ABCDEF', 'FEDCBA9876543210') || 'G')"
+)
+
+
+@st.composite
+def _strdesc_case(draw):
+    n = draw(st.integers(3, 12))
+    parents = [
+        None if i == 0 else draw(st.one_of(st.none(), st.integers(0, i - 1)))
+        for i in range(n)
+    ]
+    names = [draw(st.sampled_from(_STRDESC_POOL)) for _ in range(n)]
+    return n, parents, names
+
+
+@given(_strdesc_case())
+@settings(max_examples=8, deadline=None)
+def test_order_siblings_string_desc_matches_python_model(spark, case):
+    from sql_redshift_etl_spark.functions.redshift_sql import run_redshift_sql
+
+    n, parents, names = case
+    spark.createDataFrame(
+        [(i, parents[i], names[i]) for i in range(n)],
+        "id INT, parent INT, nm STRING",
+    ).createOrReplaceTempView("osfs_t")
+    out = run_redshift_sql(
+        spark,
+        f"""
+        SELECT id FROM osfs_t
+        START WITH parent IS NULL
+        CONNECT BY PRIOR id = parent
+        ORDER SIBLINGS BY {_STRDESC_KEY}, id
+        """,
+    )
+
+    kids: dict[int, list[int]] = {}
+    roots = []
+    for c, p in enumerate(parents):
+        (roots if p is None else kids.setdefault(p, [])).append(c)
+
+    def keyf(c):
+        # string DESC = descending raw UTF-8 byte order; tiebreak id ASC
+        return ([255 - b for b in names[c].encode("utf-8")] + [256], c)
+
+    seq: list[int] = []
+
+    def walk(node):
+        seq.append(node)
+        for c in sorted(kids.get(node, ()), key=keyf):
+            walk(c)
+
+    for r in sorted(roots, key=keyf):
+        walk(r)
+    assert [r.id for r in out.collect()] == seq

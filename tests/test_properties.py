@@ -958,3 +958,83 @@ def test_order_siblings_string_desc_matches_python_model(spark, case):
     for r in sorted(roots, key=keyf):
         walk(r)
     assert [r.id for r in out.collect()] == seq
+
+
+# --- r11: float keys with NaN under per-key direction vs the Python DFS
+# model (ADVICE r10 item 3's fix, fuzzed): a nullable DOUBLE key drawn
+# from {NULL, NaN, small floats}, random ASC/DESC and NULLS placement,
+# id tiebreak. Model bands per the shipped semantics: NULL at the
+# requested end; NaN greatest — so ASC puts it after the numbers and
+# DESC (which reverses the value order) puts it before them.
+
+
+_NAN_POOL = [None, float("nan"), -2.0, 0.0, 1.5, 3.0]
+
+
+@st.composite
+def _os_nan_case(draw):
+    n = draw(st.integers(3, 12))
+    parents = [
+        None if i == 0 else draw(st.one_of(st.none(), st.integers(0, i - 1)))
+        for i in range(n)
+    ]
+    ks = [draw(st.sampled_from(_NAN_POOL)) for _ in range(n)]
+    desc = draw(st.booleans())
+    nf = draw(st.one_of(st.none(), st.booleans()))  # None → direction default
+    return n, parents, ks, desc, nf
+
+
+@given(_os_nan_case())
+@settings(max_examples=8, deadline=None)
+def test_order_siblings_nan_matches_python_model(spark, case):
+    import math
+
+    from sql_redshift_etl_spark.functions.redshift_sql import run_redshift_sql
+
+    n, parents, ks, desc, nf = case
+    spark.createDataFrame(
+        [(i, parents[i], ks[i]) for i in range(n)],
+        "id INT, parent INT, k DOUBLE",
+    ).createOrReplaceTempView("osfn_t")
+    spec = "k" + (" DESC" if desc else "")
+    if nf is not None:
+        spec += " NULLS FIRST" if nf else " NULLS LAST"
+    out = run_redshift_sql(
+        spark,
+        f"""
+        SELECT id FROM osfn_t
+        START WITH parent IS NULL
+        CONNECT BY PRIOR id = parent
+        ORDER SIBLINGS BY {spec}, id
+        """,
+    )
+
+    nulls_first = desc if nf is None else nf
+
+    def keyf(c):
+        v = ks[c]
+        if v is None:
+            band = 0 if nulls_first else 3
+            val = 0.0
+        elif math.isnan(v):
+            band = 1 if desc else 2
+            val = 0.0
+        else:
+            band = 2 if desc else 1
+            val = -v if desc else v
+        return (band, val, c)
+
+    kids: dict[int, list[int]] = {}
+    roots = []
+    for c, p in enumerate(parents):
+        (roots if p is None else kids.setdefault(p, [])).append(c)
+    seq: list[int] = []
+
+    def walk(node):
+        seq.append(node)
+        for c in sorted(kids.get(node, ()), key=keyf):
+            walk(c)
+
+    for r in sorted(roots, key=keyf):
+        walk(r)
+    assert [r.id for r in out.collect()] == seq

@@ -314,6 +314,116 @@ def json_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "partiql_nested_objects",
+    tags=("F1",),
+    oracle="""
+        WITH item AS (
+            SELECT l_orderkey AS okey, l_linenumber,
+                   '{"ln": ' || l_linenumber || ', "sku": ' || l_partkey
+                   || ', "qty": ' || CAST(l_quantity AS BIGINT) || '}' AS ij
+            FROM lineitem WHERE l_orderkey <= 400
+        ), doc AS (
+            -- tie-break on the item text: the fixture has duplicate
+            -- (orderkey, linenumber) pairs, and Spark's array_sort over
+            -- struct(ln, ij) breaks ln ties on the ij string
+            SELECT okey,
+                   '{"order": ' || okey || ', "items": ['
+                   || string_agg(ij, ', ' ORDER BY l_linenumber, ij) || ']}' AS d
+            FROM item GROUP BY okey
+        )
+        SELECT okey AS o_orderkey,
+               CAST(json_extract(d, '$.order') AS BIGINT) AS order_id,
+               CAST(json_array_length(d, '$.items') AS BIGINT) AS n_items,
+               CAST(json_extract(d, '$.items[0].sku') AS BIGINT) AS first_sku,
+               CAST(g.i - 1 AS BIGINT) AS pos,
+               CAST(json_extract(d, '$.items[' || (g.i - 1) || '].sku') AS BIGINT) AS sku,
+               CAST(json_extract(d, '$.items[' || (g.i - 1) || '].qty') AS BIGINT) AS qty
+        -- DuckDB cannot lateral-join generate_series on a column, so a
+        -- constant ordinal domain is filtered by the real array length
+        -- (the fixture's duplicate linenumbers make up to 13 items per
+        -- order at sf0.01; 64 leaves headroom)
+        FROM doc, generate_series(1, 64) AS g(i)
+        WHERE g.i <= json_array_length(d, '$.items')
+    """,
+)
+def partiql_nested_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PartiQL navigation into ARRAYS OF OBJECTS (VERDICT r11 item 5 —
+    the last common Redshift-SUPER idiom: ``props.items[0].sku``-style
+    paths). A nested JSON document is built per order from its
+    lineitems (both engines construct byte-identical text, so the
+    navigation — not the construction — is what the hash gates), then
+    accessed three ways a SUPER user does: a scalar object field
+    (``doc.order``), a head element through the array
+    (``doc.items[0].sku``), and full array-of-objects iteration with
+    ordinals (``FROM doc.items AS item AT pos`` ≡ from_json +
+    posexplode). The DuckDB oracle replays every path with
+    json_extract over the same documents.
+
+    Scale: ONE shuffle (the per-order groupBy that assembles the
+    document — at 100 TB that is the unavoidable gather of an order's
+    lines); from_json parses each document ONCE per row for all
+    extracted fields, and posexplode is a row-local Generate. The
+    ordinal filter lives in the oracle only — Spark's explode never
+    over-produces.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 400)
+    item = li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("ln"),
+        F.concat(
+            F.lit('{"ln": '),
+            F.col("l_linenumber").cast("string"),
+            F.lit(', "sku": '),
+            F.col("l_partkey").cast("string"),
+            F.lit(', "qty": '),
+            F.col("l_quantity").cast("bigint").cast("string"),
+            F.lit("}"),
+        ).alias("ij"),
+    )
+    docs = (
+        item.groupBy("okey")
+        .agg(F.array_sort(F.collect_list(F.struct("ln", "ij"))).alias("items"))
+        .select(
+            "okey",
+            F.concat(
+                F.lit('{"order": '),
+                F.col("okey").cast("string"),
+                F.lit(', "items": ['),
+                F.array_join(F.transform("items", lambda x: x["ij"]), ", "),
+                F.lit("]}"),
+            ).alias("doc"),
+        )
+    )
+    parsed = docs.select(
+        "okey",
+        F.from_json(
+            "doc",
+            "`order` BIGINT, items ARRAY<STRUCT<ln: BIGINT, sku: BIGINT, qty: BIGINT>>",
+        ).alias("p"),
+    )
+    return parsed.select(
+        F.col("okey").alias("o_orderkey"),
+        F.col("p.order").alias("order_id"),
+        F.size("p.items").cast("bigint").alias("n_items"),
+        # F.get, not [0]: Redshift SUPER navigation is LAX — an
+        # out-of-bounds index yields NULL (missing-element contract),
+        # never an ANSI index error. Unreachable here (every order in
+        # the filter has >= 1 lineitem) but load-bearing in the fuzz
+        # battery's empty-array documents.
+        F.get("p.items", 0).getField("sku").alias("first_sku"),
+        F.posexplode("p.items").alias("pos", "item"),
+    ).select(
+        "o_orderkey",
+        "order_id",
+        "n_items",
+        "first_sku",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("item.sku").alias("sku"),
+        F.col("item.qty").alias("qty"),
+    )
+
+
+@register(
     "array_functions",
     tags=("F1", "L3"),
     oracle="""

@@ -1038,3 +1038,92 @@ def test_order_siblings_nan_matches_python_model(spark, case):
     for r in sorted(roots, key=keyf):
         walk(r)
     assert [r.id for r in out.collect()] == seq
+
+
+def test_partiql_nested_objects_matches_json_model(spark, duck):
+    """Arrays-of-objects navigation (r12, partiql_nested_objects) over
+    RANDOM nested documents vs DuckDB's json_extract path replay —
+    derandomized (fixed seed). Covers what the fixture query cannot:
+    empty item arrays (explode drops the doc from the per-item rows;
+    head/size still report it), JSON null fields, and MISSING fields
+    (both engines must yield NULL), item counts past the fixture's
+    maximum."""
+    import json as _json
+    import random as _random
+
+    import pandas as _pd
+
+    rng = _random.Random(20260816)
+    docs = []
+    for i in range(30):
+        items = []
+        for k in range(rng.randint(0, 12)):
+            obj = {"ln": k}
+            if rng.random() < 0.85:
+                obj["sku"] = rng.randint(0, 99999)
+            if rng.random() < 0.7:
+                obj["qty"] = rng.randint(1, 50) if rng.random() < 0.9 else None
+            items.append(obj)
+        docs.append((i, _json.dumps({"order": i, "items": items})))
+
+    sdf = spark.createDataFrame(docs, "doc_id INT, doc STRING")
+    from pyspark.sql import functions as F
+
+    parsed = sdf.select(
+        "doc_id",
+        F.from_json(
+            "doc",
+            "`order` BIGINT, items ARRAY<STRUCT<ln: BIGINT, sku: BIGINT, qty: BIGINT>>",
+        ).alias("p"),
+    )
+    heads = {
+        (r.doc_id, r.n_items, r.first_sku)
+        for r in parsed.select(
+            "doc_id",
+            F.size("p.items").cast("bigint").alias("n_items"),
+            # F.get, not [0]: SUPER navigation is LAX — out-of-bounds on
+            # an empty items array must be NULL, not an ANSI index error
+            F.get("p.items", 0).getField("sku").alias("first_sku"),
+        ).collect()
+    }
+    rows = {
+        (r.doc_id, r.pos, r.sku, r.qty)
+        for r in parsed.select(
+            "doc_id", F.posexplode("p.items").alias("pos", "item")
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("item.sku").alias("sku"),
+            F.col("item.qty").alias("qty"),
+        )
+        .collect()
+    }
+
+    duck.register("pq_fuzz_docs", _pd.DataFrame(docs, columns=["doc_id", "doc"]))
+    want_heads = {
+        (int(r[0]), int(r[1]), None if r[2] is None else int(r[2]))
+        for r in duck.execute(
+            """
+            SELECT doc_id,
+                   CAST(json_array_length(doc, '$.items') AS BIGINT),
+                   CAST(json_extract(doc, '$.items[0].sku') AS BIGINT)
+            FROM pq_fuzz_docs
+            """
+        ).fetchall()
+    }
+    want_rows = {
+        (int(r[0]), int(r[1]), None if r[2] is None else int(r[2]),
+         None if r[3] is None else int(r[3]))
+        for r in duck.execute(
+            """
+            SELECT doc_id, g.i - 1,
+                   CAST(json_extract(doc, '$.items[' || (g.i - 1) || '].sku') AS BIGINT),
+                   CAST(json_extract(doc, '$.items[' || (g.i - 1) || '].qty') AS BIGINT)
+            FROM pq_fuzz_docs, generate_series(1, 16) AS g(i)
+            WHERE g.i <= json_array_length(doc, '$.items')
+            """
+        ).fetchall()
+    }
+    assert heads == want_heads
+    assert rows == want_rows

@@ -110,11 +110,22 @@ def register(
 # full 46-query r5-era cohort — exactly 50 slots, all SQL-oracled —
 # and came back 50/50 green, the sixth consecutive fully green round;
 # after r10 every registered query had an official row. The ROUND-11
-# window (verdict r10 item 1, the LAST freshness-ratchet turn): the 9
-# remaining pre-r7 rows (3 r5-era + 6 r6-era) lead, then the oldest
-# r7-era SQL-oracled rows in cohort order; r11-new oracled queries
-# insert at the TOP, displacing the r7 tail into the r12 front. After
-# r11 no official row is older than r8.
+# window (verdict r10 item 1): the 9 remaining pre-r7 rows (3 r5-era +
+# 6 r6-era) lead, then the oldest r7-era SQL-oracled rows in cohort
+# order; the two r11-new oracled queries inserted at the TOP and
+# displaced the r7 tail — so after r11, 11 official rows remain at r7:
+# the 6 displaced SQL-oracled tail rows + the 5 rows-only-by-design
+# rows (VERDICT r11 "what's wrong" #2 corrected the earlier "nothing
+# older than r8" claim that stood here). The ROUND-12 window (verdict
+# r11 item 1, finishing the ratchet): those 6 r7-era oracled rows
+# lead, then the r8-era cohort in its r8 order fills the remaining
+# slots; r12-new oracled queries insert at the TOP, displacing the r8
+# tail into the r13 front. ROWS-ONLY POLICY (standing, verdict r11
+# item 1): the 5 rows-only-by-design queries keep their official r7
+# rows permanently — a window slot spent on a query with no SQL oracle
+# only re-buys the weak rows-only check, so they never re-enter the
+# window; their correctness evidence is the per-query pytest batteries
+# plus each round's full driver_sim re-run.
 # Maintenance rules (CI-enforced in tests/test_registry_hygiene.py):
 #  - every SQL-oracled query must appear in this list OR carry a
 #    "sibling-coverage:" note in its docstring naming the in-list query
@@ -126,85 +137,23 @@ def register(
 #    columns throw; serialize with array_join/to_json).
 # Names not listed keep their module registration order after these.
 _VERIFY_FIRST: list[str] = [
-    # --- ROUND-11 window (50 slots, all SQL-oracled) ---
-    # New r11 oracled queries insert HERE, at the top, as they land
+    # --- ROUND-12 window (50 slots, all SQL-oracled) ---
+    # New r12 oracled queries insert HERE, at the top, as they land
     # (never-rowed beats re-rowing), displacing the window tail.
-    "redshift_sql_order_siblings_strdesc",
-    "redshift_sql_approx_percentile_expr",
-    # the 9 pre-r7 official rows (3 r5-era + 6 r6-era) — VERDICT r10
-    # item 1, the last freshness-ratchet turn:
-    "union_distinct_nations",
-    "window_moving_agg",
-    "window_running_total",
-    "redshift_script_swap_publish",
-    "redshift_script_etl_mart",
-    "redshift_script_upsert_snapshot",
-    "redshift_script_copy_unload",
-    "events_merge_upsert",
-    "redshift_sql_misc2",
-    # the oldest r7-era SQL-oracled rows, in their r7 order (the five
-    # rows-only-by-design queries keep their official r7 rows — a
-    # window slot would only re-buy the weak rows-only check):
-    "redshift_script_proc_exception",
-    "redshift_script_execute_dynamic",
-    "redshift_script_cursor_loop",
-    "redshift_sql_connect_by",
-    "redshift_script_get_diagnostics",
-    "redshift_script_transactions",
-    "redshift_sql_misc4",
-    "dedup_minhash_incremental",
-    "redshift_script_proc_control_flow",
-    "curation_shard_export",
-    "dedup_exact_groups",
-    "dedup_survivor_corpus",
-    "embedding_quantize_int8",
-    "etl_star_mart_publish",
-    "json_from_json_struct",
-    "misc_scalar_functions",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "q10_returned_items",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_ratio",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_bracketed_revenue",
-    "q22_dormant_accounts",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "redshift_sql_ratio_to_report",
-    "sample_domain_temperature",
-    "sample_hash_fraction",
-    "sample_salted_hot_agg",
-    "sim_ivf_search",
-    "stream_stateful_sessions",
-    "stream_stream_interval_join",
-    "stream_tumbling_daily",
-    "stream_tumbling_watermark",
-    "subquery_scalar_uncorrelated",
-    # --- 50-query driver boundary ---
-    # (the two r11-new queries displaced the r7 cohort tail by two
-    # slots.) Below-boundary order = r12 priority: the r7-era oracled
-    # tail the r11 window could not reach, then the five rows-only r7
-    # rows, the outgoing r8 and r9 windows, and the outgoing r10 window
-    # (the freshest rows last). After r11 nothing oracled is older
-    # than r8.
+    "partiql_nested_objects",
+    # The 6 r7-era SQL-oracled rows the r11 window could not reach —
+    # VERDICT r11 item 1, the rows that finish the freshness ratchet
+    # (after this window, no SQL-oracled official row is older
+    # than r8):
     "text_bigram_lm_score",
     "text_tfidf_top_terms",
     "text_word_freq_topk",
     "udaf_weighted_mean",
     "window_ignore_nulls",
     "window_range_frame",
-    # rows-only by design (official r7 rows; impossibility documented
-    # per query):
-    "hll_sketch_partition_merge",
-    "embedding_pca_project",
-    "approx_count_distinct",
-    "dedup_minhash_ml",
-    "sim_ivf_kmeans",
-    # --- outgoing r8 window (newest rows r8) ---
+    # the r8-era cohort in its r8 order (fills the remaining slots;
+    # only the tail may be displaced, and only by r12-new oracled
+    # queries):
     "redshift_script_case_stmt",
     "dedup_substring_spans",
     "redshift_script_stored_procedure",
@@ -249,12 +198,23 @@ _VERIFY_FIRST: list[str] = [
     "sample_stratified_per_label",
     "curation_repetition_scores",
     "curation_contamination_check",
+    # --- 50-query driver boundary ---
+    # Below-boundary order = r13 priority: the r8-era leftovers the
+    # r12 window could not hold, then the outgoing r9/r10/r11
+    # windows (the freshest rows last).
     "curation_pack_sequences",
     "curation_domain_cap",
     "curation_pii_redaction",
     "multimodal_join",
     "multimodal_binary_metadata",
     "cube_flag_status",
+    # rows-only by design — official r7 rows, permanently, per the
+    # ROWS-ONLY POLICY above (impossibility documented per query):
+    "hll_sketch_partition_merge",
+    "embedding_pca_project",
+    "approx_count_distinct",
+    "dedup_minhash_ml",
+    "sim_ivf_kmeans",
     # --- outgoing r9 window (newest rows r9) ---
     "sim_ann_incremental",
     "redshift_sql_connect_by_isleaf",
@@ -357,6 +317,57 @@ _VERIFY_FIRST: list[str] = [
     "to_char_formats",
     "topk_global_revenue",
     "union_all_accounts",
+    # --- outgoing r11 window (newest rows r11) ---
+    "redshift_sql_order_siblings_strdesc",
+    "redshift_sql_approx_percentile_expr",
+    "union_distinct_nations",
+    "window_moving_agg",
+    "window_running_total",
+    "redshift_script_swap_publish",
+    "redshift_script_etl_mart",
+    "redshift_script_upsert_snapshot",
+    "redshift_script_copy_unload",
+    "events_merge_upsert",
+    "redshift_sql_misc2",
+    "redshift_script_proc_exception",
+    "redshift_script_execute_dynamic",
+    "redshift_script_cursor_loop",
+    "redshift_sql_connect_by",
+    "redshift_script_get_diagnostics",
+    "redshift_script_transactions",
+    "redshift_sql_misc4",
+    "dedup_minhash_incremental",
+    "redshift_script_proc_control_flow",
+    "curation_shard_export",
+    "dedup_exact_groups",
+    "dedup_survivor_corpus",
+    "embedding_quantize_int8",
+    "etl_star_mart_publish",
+    "json_from_json_struct",
+    "misc_scalar_functions",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_bracketed_revenue",
+    "q22_dormant_accounts",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "redshift_sql_ratio_to_report",
+    "sample_domain_temperature",
+    "sample_hash_fraction",
+    "sample_salted_hot_agg",
+    "sim_ivf_search",
+    "stream_stateful_sessions",
+    "stream_stream_interval_join",
+    "stream_tumbling_daily",
+    "stream_tumbling_watermark",
+    "subquery_scalar_uncorrelated",
 ]
 
 

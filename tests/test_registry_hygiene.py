@@ -39,77 +39,82 @@ def test_verify_first_has_no_duplicates():
     assert len(vf) == len(set(vf)), "duplicate names in _VERIFY_FIRST"
 
 
-# Round-11 window strategy (VERDICT r10 item 1): the LAST freshness-
-# ratchet turn. Must-haves in the first-50 window this round:
-#  - the 9 remaining pre-r7 official rows (3 r5-era + 6 r6-era);
-#  - the oldest r7-era SQL-oracled rows, in their r7 cohort order —
-#    less any tail slots displaced by r11-new oracled queries, which
-#    take priority (never-rowed beats re-rowing an r7 row). The five
-#    rows-only-by-design queries keep their official r7 rows: a window
-#    slot would only re-buy the weak rows-only check.
-# After r11 no official row is older than r8.
-R11_PRE_R7 = frozenset(
+# Round-12 window strategy (VERDICT r11 item 1): the turn that actually
+# finishes the freshness ratchet. Must-haves in the first-50 window:
+#  - the 6 r7-era SQL-oracled rows the r11 window could not reach (the
+#    last oracled rows older than r8);
+#  - the r8-era cohort, in its r8 cohort order, fills the remaining
+#    slots — only the tail may be displaced, and only by r12-new
+#    oracled queries (never-rowed beats re-rowing an r8 row). The five
+#    rows-only-by-design queries keep their official r7 rows
+#    permanently (ROWS-ONLY POLICY in registry.py): a window slot would
+#    only re-buy the weak rows-only check.
+# After r12 no SQL-ORACLED official row is older than r8 (the 5
+# rows-only rows stay r7 by policy — say it precisely this time;
+# VERDICT r11 "what's wrong" #2).
+R12_R7_TAIL = frozenset(
     {
-        "union_distinct_nations", "window_moving_agg",
-        "window_running_total", "redshift_script_swap_publish",
-        "redshift_script_etl_mart", "redshift_script_upsert_snapshot",
-        "redshift_script_copy_unload", "events_merge_upsert",
-        "redshift_sql_misc2",
+        "text_bigram_lm_score", "text_tfidf_top_terms",
+        "text_word_freq_topk", "udaf_weighted_mean",
+        "window_ignore_nulls", "window_range_frame",
     }
 )
-R11_R7_ORACLED = (
-    "redshift_script_proc_exception", "redshift_script_execute_dynamic",
-    "redshift_script_cursor_loop", "redshift_sql_connect_by",
-    "redshift_script_get_diagnostics", "redshift_script_transactions",
-    "redshift_sql_misc4", "dedup_minhash_incremental",
-    "redshift_script_proc_control_flow", "curation_shard_export",
-    "dedup_exact_groups", "dedup_survivor_corpus",
-    "embedding_quantize_int8", "etl_star_mart_publish",
-    "json_from_json_struct", "misc_scalar_functions",
-    "multimodal_decode_features", "multimodal_frame_sample",
-    "q10_returned_items", "q13_order_count_distribution",
-    "q14_promo_revenue_ratio", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q18_large_volume_customer",
-    "q19_bracketed_revenue", "q22_dormant_accounts",
-    "q5_local_supplier_volume", "q7_volume_shipping", "q8_market_share",
-    "redshift_sql_ratio_to_report", "sample_domain_temperature",
-    "sample_hash_fraction", "sample_salted_hot_agg", "sim_ivf_search",
-    "stream_stateful_sessions", "stream_stream_interval_join",
-    "stream_tumbling_daily", "stream_tumbling_watermark",
-    "subquery_scalar_uncorrelated", "text_bigram_lm_score",
-    "text_tfidf_top_terms", "text_word_freq_topk", "udaf_weighted_mean",
-    "window_ignore_nulls", "window_range_frame",
+R12_R8_COHORT = (
+    "redshift_script_case_stmt", "dedup_substring_spans",
+    "redshift_script_stored_procedure", "sim_ann_lsh",
+    "redshift_sql_connect_by_path", "redshift_script_proc_inout",
+    "redshift_script_scd2_dimension", "redshift_sql_misc5",
+    "dedup_substring_cut", "dedup_substring_incremental",
+    "redshift_script_merge_into", "redshift_script_materialized_view",
+    "redshift_sql_misc3", "events_gap_fill_locf",
+    "source_fixedwidth_copy_roundtrip", "text_approx_topk_words",
+    "stream_hll_incremental", "window_named_clause",
+    "partiql_unnest_embeddings", "source_copy_conversion_params",
+    "redshift_script_schemas", "redshift_script_sql_udf",
+    "redshift_script_merge_remove_dups",
+    "redshift_script_schema_evolution", "string_functions",
+    "math_functions", "array_functions", "text_token_counts",
+    "redshift_sql_qualify", "subquery_in_filter", "redshift_sql_events",
+    "redshift_sql_recursive", "udf_pandas_scalar_score",
+    "udtf_chunk_documents", "source_csv_copy_roundtrip",
+    "source_json_copy_roundtrip", "source_unload_partitioned",
+    "source_bucketed_distkey_join", "stream_foreachbatch_upsert",
+    "stream_dedup_exactly_once", "sample_train_val_test",
+    "sample_stratified_per_label", "curation_repetition_scores",
+    "curation_contamination_check", "curation_pack_sequences",
+    "curation_domain_cap", "curation_pii_redaction", "multimodal_join",
+    "multimodal_binary_metadata", "cube_flag_status",
 )
 
-# Every r11 window slot is SQL-oracled: the five rows-only-by-design
-# queries keep their official r7 rows.
-R11_PLANNED_ROWS_ONLY: frozenset[str] = frozenset()
+# Every r12 window slot is SQL-oracled: the five rows-only-by-design
+# queries keep their official r7 rows per the standing policy.
+R12_PLANNED_ROWS_ONLY: frozenset[str] = frozenset()
 
 
-def test_driver_window_contains_round11_must_verify():
+def test_driver_window_contains_round12_must_verify():
     window_names = list(all_queries())[:50]
     window = set(window_names)
-    # hard must-haves: the 9 pre-r7 rows (the ratchet's whole point)
-    missing = sorted(R11_PRE_R7 - window)
-    assert not missing, f"planned round-11 window members displaced: {missing}"
-    # the r7 oracled cohort fills the remaining slots IN ORDER — only
-    # the tail may be displaced, and only by r11-new oracled queries
-    in_window = [n for n in R11_R7_ORACLED if n in window]
-    assert in_window == list(R11_R7_ORACLED[: len(in_window)]), (
-        "r7-era cohort displaced out of order (displace the TAIL only): "
+    # hard must-haves: the 6 r7-era oracled rows (the ratchet's point)
+    missing = sorted(R12_R7_TAIL - window)
+    assert not missing, f"planned round-12 window members displaced: {missing}"
+    # the r8 cohort fills the remaining slots IN ORDER — only the tail
+    # may be displaced, and only by r12-new oracled queries
+    in_window = [n for n in R12_R8_COHORT if n in window]
+    assert in_window == list(R12_R8_COHORT[: len(in_window)]), (
+        "r8-era cohort displaced out of order (displace the TAIL only): "
         f"{in_window}"
     )
-    n_new = 50 - len(R11_PRE_R7) - len(in_window)
+    n_new = 50 - len(R12_R7_TAIL) - len(in_window)
     assert n_new >= 0
     displacers = [
         n
         for n in window_names
-        if n not in R11_PRE_R7 and n not in R11_R7_ORACLED
+        if n not in R12_R7_TAIL and n not in R12_R8_COHORT
     ]
     qs = all_queries()
     bad_displacers = [n for n in displacers if qs[n].oracle is None]
     assert not bad_displacers, (
-        "window slots taken from the r7 cohort by non-oracled queries: "
+        "window slots taken from the r8 cohort by non-oracled queries: "
         f"{bad_displacers}"
     )
     # a window slot on a name with no oracle gets only the weak rows-only
@@ -117,7 +122,7 @@ def test_driver_window_contains_round11_must_verify():
     weak = [
         n
         for n in window_names
-        if qs[n].oracle is None and n not in R11_PLANNED_ROWS_ONLY
+        if qs[n].oracle is None and n not in R12_PLANNED_ROWS_ONLY
     ]
     assert not weak, f"unplanned rows-only queries occupy driver-window slots: {weak}"
 
@@ -144,3 +149,43 @@ def test_oracled_queries_return_scalar_columns_only():
             ):
                 bad.append((name, line.strip()))
     assert not bad, f"oracle projects raw array columns (serialize them): {bad}"
+
+
+def test_doc_counts_match_registry():
+    """VERDICT r11 "what's wrong" #3: COVERAGE.md's header went stale
+    (209/204 while the registry had 211/206) because nothing
+    machine-checked it. Pin COVERAGE.md's and README.md's query counts
+    to the live registry so a query cannot land without the docs
+    moving."""
+    from pathlib import Path
+
+    qs = all_queries()
+    n_all = len(qs)
+    n_oracled = sum(1 for q in qs.values() if q.oracle is not None)
+
+    repo = Path(__file__).resolve().parent.parent
+    coverage = (repo / "COVERAGE.md").read_text()
+    m = re.search(
+        r"(\d+) registered queries: (\d+) with a DuckDB SQL oracle, (\d+)\s+rows-only",
+        coverage,
+    )
+    assert m, "COVERAGE.md header count line not found (format changed?)"
+    assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (
+        n_all,
+        n_oracled,
+        n_all - n_oracled,
+    ), (
+        f"COVERAGE.md header says {m.group(0)!r} but the registry has "
+        f"{n_all} queries / {n_oracled} oracled / {n_all - n_oracled} rows-only"
+    )
+
+    readme = (repo / "README.md").read_text()
+    m = re.search(
+        r"\*\*(\d+) registered queries\*\* \((\d+) DuckDB-oracle-checked",
+        readme,
+    )
+    assert m, "README.md count line not found (format changed?)"
+    assert (int(m.group(1)), int(m.group(2))) == (n_all, n_oracled), (
+        f"README.md says {m.group(0)!r} but the registry has "
+        f"{n_all} queries / {n_oracled} oracled"
+    )

@@ -2831,17 +2831,53 @@ def redshift_script_case_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _guard_gk_group_sizes(df: DataFrame, group_col: str, query_name: str) -> None:
+def _parquet_total_rows(path: str) -> int | None:
+    """Driver-side parquet-footer row count (file or directory of part
+    files) — zero Spark jobs, reads only footers. None when the path
+    isn't plain readable parquet (the caller falls back to the Spark
+    check)."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.read_metadata(os.path.join(root, f)).num_rows
+            return total
+        return pq.read_metadata(path).num_rows
+    except Exception:
+        return None
+
+
+def _guard_gk_group_sizes(
+    df: DataFrame, group_col: str, query_name: str, parquet_path: str | None = None
+) -> None:
     """Tier guard (ADVICE r10): an APPROXIMATE PERCENTILE_DISC gate
     query's exact-quantile DuckDB oracle is only valid while every group
     stays under the pinned GK accuracy — past it Spark may LEGALLY
     return a value ≤ n/accuracy ranks off the exact quantile and the
     gate's hash compare would fail mysteriously. Fail HERE, with the
-    reason, instead. One cheap column-pruned agg job;
-    test_approx_percentile_gk_bound covers the approximate regime
-    itself (no cross-engine oracle can)."""
+    reason, instead. test_approx_percentile_gk_bound covers the
+    approximate regime itself (no cross-engine oracle can).
+
+    ADVICE r11: the groupBy/count probe used to run an eager Spark job
+    on EVERY build, even at fixture tiers orders of magnitude below the
+    accuracy — skewing any build-time measurement of these queries.
+    The table's parquet footers bound every group's size from the
+    driver (total rows >= any group), so below the accuracy the guard
+    now costs zero Spark jobs; the per-group agg only runs in the
+    genuinely risky regime, where its cost is irrelevant next to the
+    loud refusal it may produce."""
     from sql_redshift_etl_spark.functions.redshift_sql import _APPROX_PCT_ACCURACY
 
+    if parquet_path is not None:
+        total = _parquet_total_rows(parquet_path)
+        if total is not None and total < _APPROX_PCT_ACCURACY:
+            return
     max_group = df.groupBy(group_col).count().agg(F.max("count")).first()[0]
     if max_group is not None and max_group >= _APPROX_PCT_ACCURACY:
         raise ValueError(
@@ -2901,7 +2937,12 @@ def redshift_sql_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFram
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     # lineitem crosses 1e6 rows/group around sf0.5 — see the helper.
-    _guard_gk_group_sizes(lineitem, "l_returnflag", "redshift_sql_approx_percentile")
+    _guard_gk_group_sizes(
+        lineitem,
+        "l_returnflag",
+        "redshift_sql_approx_percentile",
+        parquet_path=f"{sf_dir}/lineitem.parquet",
+    )
     lineitem.createOrReplaceTempView("rs_apct_lineitem")
     return run_redshift_sql(
         spark, _REDSHIFT_APPROX_PCT.format(lineitem="rs_apct_lineitem")
@@ -2948,7 +2989,10 @@ def redshift_sql_approx_percentile_expr(spark: SparkSession, sf_dir: str) -> Dat
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     _guard_gk_group_sizes(
-        lineitem, "l_linestatus", "redshift_sql_approx_percentile_expr"
+        lineitem,
+        "l_linestatus",
+        "redshift_sql_approx_percentile_expr",
+        parquet_path=f"{sf_dir}/lineitem.parquet",
     )
     lineitem.createOrReplaceTempView("rs_apctx_lineitem")
     return run_redshift_sql(

@@ -1443,15 +1443,26 @@ def _rewrite_connect_by(sql: str) -> str:
                 # semantics (NaN is the greatest value — Oracle
                 # BINARY_DOUBLE and Spark agree) put it FIRST among
                 # non-NULL siblings. Three flag bands: NULL at the
-                # requested end, NaN, then numbers. The CAST to DOUBLE is
+                # requested end, NaN, then numbers. The NaN probe is
                 # flag-only (never the sort value, so BIGINT precision
-                # loss cannot missort) and stays as loud as the negation
-                # for non-numeric keys.
+                # loss cannot missort) and goes through a STRING
+                # round-trip + try_cast (ADVICE r11): a bare
+                # CAST(v AS DOUBLE) failed ANALYSIS for key types that
+                # support ANSI negation but not a double cast (a
+                # day-time INTERVAL sorted fine in r10 and then broke
+                # in r11), silently narrowing the DESC domain. Every
+                # type casts to STRING; try_cast(string AS DOUBLE) is
+                # analysis-total and yields NaN exactly for a true
+                # float/double NaN ('NaN' is the only value whose
+                # string form parses back to NaN; isnan(NULL) = false),
+                # so negatable non-float keys keep the r10 behavior and
+                # float NaN still lands in its band. DESC stays exactly
+                # as loud as -(v) itself for non-numeric keys.
                 null_f, nan_f, num_f = ("0", "1", "2") if nulls_first else ("2", "0", "1")
                 fields.append(
                     f"'n{i}', CASE WHEN {v} IS NULL THEN {null_f} "
-                    f"WHEN isnan(CAST({v} AS DOUBLE)) THEN {nan_f} "
-                    f"ELSE {num_f} END"
+                    f"WHEN isnan(try_cast(CAST({v} AS STRING) AS DOUBLE)) "
+                    f"THEN {nan_f} ELSE {num_f} END"
                 )
                 fields.append(f"'v{i}', -({v})")
             else:

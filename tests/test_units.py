@@ -5777,6 +5777,31 @@ def test_approx_percentile_tier_guard(spark, monkeypatch):
         q.builder(spark, SF_DIR)
 
 
+def test_gk_guard_zero_jobs_below_metadata_bound(spark, monkeypatch):
+    """ADVICE r11: at fixture tiers far below the GK accuracy the tier
+    guard must cost ZERO Spark jobs — the parquet footers already bound
+    every group's size (total rows >= any group). Fails before the fix:
+    the guard ran an eager groupBy/count job on every build. Proven by
+    making DataFrame.groupBy explode: both gate queries must still
+    build (the guard short-circuits on footer metadata; the queries
+    themselves go through spark.sql, not DataFrame.groupBy)."""
+    from pyspark.sql import DataFrame
+
+    from sql_redshift_etl_spark.plans.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    def _no_jobs(self, *a, **k):
+        raise AssertionError(
+            "tier guard ran a Spark agg below the parquet-metadata bound"
+        )
+
+    monkeypatch.setattr(DataFrame, "groupBy", _no_jobs)
+    qs = all_queries()
+    for name in ("redshift_sql_approx_percentile", "redshift_sql_approx_percentile_expr"):
+        df = qs[name].builder(spark, SF_DIR)
+        assert df.columns  # built without any driver-side agg job
+
+
 def test_order_siblings_desc_nan(spark):
     """ADVICE r10: under DESC a float NaN sibling key must sort FIRST
     among non-NULL siblings (NaN is the greatest value; descending
@@ -5815,6 +5840,41 @@ def test_order_siblings_desc_nan(spark):
         """,
     ).collect()
     assert [r.id for r in rows] == [1, 2, 4, 3, 5]
+
+
+def test_order_siblings_desc_interval_key(spark):
+    """ADVICE r11: the r11 NaN flag band used a bare CAST(v AS DOUBLE),
+    which failed ANALYSIS for key types that support ANSI negation but
+    not a double cast — a day-time INTERVAL key sorted fine under DESC
+    in r10 and then broke in r11, an undocumented domain narrowing.
+    Fails before the fix (CANNOT_CAST interval->double); the STRING
+    round-trip + try_cast probe is analysis-total, so negatable
+    non-float keys keep the r10 behavior. Both NULLS placements, plus
+    a NULL interval sibling."""
+    from sql_redshift_etl_spark.functions.redshift_sql import run_redshift_sql
+
+    spark.sql(
+        """
+        SELECT * FROM VALUES
+            (1, CAST(NULL AS INT), CAST(NULL AS INTERVAL DAY TO SECOND)),
+            (2, 1, make_dt_interval(0, 0, 0, 3)),
+            (3, 1, make_dt_interval(0, 0, 0, 30)),
+            (4, 1, CAST(NULL AS INTERVAL DAY TO SECOND)),
+            (5, 1, make_dt_interval(0, 2, 0, 0))
+            AS t(id, parent, dur)
+        """
+    ).createOrReplaceTempView("ositv_t")
+    base = """
+        SELECT id FROM ositv_t START WITH parent IS NULL
+        CONNECT BY PRIOR id = parent
+        ORDER SIBLINGS BY dur DESC{nf}
+    """
+    # DESC default = NULLS FIRST: NULL, 2h, 30s, 3s
+    rows = run_redshift_sql(spark, base.format(nf="")).collect()
+    assert [r.id for r in rows] == [1, 4, 5, 3, 2]
+    # DESC NULLS LAST: 2h, 30s, 3s, NULL
+    rows = run_redshift_sql(spark, base.format(nf=" NULLS LAST")).collect()
+    assert [r.id for r in rows] == [1, 5, 3, 2, 4]
 
 
 def test_order_siblings_string_desc_workaround(spark):

@@ -189,3 +189,11 @@ def test_doc_counts_match_registry():
         f"README.md says {m.group(0)!r} but the registry has "
         f"{n_all} queries / {n_oracled} oracled"
     )
+
+    survey = (repo / "SURVEY.md").read_text()
+    m = re.search(r"\((\d+) queries, (\d+) DuckDB-oracled", survey)
+    assert m, "SURVEY.md §2 status-line count not found (format changed?)"
+    assert (int(m.group(1)), int(m.group(2))) == (n_all, n_oracled), (
+        f"SURVEY.md §2 status line says {m.group(0)!r} but the registry "
+        f"has {n_all} queries / {n_oracled} oracled"
+    )

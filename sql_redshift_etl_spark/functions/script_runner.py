@@ -174,6 +174,14 @@ Statement support:
   * ``PERFORM query`` (r8) — run-and-discard: sets ``found`` from a
     bounded limit-1 probe; the discarded row count feeds ROW_COUNT as
     the usual lazy plan.
+  * ``FOUND`` (r12) — the full plpgsql setter list: SELECT INTO,
+    PERFORM, INSERT/UPDATE/DELETE (lazily, like ROW_COUNT — a body
+    that never reads FOUND after a DML pays zero extra jobs), FETCH,
+    and query-FOR loop exit. EXECUTE never sets it (plpgsql's own
+    rule: EXECUTE feeds GET DIAGNOSTICS, not FOUND); TRUNCATE/MERGE
+    are not in plpgsql's setter list and leave it alone. Auto-declared
+    (FALSE, per call) when the body mentions ``found``/``PERFORM`` or
+    declares a cursor.
   * INOUT parameters (r8) — scoped variables initialized from the
     CALL argument; the CALL returns their final values as a one-row
     result (Redshift's contract). OUT stays loud because Redshift
@@ -1552,9 +1560,50 @@ def _split_top_semis(text: str) -> list[str]:
     return parts
 
 
+class _LazyFound:
+    """plpgsql FOUND after a DML statement, resolved on first READ.
+    ROW_COUNT is deliberately lazy (the affected-set DataFrame is
+    counted only if GET DIAGNOSTICS asks — see state.last_dml), so
+    FOUND defers the same count until a statement actually reads the
+    variable, then memoizes the boolean. A body that never reads FOUND
+    after a DML pays zero extra jobs."""
+
+    __slots__ = ("_src", "_val")
+
+    def __init__(self, src) -> None:
+        self._src, self._val = src, None
+
+    def resolve(self) -> bool:
+        if self._val is None:
+            src = self._src
+            if src is None:
+                n = 0
+            elif isinstance(src, int):
+                n = src
+            else:
+                n = src.count()
+            self._val = n > 0
+            self._src = None
+        return self._val
+
+
+def _mark_found_dml(scope: dict | None, state) -> None:
+    """plpgsql FOUND after INSERT/UPDATE/DELETE (r12): set only when the
+    body declared it (the auto-declare guard bounds the name-capture
+    blast radius), and lazily — the captured affected-set is this
+    statement's pre-rebind view, same snapshot ROW_COUNT reports.
+    EXECUTE deliberately does NOT route here (plpgsql: EXECUTE changes
+    GET DIAGNOSTICS but never FOUND); TRUNCATE/MERGE likewise (not in
+    plpgsql's FOUND-setting list)."""
+    if scope is not None and "found" in scope:
+        scope["found"][1] = _LazyFound(state.last_dml)
+
+
 def _sql_literal(value, typ: str) -> str:
     """A Python scalar as a typed SQL literal (the CAST keeps the
     variable's declared type at every use site)."""
+    if isinstance(value, _LazyFound):
+        value = value.resolve()
     if value is None:
         return f"CAST(NULL AS {typ})"
     if isinstance(value, bool):
@@ -1571,14 +1620,24 @@ def _sql_literal(value, typ: str) -> str:
 
 
 def _subst_vars(scope: dict, sql: str) -> str:
-    for name, (typ, value) in scope.items():
-        if typ == "CURSOR":
+    for name, cell in scope.items():
+        if cell[0] == "CURSOR":
             continue  # cursor names are statement operands, not scalars
-        lit = _sql_literal(value, typ)
+
+        # callable repl, and the literal renders ONLY on a match: a
+        # plain-string repl would re-interpret the literal's doubled
+        # backslashes as re.sub group escapes, and an eager render would
+        # force a _LazyFound's count job for statements that never
+        # mention the variable (memoized back into the cell on first
+        # read).
+        def _repl(_m, _cell=cell):
+            v = _cell[1]
+            if isinstance(v, _LazyFound):
+                v = _cell[1] = v.resolve()
+            return _sql_literal(v, _cell[0])
+
         sql = _sub_outside_quotes(
-            # callable repl: a plain-string repl would re-interpret the
-            # literal's doubled backslashes as re.sub group escapes
-            sql, rf"(?i)(?<![\w$]){re.escape(name)}(?![\w$])", lambda _m, _lit=lit: _lit
+            sql, rf"(?i)(?<![\w$]){re.escape(name)}(?![\w$])", _repl
         )
     return sql
 
@@ -2430,6 +2489,12 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                                 f"{_ForQueryNode.MAX_ROWS} rows — a control-table "
                                 "loop, not a per-fact loop (use a join)"
                             )
+                    if raw.idx >= len(raw.rows):
+                        # loop exit: plpgsql sets FOUND = "did the loop
+                        # iterate at all" when a query-FOR finishes (r12)
+                        if scope is not None and "found" in scope:
+                            scope["found"][1] = len(raw.rows) > 0
+                        continue
                     if raw.idx < len(raw.rows):
                         row = raw.rows[raw.idx]
                         raw.idx += 1
@@ -2878,6 +2943,10 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                                 for n, v in zip(names, vals2):
                                     scope[n][1] = v
                                 state.last_dml = 1 if row is not None else 0
+                                # plpgsql: SELECT INTO sets FOUND (r12) —
+                                # unlike EXECUTE ... INTO, which never does
+                                if "found" in scope:
+                                    scope["found"][1] = row is not None
                                 continue
                     # CALL keeps its raw argument text: the handler
                     # substitutes caller variables per-argument so an
@@ -3134,17 +3203,23 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     if "found" not in scope and (
                         any(t == "CURSOR" for t, _v in scope.values())
                         or re.search(
-                            r"(?i)(?:^|[^\w$])PERFORM(?:[^\w$]|$)", _mask_quoted(body)
+                            r"(?i)(?:^|[^\w$])(?:PERFORM|FOUND)(?:[^\w$]|$)",
+                            _mask_quoted(body),
                         )
                     ):
-                        # plpgsql's FOUND, maintained by FETCH and
-                        # PERFORM only in this subset (other statements
-                        # leave it alone — the idioms `EXIT WHEN NOT
-                        # found` and `PERFORM ...; IF found` are what it
-                        # exists for). Auto-declared only when a cursor
-                        # or PERFORM exists, to bound the name-capture
-                        # blast radius plpgsql variables inherently
-                        # carry.
+                        # plpgsql's FOUND, maintained by FETCH, PERFORM,
+                        # SELECT INTO, query-FOR exit, and
+                        # INSERT/UPDATE/DELETE (r12 — EXECUTE never sets
+                        # it, per plpgsql). Auto-declared only when a
+                        # cursor exists or the body MENTIONS found/
+                        # PERFORM, to bound the name-capture blast
+                        # radius plpgsql variables inherently carry:
+                        # real plpgsql reserves FOUND in every function
+                        # body, so a column literally named `found`
+                        # inside one is already hazardous there — but a
+                        # body that never says `found` costs nothing
+                        # here. Initialized FALSE per call, plpgsql's
+                        # own start state.
                         scope["found"] = ["BOOLEAN", False]
                     nodes = _parse_plpgsql_nodes(body)
                     if scope:
@@ -3840,6 +3915,7 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         bound = bound.localCheckpoint(eager=True)
                     state.bind(name, bound)
                     state.last_dml = 1
+                    _mark_found_dml(scope, state)
                 elif m := _INSERT.match(stmt):
                     name, cols, query = m.group(1), m.group(2), m.group(3)
                     base = state.existing(name)
@@ -3917,6 +3993,7 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         )
                     delta = _cast_positional(sel, base, name)
                     state.last_dml = delta  # rows inserted (counted on demand)
+                    _mark_found_dml(scope, state)
                     bound = base.unionAll(delta)
                     if cols and filled_identity:
                         # pin generated ids: monotonically_increasing_id is
@@ -3934,6 +4011,7 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     if rest is None:
                         state.last_dml = state.existing(name)  # all rows deleted
                         state.bind(name, state.existing(name).limit(0))
+                        _mark_found_dml(scope, state)
                     elif um := re.match(r"(?is)^USING\s+(.+)$", rest):
                         # DELETE FROM t USING s [, s2] WHERE cond (r5): the
                         # join-based delete (retention/dedup jobs). A row is
@@ -3960,6 +4038,7 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                                 f"(SELECT 1 FROM {using} WHERE {where})"
                             ),
                         )
+                        _mark_found_dml(scope, state)
                     elif wm := re.match(r"(?is)^WHERE\s+(.+)$", rest):
                         # DELETE removes rows where cond IS TRUE; NULL-cond
                         # rows are kept. Through spark.sql so IN/EXISTS
@@ -3973,6 +4052,7 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                                 f"SELECT * FROM {name} WHERE NOT coalesce(({wm.group(1)}), false)"
                             ),
                         )
+                        _mark_found_dml(scope, state)
                     else:
                         raise ValueError(
                             f"DELETE FROM {name}: expected WHERE or USING, got {rest[:40]!r}"
@@ -4045,6 +4125,7 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         ]
                         state.last_dml = one.select("__rid")  # target rows updated
                         state.bind(name, joined.select(*proj))
+                        _mark_found_dml(scope, state)
                         continue
                     cond = cond or "true"
                     # updated set captured before the rebind (ROW_COUNT)
@@ -4062,6 +4143,7 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         else:
                             proj.append(f.name)
                     state.bind(name, spark.sql(f"SELECT {', '.join(proj)} FROM {name}"))
+                    _mark_found_dml(scope, state)
                 elif m := _TRUNCATE.match(stmt):
                     state.last_dml = state.existing(m.group(1))
                     state.bind(m.group(1), state.existing(m.group(1)).limit(0))

@@ -2592,6 +2592,99 @@ def test_perform_sets_found_and_row_count(spark):
     assert [tuple(r) for r in out.collect()] == [("hit", 2), ("miss", 0)]
 
 
+def test_found_set_by_dml_and_select_into(spark):
+    """plpgsql FOUND after INSERT/UPDATE/DELETE and SELECT INTO (r12 —
+    the full setter list; previously only FETCH and PERFORM maintained
+    it, so `UPDATE ...; IF found` silently read a stale value). Each
+    setter is probed both ways (rows affected / none), and the reads
+    interleave with GET DIAGNOSTICS to prove the lazy affected-set
+    serves both."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE t_fnd (v INT);
+        INSERT INTO t_fnd VALUES (1), (2), (3);
+        CREATE TEMP TABLE got_fnd (tag VARCHAR(20), flag BOOLEAN, n BIGINT);
+        CREATE PROCEDURE p() AS $$
+        DECLARE x INT; k BIGINT;
+        BEGIN
+            UPDATE t_fnd SET v = v + 10 WHERE v >= 2;
+            GET DIAGNOSTICS k := ROW_COUNT;
+            INSERT INTO got_fnd VALUES ('upd_hit', found, k);
+            UPDATE t_fnd SET v = 0 WHERE v > 999;
+            INSERT INTO got_fnd VALUES ('upd_miss', found, -1);
+            SELECT v INTO x FROM t_fnd WHERE v = 1;
+            INSERT INTO got_fnd VALUES ('into_hit', found, x);
+            SELECT v INTO x FROM t_fnd WHERE v = 777;
+            INSERT INTO got_fnd VALUES ('into_miss', found, -1);
+            DELETE FROM t_fnd WHERE v = 1;
+            INSERT INTO got_fnd VALUES ('del_hit', found, -1);
+            DELETE FROM t_fnd WHERE v = 888;
+            INSERT INTO got_fnd VALUES ('del_miss', found, -1);
+            INSERT INTO t_fnd SELECT v FROM t_fnd WHERE v < 0;
+            INSERT INTO got_fnd VALUES ('ins_empty', found, -1);
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p();
+        SELECT * FROM got_fnd ORDER BY tag;
+        """,
+    )
+    rows = {r.tag: (r.flag, r.n) for r in out.collect()}
+    assert rows["upd_hit"] == (True, 2)
+    assert rows["upd_miss"][0] is False
+    assert rows["into_hit"] == (True, 1)
+    assert rows["into_miss"][0] is False
+    assert rows["del_hit"][0] is True
+    assert rows["del_miss"][0] is False
+    # the probe-INSERTs themselves set found, so ins_empty's flag (read
+    # AFTER the zero-row insert, BEFORE its own probe-insert runs) is
+    # the zero-row insert's False — not a stale True from 'del_miss''s
+    # probe insert
+    assert rows["ins_empty"][0] is False
+
+
+def test_found_execute_never_sets_it_and_for_loop_exit_does(spark):
+    """The two fidelity edges of the r12 FOUND work: EXECUTE changes
+    GET DIAGNOSTICS but NEVER FOUND (plpgsql's own rule — a naive
+    implementation would set it), and a query-FOR loop sets FOUND at
+    exit to whether it iterated at all."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE t_fx (v INT);
+        INSERT INTO t_fx VALUES (1), (2);
+        CREATE TEMP TABLE got_fx (tag VARCHAR(20), flag BOOLEAN);
+        CREATE PROCEDURE p() AS $$
+        DECLARE s BIGINT;
+        BEGIN
+            UPDATE t_fx SET v = v WHERE v = 1;     -- found := true
+            EXECUTE 'SELECT 99' INTO s;            -- must NOT touch found
+            INSERT INTO got_fx VALUES ('after_execute', found);
+            FOR r IN SELECT v FROM t_fx WHERE v > 100 LOOP
+                INSERT INTO got_fx VALUES ('never', true);
+            END LOOP;
+            INSERT INTO got_fx VALUES ('for_empty', found);
+            FOR r IN SELECT v FROM t_fx ORDER BY v LOOP
+                s := r.v;
+            END LOOP;
+            INSERT INTO got_fx VALUES ('for_ran', found);
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p();
+        SELECT * FROM got_fx ORDER BY tag;
+        """,
+    )
+    rows = {r.tag: r.flag for r in out.collect()}
+    assert "never" not in rows
+    assert rows["after_execute"] is True  # EXECUTE left the UPDATE's value
+    assert rows["for_empty"] is False
+    assert rows["for_ran"] is True
+
+
 def test_inout_params_returned_by_call(spark):
     """INOUT parameters (r8): initialized from the CALL argument, usable
     and assignable inside the body, and the CALL itself returns their

@@ -2998,3 +2998,68 @@ def redshift_sql_approx_percentile_expr(spark: SparkSession, sf_dir: str) -> Dat
     return run_redshift_sql(
         spark, _REDSHIFT_APPROX_PCT_EXPR.format(lineitem="rs_apctx_lineitem")
     )
+
+
+_SCRIPT_FOUND_UPSERT = """
+    BEGIN;
+    CREATE TEMP TABLE tgt_fu AS
+    SELECT n_nationkey AS k, n_name AS name, CAST(0 AS BIGINT) AS hits
+    FROM {nation} WHERE n_nationkey < 15;
+
+    CREATE PROCEDURE upsert_fu(k_in INT, nm VARCHAR(32)) AS $$
+    BEGIN
+        UPDATE tgt_fu SET hits = hits + 1 WHERE k = k_in;
+        IF NOT found THEN
+            INSERT INTO tgt_fu VALUES (k_in, nm, 1);
+        END IF;
+    END;
+    $$ LANGUAGE plpgsql;
+
+    CALL upsert_fu(3, 'patch-3');
+    CALL upsert_fu(20, 'new-20');
+    CALL upsert_fu(20, 'dup-20');
+    CALL upsert_fu(14, 'patch-14');
+    CALL upsert_fu(40, 'new-40');
+
+    SELECT k, name, hits FROM tgt_fu;
+    COMMIT;
+"""
+
+
+@register(
+    "redshift_script_found_upsert",
+    tags=("S6",),
+    oracle="""
+        SELECT n_nationkey AS k, n_name AS name,
+               CAST(CASE WHEN n_nationkey IN (3, 14) THEN 1 ELSE 0 END
+                    AS BIGINT) AS hits
+        FROM nation WHERE n_nationkey < 15
+        UNION ALL
+        SELECT CAST(20 AS INTEGER), 'new-20', CAST(2 AS BIGINT)
+        UNION ALL
+        SELECT CAST(40 AS INTEGER), 'new-40', CAST(1 AS BIGINT)
+    """,
+)
+def redshift_script_found_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic pre-MERGE upsert idiom, verbatim (r12):
+    ``UPDATE ...; IF NOT FOUND THEN INSERT`` inside a parameterized
+    procedure, driven by five CALLs mixing existing keys (update path,
+    FOUND true), a new key (insert path), and a re-CALL of the new key
+    (now the update path — its second CALL must see the first CALL's
+    insert AND leave the original inserted name in place). FOUND after
+    DML is the r12 setter work (script_runner._mark_found_dml, lazy like
+    ROW_COUNT); every branch decision is load-bearing in the hash — a
+    stale FOUND double-inserts key 20 or never inserts at all.
+
+    Scale: the plpgsql branch is driver-side control flow; each taken
+    arm is the same single-table UPDATE/INSERT plan a straight-line
+    script runs. The lazy FOUND read costs one bounded count job per
+    branch decision — the coordinator-loop contract every plpgsql
+    engine shares.
+    """
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("rs_fu_nation")
+    out = run_redshift_script(spark, _SCRIPT_FOUND_UPSERT.format(nation="rs_fu_nation"))
+    assert out is not None
+    return out

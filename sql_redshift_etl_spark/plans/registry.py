@@ -141,6 +141,7 @@ _VERIFY_FIRST: list[str] = [
     # New r12 oracled queries insert HERE, at the top, as they land
     # (never-rowed beats re-rowing), displacing the window tail.
     "partiql_nested_objects",
+    "redshift_script_found_upsert",
     # The 6 r7-era SQL-oracled rows the r11 window could not reach —
     # VERDICT r11 item 1, the rows that finish the freshness ratchet
     # (after this window, no SQL-oracled official row is older

@@ -1127,3 +1127,84 @@ def test_partiql_nested_objects_matches_json_model(spark, duck):
     }
     assert heads == want_heads
     assert rows == want_rows
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(st.just("update"), st.integers(0, 6)),
+            st.tuples(st.just("delete"), st.integers(0, 6)),
+            st.tuples(st.just("insert"), st.integers(0, 6)),
+            st.tuples(st.just("select_into"), st.integers(0, 6)),
+            st.tuples(st.just("check")),
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_plpgsql_found_matches_python_model(spark, ops):
+    """Random DML/SELECT INTO programs probing FOUND (r12) against an
+    independent Python evaluator — including the self-referential edge
+    the hand-written tests document: a `check` records FOUND into the
+    audit table, and that probe INSERT itself sets FOUND to true for
+    whatever reads it next. Keys may duplicate (INSERT is multiset), so
+    update/delete hit ALL matching rows; the final table multiset is
+    compared too."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    rows = [[k, 0] for k in range(4)]
+    found = False
+    audit: list[tuple[int, int]] = []
+    body: list[str] = []
+    seq = 0
+    for op in ops:
+        kind = op[0]
+        if kind == "update":
+            k = op[1]
+            hit = [r for r in rows if r[0] == k]
+            for r in hit:
+                r[1] += 1
+            found = bool(hit)
+            body.append(f"UPDATE fnd_t SET hits = hits + 1 WHERE k = {k};")
+        elif kind == "delete":
+            k = op[1]
+            found = any(r[0] == k for r in rows)
+            rows = [r for r in rows if r[0] != k]
+            body.append(f"DELETE FROM fnd_t WHERE k = {k};")
+        elif kind == "insert":
+            rows.append([op[1], 0])
+            found = True
+            body.append(f"INSERT INTO fnd_t VALUES ({op[1]}, 0);")
+        elif kind == "select_into":
+            found = any(r[0] == op[1] for r in rows)
+            body.append(f"SELECT hits INTO x FROM fnd_t WHERE k = {op[1]};")
+        else:  # check
+            audit.append((seq, 1 if found else 0))
+            body.append(f"INSERT INTO fnd_audit VALUES ({seq}, found);")
+            seq += 1
+            found = True  # the probe INSERT is itself a FOUND setter
+
+    out = run_redshift_script(
+        spark,
+        f"""
+        CREATE TEMP TABLE fnd_t (k INT, hits BIGINT);
+        INSERT INTO fnd_t VALUES (0, 0), (1, 0), (2, 0), (3, 0);
+        CREATE TEMP TABLE fnd_audit (seq INT, flag BOOLEAN);
+        CREATE PROCEDURE prog() AS $$
+        DECLARE x BIGINT;
+        BEGIN
+            {chr(10).join(body)}
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL prog();
+        SELECT 'a' AS src, seq AS c1, CAST(flag AS INT) AS c2 FROM fnd_audit
+        UNION ALL
+        SELECT 't', k, CAST(hits AS INT) FROM fnd_t;
+        """,
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(
+        [("a", s, f) for s, f in audit] + [("t", k, h) for k, h in rows]
+    )
+    assert got == want

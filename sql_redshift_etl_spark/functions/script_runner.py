@@ -132,8 +132,11 @@ Statement support:
   searched + simple value-list forms, case_not_found raise), FOR rec IN
   <query> LOOP (bounded control-table iteration), bare LOOP, EXIT/
   CONTINUE [WHEN], bare RETURN, RAISE, and DECLAREd scalar variables
-  with ``var := expr`` and ``SELECT ... INTO var`` (values substitute
-  as typed literals at each use site). Round 9 adds nested
+  with ``var := expr`` and ``SELECT ... INTO [STRICT] var`` (values
+  substitute as typed literals at each use site; STRICT — r12 —
+  demands exactly one row, raising catchable no_data_found P0002 /
+  too_many_rows P0003 via a bounded take(2), and always leaves FOUND
+  true on success, plpgsql's rule). Round 9 adds nested
   ``DECLARE ... BEGIN ... END`` sub-blocks: the inner scalars shadow
   same-name outer variables for the block's extent and un-shadow on any
   exit path (normal, EXIT/CONTINUE, RETURN, or a caught error); defaults
@@ -1350,7 +1353,8 @@ def _classify_sqlstate(exc: BaseException) -> str:
     """Map an execution error to the SQLSTATE plpgsql would report:
     20000 case_not_found (a CASE statement with no matching branch and
     no ELSE — routed through the runner's own RAISE sentinel), P0001
-    raise_exception, 22012 division_by_zero, 22P02 invalid text
+    raise_exception, P0002 no_data_found / P0003 too_many_rows (SELECT
+    INTO STRICT violations — r12), 22012 division_by_zero, 22P02 invalid text
     representation (a failed cast from a malformed string — Postgres/
     Redshift report 22P02 there, NOT 22018), 22003 numeric out of range
     (including a cast that overflows its target — Postgres raises
@@ -1361,6 +1365,9 @@ def _classify_sqlstate(exc: BaseException) -> str:
         if msg == f"RAISE EXCEPTION: {_CASE_NOT_FOUND_MSG}":
             return "20000"
         return "P0001"
+    if isinstance(exc, RuntimeError) and msg.startswith("SELECT INTO STRICT"):
+        # plpgsql: no_data_found / too_many_rows
+        return "P0002" if "no rows" in msg else "P0003"
     if "DIVIDE_BY_ZERO" in msg or "Division by zero" in msg:
         return "22012"
     if "CAST_INVALID_INPUT" in msg:
@@ -2913,27 +2920,61 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                             spark, state, _scoped_sql(am.group(2)), scope[vname][0]
                         )
                         continue
-                    # `SELECT ... INTO var[, var2] FROM ...` — variable form
-                    # (an INTO list that is NOT all declared variables falls
-                    # through to the table-CTAS SELECT INTO below)
+                    # `SELECT ... INTO [STRICT] var[, var2] FROM ...` —
+                    # variable form (an INTO list that is NOT all declared
+                    # variables falls through to the table-CTAS SELECT INTO
+                    # below — except under STRICT, which only exists in the
+                    # variable form, so an undeclared name there is loud)
                     if raw[:6].upper() == "SELECT":
                         head, tail = _split_top_kw(raw, "INTO")
                         if tail is not None:
+                            tail_s = tail.strip()
+                            stricted = re.match(r"(?is)^STRICT\b(.*)$", tail_s)
+                            if stricted:
+                                tail_s = stricted.group(1).strip()
                             nm = re.match(
-                                r"(?s)^((?:[\w$]+\s*,\s*)*[\w$]+)\s*(.*)$", tail.strip()
+                                r"(?s)^((?:[\w$]+\s*,\s*)*[\w$]+)\s*(.*)$", tail_s
                             )
                             names = (
                                 [n.strip().lower() for n in nm.group(1).split(",")]
                                 if nm
                                 else []
                             )
+                            if stricted and not (
+                                names and all(n in scope for n in names)
+                            ):
+                                raise ValueError(
+                                    "SELECT INTO STRICT: every INTO name must "
+                                    f"be a declared variable; got {names!r}"
+                                )
                             if names and all(n in scope for n in names):
                                 query = f"{head} {nm.group(2)}".strip()
-                                row = spark.sql(
+                                qdf2 = spark.sql(
                                     translate_redshift_sql(
                                         _prep_stmt_sql(state, _scoped_sql(query))
                                     ).strip()
-                                ).first()
+                                )
+                                if stricted:
+                                    # plpgsql STRICT: exactly one row or a
+                                    # CATCHABLE error (RuntimeError — the
+                                    # guard routes it; ValueError stays
+                                    # loud by module policy). Bounded
+                                    # take(2) job, never a full count.
+                                    got2 = qdf2.take(2)
+                                    if not got2:
+                                        raise RuntimeError(
+                                            "SELECT INTO STRICT: query "
+                                            "returned no rows (no_data_found)"
+                                        )
+                                    if len(got2) > 1:
+                                        raise RuntimeError(
+                                            "SELECT INTO STRICT: query "
+                                            "returned more than one row "
+                                            "(too_many_rows)"
+                                        )
+                                    row = got2[0]
+                                else:
+                                    row = qdf2.first()
                                 vals2 = list(row) if row is not None else [None] * len(names)
                                 if len(vals2) != len(names):
                                     raise ValueError(
@@ -4195,6 +4236,19 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                     if stmt[:6].upper() == "SELECT":
                         head, tail = _split_top_kw(stmt, "INTO")
                         if tail is not None:
+                            if re.match(r"(?is)^\s*STRICT\b", tail):
+                                # STRICT only exists in the plpgsql
+                                # variable form — reaching the CTAS path
+                                # means the INTO names are not declared
+                                # variables (or STRICT appeared outside a
+                                # procedure body). Loud, never a table
+                                # named 'strict'.
+                                raise ValueError(
+                                    "SELECT INTO STRICT: every INTO name "
+                                    "must be a declared variable (STRICT "
+                                    "exists only in the plpgsql variable "
+                                    "form)"
+                                )
                             tm = re.match(r"(?is)^(?:TEMP(?:ORARY)?\s+)?([\w.]+)\s+(FROM\b.*)$", tail)
                             if tm is None:
                                 raise ValueError(

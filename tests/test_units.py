@@ -2685,6 +2685,72 @@ def test_found_execute_never_sets_it_and_for_loop_exit_does(spark):
     assert rows["for_ran"] is True
 
 
+def test_select_into_strict(spark):
+    """SELECT INTO STRICT (r12): exactly one row assigns and leaves
+    FOUND true; zero rows raises catchable no_data_found (SQLSTATE
+    P0002) and two rows too_many_rows (P0003) — both routed through
+    EXCEPTION WHEN OTHERS like plpgsql. Fails before: the STRICT
+    keyword fell through to the table-CTAS parse and died with a
+    misleading 'expected INTO [TEMP] name FROM' error."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE st_src (k INT, v BIGINT);
+        INSERT INTO st_src VALUES (1, 10), (2, 20), (2, 21);
+        CREATE TEMP TABLE st_got (tag VARCHAR(12), val BIGINT, code VARCHAR(8));
+        CREATE PROCEDURE p() AS $$
+        DECLARE x BIGINT;
+        BEGIN
+            SELECT v INTO STRICT x FROM st_src WHERE k = 1;
+            INSERT INTO st_got VALUES ('one', x, CASE WHEN found THEN 'F1' ELSE 'F0' END);
+            BEGIN
+                SELECT v INTO STRICT x FROM st_src WHERE k = 99;
+            EXCEPTION WHEN OTHERS THEN
+                INSERT INTO st_got VALUES ('zero', NULL, SQLSTATE);
+            END;
+            BEGIN
+                SELECT v INTO STRICT x FROM st_src WHERE k = 2;
+            EXCEPTION WHEN OTHERS THEN
+                INSERT INTO st_got VALUES ('many', NULL, SQLSTATE);
+            END;
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p();
+        SELECT * FROM st_got ORDER BY tag;
+        """,
+    )
+    rows = {r.tag: (r.val, r.code) for r in out.collect()}
+    assert rows["one"] == (10, "F1")
+    assert rows["zero"] == (None, "P0002")
+    assert rows["many"] == (None, "P0003")
+
+
+def test_select_into_strict_undeclared_name_is_loud(spark):
+    """STRICT only exists in the variable form — an INTO list naming an
+    undeclared variable must be a loud ValueError (not the CTAS
+    fallthrough, and not a silently created table)."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    with _pytest.raises(ValueError, match="STRICT.*declared variable"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE TEMP TABLE st_u (k INT);
+            INSERT INTO st_u VALUES (1);
+            CREATE PROCEDURE p() AS $$
+            BEGIN
+                SELECT k INTO STRICT nosuch FROM st_u;
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL p();
+            """,
+        )
+
+
 def test_inout_params_returned_by_call(spark):
     """INOUT parameters (r8): initialized from the CALL argument, usable
     and assignable inside the body, and the CALL itself returns their

@@ -326,9 +326,19 @@ def json_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             -- tie-break on the item text: the fixture has duplicate
             -- (orderkey, linenumber) pairs, and Spark's array_sort over
             -- struct(ln, ij) breaks ln ties on the ij string
+            -- ordinal-domain guard (ADVICE r12): generate_series(1, 64)
+            -- below is a CONSTANT domain; if a larger fixture tier ever
+            -- grew an order past 64 items the oracle would silently drop
+            -- the overflow rows and the gate would fail as an
+            -- undiagnosable hash mismatch. Fail loudly with the reason
+            -- instead (error() is lazy inside CASE — zero cost in-domain).
             SELECT okey,
-                   '{"order": ' || okey || ', "items": ['
-                   || string_agg(ij, ', ' ORDER BY l_linenumber, ij) || ']}' AS d
+                   CASE WHEN COUNT(*) > 64 THEN error(
+                       'partiql_nested_objects oracle: an order exceeds the '
+                       || '64-ordinal generate_series domain - widen it')
+                   ELSE '{"order": ' || okey || ', "items": ['
+                   || string_agg(ij, ', ' ORDER BY l_linenumber, ij) || ']}'
+                   END AS d
             FROM item GROUP BY okey
         )
         SELECT okey AS o_orderkey,
@@ -421,6 +431,96 @@ def partiql_nested_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("item.sku").alias("sku"),
         F.col("item.qty").alias("qty"),
     )
+
+
+@register(
+    "partiql_object_unpivot",
+    tags=("F1",),
+    oracle="""
+        WITH agg AS (
+            SELECT l_orderkey AS okey,
+                   l_returnflag || ' ' || l_linestatus AS attr,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM lineitem WHERE l_orderkey <= 600
+            GROUP BY 1, 2
+        ), doc AS (
+            SELECT okey,
+                   '{' || string_agg('"' || attr || '": ' || qty,
+                                     ', ' ORDER BY attr) || '}' AS d
+            FROM agg GROUP BY okey
+        ), kv AS (
+            -- the dynamic replay: json_keys enumerates whatever keys THIS
+            -- document has (no static attribute list), and the extraction
+            -- path is double-quoted because every key ("A F", "N O", ...)
+            -- carries a space
+            SELECT okey, d, unnest(json_keys(d)) AS k FROM doc
+        )
+        SELECT okey AS o_orderkey,
+               k AS attr,
+               CAST(json_extract(d, '$."' || k || '"') AS BIGINT) AS qty,
+               CAST(len(json_keys(d)) AS BIGINT) AS n_attrs
+        FROM kv
+    """,
+)
+def partiql_object_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PartiQL OBJECT unpivot (VERDICT r12 optional depth item — the one
+    remaining PartiQL iteration form after r12's arrays-of-objects):
+    Redshift's ``SELECT attr, val FROM t, UNPIVOT t.doc AS val AT attr``
+    iterates a SUPER object's key/value pairs with the key exposed as a
+    column. A per-order JSON object is built mapping each (returnflag,
+    linestatus) state the order's lines hit to their total quantity
+    (keys VARY per document, and every key — ``"A F"``, ``"N O"`` … —
+    carries a space, so static enumeration cannot fake the iteration
+    and the quoted-path spelling is load-bearing), then unpivoted
+    Spark-side as ``from_json`` to
+    ``MAP<STRING, BIGINT>`` + ``explode`` (key → AT attribute, value →
+    AS value). The DuckDB oracle replays dynamically via json_keys +
+    unnest + quoted-path json_extract over byte-identical documents.
+
+    Scale: a two-level aggregation — the (okey, attr) sum exchanges on
+    its compound key (map-side partials first), then the per-order
+    object assembly exchanges on okey over the already-reduced rows
+    (≤ a few entries per order); both are unavoidable gathers at
+    100 TB. from_json parses each document once, explode(map) is a
+    row-local Generate — same posture as partiql_nested_objects.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 600)
+    agg = (
+        li.groupBy(
+            F.col("l_orderkey").alias("okey"),
+            F.concat_ws(" ", "l_returnflag", "l_linestatus").alias("attr"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+    )
+    docs = (
+        agg.groupBy("okey")
+        .agg(F.array_sort(F.collect_list(F.struct("attr", "qty"))).alias("kvs"))
+        .select(
+            "okey",
+            F.concat(
+                F.lit("{"),
+                F.array_join(
+                    F.transform(
+                        "kvs",
+                        lambda x: F.concat(
+                            F.lit('"'),
+                            x["attr"],
+                            F.lit('": '),
+                            x["qty"].cast("string"),
+                        ),
+                    ),
+                    ", ",
+                ),
+                F.lit("}"),
+            ).alias("doc"),
+        )
+    )
+    parsed = docs.select("okey", F.from_json("doc", "MAP<STRING, BIGINT>").alias("m"))
+    return parsed.select(
+        F.col("okey").alias("o_orderkey"),
+        F.size("m").cast("bigint").alias("n_attrs"),
+        F.explode("m").alias("attr", "qty"),
+    ).select("o_orderkey", "attr", "qty", "n_attrs")
 
 
 @register(

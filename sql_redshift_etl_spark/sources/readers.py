@@ -84,7 +84,9 @@ def read_json_with_paths(
     path: str | list[str],
     schema: StructType,
     jsonpaths_file: str,
-) -> DataFrame:
+    *,
+    max_error: int | None = None,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """COPY ... FORMAT AS JSON '<jsonpaths file>' analog (S2, r13).
 
     Redshift's jsonpaths control file is ``{"jsonpaths": [expr, ...]}``
@@ -105,6 +107,22 @@ def read_json_with_paths(
     wide targets prefer JSON 'auto' (one ``from_json``-style parse) —
     the jsonpaths form exists for RESHAPING loads (nested elements into
     flat columns), where N is small.
+
+    Malformed records (a line that is not valid JSON) follow Redshift's
+    COPY contract, never a silent row of NULLs:
+
+    - ``max_error=None`` — the load FAILS at the first malformed record
+      read: every projected column is guarded by a row-local validity
+      probe (``get_json_object(value, '$')`` is NULL iff the line does
+      not parse) that raises with the offending line. The guard rides
+      INSIDE each kept column, so column pruning keeps it on whatever
+      the consumer actually reads (one extra root parse per row — same
+      order as the per-path parses).
+    - ``max_error=n`` — the MAXERROR analog, same contract as
+      read_with_error_budget: count malformed lines (one cached-scan
+      job at COPY time), raise if over budget, otherwise skip them and
+      return ``(good_rows, bad_raw_lines)`` for the stl_load_errors
+      sink.
     """
     import json as _json
 
@@ -134,6 +152,20 @@ def read_json_with_paths(
         )
     cols = []
     for p, f in zip(paths, fields):
+        # bracket segments normalize to the dot form get_json_object
+        # evaluates — which cannot spell a key containing a dot, space,
+        # or bracket. Loud, never a silently re-interpreted path.
+        odd = [
+            seg
+            for seg in _BRACKET_SEG.findall(p)
+            if re.search(r"[.\s\[\]]", seg)
+        ]
+        if odd:
+            raise ValueError(
+                f"jsonpaths expression {p!r}: bracket key(s) {odd} contain "
+                "characters the dot-path form cannot spell (dot/space/"
+                "bracket) — unsupported here; rename the JSON field"
+            )
         norm = _BRACKET_SEG.sub(r".\1", p.strip())
         if not norm.startswith("$"):
             raise ValueError(
@@ -142,7 +174,36 @@ def read_json_with_paths(
         cols.append(
             F.get_json_object(F.col("value"), norm).cast(f.dataType).alias(f.name)
         )
-    return spark.read.text(path).select(*cols)
+    raw = spark.read.text(path)
+    ok = F.get_json_object(F.col("value"), "$").isNotNull()
+    if max_error is None:
+        guarded = [
+            F.when(
+                ok,
+                c,
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("COPY jsonpaths: malformed JSON record: "),
+                        F.substring(F.col("value"), 1, 120),
+                    )
+                ).cast(f.dataType)
+            )
+            .alias(f.name)
+            for c, f in zip(cols, fields)
+        ]
+        return raw.select(*guarded)
+    flagged = raw.withColumn("_rs_doc_ok", ok).cache()
+    n_bad = flagged.filter(~F.col("_rs_doc_ok")).count()
+    if n_bad > max_error:
+        raise ValueError(
+            f"COPY: {n_bad} malformed row(s) exceed MAXERROR {max_error}"
+        )
+    bad = flagged.filter(~F.col("_rs_doc_ok")).select(
+        F.col("value").alias("raw_line")
+    )
+    return flagged.filter(F.col("_rs_doc_ok")).select(*cols), bad
 
 
 def read_partitioned(

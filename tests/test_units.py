@@ -6184,14 +6184,69 @@ def test_copy_jsonpaths_loud_seams(spark, tmp_path):
             """,
         )
 
-    jp_ok = tmp_path / "ok.json"
-    jp_ok.write_text('{"jsonpaths": ["$.a"]}')
-    with _pytest.raises(ValueError, match="MAXERROR with a jsonpaths"):
+    # a bracket key the dot form cannot spell (dot/space/bracket inside
+    # the key) must refuse, never silently re-interpret the path
+    jp_dotkey = tmp_path / "dotkey.json"
+    jp_dotkey.write_text("{\"jsonpaths\": [\"$['a.b']\"]}")
+    with _pytest.raises(ValueError, match="cannot spell"):
         run_redshift_script(
             spark,
             f"""
-            CREATE TEMP TABLE t4 (k BIGINT);
-            COPY t4 FROM '{p}' FORMAT AS JSON '{jp_ok}' MAXERROR 2;
+            CREATE TEMP TABLE t3b (k BIGINT);
+            COPY t3b FROM '{p}' FORMAT AS JSON '{jp_dotkey}';
+            """,
+        )
+
+def test_copy_jsonpaths_malformed_records(spark, tmp_path):
+    """Malformed JSON lines follow Redshift's COPY contract (r13):
+    without MAXERROR the load fails at the first bad line read (never a
+    silent row of NULLs — the r13 self-review gap); with MAXERROR they
+    consume the budget and land in stl_load_errors; over budget the
+    COPY raises with the count."""
+    import pytest as _pytest
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    p = tmp_path / "mixed.json"
+    p.write_text(
+        '{"a": 1}\n'
+        "this is not json\n"
+        '{"a": 3}\n'
+    )
+    jp = tmp_path / "paths.json"
+    jp.write_text('{"jsonpaths": ["$.a"]}')
+
+    # no MAXERROR: loud at the first malformed record, with the line
+    with _pytest.raises(Exception, match="malformed JSON record"):
+        run_redshift_script(
+            spark,
+            f"""
+            CREATE TEMP TABLE t_strict (k BIGINT);
+            COPY t_strict FROM '{p}' FORMAT AS JSON '{jp}';
+            SELECT SUM(k) AS s FROM t_strict;
+            """,
+        ).collect()
+
+    # MAXERROR 2 > 1 bad line: good rows load, the raw line is queryable
+    out = run_redshift_script(
+        spark,
+        f"""
+        CREATE TEMP TABLE t_budget (k BIGINT);
+        COPY t_budget FROM '{p}' FORMAT AS JSON '{jp}' MAXERROR 2;
+        SELECT (SELECT CAST(SUM(k) AS BIGINT) FROM t_budget) AS s,
+               (SELECT COUNT(*) FROM stl_load_errors) AS n_err,
+               (SELECT MIN(raw_line) FROM stl_load_errors) AS first_err;
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(4, 1, "this is not json")]
+
+    # over budget: the COPY itself raises with the count
+    with _pytest.raises(ValueError, match="exceed MAXERROR"):
+        run_redshift_script(
+            spark,
+            f"""
+            CREATE TEMP TABLE t_over (k BIGINT);
+            COPY t_over FROM '{p}' FORMAT AS JSON '{jp}' MAXERROR 0;
             """,
         )
 

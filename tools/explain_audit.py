@@ -137,6 +137,17 @@ TARGETS: dict[str, str] = {
         "row-at-a-time evaluator); the rollup above stays JVM "
         "HashAggregate (r9)."
     ),
+    "partiql_object_unpivot": (
+        "two-level agg — map-side partials before the (okey, attr) "
+        "exchange, then the per-order object gather over already-reduced "
+        "rows; from_json parses each document once; explode(map) is a "
+        "row-local Generate (r13)."
+    ),
+    "source_copy_jsonpaths": (
+        "the jsonpaths load is a splittable line-oriented text scan with "
+        "one codegen'd get_json_object projection per path — row-local, "
+        "shuffle-free; only the final aggregation exchanges (r13)."
+    ),
 }
 
 
@@ -158,7 +169,23 @@ def main() -> None:
         # on THIS df — a write executes a cloned plan and leaves this
         # one isFinalPlan=false. All targets return small results.
         df.collect()
-        finals[name] = df._jdf.queryExecution().executedPlan().toString()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        if "UnionLoop" in final:
+            # recursive-CTE plans reprint their loop body with
+            # run-to-run-varying distinct codegen ids (measured: the
+            # iscycle query flaps 4/5 across identical invocations) —
+            # take the min-span instance of 3 executions so the
+            # regenerated doc diffs clean when nothing changed
+            def _spans(p: str) -> int:
+                return len(set(re.findall(r"\*\((\d+)\)", p)))
+
+            for _ in range(2):
+                df2 = qs[name].builder(spark, SF_DIR)
+                df2.collect()
+                cand = df2._jdf.queryExecution().executedPlan().toString()
+                if _spans(cand) < _spans(final):
+                    final = cand
+        finals[name] = final
 
     checks_out: list[str] = []
     for name, plan in plans.items():

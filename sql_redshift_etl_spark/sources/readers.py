@@ -123,6 +123,13 @@ def read_json_with_paths(
       job at COPY time), raise if over budget, otherwise skip them and
       return ``(good_rows, bad_raw_lines)`` for the stl_load_errors
       sink.
+
+    The probe treats a line as malformed iff ``get_json_object(line,
+    '$')`` is NULL — which also classifies empty lines and the bare
+    JSON literal ``null`` as error records (neither can populate a
+    target row; Redshift counts both against MAXERROR too). A valid
+    scalar record (``123``) passes the probe and loads NULL per path,
+    the same lax element-not-found rule as any other record.
     """
     import json as _json
 

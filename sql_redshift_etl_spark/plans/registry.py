@@ -152,6 +152,7 @@ _VERIFY_FIRST: list[str] = [
     # (never-rowed beats re-rowing), displacing the window tail.
     "source_copy_jsonpaths",
     "partiql_object_unpivot",
+    "source_copy_jsonpaths_maxerror",
     # the 8 remaining r8-era rows (VERDICT r12 item 1 — after this
     # window no SQL-oracled official row is older than r9), in their
     # r8 cohort order:
@@ -204,12 +205,12 @@ _VERIFY_FIRST: list[str] = [
     "window_topk_per_group",
     "events_tumbling_daily",
     "events_sessionize",
-    "dedup_minhash_lsh",
     # --- 50-query driver boundary (marker position CI-pinned to
     # exactly 50: test_registry_hygiene, ADVICE r12) ---
     # Below-boundary order = r14 priority: the displaced r9 tail
     # first, then the rows-only-by-policy block, then the outgoing
     # r10/r11/r12 windows (the freshest rows last).
+    "dedup_minhash_lsh",
     "dedup_embedding_ann",
     "sim_knn_bruteforce",
     "sim_knn_batch",

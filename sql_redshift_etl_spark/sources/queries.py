@@ -376,6 +376,80 @@ def source_copy_jsonpaths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_copy_jsonpaths_maxerror",
+    tags=("S2",),
+    oracle="""
+        SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, COUNT(*) AS n_nations,
+               MIN(n_name) AS first_name, MAX(n_name) AS last_name,
+               CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+               CAST(3 AS BIGINT) AS n_load_errors
+        FROM nation GROUP BY 1
+    """,
+)
+def source_copy_jsonpaths_maxerror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY jsonpaths + MAXERROR (S2, r13 depth — the malformed-record
+    contract under the DRIVER hash gate, not just pytest): nation's
+    nested documents plus THREE deterministic error records (invalid
+    JSON, a bare ``null`` literal, an empty line — the three
+    classifications readers.read_json_with_paths documents) loaded
+    through the same jsonpaths file with ``MAXERROR 5``. The result
+    gates BOTH sides of the budget: every per-region aggregate must be
+    untouched by the skipped records (a silently loaded NULL row would
+    shift n_nations and break the hash) and the stl_load_errors count
+    must be exactly 3 (a record misclassified as good would vanish from
+    the budget).
+
+    Scale: same row-local single-pass load as source_copy_jsonpaths
+    plus the one cached-scan acceptance count every MAXERROR load pays
+    (read_with_error_budget's contract since r6).
+    """
+    import json
+
+    from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
+
+    data = _io_dir(sf_dir, "nation_jsonpaths_bad")
+    nat = load_table(spark, sf_dir, "nation")
+    nat.select(
+        F.to_json(
+            F.struct(
+                F.struct(F.col("n_nationkey").alias("id")).alias("key"),
+                F.struct(
+                    F.col("n_name").alias("name"),
+                    F.col("n_regionkey").alias("region"),
+                ).alias("attrs"),
+            )
+        ).alias("value")
+    ).coalesce(1).write.mode("overwrite").text(data)
+    # three malformed records in a sibling part file (spark.read.text
+    # reads every non-underscore file in the directory): invalid JSON,
+    # the bare JSON null literal, and an empty line
+    with open(os.path.join(data, "zz_bad_records.txt"), "w", encoding="utf-8") as fh:
+        fh.write('{"key": {"id": broken\nnull\n\n')
+    ctl_dir = _io_dir(sf_dir, "nation_jsonpaths_bad_ctl")
+    os.makedirs(ctl_dir, exist_ok=True)
+    ctl = os.path.join(ctl_dir, "jsonpaths.json")
+    with open(ctl, "w", encoding="utf-8") as fh:
+        json.dump(
+            {"jsonpaths": ["$.key.id", "$['attrs']['name']", "$.attrs.region"]}, fh
+        )
+    out = run_redshift_script(
+        spark,
+        f"""
+        CREATE TEMP TABLE nat_jpb (
+            n_nationkey BIGINT, n_name VARCHAR(25), n_regionkey BIGINT);
+        COPY nat_jpb FROM '{data}' FORMAT AS JSON '{ctl}' MAXERROR 5;
+        SELECT n_regionkey, COUNT(*) AS n_nations,
+               MIN(n_name) AS first_name, MAX(n_name) AS last_name,
+               CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+               (SELECT COUNT(*) FROM stl_load_errors) AS n_load_errors
+        FROM nat_jpb GROUP BY n_regionkey;
+        """,
+    )
+    assert out is not None
+    return out
+
+
+@register(
     "source_copy_conversion_params",
     tags=("S2",),
     oracle="""

@@ -124,12 +124,15 @@ def read_json_with_paths(
       return ``(good_rows, bad_raw_lines)`` for the stl_load_errors
       sink.
 
-    The probe treats a line as malformed iff ``get_json_object(line,
-    '$')`` is NULL — which also classifies empty lines and the bare
-    JSON literal ``null`` as error records (neither can populate a
-    target row; Redshift counts both against MAXERROR too). A valid
-    scalar record (``123``) passes the probe and loads NULL per path,
-    the same lax element-not-found rule as any other record.
+    The probe treats a line as malformed iff its root does not parse as
+    a JSON OBJECT or ARRAY (``get_json_object(line, '$')`` non-NULL and
+    starting with ``{`` / ``[``): Redshift's COPY JSON requires
+    object/array record roots, so bare scalars (``123``, ``true``,
+    ``null``), empty lines, and unparseable text are all error records
+    — none can populate a positional path. (The root-shape check is
+    load-bearing: Spark's get_json_object happily returns scalar roots,
+    so a NULL-only probe would load a bare ``null`` line as a silent
+    all-NULL row.)
     """
     import json as _json
 
@@ -182,7 +185,8 @@ def read_json_with_paths(
             F.get_json_object(F.col("value"), norm).cast(f.dataType).alias(f.name)
         )
     raw = spark.read.text(path)
-    ok = F.get_json_object(F.col("value"), "$").isNotNull()
+    root = F.get_json_object(F.col("value"), "$")
+    ok = root.isNotNull() & F.substring(root, 1, 1).isin("{", "[")
     if max_error is None:
         guarded = [
             F.when(

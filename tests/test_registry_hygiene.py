@@ -50,6 +50,7 @@ def test_verify_first_has_no_duplicates():
 R13_NEW = (
     "source_copy_jsonpaths",
     "partiql_object_unpivot",
+    "source_copy_jsonpaths_maxerror",
 )
 R13_R8_HEAD = (
     "curation_repetition_scores", "curation_contamination_check",

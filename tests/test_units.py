@@ -6208,9 +6208,14 @@ def test_copy_jsonpaths_malformed_records(spark, tmp_path):
     from sql_redshift_etl_spark.functions.script_runner import run_redshift_script
 
     p = tmp_path / "mixed.json"
+    # two error classes: unparseable text AND a bare scalar root (valid
+    # JSON, but Redshift COPY JSON requires object/array records — and
+    # Spark's get_json_object returns scalar roots, so a naive probe
+    # would load `null` as a silent all-NULL row)
     p.write_text(
         '{"a": 1}\n'
         "this is not json\n"
+        "null\n"
         '{"a": 3}\n'
     )
     jp = tmp_path / "paths.json"
@@ -6227,7 +6232,7 @@ def test_copy_jsonpaths_malformed_records(spark, tmp_path):
             """,
         ).collect()
 
-    # MAXERROR 2 > 1 bad line: good rows load, the raw line is queryable
+    # MAXERROR 2 >= 2 bad lines: good rows load, raw lines queryable
     out = run_redshift_script(
         spark,
         f"""
@@ -6238,7 +6243,7 @@ def test_copy_jsonpaths_malformed_records(spark, tmp_path):
                (SELECT MIN(raw_line) FROM stl_load_errors) AS first_err;
         """,
     )
-    assert [tuple(r) for r in out.collect()] == [(4, 1, "this is not json")]
+    assert [tuple(r) for r in out.collect()] == [(4, 2, "null")]
 
     # over budget: the COPY itself raises with the count
     with _pytest.raises(ValueError, match="exceed MAXERROR"):

@@ -92,7 +92,15 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(rate("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # Global ORDER BY on a ≤6-row result (returnflag×linestatus is a
+        # bounded domain at ANY scale): a bare .orderBy plans
+        # Exchange(rangepartitioning) whose RangePartitioner runs a
+        # separate SAMPLING job over those 6 rows — measured 2 of this
+        # query's 4 jobs (r13, tools/job_floor_audit.py). A single
+        # post-agg partition sorted locally is the same total order with
+        # one exchange and zero sampling; rows and ordering identical.
+        .coalesce(1)
+        .sortWithinPartitions("l_returnflag", "l_linestatus")
     )
 
 

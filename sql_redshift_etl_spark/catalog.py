@@ -54,6 +54,28 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def bounded_sort(df: DataFrame, *cols) -> DataFrame:
+    """Total order for a result whose row count is bounded at any scale.
+
+    A bare ``.orderBy`` plans ``Exchange rangepartitioning`` whose
+    RangePartitioner runs a SEPARATE driver-coordinated sampling job —
+    measured 2 extra jobs ≈ 120–150 ms per query at sf0.1 (r13
+    flagship decomposition, tools/job_floor_audit.py). When the sort
+    input is bounded — a key-domain aggregate (flag/status/lang/priority
+    grains), an arithmetically capped result (q11's >1.1%-share filter),
+    an explicit row-cap predicate, or a driver-resident memory sink —
+    one post-shuffle partition sorted locally IS the same total order:
+    identical rows, identical ordering, one fewer exchange and zero
+    sampling at every scale. The upstream map-side/partial parallelism
+    is untouched (the coalesce sits above the final exchange).
+
+    NEVER use this on an unbounded result (per-doc/per-row outputs):
+    there ``coalesce(1)`` funnels the whole result through one task and
+    the range sort's parallelism is exactly what you want.
+    """
+    return df.coalesce(1).sortWithinPartitions(*cols)
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
     """Register fixture tables as temp views for the spark.sql(...) path."""
     for t in tables:

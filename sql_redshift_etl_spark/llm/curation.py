@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sql_redshift_etl_spark.catalog import load_table
+from sql_redshift_etl_spark.catalog import bounded_sort, load_table
 from sql_redshift_etl_spark.llm.dedup import _DUCK_SHINGLES, _SPARK_SHINGLES
 from sql_redshift_etl_spark.llm.sampling import _duck_hex, hash_hex
 from sql_redshift_etl_spark.plans.registry import register
@@ -310,14 +310,17 @@ def curation_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # making the COUNT pattern looser than the regexp_replace redaction
     # pattern (counted-but-not-redacted PII). The Column API takes the
     # pattern verbatim, so count and redaction share one exact regex.
-    return synth.select(
+    return bounded_sort(
+        synth.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("msg", F.lit(_EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
+            F.size(F.regexp_extract_all("msg", F.lit(_PHONE_RE), F.lit(0))).cast("long").alias("n_phones"),
+            F.regexp_replace(
+                F.regexp_replace("msg", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+            ).alias("redacted"),
+        ),
         "doc_id",
-        F.size(F.regexp_extract_all("msg", F.lit(_EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
-        F.size(F.regexp_extract_all("msg", F.lit(_PHONE_RE), F.lit(0))).cast("long").alias("n_phones"),
-        F.regexp_replace(
-            F.regexp_replace("msg", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
-        ).alias("redacted"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -444,14 +447,13 @@ def curation_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _io_dir(sf_dir, "doc_shards")
     unload_parquet(assigned, path, partition_by=["shard_id"])
     back = read_partitioned(spark, path, schema=assigned.schema)
-    return (
-        back.groupBy(F.col("shard_id").cast("long").alias("shard_id"))
-        .agg(
+    return bounded_sort(
+        back.groupBy(F.col("shard_id").cast("long").alias("shard_id")).agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
             F.sum(F.size(F.split("text", " "))).cast("long").alias("total_words"),
             F.min("doc_id").alias("min_doc"),
             F.max("doc_id").alias("max_doc"),
-        )
-        .orderBy("shard_id")
+        ),
+        "shard_id",
     )

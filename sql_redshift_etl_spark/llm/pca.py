@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sql_redshift_etl_spark.catalog import load_table
+from sql_redshift_etl_spark.catalog import bounded_sort, load_table
 from sql_redshift_etl_spark.plans.registry import register
 
 _PARTIAL_SCHEMA = "n long, s array<double>, xtx array<double>"
@@ -169,7 +169,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     proj = project_pca(emb, comps, mean)
-    return (
+    return bounded_sort(
         proj.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -180,6 +180,6 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("evr_2", F.lit(round(evr[1], 6)))
         .withColumn(
             "evr_top4", F.lit(round(math.fsum(evr), 6))
-        )
-        .orderBy("label")
+        ),
+        "label",
     )

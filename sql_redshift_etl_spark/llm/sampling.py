@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sql_redshift_etl_spark.catalog import load_table
+from sql_redshift_etl_spark.catalog import bounded_sort, load_table
 from sql_redshift_etl_spark.functions.dialect import dec
 from sql_redshift_etl_spark.plans.registry import register
 
@@ -76,11 +76,11 @@ def sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     RNG state, embarrassingly parallel, and the SAME rows are selected on
     any cluster size or partitioning."""
     d = load_table(spark, sf_dir, "documents")
-    return (
+    return bounded_sort(
         d.where(hash_hex(F.col("doc_id")) < frac_threshold(0.05))
         .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
-        .orderBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc")),
+        "lang",
     )
 
 
@@ -115,11 +115,11 @@ def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split")
     )
-    return (
+    return bounded_sort(
         d.select(split, F.size(F.split("text", " ")).alias("nw"))
         .groupBy("split")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(F.col("nw").cast("long")).alias("n_words"))
-        .orderBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(F.col("nw").cast("long")).alias("n_words")),
+        "split",
     )
 
 
@@ -149,11 +149,12 @@ def sample_stratified_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-lang shuffle; hash order means no full sort of any stratum."""
     d = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy(hash_hex(F.col("doc_id"), "strat"), "doc_id")
-    return (
+    return bounded_sort(
         d.select("lang", "doc_id", "source", F.row_number().over(w).alias("rn"))
         .where(F.col("rn") <= 20)
-        .drop("rn")
-        .orderBy("lang", "doc_id")
+        .drop("rn"),
+        "lang",
+        "doc_id",
     )
 
 
@@ -185,13 +186,12 @@ def sample_salted_hot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "_salt")
         .agg(F.count(F.lit(1)).alias("pc"), F.sum(dec("value")).alias("pv"))
     )
-    return (
-        stage1.groupBy("event_type")
-        .agg(
+    return bounded_sort(
+        stage1.groupBy("event_type").agg(
             F.sum("pc").alias("n_events"),
             F.sum("pv").cast("double").alias("total_value"),
-        )
-        .orderBy("event_type")
+        ),
+        "event_type",
     )
 
 
@@ -244,15 +244,14 @@ def sample_domain_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = d.join(F.broadcast(rates), "lang").where(
         (F.col("rate") >= 1.0) | (hash_hex(F.col("doc_id"), salt="temp") < thresh)
     )
-    return (
-        kept.groupBy("lang")
-        .agg(
+    return bounded_sort(
+        kept.groupBy("lang").agg(
             F.max("n_lang").alias("n_total"),
             F.count(F.lit(1)).alias("n_kept"),
             F.round(F.max("rate"), 6).alias("target_rate"),
             F.round(F.count(F.lit(1)).cast("double") / F.max("n_lang"), 6).alias(
                 "achieved_rate"
             ),
-        )
-        .orderBy("lang")
+        ),
+        "lang",
     )

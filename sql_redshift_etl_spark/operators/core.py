@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sql_redshift_etl_spark.catalog import load_table
+from sql_redshift_etl_spark.catalog import bounded_sort, load_table
 from sql_redshift_etl_spark.functions.dialect import (
     dec,
     decode,
@@ -77,7 +77,7 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = money("l_extendedprice") * (one - rate("l_discount"))
     qty = dec("l_quantity", 2, 4)
-    return (
+    return bounded_sort(
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -91,16 +91,11 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(money("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
             (F.sum(rate("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
-        )
-        # Global ORDER BY on a ≤6-row result (returnflag×linestatus is a
-        # bounded domain at ANY scale): a bare .orderBy plans
-        # Exchange(rangepartitioning) whose RangePartitioner runs a
-        # separate SAMPLING job over those 6 rows — measured 2 of this
-        # query's 4 jobs (r13, tools/job_floor_audit.py). A single
-        # post-agg partition sorted locally is the same total order with
-        # one exchange and zero sampling; rows and ordering identical.
-        .coalesce(1)
-        .sortWithinPartitions("l_returnflag", "l_linestatus")
+        ),
+        # returnflag×linestatus is a ≤6-row bounded domain at ANY scale;
+        # see catalog.bounded_sort for the rangepartitioning rationale.
+        "l_returnflag",
+        "l_linestatus",
     )
 
 

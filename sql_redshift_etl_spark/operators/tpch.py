@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sql_redshift_etl_spark.catalog import load_table
+from sql_redshift_etl_spark.catalog import bounded_sort, load_table
 from sql_redshift_etl_spark.functions.dialect import ONE_DEC_SQL, money, one_rate, rate
 from sql_redshift_etl_spark.plans.registry import register
 from sql_redshift_etl_spark.scale import maybe_broadcast
@@ -136,15 +136,16 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     one = one_rate()
-    return (
+    return bounded_sort(
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(maybe_broadcast(s), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.sum(money("l_extendedprice") * (one - rate("l_discount"))).cast("double").alias("revenue"))
-        .orderBy(F.col("revenue").desc(), "n_name")
+        .agg(F.sum(money("l_extendedprice") * (one - rate("l_discount"))).cast("double").alias("revenue")),
+        F.col("revenue").desc(),
+        "n_name",
     )
 
 
@@ -344,7 +345,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
     o = load_table(spark, sf_dir, "orders")
     one = one_rate()
-    return (
+    return bounded_sort(
         s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
@@ -353,8 +354,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_5"))
         )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
-        .agg(F.sum(money("l_extendedprice") * (one - rate("l_discount"))).cast("double").alias("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(money("l_extendedprice") * (one - rate("l_discount"))).cast("double").alias("revenue")),
+        "supp_nation",
+        "cust_nation",
+        "l_year",
     )
 
 
@@ -412,7 +415,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = money("l_extendedprice") * (one - rate("l_discount"))
     num = F.sum(F.when(F.col("supp_nation") == "NATION_6", rev).otherwise(F.lit(0).cast("decimal(12,4)"))).cast("double")
     den = F.sum(rev).cast("double")
-    return (
+    return bounded_sort(
         maybe_broadcast(p).join(li, F.col("p_partkey") == F.col("l_partkey"))
         .join(maybe_broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -421,8 +424,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg((num / den).alias("mkt_share"), F.count(F.lit(1)).alias("n_items"))
-        .orderBy("o_year")
+        .agg((num / den).alias("mkt_share"), F.count(F.lit(1)).alias("n_items")),
+        "o_year",
     )
 
 
@@ -454,7 +457,7 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    return (
+    return bounded_sort(
         c.join(
             o,
             (c.c_custkey == o.o_custkey) & (F.col("o_orderpriority") != "1-URGENT"),
@@ -463,8 +466,9 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").alias("c_count"))
         .groupBy("c_count")
-        .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+        .agg(F.count(F.lit(1)).alias("custdist")),
+        F.col("custdist").desc(),
+        F.col("c_count").desc(),
     )
 
 
@@ -509,11 +513,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     max_rev = rev.agg(F.max("total_revenue").alias("mr"))
     s = load_table(spark, sf_dir, "supplier")
-    return (
+    return bounded_sort(
         s.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
         .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("mr"))
-        .select("s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue"))
-        .orderBy("s_suppkey")
+        .select("s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue")),
+        "s_suppkey",
     )
 
 
@@ -658,7 +662,7 @@ def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.where(F.col("c_acctbal") > 0)
         .agg((F.sum(money("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal"))
     )
-    return (
+    return bounded_sort(
         c.join(F.broadcast(avg_pos))
         .where(F.col("c_acctbal") > F.col("avg_bal"))
         .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
@@ -666,6 +670,6 @@ def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("numcust"),
             F.sum(money("c_acctbal")).cast("double").alias("totacctbal"),
-        )
-        .orderBy("c_nationkey")
+        ),
+        "c_nationkey",
     )

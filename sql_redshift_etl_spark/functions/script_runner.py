@@ -2072,6 +2072,13 @@ class _ScriptState:
         # loud instead of silently succeeding.
         for name in self.py_funcs:
             _register_py_udf_tombstone(self.spark, name)
+        # Release COPY error-budget materializations: the cache's two
+        # consumers (MAXERROR count + good/bad split) have served this
+        # script's statements; leaving it pinned would hold the whole
+        # load in the block-manager for the session (r13 VERDICT item 2).
+        from sql_redshift_etl_spark.sources.readers import release_budget_caches
+
+        release_budget_caches()
 
 
 def _cast_positional(sel: DataFrame, target: DataFrame, table: str) -> DataFrame:

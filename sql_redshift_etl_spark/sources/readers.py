@@ -16,6 +16,25 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+# COPY error-budget materializations awaiting release: a budgeted load
+# caches the parsed frame because it has two consumers inside one COPY
+# (the MAXERROR count and the good/bad split). The cache must NOT
+# outlive the COPY's script — at 100 TB it would pin the whole load in
+# the block-manager for the session's lifetime (guide §5) — so the
+# script runner drains this registry in its cleanup once the bound
+# splits have served the script's statements.
+_BUDGET_CACHES: list[DataFrame] = []
+
+
+def release_budget_caches() -> None:
+    """Unpersist every COPY error-budget cache registered since the last
+    release. Lineage stays intact, so a consumer that runs afterwards
+    (e.g. the driver collecting a script's returned result) recomputes
+    the parse deterministically from the source files — correct, just no
+    longer pinned."""
+    while _BUDGET_CACHES:
+        _BUDGET_CACHES.pop().unpersist()
+
 
 def read_csv(
     spark: SparkSession,
@@ -206,6 +225,7 @@ def read_json_with_paths(
         ]
         return raw.select(*guarded)
     flagged = raw.withColumn("_rs_doc_ok", ok).cache()
+    _BUDGET_CACHES.append(flagged)
     n_bad = flagged.filter(~F.col("_rs_doc_ok")).count()
     if n_bad > max_error:
         raise ValueError(
@@ -388,6 +408,7 @@ def read_with_error_budget(
             reader = reader.option("timestampFormat", timestamp_format)
         df = reader.option("multiLine", True).option("escape", '"').csv(*paths)
     df = df.cache()
+    _BUDGET_CACHES.append(df)
     n_bad = df.filter(F.col(corrupt).isNotNull()).count()
     if n_bad > max_error:
         raise ValueError(

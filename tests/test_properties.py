@@ -1368,3 +1368,23 @@ def test_copy_jsonpaths_matches_python_model(spark, tmp_path):
     strict = read_json_with_paths(spark, str(data), schema, str(ctl))
     with _pytest.raises(Exception, match="malformed JSON record"):
         strict.collect()
+
+
+def test_copy_budget_cache_released_after_script(spark):
+    """r14 (r13 VERDICT item 2): a MAXERROR COPY caches the parsed load
+    for its two in-statement consumers (budget count + good/bad split);
+    the script runner must unpersist it at script end — at 100 TB a
+    leaked cache pins the whole load in the block-manager for the
+    session's lifetime. Asserts no cached RDD survives the COPY script
+    (delta against pre-existing storage so unrelated tests can't leak
+    into this one)."""
+    from sql_redshift_etl_spark.plans.registry import all_queries
+    from sql_redshift_etl_spark.sources.readers import release_budget_caches
+
+    release_budget_caches()  # drop any earlier direct-reader leftovers
+    before = {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+    out = all_queries()["source_copy_jsonpaths_maxerror"].builder(spark, SF_DIR)
+    assert len(out.collect()) > 0
+    after = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    leaked = [str(i) for i in after if i.id() not in before]
+    assert not leaked, f"COPY budget cache survived the script: {leaked}"

@@ -2832,25 +2832,11 @@ def redshift_script_case_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _parquet_total_rows(path: str) -> int | None:
-    """Driver-side parquet-footer row count (file or directory of part
-    files) — zero Spark jobs, reads only footers. None when the path
-    isn't plain readable parquet (the caller falls back to the Spark
-    check)."""
-    import os
+    """Moved to scale.parquet_total_rows (r14: the q3 join hint needs it
+    too); kept as an alias for this module's guard callers."""
+    from sql_redshift_etl_spark.scale import parquet_total_rows
 
-    try:
-        import pyarrow.parquet as pq
-
-        if os.path.isdir(path):
-            total = 0
-            for root, _dirs, files in os.walk(path):
-                for f in files:
-                    if f.endswith(".parquet"):
-                        total += pq.read_metadata(os.path.join(root, f)).num_rows
-            return total
-        return pq.read_metadata(path).num_rows
-    except Exception:
-        return None
+    return parquet_total_rows(path)
 
 
 def _guard_gk_group_sizes(

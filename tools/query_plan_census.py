@@ -40,8 +40,11 @@ def census_of(df) -> dict:
     final = s.split("== Initial Plan ==")[0]
     return {
         "file_scans": len(re.findall(r"FileScan \w+", final)),
+        # Fallback for non-AQE plans counts ANY Exchange node (ADVICE r13:
+        # the old hash/range-only pair missed SinglePartition and
+        # rebalance exchanges).
         "shuffle_stages": len(set(re.findall(r"ShuffleQueryStage (\d+)", final)))
-        or final.count("Exchange hashpartitioning") + final.count("Exchange rangepartitioning"),
+        or len(re.findall(r"(?m)^[\s+*:-]*Exchange ", final)),
         "broadcast_stages": len(set(re.findall(r"BroadcastQueryStage (\d+)", final))),
         "generates": final.count("Generate "),
         "python_nodes": sum(
@@ -57,6 +60,10 @@ def main() -> None:
     out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/query_plan_census.json"
     spark = get_spark("query-plan-census")
     spark.sparkContext.setLogLevel("ERROR")
+    # ADVICE r13: without a warmup the first few queries carry JVM/codegen
+    # startup in wall_cold_s; timings remain cold-ordered (each query's
+    # first execution) and are comparable only within that caveat.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
     out: dict[str, dict] = {}
     for name, q in sorted(all_queries().items()):
         try:

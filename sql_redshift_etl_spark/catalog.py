@@ -54,25 +54,41 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
-def bounded_sort(df: DataFrame, *cols) -> DataFrame:
+def bounded_sort(df: DataFrame, *cols, barrier: bool = False) -> DataFrame:
     """Total order for a result whose row count is bounded at any scale.
 
     A bare ``.orderBy`` plans ``Exchange rangepartitioning`` whose
     RangePartitioner runs a SEPARATE driver-coordinated sampling job —
     measured 2 extra jobs ≈ 120–150 ms per query at sf0.1 (r13
-    flagship decomposition, tools/job_floor_audit.py). When the sort
-    input is bounded — a key-domain aggregate (flag/status/lang/priority
-    grains), an arithmetically capped result (q11's >1.1%-share filter),
-    an explicit row-cap predicate, or a driver-resident memory sink —
-    one post-shuffle partition sorted locally IS the same total order:
-    identical rows, identical ordering, one fewer exchange and zero
-    sampling at every scale. The upstream map-side/partial parallelism
-    is untouched (the coalesce sits above the final exchange).
+    flagship decomposition, tools/job_floor_audit.py). A single
+    partition sorted locally IS the same total order: identical rows,
+    identical ordering, and zero sampling at every scale.
 
-    NEVER use this on an unbounded result (per-doc/per-row outputs):
-    there ``coalesce(1)`` funnels the whole result through one task and
-    the range sort's parallelism is exactly what you want.
+    The invariant that decides the form is the CoalESCED STAGE'S INPUT,
+    not just the result's row count (r14 self-review): ``coalesce(1)``
+    narrows the whole plan down to the nearest exchange below it.
+
+    - ``barrier=False`` (default): only when that nearest exchange
+      itself has bounded post-shuffle cardinality — a final aggregate
+      keyed on a bounded domain (flag/status/lang/priority grains).
+      Then the coalesce merely merges a handful of groups and the
+      map-side/partial parallelism below the exchange is untouched.
+    - ``barrier=True``: when the result is bounded but the stage above
+      the last exchange is NOT — an unbounded aggregate merge whose
+      output a filter caps afterwards (q11's >1.1%-share, q15's
+      max-tie), a group-limited window (stratified top-20), or an
+      exchange-free row-local plan (pii's doc_id<=200 scan). A
+      ``repartition(1)`` inserts an Exchange SinglePartition barrier so
+      everything upstream keeps its parallelism and only the bounded
+      result crosses; still no sampling job (single-partition exchanges
+      never sample — the saving over rangepartitioning survives).
+
+    NEVER use either form on an unbounded result (per-doc/per-row
+    outputs): there the range sort's parallelism is exactly what you
+    want.
     """
+    if barrier:
+        return df.repartition(1).sortWithinPartitions(*cols)
     return df.coalesce(1).sortWithinPartitions(*cols)
 
 

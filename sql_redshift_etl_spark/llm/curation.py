@@ -320,6 +320,10 @@ def curation_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("redacted"),
         ),
         "doc_id",
+        # the plan is exchange-free (row-local regexes over the scan):
+        # a bare coalesce(1) would serialize the whole scan — the
+        # barrier keeps it parallel and ships only the <=200 rows
+        barrier=True,
     )
 
 

@@ -155,6 +155,9 @@ def sample_stratified_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn"),
         "lang",
         "doc_id",
+        # the final window walk above the lang exchange must stay
+        # parallel — only the 20-per-lang output is bounded
+        barrier=True,
     )
 
 

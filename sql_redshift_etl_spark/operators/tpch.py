@@ -537,6 +537,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("mr"))
         .select("s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue")),
         "s_suppkey",
+        # the per-supplier revenue merge is unbounded — only the
+        # max-tie output is; keep the merge and joins parallel
+        barrier=True,
     )
 
 

@@ -237,6 +237,9 @@ def q11_important_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey", F.col("value").cast("double").alias("value")),
         F.col("value").desc(),
         "l_suppkey",
+        # the per-supplier aggregate MERGE is unbounded — only the
+        # >1.1%-share output (<=90 rows) is; keep the merge parallel
+        barrier=True,
     )
 
 

@@ -415,15 +415,18 @@ def read_with_error_budget(
             f"COPY: {n_bad} malformed row(s) exceed MAXERROR {max_error}"
         )
     # Materialize the bad split NOW, while the cache is warm: it is
-    # ≤ max_error rows by the contract just enforced (bounded driver
-    # work), and a corrupt-record-only projection is ILLEGAL to
-    # recompute from an uncached raw scan
+    # ≤ max_error rows by the contract just enforced, and a
+    # corrupt-record-only projection is ILLEGAL to recompute from an
+    # uncached raw scan
     # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — a lazy
     # `bad` would break the moment release_budget_caches() drops the
-    # cache at script end.
+    # cache at script end. raw_line is truncated to 1024 chars, which
+    # is Redshift's own STL_LOAD_ERRORS.raw_line width — and what
+    # bounds driver BYTES as well as rows (a multiLine CSV corrupt
+    # record can otherwise swallow the rest of a file into one value).
     bad_rows = (
         df.filter(F.col(corrupt).isNotNull())
-        .select(F.col(corrupt).alias("raw_line"))
+        .select(F.substring(F.col(corrupt), 1, 1024).alias("raw_line"))
         .collect()
     )
     bad = spark.createDataFrame(bad_rows, "raw_line string")

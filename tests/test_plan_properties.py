@@ -529,41 +529,66 @@ def test_strdesc_siblings_plans_take_ordered(spark):
 
 
 # The r14 bounded-domain sort sweep (catalog.bounded_sort): each of these
-# queries sorts a bounded result, so its final plan must be
-# Coalesce(1) + local Sort — never an Exchange rangepartitioning, whose
-# RangePartitioner runs a separate sampling job (ADVICE r13: nothing
-# pinned the flagship's coalesce; at sf0.001 AQE yields one partition so
-# a dropped coalesce would regress silently. This pins all of them.)
-BOUNDED_SORT_QUERIES = (
+# queries sorts a bounded result, so its final plan must never contain an
+# Exchange rangepartitioning (whose RangePartitioner runs a separate
+# sampling job). Two pinned forms (ADVICE r13: nothing pinned the
+# flagship's coalesce; at sf0.001 AQE yields one partition so a dropped
+# coalesce would regress silently):
+# - coalesce form: Coalesce(1) + local Sort — only where the nearest
+#   exchange below is a bounded-domain final aggregate;
+# - barrier form: Exchange SinglePartition + local Sort — where the
+#   stage above the last exchange is unbounded (q11/q15 aggregate
+#   merges, stratified's window walk, pii's exchange-free scan) and a
+#   coalesce would serialize it.
+BOUNDED_SORT_COALESCE_QUERIES = (
     "flagship_pricing_summary",
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_type_profit",
-    "q11_important_value_share",
     "q12_late_shipment_priority",
     "q13_order_count_distribution",
-    "q15_top_supplier",
     "q16_supplier_variety",
     "q22_dormant_accounts",
-    "curation_pii_redaction",
     "curation_shard_export",
     "sample_hash_fraction",
     "sample_train_val_test",
-    "sample_stratified_per_label",
     "sample_salted_hot_agg",
     "sample_domain_temperature",
     "embedding_pca_project",
     "source_bucketed_distkey_join",
 )
+BOUNDED_SORT_BARRIER_QUERIES = (
+    "q11_important_value_share",
+    "q15_top_supplier",
+    "curation_pii_redaction",
+    "sample_stratified_per_label",
+)
 
 
-@pytest.mark.parametrize("name", BOUNDED_SORT_QUERIES)
+@pytest.mark.parametrize("name", BOUNDED_SORT_COALESCE_QUERIES)
 def test_bounded_sort_plans_coalesce_local_sort(spark, name):
     plan = plan_of(spark, name)
     assert "rangepartitioning" not in plan, (
         f"{name}: bounded-domain sort regressed to Exchange rangepartitioning"
     )
     assert "Coalesce" in plan, f"{name}: coalesce(1) missing — local sort is not a total order"
+    assert "Sort (" in plan, f"{name}: final sort missing entirely"
+
+
+@pytest.mark.parametrize("name", BOUNDED_SORT_BARRIER_QUERIES)
+def test_bounded_sort_plans_single_partition_barrier(spark, name):
+    plan = plan_of(spark, name)
+    assert "rangepartitioning" not in plan, (
+        f"{name}: bounded-domain sort regressed to Exchange rangepartitioning"
+    )
+    assert "SinglePartition" in plan, (
+        f"{name}: SinglePartition barrier missing — either the total order is "
+        "lost or a coalesce is serializing the unbounded stage below"
+    )
+    assert "Coalesce" not in plan, (
+        f"{name}: Coalesce would narrow the unbounded stage below the last "
+        "exchange to one task (r14 self-review finding)"
+    )
     assert "Sort (" in plan, f"{name}: final sort missing entirely"

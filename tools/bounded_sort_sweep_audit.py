@@ -4,27 +4,25 @@
 For each query in the sweep set: dump `.explain("formatted")` to
 plans/r14/<query>_<mode>.txt, then run the query as a noop-sink action
 (1 warm + 3 timed, guide §1.4) counting jobs/stages via the status
-tracker (same method as tools/job_floor_audit.py). Writes a JSON summary
-to plans/r14/sweep_<mode>.json.
+tracker (tools/capture_plans.timed_capture — the shared harness).
+Writes a JSON summary to plans/r14/sweep_<mode>.json.
 
 Usage: python tools/bounded_sort_sweep_audit.py before|after [sf_dir]
 """
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import sys
-import time
-from contextlib import redirect_stdout
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO_ROOT)
+sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
+
+from capture_plans import staged_session, timed_capture  # noqa: E402
 
 from sql_redshift_etl_spark.plans.registry import all_queries  # noqa: E402
-from sql_redshift_etl_spark.session import get_spark  # noqa: E402
-from sql_redshift_etl_spark.staging import stage_inputs  # noqa: E402
 
 # The 22 rangepartitioning queries whose final sort input is bounded
 # (key-domain aggregates, explicit row caps, or driver-resident memory
@@ -62,52 +60,21 @@ def main() -> None:
     out_dir = os.path.join(REPO_ROOT, "plans", "r14")
     os.makedirs(out_dir, exist_ok=True)
 
-    spark = get_spark("bounded-sort-sweep")
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
-
-    target = os.path.join(
-        REPO_ROOT, "_scratch", "bench_staged", os.path.basename(sf_dir.rstrip("/"))
-    )
-    data_dir = stage_inputs(spark, sf_dir, target)
-
-    tracker = spark.sparkContext.statusTracker()
+    spark, data_dir = staged_session("bounded-sort-sweep", sf_dir)
     qs = all_queries()
     summary: dict[str, dict] = {}
     for name in SWEEP:
-        q = qs[name]
         spark.sparkContext.setJobDescription(f"sweep-{mode}: {name} build")
-        df = q.builder(spark, data_dir)
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            df.explain("formatted")
-        plan = buf.getvalue()
-        with open(os.path.join(out_dir, f"{name}_{mode}.txt"), "w") as f:
-            f.write(plan)
-        df.write.format("noop").mode("overwrite").save()  # warm/compile
-        group = f"{name}-{mode}"
-        spark.sparkContext.setJobGroup(group, group)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        job_ids = tracker.getJobIdsForGroup(group) or []
-        n_jobs = len(job_ids) // 3
-        n_stages = 0
-        for jid in sorted(job_ids)[:n_jobs]:
-            info = tracker.getJobInfo(jid)
-            if info:
-                n_stages += len(info.stageIds)
-        spark.sparkContext.setJobGroup(None, None)
-        rp = plan.count("rangepartitioning")
-        summary[name] = {
-            "jobs": n_jobs,
-            "stages": n_stages,
-            "steady_s": round(best, 4),
-            "range_partitionings": rp,
-        }
-        print(f"{name:34s} jobs={n_jobs} stages={n_stages} steady={best:.3f} rp={rp}")
+        df = qs[name].builder(spark, data_dir)
+        r = timed_capture(
+            spark, df, os.path.join(out_dir, f"{name}_{mode}.txt"), f"{name}-{mode}"
+        )
+        rp = r.pop("plan").count("rangepartitioning")
+        summary[name] = {**r, "range_partitionings": rp}
+        print(
+            f"{name:34s} jobs={r['jobs']} stages={r['stages']} "
+            f"steady={r['steady_s']:.3f} rp={rp}"
+        )
 
     with open(os.path.join(out_dir, f"sweep_{mode}.json"), "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True)

@@ -32,10 +32,37 @@ from pyspark.sql import functions as F  # noqa: E402
 from sql_redshift_etl_spark.llm.dedup import (  # noqa: E402
     _CLUSTER_ROUNDS,
     dedup_minhash_lsh,
-    min_label_propagate,
 )
 from sql_redshift_etl_spark.session import get_spark  # noqa: E402
 from sql_redshift_etl_spark.staging import stage_inputs  # noqa: E402
+
+
+def min_label_propagate_twojoin(edges: DataFrame, rounds: int) -> DataFrame:
+    """The PRE-r14 form, inlined verbatim so this A/B stays reproducible
+    after dedup.min_label_propagate adopted the self-edge variant
+    (r14 self-review: importing the library kernel as the 'current' arm
+    made both arms identical): every round joins the previous label
+    frame twice (lu on u, lv on v) — 2^(k+1)-1 edge-list copies in
+    round k's lineage."""
+    sym = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).union(edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    lbl = sym.groupBy("u").agg(F.least(F.first("u"), F.min("v")).alias("lbl"))
+    lbl = lbl.select(F.col("u").alias("doc_id"), "lbl")
+    for _ in range(rounds):
+        lu = lbl.select(F.col("doc_id").alias("u"), F.col("lbl").alias("lbl_u"))
+        lv = lbl.select(F.col("doc_id").alias("v"), F.col("lbl").alias("lbl_v"))
+        lbl = (
+            sym.join(lu, "u")
+            .join(lv, "v")
+            .groupBy("u", "lbl_u")
+            .agg(F.min("lbl_v").alias("min_nbr"))
+            .select(
+                F.col("u").alias("doc_id"),
+                F.least("lbl_u", "min_nbr").alias("lbl"),
+            )
+        )
+    return lbl
 
 
 def min_label_propagate_selfedge(edges: DataFrame, rounds: int) -> DataFrame:
@@ -78,7 +105,7 @@ def main() -> None:
     tracker = spark.sparkContext.statusTracker()
 
     pairs = dedup_minhash_lsh(spark, data_dir).select("doc_a", "doc_b")
-    cur = summarize(min_label_propagate(pairs, _CLUSTER_ROUNDS))
+    cur = summarize(min_label_propagate_twojoin(pairs, _CLUSTER_ROUNDS))
     new = summarize(min_label_propagate_selfedge(pairs, _CLUSTER_ROUNDS))
 
     a = cur.collect()

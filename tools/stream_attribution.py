@@ -51,8 +51,7 @@ def run_stream(agg, name: str, output_mode: str) -> dict:
     return {"wall": wall, "progress": prog}
 
 
-def attribution(tag: str, make_agg, output_mode: str, sf_dir: str) -> None:
-    spark = make_agg.__self__ if hasattr(make_agg, "__self__") else None
+def attribution(tag: str, make_agg, output_mode: str) -> None:
     print(f"== {tag} ==")
     t0 = time.perf_counter()
     agg = make_agg()
@@ -85,15 +84,14 @@ def main() -> None:
         "interval_join",
         lambda: interval_join_clicks_purchases(spark, sf_dir, gap_minutes=30),
         "append",
-        sf_dir,
     )
     attribution(
         "stateful_sessions",
         lambda: stateful_session_counts(read_events_stream(spark, sf_dir)),
         "update",
-        sf_dir,
     )
 
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     print("== shuffle-partition sensitivity (stream run wall, best-of-3) ==")
     for n in (32, 8, 1):
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
@@ -104,7 +102,7 @@ def main() -> None:
             best = min(run_stream(mk(), f"sens_{tag}_{n}", mode)["wall"] for _ in range(3))
             rows = spark.table(f"sens_{tag}_{n}").count()
             print(f"partitions={n:3d} {tag:18s} best={best:.3f}s rows={rows}")
-    spark.conf.set("spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism))
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     spark.stop()
 
 
